@@ -1,0 +1,441 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QFn, Exact, Tables}
+
+/** Relational/analytics core: q1–q15 of SURVEY.md §2.
+  *
+  * Every query is a declarative DataFrame plan (Catalyst does pushdown,
+  * pruning, join selection); each has a colocated DuckDB oracle.
+  * Determinism rules for oracle parity: decimal-exact sums (see
+  * [[graft.Exact]]), explicit total ordering on a unique key, and no
+  * raw timestamps in outputs (epoch integers instead).
+  */
+object Analytics {
+
+  /** TPC-H Q1 shape: grouped agg with map-side partials over the fact
+    * table. Scale: single shuffle on 2 low-cardinality keys; partial
+    * aggregation reduces 100 TB of scan to KBs of shuffle.
+    */
+  private def q1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.dsum2(col("l_quantity")).as("sum_qty"),
+        Exact.dsum2(col("l_extendedprice")).as("sum_base_price"),
+        Exact.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        Exact.dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        Exact.dmean2(col("l_quantity")).as("avg_qty"),
+        Exact.dmean2(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Filter + narrow projection; both reach the parquet scan
+    * (PushedFilters / 4-column ReadSchema in the plan).
+    */
+  private def q2(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 10.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q2Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_quantity < 10.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Multi-way star join + agg (TPC-H Q5 shape). region/nation/customer
+    * broadcast (tiny dims); only the fact tables shuffle, on the join
+    * key. Revenue per (region, nation).
+    */
+  private def q3(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Exact.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q3Sql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Broadcast dim join: part (small) broadcast to lineitem; no shuffle
+    * of the fact side for the join, only for the final agg.
+    */
+  private def q4(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        Exact.dsum2(col("l_quantity")).as("sum_qty"),
+        Exact.dsum2(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  private val q4Sql =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Top-K by aggregate. orderBy+limit compiles to
+    * TakeOrderedAndProject: each partition keeps k rows, no global sort
+    * materialization — the scale-correct top-k.
+    */
+  private def q5(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(Exact.dsum2(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+
+  private val q5Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 10""".stripMargin
+
+  /** Window functions: rank + exact running sum per supplier, ordered
+    * on a unique key so frames are deterministic. Single shuffle on the
+    * partition key.
+    */
+  private def q6(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        row_number().over(w).as("rn"),
+        Exact.drunning2(col("l_quantity"), frame).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  private val q6Sql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem
+      |WHERE l_orderkey < 1000
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  /** Left-semi (EXISTS) and left-anti (NOT EXISTS) joins, summarized by
+    * market segment. Semi/anti avoid materializing the probe side.
+    */
+  private def q7(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("with_orders"))
+    val noO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("no_orders"))
+    withO.unionByName(noO)
+      .select(col("tag"), col("c_mktsegment"), col("n"))
+      .orderBy(col("tag"), col("c_mktsegment"))
+  }
+
+  private val q7Sql =
+    """SELECT * FROM (
+      |  SELECT 'with_orders' AS tag, c_mktsegment, COUNT(*) AS n
+      |  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment
+      |  UNION ALL
+      |  SELECT 'no_orders' AS tag, c_mktsegment, COUNT(*) AS n
+      |  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment)
+      |ORDER BY tag, c_mktsegment""".stripMargin
+
+  /** ROLLUP multi-level aggregation; NULL grouping slots coalesced to a
+    * marker so engines agree on ordering.
+    */
+  private def q8(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Exact.dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  private val q8Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Exact distinct counts per group (two-phase distinct aggregation
+    * under the hood — scales via partial dedup before the final agg).
+    */
+  private def q9(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q9Sql =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Set operations over key sets: INTERSECT / EXCEPT both directions,
+    * tagged and unioned. Spark plans these as joins after dedup.
+    */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").as("k")).distinct()
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("k")).distinct()
+    val both = rich.intersect(big).withColumn("tag", lit("rich_and_big"))
+    val richOnly = rich.except(big).withColumn("tag", lit("rich_only"))
+    val bigOnly = big.except(rich).withColumn("tag", lit("big_only"))
+    both.unionByName(richOnly).unionByName(bigOnly)
+      .select(col("tag"), col("k"))
+      .orderBy(col("tag"), col("k"))
+  }
+
+  private val q10Sql =
+    """WITH rich AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0),
+      |     big  AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000.0)
+      |SELECT * FROM (
+      |  SELECT 'rich_and_big' AS tag, k FROM (SELECT k FROM rich INTERSECT SELECT k FROM big)
+      |  UNION ALL
+      |  SELECT 'rich_only' AS tag, k FROM (SELECT k FROM rich EXCEPT SELECT k FROM big)
+      |  UNION ALL
+      |  SELECT 'big_only' AS tag, k FROM (SELECT k FROM big EXCEPT SELECT k FROM rich))
+      |ORDER BY tag, k""".stripMargin
+
+  /** Correlated-subquery shape: orders above their customer's average,
+    * decorrelated as agg + equi-join (what Catalyst does to the
+    * subquery form; written directly for plan clarity).
+    */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val avgPer = o.groupBy(col("o_custkey").as("k"))
+      .agg((Exact.dsum2(col("o_totalprice")) / count(lit(1))).cast("double").as("cust_avg"))
+    o.join(avgPer, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q11Sql =
+    """WITH a AS (SELECT o_custkey AS k,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS cust_avg
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+      |FROM orders JOIN a ON o_custkey = k
+      |WHERE o_totalprice > cust_avg
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Conditional (CASE) pivot-style aggregation over a join. */
+  private def q12(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("l_quantity") > 25.0, 1L).otherwise(0L)).as("high_qty"),
+        sum(when(col("l_quantity") <= 25.0, 1L).otherwise(0L)).as("low_qty"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q12Sql =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS high_qty,
+      |  SUM(CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END) AS low_qty,
+      |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Event sessionization: 30-min-gap rule via lag + cumulative sum —
+    * one shuffle on user_id, linear in events. All time math is integer
+    * epoch-nanos (see Tables.events).
+    */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      // µs, not ns: DuckDB truncates parquet ns-timestamps to µs on
+      // read, so µs is the finest granularity both engines agree on.
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("new_sess",
+        when(col("tus") - lag(col("tus"), 1).over(wOrd) > gapUs, 1L)
+          .otherwise(when(lag(col("tus"), 1).over(wOrd).isNull, 1L).otherwise(0L)))
+      .withColumn("session_id", sum(col("new_sess")).over(wCum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"),
+        Exact.dsum2(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q13Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+      |flags AS (SELECT *,
+      |    CASE WHEN tus - LAG(tus) OVER w > 1800000000 THEN 1
+      |         WHEN LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flags)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(tus) AS start_us, MAX(tus) AS end_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Tumbling 1-hour window aggregation over events (batch form of the
+    * streaming st1 query); window key is integer floor-to-hour.
+    */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .withColumn("hour_s", expr("(ts div 3600000000000) * 3600"))
+      .groupBy(col("hour_s"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum2(col("value")).as("sum_value"))
+      .orderBy(col("hour_s"), col("event_type"))
+  }
+
+  private val q14Sql =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_s, event_type""".stripMargin
+
+  /** As-of join: each purchase matched to the user's most recent click
+    * at-or-before it. Implemented the scale-correct way — union both
+    * sides, one sort per user partition, carry the last click forward
+    * with a window — instead of an inequality join (which would be a
+    * per-user cross product). One shuffle, linear scan.
+    */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), expr("ts div 1000").as("tus"), col("user_id"), col("event_type"))
+      .withColumn("is_q", when(col("event_type") === "purchase", 1).otherwise(0))
+    // clicks sort before an equal-ts purchase so they qualify as "≤".
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("is_q"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("click_id",
+        last(when(col("is_q") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("is_q") === 0, col("tus")), ignoreNulls = true).over(w))
+      .filter(col("is_q") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tus").as("purchase_us"), col("click_id"), col("click_ts").as("click_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q15Sql =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, p.tus AS purchase_us,
+      |       c.event_id AS click_id, c.tus AS click_us
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.tus <= p.tus
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |  ORDER BY c.tus DESC NULLS LAST, c.event_id DESC) = 1
+      |ORDER BY purchase_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q1_agg" -> (q1 _),
+    "q2_filter_project" -> (q2 _),
+    "q3_join_agg" -> (q3 _),
+    "q4_broadcast_join" -> (q4 _),
+    "q5_topk" -> (q5 _),
+    "q6_window" -> (q6 _),
+    "q7_semi_anti" -> (q7 _),
+    "q8_rollup" -> (q8 _),
+    "q9_distinct" -> (q9 _),
+    "q10_setops" -> (q10 _),
+    "q11_corr_subquery" -> (q11 _),
+    "q12_case_agg" -> (q12 _),
+    "q13_sessionize" -> (q13 _),
+    "q14_event_window" -> (q14 _),
+    "q15_asof_join" -> (q15 _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_join_agg" -> q3Sql,
+    "q4_broadcast_join" -> q4Sql,
+    "q5_topk" -> q5Sql,
+    "q6_window" -> q6Sql,
+    "q7_semi_anti" -> q7Sql,
+    "q8_rollup" -> q8Sql,
+    "q9_distinct" -> q9Sql,
+    "q10_setops" -> q10Sql,
+    "q11_corr_subquery" -> q11Sql,
+    "q12_case_agg" -> q12Sql,
+    "q13_sessionize" -> q13Sql,
+    "q14_event_window" -> q14Sql,
+    "q15_asof_join" -> q15Sql)
+}

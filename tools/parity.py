@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local pre-flight replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (Spark output), runs the
+matching SQL from oracle_sql.json in DuckDB against <sfDir>'s tables,
+and compares schema + values (column-name-sorted, row-sorted, exact).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        try:
+            exp = canon(con.execute(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols got={list(got.columns)} exp={list(exp.columns)}")
+            ok = False
+        elif len(got) != len(exp):
+            print(f"FAIL {name}: rows got={len(got)} exp={len(exp)}")
+            ok = False
+        else:
+            for c in got.columns:
+                g, e = got[c], exp[c]
+                try:
+                    eq = (g.isna() & e.isna()) | (g == e)
+                except Exception:
+                    eq = g.astype(str) == e.astype(str)
+                if not eq.all():
+                    bad = (~eq).idxmax()
+                    print(f"FAIL {name}: col {c} row {bad}: got={g[bad]!r} exp={e[bad]!r} "
+                          f"(dtype {g.dtype} vs {e.dtype}, {int((~eq).sum())} diffs)")
+                    ok = False
+                    break
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
