@@ -11,7 +11,8 @@ object SparkEntry {
     analytics.Analytics.queries("q3_join_agg")(spark, "/root/testdata/sf0.001")
 
   private def modules: Seq[(Map[String, QFn], Map[String, String])] = Seq(
-    (analytics.Analytics.queries, analytics.Analytics.oracles))
+    (analytics.Analytics.queries, analytics.Analytics.oracles),
+    (genai.GenAI.queries, genai.GenAI.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] =

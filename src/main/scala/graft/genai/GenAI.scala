@@ -1,0 +1,234 @@
+package graft.genai
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QFn, Tables}
+
+/** GenAI batch pipeline queries g1–g9 (SURVEY.md §2): the reference's
+  * workflow stages as oracle-checked operators over `documents`.
+  */
+object GenAI {
+
+  private def reqs(s: SparkSession, d: String): DataFrame =
+    Requests.chatRequests(Tables.documents(s, d))
+
+  /** Shared oracle CTE mirroring Requests.chatRequests. */
+  private val ReqsCte =
+    """WITH reqs AS (
+      |  SELECT doc_id,
+      |    'request-' || doc_id AS custom_id,
+      |    'POST' AS method,
+      |    '/v1/chat/completions' AS url,
+      |    CASE WHEN lang = 'en' THEN 'gpt-4.1-nano' ELSE 'gpt-4o-mini' END AS model,
+      |    'You are a helpful assistant that classifies text as ''positive'' or ''negative''.' AS system_content,
+      |    'Classify the following sentence: ''' || text || '''' AS user_content,
+      |    CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 10 END AS max_tokens,
+      |    CAST(0.1 AS DOUBLE) AS temperature
+      |  FROM documents)""".stripMargin
+
+  /** Simulated-response oracle CTE mirroring Simulator.respond +
+    * Responses.parse (parsed fields, not the JSON round-trip — the
+    * Spark side really does serialize to JSON and re-extract).
+    */
+  private val ParsedCte = ReqsCte +
+    """,
+      |parsed AS (
+      |  SELECT doc_id, custom_id,
+      |    CASE WHEN doc_id % 53 = 0 THEN 500 ELSE 200 END AS status_code,
+      |    CASE WHEN doc_id % 53 = 0 THEN NULL ELSE model END AS model,
+      |    CASE WHEN doc_id % 53 = 0 THEN NULL
+      |         WHEN length(regexp_extract_all(user_content, 'fast|small|value')) >=
+      |              length(regexp_extract_all(user_content, 'slow|error|big'))
+      |         THEN 'positive' ELSE 'negative' END AS content,
+      |    CASE WHEN doc_id % 53 = 0 THEN NULL
+      |         ELSE CAST((length(system_content) + length(user_content) + 3) // 4 AS BIGINT) END AS prompt_tokens,
+      |    CASE WHEN doc_id % 53 = 0 THEN NULL ELSE CAST(1 AS BIGINT) END AS completion_tokens,
+      |    CASE WHEN doc_id % 53 = 0 THEN 'Internal server error' ELSE NULL END AS error_message
+      |  FROM reqs)""".stripMargin
+
+  private def g1(s: SparkSession, d: String): DataFrame =
+    reqs(s, d).orderBy(col("doc_id"))
+
+  private val g1Sql = ReqsCte +
+    """
+      |SELECT * FROM reqs ORDER BY doc_id""".stripMargin
+
+  private def g2(s: SparkSession, d: String): DataFrame =
+    Validation.validate(reqs(s, d))
+      .groupBy(coalesce(col("reason"), lit("valid")).as("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("reason"))
+
+  private val g2Sql = ReqsCte +
+    """
+      |SELECT COALESCE(
+      |    CASE WHEN max_tokens <= 0 THEN 'max_tokens_out_of_range'
+      |         WHEN model NOT IN ('gpt-4.1-nano','gpt-4o-mini','gpt-4o') THEN 'unknown_model'
+      |         WHEN length(user_content) = 0 THEN 'empty_prompt'
+      |         WHEN length(user_content) > 4000 THEN 'prompt_too_long'
+      |    END, 'valid') AS reason,
+      |  COUNT(*) AS n
+      |FROM reqs GROUP BY 1 ORDER BY reason""".stripMargin
+
+  private def g3(s: SparkSession, d: String): DataFrame =
+    Sharding.assign(reqs(s, d), 100)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_requests"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(length(col("user_content")).cast("long")).as("payload_chars"))
+      .orderBy(col("shard_id"))
+
+  private val g3Sql = ReqsCte +
+    """
+      |SELECT doc_id // 100 AS shard_id, COUNT(*) AS n_requests,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+      |  CAST(SUM(length(user_content)) AS BIGINT) AS payload_chars
+      |FROM reqs GROUP BY 1 ORDER BY shard_id""".stripMargin
+
+  private def g4(s: SparkSession, d: String): DataFrame =
+    Responses.parse(Simulator.respond(reqs(s, d)))
+      .orderBy(col("doc_id"))
+
+  private val g4Sql = ParsedCte +
+    """
+      |SELECT custom_id, doc_id, status_code, model, content,
+      |       prompt_tokens, completion_tokens, error_message
+      |FROM parsed ORDER BY doc_id""".stripMargin
+
+  private def g5(s: SparkSession, d: String): DataFrame = {
+    val parsed = Responses.results(Responses.parse(Simulator.respond(reqs(s, d))))
+    parsed.join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("custom_id"), col("lang"), col("source"),
+        col("content").as("label"), col("prompt_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val g5Sql = ParsedCte +
+    """
+      |SELECT p.doc_id, p.custom_id, d.lang, d.source, p.content AS label, p.prompt_tokens
+      |FROM parsed p JOIN documents d ON p.doc_id = d.doc_id
+      |WHERE p.status_code = 200
+      |ORDER BY p.doc_id""".stripMargin
+
+  private def g6(s: SparkSession, d: String): DataFrame = {
+    val parsed = Responses.parse(Simulator.respond(reqs(s, d)))
+    parsed.join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("status_code") === 200, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("status_code") =!= 200, 1L).otherwise(0L)).as("n_err"))
+      .withColumn("err_rate", col("n_err").cast("double") / col("n_total"))
+      .orderBy(col("source"))
+  }
+
+  private val g6Sql = ParsedCte +
+    """
+      |SELECT d.source, COUNT(*) AS n_total,
+      |  SUM(CASE WHEN p.status_code = 200 THEN 1 ELSE 0 END) AS n_ok,
+      |  SUM(CASE WHEN p.status_code <> 200 THEN 1 ELSE 0 END) AS n_err,
+      |  CAST(SUM(CASE WHEN p.status_code <> 200 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS err_rate
+      |FROM parsed p JOIN documents d ON p.doc_id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** Shard-level job status — the monitor stage
+    * (openai_batch_processor.py:184) summarized over shards instead of
+    * a polling loop: terminal state per batch file.
+    */
+  private def g7(s: SparkSession, d: String): DataFrame = {
+    val parsed = Responses.parse(Simulator.respond(Sharding.assign(reqs(s, d), 100)))
+      .withColumn("shard_id", expr("doc_id div 100"))
+    parsed.groupBy(col("shard_id"))
+      .agg(sum(when(col("status_code") === 200, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("status_code") =!= 200, 1L).otherwise(0L)).as("n_err"))
+      .withColumn("status",
+        when(col("n_err") === 0, lit("completed"))
+          .when(col("n_err") < 3, lit("completed_with_errors"))
+          .otherwise(lit("failed")))
+      .select(col("shard_id"), col("status"), col("n_ok"), col("n_err"))
+      .orderBy(col("shard_id"))
+  }
+
+  private val g7Sql = ParsedCte +
+    """
+      |, sh AS (
+      |  SELECT doc_id // 100 AS shard_id,
+      |    SUM(CASE WHEN status_code = 200 THEN 1 ELSE 0 END) AS n_ok,
+      |    SUM(CASE WHEN status_code <> 200 THEN 1 ELSE 0 END) AS n_err
+      |  FROM parsed GROUP BY 1)
+      |SELECT shard_id,
+      |  CASE WHEN n_err = 0 THEN 'completed'
+      |       WHEN n_err < 3 THEN 'completed_with_errors'
+      |       ELSE 'failed' END AS status,
+      |  n_ok, n_err
+      |FROM sh ORDER BY shard_id""".stripMargin
+
+  /** Token/cost accounting in integer nanodollars — exact and
+    * order-independent, converted to USD only at the end.
+    */
+  private def g8(s: SparkSession, d: String): DataFrame =
+    Responses.results(Responses.parse(Simulator.respond(reqs(s, d))))
+      .groupBy(col("model"))
+      .agg(count(lit(1)).as("n_requests"),
+        sum(col("prompt_tokens")).as("sum_prompt_tokens"),
+        sum(col("completion_tokens")).as("sum_completion_tokens"),
+        sum(col("prompt_tokens") * 2500L + col("completion_tokens") * 10000L).as("cost_nano"))
+      .withColumn("cost_usd", col("cost_nano").cast("double") / 1e9)
+      .orderBy(col("model"))
+
+  private val g8Sql = ParsedCte +
+    """
+      |SELECT model, COUNT(*) AS n_requests,
+      |  SUM(prompt_tokens) AS sum_prompt_tokens,
+      |  SUM(completion_tokens) AS sum_completion_tokens,
+      |  SUM(prompt_tokens * 2500 + completion_tokens * 10000) AS cost_nano,
+      |  CAST(SUM(prompt_tokens * 2500 + completion_tokens * 10000) AS DOUBLE) / 1e9 AS cost_usd
+      |FROM parsed WHERE status_code = 200
+      |GROUP BY model ORDER BY model""".stripMargin
+
+  /** Visual-exam request building (run_visual_exam.py:93): binary
+    * payload → base64 data-URL image part. The document text stands in
+    * for image bytes (image libs are absent here); the plumbing —
+    * binary cast, base64, data-URL part — is the real operator.
+    */
+  private def g9(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("request-"), col("doc_id")).as("custom_id"),
+      col("doc_id"),
+      lit("What shape is in the image? Answer in JSON.").as("prompt_text"),
+      lit("image_url").as("content_type"),
+      // Spark's base64 emits MIME-chunked output (CRLF every 76 chars);
+      // strip to the canonical unchunked form.
+      concat(lit("data:image/png;base64,"),
+        regexp_replace(base64(col("text").cast("binary")), "\r\n", "")).as("data_url"))
+      .orderBy(col("doc_id"))
+
+  private val g9Sql =
+    """SELECT 'request-' || doc_id AS custom_id, doc_id,
+      |  'What shape is in the image? Answer in JSON.' AS prompt_text,
+      |  'image_url' AS content_type,
+      |  'data:image/png;base64,' || to_base64(encode(text)) AS data_url
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "g1_request_build" -> (g1 _),
+    "g2_request_validate" -> (g2 _),
+    "g3_batch_shard" -> (g3 _),
+    "g4_response_parse" -> (g4 _),
+    "g5_result_join" -> (g5 _),
+    "g6_error_split" -> (g6 _),
+    "g7_status_monitor" -> (g7 _),
+    "g8_cost_estimate" -> (g8 _),
+    "g9_multimodal_request" -> (g9 _))
+
+  val oracles: Map[String, String] = Map(
+    "g1_request_build" -> g1Sql,
+    "g2_request_validate" -> g2Sql,
+    "g3_batch_shard" -> g3Sql,
+    "g4_response_parse" -> g4Sql,
+    "g5_result_join" -> g5Sql,
+    "g6_error_split" -> g6Sql,
+    "g7_status_monitor" -> g7Sql,
+    "g8_cost_estimate" -> g8Sql,
+    "g9_multimodal_request" -> g9Sql)
+}

@@ -1,0 +1,62 @@
+package graft.genai
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch request construction — the Spark-native form of the
+  * reference's `_create_request` (openai_batch_processor.py:79,
+  * examples/openai/run_text_classifier.py:38): every input row becomes
+  * one chat-completions request record with a `custom_id` derived from
+  * the row key.
+  *
+  * Scale: a pure per-row projection (whole-stage codegen, no shuffle);
+  * at 100 TB this is a map over the corpus.
+  */
+object Requests {
+  val SystemPrompt =
+    "You are a helpful assistant that classifies text as 'positive' or 'negative'."
+
+  /** Model routing: per-row model choice (reference routes via kwargs;
+    * here a deterministic per-language policy). */
+  def modelFor(lang: Column): Column =
+    when(lang === "en", lit("gpt-4.1-nano")).otherwise(lit("gpt-4o-mini"))
+
+  /** documents → flat request records (one per row). Columns:
+    * doc_id, custom_id, method, url, model, system_content,
+    * user_content, max_tokens, temperature.
+    */
+  def chatRequests(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      concat(lit("request-"), col("doc_id")).as("custom_id"),
+      lit("POST").as("method"),
+      lit("/v1/chat/completions").as("url"),
+      modelFor(col("lang")).as("model"),
+      lit(SystemPrompt).as("system_content"),
+      concat(lit("Classify the following sentence: '"), col("text"), lit("'")).as("user_content"),
+      // max_tokens=0 on a sliver of rows: a deterministic invalid-request
+      // population so the validation operator has something to reject
+      // (mirrors the reference's pre-flight failure path).
+      when(col("doc_id") % 97 === 0, lit(0)).otherwise(lit(10)).as("max_tokens"),
+      lit(0.1).as("temperature"))
+
+  /** Serialize flat request records to the Batch API JSONL body shape
+    * (custom_id/method/url/body{model,messages,...}) — the line format
+    * of openai_batch_processor.py:136.
+    */
+  def toJsonLines(requests: DataFrame): DataFrame =
+    requests.select(
+      col("custom_id"),
+      to_json(struct(
+        col("custom_id"),
+        col("method"),
+        col("url"),
+        struct(
+          col("model"),
+          array(
+            struct(lit("system").as("role"), col("system_content").as("content")),
+            struct(lit("user").as("role"), col("user_content").as("content"))
+          ).as("messages"),
+          col("max_tokens"),
+          col("temperature")).as("body"))).as("line"))
+}

@@ -1,0 +1,42 @@
+package graft.genai
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic stand-in for the external model endpoint. Model
+  * inference is external to the reference too (the Batch API service);
+  * the engine's job is everything around it. This simulator produces
+  * the response JSONL the reference's monitor/retrieve stages consume
+  * (openai_batch_processor.py:205-260): per-request status, a response
+  * body with choices[0].message.content, usage accounting, and a
+  * deterministic error population.
+  *
+  * The fake "model" is a keyword-count sentiment rule over the prompt —
+  * pure per-row expressions, reproducible on any cluster.
+  */
+object Simulator {
+  /** requests (flat, from Requests.chatRequests) → raw response lines:
+    * custom_id, status_code, body_json (NULL on transport error),
+    * error_message.
+    */
+  def respond(requests: DataFrame): DataFrame = {
+    val pos = regexp_count(col("user_content"), lit("fast|small|value"))
+    val neg = regexp_count(col("user_content"), lit("slow|error|big"))
+    val label = when(pos >= neg, lit("positive")).otherwise(lit("negative"))
+    val promptTokens = expr("(length(system_content) + length(user_content) + 3) div 4")
+    val failed = col("doc_id") % 53 === 0
+    requests.select(
+      col("custom_id"),
+      when(failed, lit(500)).otherwise(lit(200)).as("status_code"),
+      when(failed, lit(null).cast("string")).otherwise(
+        to_json(struct(
+          col("model"),
+          array(struct(
+            struct(lit("assistant").as("role"), label.as("content")).as("message")
+          )).as("choices"),
+          struct(
+            promptTokens.as("prompt_tokens"),
+            lit(1L).as("completion_tokens")).as("usage")))).as("body_json"),
+      when(failed, lit("Internal server error")).otherwise(lit(null).cast("string")).as("error_message"))
+  }
+}
