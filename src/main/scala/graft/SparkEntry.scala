@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, QFn], Map[String, String])] = Seq(
     (analytics.Analytics.queries, analytics.Analytics.oracles),
-    (genai.GenAI.queries, genai.GenAI.oracles))
+    (genai.GenAI.queries, genai.GenAI.oracles),
+    (text.TextAnalysis.queries, text.TextAnalysis.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] =

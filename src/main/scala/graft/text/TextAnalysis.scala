@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QFn, Tables}
+
+/** Text-analysis operators t1–t5 (SURVEY.md §2) over `documents`:
+  * token counting, quality scoring, language-ID heuristic, content
+  * fingerprinting, corpus token frequencies.
+  *
+  * All per-document metrics are single-pass regexp/codegen expressions
+  * (no UDFs, no shuffle); only t5's corpus rollup shuffles, on the
+  * token key after map-side partial aggregation.
+  */
+object TextAnalysis {
+
+  /** Whitespace-token count as a codegen'd regexp count. */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+")).cast("long")
+
+  private def t1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      regexp_count(col("text"), lit("\\s")).cast("long").as("n_whitespace"))
+      .orderBy(col("doc_id"))
+
+  private val t1Sql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(regexp_extract_all(text, '\s')) AS BIGINT) AS n_whitespace
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Heuristic quality score: stopword density, alphabetic density,
+    * mean token length — the standard cheap pre-filters for LLM
+    * training corpora.
+    */
+  private def t2(s: SparkSession, d: String): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nTokens = tokenCount(col("text"))
+    val nStop = regexp_count(col("text"), lit("\\b(the|a|an|of|and|in|to)\\b")).cast("long")
+    val nAlpha = regexp_count(col("text"), lit("[a-zA-Z]")).cast("long")
+    val nPunct = regexp_count(col("text"), lit("[.,;:!?']")).cast("long")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      (nStop.cast("double") / nTokens).as("stopword_ratio"),
+      (nAlpha.cast("double") / nChars).as("alpha_ratio"),
+      (nPunct.cast("double") / nChars).as("punct_ratio"),
+      ((nChars - regexp_count(col("text"), lit("\\s")).cast("long")).cast("double") / nTokens).as("mean_token_len"))
+      .withColumn("quality_score",
+        col("stopword_ratio") * 0.5 + col("alpha_ratio") * 0.3 - col("punct_ratio") * 0.2)
+      .withColumn("quality_bucket",
+        when(col("quality_score") >= 0.35, lit("high"))
+          .when(col("quality_score") >= 0.3, lit("medium"))
+          .otherwise(lit("low")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t2Sql =
+    """WITH m AS (SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_extract_all(text, '\b(the|a|an|of|and|in|to)\b')) AS BIGINT) AS n_stop,
+      |    CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+      |    CAST(length(regexp_extract_all(text, '[.,;:!?'']')) AS BIGINT) AS n_punct,
+      |    CAST(length(regexp_extract_all(text, '\s')) AS BIGINT) AS n_ws
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+      |  CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+      |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+      |  CAST(n_chars - n_ws AS DOUBLE) / n_tokens AS mean_token_len,
+      |  (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 + (CAST(n_alpha AS DOUBLE) / n_chars) * 0.3
+      |    - (CAST(n_punct AS DOUBLE) / n_chars) * 0.2 AS quality_score,
+      |  CASE WHEN (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 + (CAST(n_alpha AS DOUBLE) / n_chars) * 0.3
+      |            - (CAST(n_punct AS DOUBLE) / n_chars) * 0.2 >= 0.35 THEN 'high'
+      |       WHEN (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 + (CAST(n_alpha AS DOUBLE) / n_chars) * 0.3
+      |            - (CAST(n_punct AS DOUBLE) / n_chars) * 0.2 >= 0.3 THEN 'medium'
+      |       ELSE 'low' END AS quality_bucket
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Language-ID by per-language stopword hit counts, argmax with a
+    * fixed priority tie-break.
+    */
+  private def t3(s: SparkSession, d: String): DataFrame = {
+    val en = regexp_count(col("text"), lit("\\b(the|a|and|of)\\b")).cast("long")
+    val fr = regexp_count(col("text"), lit("\\b(le|la|et|de)\\b")).cast("long")
+    val de = regexp_count(col("text"), lit("\\b(der|die|und|das)\\b")).cast("long")
+    val es = regexp_count(col("text"), lit("\\b(el|los|y|que)\\b")).cast("long")
+    val zh = regexp_count(col("text"), lit("[一-鿿]")).cast("long")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      en.as("en_score"), fr.as("fr_score"), de.as("de_score"),
+      es.as("es_score"), zh.as("zh_score"))
+      .withColumn("predicted",
+        when(col("zh_score") > col("en_score"), lit("zh"))
+          .when(col("fr_score") > col("en_score"), lit("fr"))
+          .when(col("de_score") > col("en_score"), lit("de"))
+          .when(col("es_score") > col("en_score"), lit("es"))
+          .otherwise(lit("en")))
+      .withColumn("is_match", col("predicted") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t3Sql =
+    """WITH sc AS (SELECT doc_id, lang,
+      |    CAST(length(regexp_extract_all(text, '\b(the|a|and|of)\b')) AS BIGINT) AS en_score,
+      |    CAST(length(regexp_extract_all(text, '\b(le|la|et|de)\b')) AS BIGINT) AS fr_score,
+      |    CAST(length(regexp_extract_all(text, '\b(der|die|und|das)\b')) AS BIGINT) AS de_score,
+      |    CAST(length(regexp_extract_all(text, '\b(el|los|y|que)\b')) AS BIGINT) AS es_score,
+      |    CAST(length(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS zh_score
+      |  FROM documents)
+      |SELECT doc_id, lang, en_score, fr_score, de_score, es_score, zh_score,
+      |  CASE WHEN zh_score > en_score THEN 'zh'
+      |       WHEN fr_score > en_score THEN 'fr'
+      |       WHEN de_score > en_score THEN 'de'
+      |       WHEN es_score > en_score THEN 'es'
+      |       ELSE 'en' END AS predicted,
+      |  (CASE WHEN zh_score > en_score THEN 'zh'
+      |        WHEN fr_score > en_score THEN 'fr'
+      |        WHEN de_score > en_score THEN 'de'
+      |        WHEN es_score > en_score THEN 'es'
+      |        ELSE 'en' END) = lang AS is_match
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Content fingerprint: md5 over the text plus a (length-bucketed)
+    * secondary key; dup_count via a window over the fingerprint — the
+    * exact-dup detector's building block.
+    */
+  private def t4(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"),
+      length(col("text")).cast("long").as("n_chars"))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t4Sql =
+    """SELECT doc_id, md5(text) AS fp, CAST(length(text) AS BIGINT) AS n_chars,
+      |  COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus token frequencies, top 20. Map-side partial agg means the
+    * shuffle carries (token, partial_count) pairs — vocabulary-sized,
+    * not corpus-sized — and top-K is TakeOrdered, no global sort.
+    */
+  private def t5(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .select(lower(col("token")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  private val t5Sql =
+    """SELECT lower(t.token) AS token, COUNT(*) AS n
+      |FROM documents, unnest(regexp_extract_all(text, '\S+')) AS t(token)
+      |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "t1_tokens" -> (t1 _),
+    "t2_quality" -> (t2 _),
+    "t3_langid" -> (t3 _),
+    "t4_fingerprint" -> (t4 _),
+    "t5_ngram_top" -> (t5 _))
+
+  val oracles: Map[String, String] = Map(
+    "t1_tokens" -> t1Sql,
+    "t2_quality" -> t2Sql,
+    "t3_langid" -> t3Sql,
+    "t4_fingerprint" -> t4Sql,
+    "t5_ngram_top" -> t5Sql)
+}
