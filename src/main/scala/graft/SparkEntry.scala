@@ -13,7 +13,9 @@ object SparkEntry {
   private def modules: Seq[(Map[String, QFn], Map[String, String])] = Seq(
     (analytics.Analytics.queries, analytics.Analytics.oracles),
     (genai.GenAI.queries, genai.GenAI.oracles),
-    (text.TextAnalysis.queries, text.TextAnalysis.oracles))
+    (text.TextAnalysis.queries, text.TextAnalysis.oracles),
+    (dedup.Dedup.queries, dedup.Dedup.oracles),
+    (sim.Knn.queries, sim.Knn.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] =

@@ -1,0 +1,230 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QFn, Tables}
+
+/** Deduplication suite d1–d5 (SURVEY.md §2).
+  *
+  * Scale design: every operator is linear or candidate-bounded — no
+  * global n² anywhere. MinHash/LSH shuffles signatures (bytes/doc, not
+  * the documents); Jaccard verification touches only inverted-index
+  * candidates with a document-frequency cap (stop-shingle removal, the
+  * standard skew guard); embedding near-dup compares within blocks.
+  */
+object Dedup {
+
+  /** Distinct char-5-gram shingles per document: a generate-positions
+    * transform + explode — linear in corpus size, no shuffle until the
+    * downstream agg.
+    */
+  private[graft] def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("sh"))
+      .distinct()
+
+  /** d1: exact dedup by md5 content hash — keep-min-id per group. */
+  private def d1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("group_size"))
+      .orderBy(col("keep_doc_id"))
+
+  private val d1Sql =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size
+      |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin
+
+  /** d2: MinHash signatures (k=8 md5-seeded hash functions over
+    * shingles) + LSH banding (4 bands × 2 rows) + bucket-join candidate
+    * count per document. The signature step is one pass + one agg; the
+    * candidate join touches band keys only.
+    */
+  private def d2(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d))
+    val mins = (0 until 8).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"s$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = sig.select(col("doc_id"),
+      md5(concat(col("s0"), col("s1"))).as("b0"),
+      md5(concat(col("s2"), col("s3"))).as("b1"),
+      md5(concat(col("s4"), col("s5"))).as("b2"),
+      md5(concat(col("s6"), col("s7"))).as("b3"))
+    val long = bands.select(col("doc_id"),
+      explode(map(lit(0), col("b0"), lit(1), col("b1"), lit(2), col("b2"), lit(3), col("b3"))).as(Seq("band_id", "bkey")))
+    val cands = long.as("a").join(long.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("cand"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+    bands.join(cands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d2Sql =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
+      |      i -> substring(text, i, 5))) AS s
+      |    FROM documents)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    MIN(md5('0:' || s)) AS s0, MIN(md5('1:' || s)) AS s1,
+      |    MIN(md5('2:' || s)) AS s2, MIN(md5('3:' || s)) AS s3,
+      |    MIN(md5('4:' || s)) AS s4, MIN(md5('5:' || s)) AS s5,
+      |    MIN(md5('6:' || s)) AS s6, MIN(md5('7:' || s)) AS s7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, md5(s0 || s1) AS b0, md5(s2 || s3) AS b1,
+      |         md5(s4 || s5) AS b2, md5(s6 || s7) AS b3 FROM sig),
+      |long AS (
+      |  SELECT doc_id, 0 AS band_id, b0 AS bkey FROM bands
+      |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+      |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+      |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+      |cands AS (
+      |  SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_candidates
+      |  FROM long a JOIN long b
+      |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+      |  GROUP BY a.doc_id)
+      |SELECT bands.doc_id AS doc_id, b0, b1, b2, b3,
+      |  COALESCE(cands.n_candidates, 0) AS n_candidates
+      |FROM bands LEFT JOIN cands ON bands.doc_id = cands.doc_id
+      |ORDER BY bands.doc_id""".stripMargin
+
+  /** d3: 16-bit SimHash over distinct tokens. Bit j is the sign of the
+    * sum of ±1 votes from each token's md5 hex digit j. One explode +
+    * one agg; signature is a compact bit string.
+    */
+  private def d3(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .withColumn("h", md5(col("tok")))
+    val voteCols = (0 until 16).map(j =>
+      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$j"))
+    val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val bits = (0 until 16).map(j => when(col(s"v$j") > 0, lit("1")).otherwise(lit("0")))
+    votes.select(col("doc_id"), concat(bits: _*).as("simhash"))
+      .withColumn("n_ones", length(regexp_replace(col("simhash"), "0", "")).cast("long"))
+      .withColumn("sig_count", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d3Sql = {
+    val votes = (0 until 16).map(j =>
+      s"SUM(CASE WHEN substring(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j").mkString(",\n      |    ")
+    val bits = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH toks AS (
+      |  SELECT DISTINCT doc_id, md5(t.tok) AS h
+      |  FROM documents, unnest(regexp_extract_all(text, '\\S+')) AS t(tok)),
+      |votes AS (
+      |  SELECT doc_id,
+      |    $votes
+      |  FROM toks GROUP BY doc_id),
+      |sigs AS (SELECT doc_id, $bits AS simhash FROM votes)
+      |SELECT doc_id, simhash,
+      |  CAST(length(replace(simhash, '0', '')) AS BIGINT) AS n_ones,
+      |  COUNT(*) OVER (PARTITION BY simhash) AS sig_count
+      |FROM sigs ORDER BY doc_id""".stripMargin
+  }
+
+  /** d4: n-gram Jaccard over inverted-index candidates. Candidates are
+    * pairs sharing a *rare* shingle (2 ≤ df ≤ 10 — the df cap kills
+    * hot-key skew); Jaccard is then computed exactly on the full
+    * shingle sets of just those pairs. Top-100 most similar pairs.
+    */
+  private def d4(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 10)
+    val rareSh = sh.join(rare.select(col("sh")), Seq("sh"))
+    val pairs = rareSh.as("a").join(rareSh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val common = pairs.join(sh.as("x"), col("da") === col("x.doc_id"))
+      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), Seq("db"))
+      .select(col("da"), col("db"), col("n_common"),
+        (col("n_common").cast("double") / (col("sza") + col("szb") - col("n_common"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("da"), col("db"))
+      .limit(100)
+  }
+
+  private val d4Sql =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
+      |      i -> substring(text, i, 5))) AS s
+      |    FROM documents)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 10),
+      |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |common AS (
+      |  SELECT p.da, p.db, COUNT(*) AS n_common
+      |  FROM pairs p
+      |  JOIN sh x ON x.doc_id = p.da
+      |  JOIN sh y ON y.doc_id = p.db AND y.s = x.s
+      |  GROUP BY p.da, p.db)
+      |SELECT c.da, c.db, c.n_common,
+      |  CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) AS jaccard
+      |FROM common c
+      |JOIN sizes sa ON sa.doc_id = c.da
+      |JOIN sizes sb ON sb.doc_id = c.db
+      |ORDER BY jaccard DESC, da, db LIMIT 100""".stripMargin
+
+  /** d5: embedding-cosine near-dup — label-blocked pair scan (never a
+    * global n²; on a real corpus the block key is an LSH bucket, see
+    * s2), exact-decimal cosine, top-50 most similar pairs.
+    */
+  private def d5(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("label"), col("embedding").as("eb"))
+    a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .select(col("label"), col("va"), col("vb"),
+        VectorFunctions.cosine("ea", "eb").as("cos"))
+      .orderBy(col("cos").desc, col("va"), col("vb"))
+      .limit(50)
+  }
+
+  private val d5Sql = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+       |         a.embedding AS ea, b.embedding AS eb
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT label, va, vb,
+       |  ${dot("ea", "eb")} / (sqrt(${dot("ea", "ea")}) * sqrt(${dot("eb", "eb")})) AS cos
+       |FROM pairs
+       |ORDER BY cos DESC, va, vb LIMIT 50""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "d1_exact_dedup" -> (d1 _),
+    "d2_minhash_lsh" -> (d2 _),
+    "d3_simhash" -> (d3 _),
+    "d4_ngram_jaccard" -> (d4 _),
+    "d5_embedding_neardup" -> (d5 _))
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_minhash_lsh" -> d2Sql,
+    "d3_simhash" -> d3Sql,
+    "d4_ngram_jaccard" -> d4Sql,
+    "d5_embedding_neardup" -> d5Sql)
+}

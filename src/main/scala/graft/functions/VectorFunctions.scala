@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (zip_with/aggregate) — no UDFs.
+  *
+  * Determinism: a per-row array fold is sequential by construction, so
+  * plain double arithmetic is bit-identical on any engine or cluster
+  * size (unlike cross-row double SUMs, which need the decimal trick in
+  * [[graft.Exact]]). The DuckDB oracles fold with `list_reduce` in the
+  * same element order.
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product of two float-array columns, as double. */
+  def dot(a: String, b: String): Column =
+    expr(
+      s"""aggregate(
+         |  zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         |  CAST(0 AS DOUBLE),
+         |  (acc, v) -> acc + v)""".stripMargin)
+
+  /** Cosine similarity: dot/(sqrt(|a|²)·sqrt(|b|²)). */
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Sequential-fold squared-L2 distance between a float array and a
+    * double array (e.g. vector vs centroid), as double. */
+  def l2sq(a: String, b: String): Column =
+    expr(
+      s"""aggregate(
+         |  zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+         |  CAST(0 AS DOUBLE),
+         |  (acc, v) -> acc + v)""".stripMargin)
+
+  /** LSH bucket from hyperplane-like sign bits at fixed dims (1-based). */
+  def signBucket(vec: String, dims: Seq[Int]): Column =
+    concat(dims.map(i =>
+      when(expr(s"element_at($vec, $i)") > 0f, lit("1")).otherwise(lit("0"))): _*)
+}

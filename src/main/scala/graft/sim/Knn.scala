@@ -1,0 +1,159 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QFn, Tables}
+import graft.functions.VectorFunctions
+
+/** Similarity search s1–s3 (SURVEY.md §2) over `embeddings`.
+  *
+  * s1 is the brute-force baseline (per-query scan — at cluster scale
+  * the query set broadcasts and the corpus never shuffles); s2 is the
+  * LSH-bucketed scale path (probe only the query's bucket); s3 is the
+  * IVF building block (centroid assignment).
+  */
+object Knn {
+
+  /** The DuckDB mirror of VectorFunctions.dot — same sequential fold. */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)""".stripMargin
+
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** s1: brute-force cosine top-10 per query vector. The query side is
+    * tiny and broadcast; ranking is a per-query window (partitions are
+    * query-sized, never corpus-sized).
+    */
+  private def s1(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q)
+      .join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorFunctions.cosine("qe", "embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val s1Sql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    ${duckCos("q.qe", "e.embedding")} AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+       |SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
+       |       vec_id, cos
+       |FROM scored
+       |QUALIFY rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  private val lshDims = Seq(1, 8, 17, 33)
+
+  /** s2: LSH-bucketed ANN — hyperplane-sign bucket (4 fixed dims), then
+    * brute-force only within the query's bucket. The bucket key is a
+    * per-row expression; the probe join is an equi-join on it.
+    */
+  private def s2(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", VectorFunctions.signBucket("embedding", lshDims))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q)
+      .join(e, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("bucket"), col("vec_id"),
+        VectorFunctions.cosine("qe", "embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val s2Sql =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END) ||
+       |    (CASE WHEN embedding[8] > 0 THEN '1' ELSE '0' END) ||
+       |    (CASE WHEN embedding[17] > 0 THEN '1' ELSE '0' END) ||
+       |    (CASE WHEN embedding[33] > 0 THEN '1' ELSE '0' END) AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, b.bucket, b.vec_id,
+       |    ${duckCos("q.qe", "b.embedding")} AS cos
+       |  FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id)
+       |SELECT q_id, bucket, vec_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |FROM scored
+       |QUALIFY rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** s3: IVF cell assignment — per-label centroids, each vector assigned
+    * to its nearest centroid by L2.
+    *
+    * Determinism: centroid components are cross-row sums, so they use
+    * integer nano-units (round(x·1e9) summed as BIGINT — exact and
+    * order-independent); distances are per-row array folds against the
+    * assembled centroid vectors (sequential doubles, bit-identical on
+    * any cluster). The centroid table is tiny and broadcast; assignment
+    * is one pass over vectors.
+    */
+  private def s3(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val dims = e.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+    val cents = dims.groupBy(col("label").as("cell"), col("i"))
+      .agg(sum(round(col("x").cast("double") * 1e9).cast("long")).as("c_nano"),
+        count(lit(1)).as("cnt"))
+      .withColumn("c", col("c_nano").cast("double") / (lit(1e9) * col("cnt")))
+    val centArr = cents.groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(col("cell"), expr("transform(ic, s -> s.c)").as("carr"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("label"), col("cell"),
+        VectorFunctions.l2sq("embedding", "carr").as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("cell").as("assigned_cell"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val s3Sql =
+    """WITH dims AS (
+      |  SELECT vec_id, label, g.i, CAST(embedding[g.i] AS DOUBLE) AS x
+      |  FROM embeddings, generate_series(1, 64) AS g(i)),
+      |cents AS (
+      |  SELECT label AS cell, i,
+      |    CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * COUNT(*)) AS c
+      |  FROM dims GROUP BY label, i),
+      |centarr AS (
+      |  SELECT cell, list(c ORDER BY i) AS carr FROM cents GROUP BY cell),
+      |dists AS (
+      |  SELECT e.vec_id, e.label, c.cell,
+      |    list_reduce(list_transform(generate_series(1, 64),
+      |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])),
+      |      (acc, x) -> acc + x) AS dist
+      |  FROM embeddings e CROSS JOIN centarr c)
+      |SELECT vec_id, label, cell AS assigned_cell, dist
+      |FROM dists
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+      |ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "s1_knn_brute" -> (s1 _),
+    "s2_ann_lsh" -> (s2 _),
+    "s3_ivf_cells" -> (s3 _))
+
+  val oracles: Map[String, String] = Map(
+    "s1_knn_brute" -> s1Sql,
+    "s2_ann_lsh" -> s2Sql,
+    "s3_ivf_cells" -> s3Sql)
+}
