@@ -15,7 +15,9 @@ object SparkEntry {
     (genai.GenAI.queries, genai.GenAI.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
-    (sim.Knn.queries, sim.Knn.oracles))
+    (sim.Knn.queries, sim.Knn.oracles),
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
+    (streaming.StreamingOps.queries, streaming.StreamingOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] =

@@ -20,8 +20,12 @@ object Dedup {
     * downstream agg.
     */
   private[graft] def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("sh"))
+    docs
+      // the corpus arrives as few dense files; spread rows across the
+      // cluster BEFORE the expensive explode+hash work, not after
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("sh"))
       .distinct()
 
   /** d1: exact dedup by md5 content hash — keep-min-id per group. */
@@ -189,12 +193,18 @@ object Dedup {
     */
   private def d5(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions
+    val n = s.sessionState.conf.numShufflePartitions
     val e = Tables.embeddings(s, d)
+    // norms once per vector (not per pair); probe side spread across
+    // tasks before the pairwise work
     val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+      .withColumn("norm_a", sqrt(VectorFunctions.dot("ea", "ea")))
+      .repartition(n)
     val b = e.select(col("vec_id").as("vb"), col("label"), col("embedding").as("eb"))
-    a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .withColumn("norm_b", sqrt(VectorFunctions.dot("eb", "eb")))
+    a.join(broadcast(b), Seq("label")).filter(col("va") < col("vb"))
       .select(col("label"), col("va"), col("vb"),
-        VectorFunctions.cosine("ea", "eb").as("cos"))
+        (VectorFunctions.dot("ea", "eb") / (col("norm_a") * col("norm_b"))).as("cos"))
       .orderBy(col("cos").desc, col("va"), col("vb"))
       .limit(50)
   }

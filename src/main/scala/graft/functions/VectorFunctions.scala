@@ -14,13 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential-fold dot product of two float-array columns, as double. */
-  def dot(a: String, b: String): Column =
-    expr(
-      s"""aggregate(
-         |  zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-         |  CAST(0 AS DOUBLE),
-         |  (acc, v) -> acc + v)""".stripMargin)
+  /** Sequential dot product of two float-array columns, as double —
+    * the native [[FloatDot]] expression (codegen'd tight loop). */
+  def dot(a: String, b: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(FloatDot(
+      ColumnBridge.expression(expr(a)), ColumnBridge.expression(expr(b))))
+  }
 
   /** Cosine similarity: dot/(sqrt(|a|²)·sqrt(|b|²)). */
   def cosine(a: String, b: String): Column =

@@ -46,7 +46,6 @@ object Requests {
     */
   def toJsonLines(requests: DataFrame): DataFrame =
     requests.select(
-      col("custom_id"),
       to_json(struct(
         col("custom_id"),
         col("method"),

@@ -29,13 +29,17 @@ object Knn {
     */
   private def s1(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+      // corpus norms once per vector; spread the scan before the
+      // per-candidate dot loop
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm_e").as("norm_q"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     broadcast(q)
       .join(e, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        VectorFunctions.cosine("qe", "embedding").as("cos"))
+        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
@@ -62,15 +66,18 @@ object Knn {
     */
   private def s2(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .withColumn("bucket", VectorFunctions.signBucket("embedding", lshDims))
+      .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("bucket"), col("norm_e").as("norm_q"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     broadcast(q)
       .join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("bucket"), col("vec_id"),
-        VectorFunctions.cosine("qe", "embedding").as("cos"))
+        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .orderBy(col("q_id"), col("rank"))
@@ -107,6 +114,7 @@ object Knn {
     */
   private def s3(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
     val dims = e.select(col("vec_id"), col("label"),
       posexplode(col("embedding")).as(Seq("i", "x")))
     val cents = dims.groupBy(col("label").as("cell"), col("i"))

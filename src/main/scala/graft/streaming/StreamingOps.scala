@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QFn, Exact}
+
+/** Structured Streaming operators st1–st2 (SURVEY.md §2): the same
+  * event-time aggregations as the batch queries, run through
+  * readStream → transform → memory sink. On a bounded input the result
+  * must equal the batch answer — which is exactly what the oracle
+  * checks.
+  *
+  * Scale: on an unbounded cluster feed these are the standard
+  * watermark + windowed-state patterns; state is keyed by
+  * (window, key) so it shards across executors.
+  */
+object StreamingOps {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source needs a directory; stage the single
+    // events file into one (a real deployment streams from a landing
+    // directory anyway).
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    val dst = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst))
+      java.nio.file.Files.copy(src, dst)
+    s.readStream.schema(eventsSchema).parquet(dir.toString)
+  }
+
+  /** Runs a bounded streaming query to completion into a memory sink
+    * and returns its result table.
+    */
+  private def runToMemory(s: SparkSession, out: DataFrame, name: String): DataFrame = {
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  /** st1: streaming tumbling 1-hour window aggregation (event-time from
+    * the epoch-nanos column, 10-min watermark). Complete mode so the
+    * final (still-open) window is emitted on the bounded input.
+    */
+  private def st1(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum2(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("hour_s"),
+        col("event_type"), col("n"), col("sum_value"))
+    runToMemory(s, agg, "graft_st1")
+      .orderBy(col("hour_s"), col("event_type"))
+  }
+
+  private val st1Sql =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_s, event_type""".stripMargin
+
+  /** st2: streaming exact dedup on the event key + rollup — the
+    * dropDuplicates-with-state pattern.
+    */
+  private def st2(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum2(col("value")).as("sum_value"))
+    runToMemory(s, agg, "graft_st2")
+      .orderBy(col("event_type"))
+  }
+
+  private val st2Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "st1_stream_window" -> (st1 _),
+    "st2_stream_dedup" -> (st2 _))
+
+  val oracles: Map[String, String] = Map(
+    "st1_stream_window" -> st1Sql,
+    "st2_stream_dedup" -> st2Sql)
+}

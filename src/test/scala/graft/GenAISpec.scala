@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.genai._
+
+/** Library-level pipeline checks: JSONL round trip, simulator/parse
+  * inverse relationship, validation rules, result sinks.
+  */
+class GenAISpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val reqs = Requests.chatRequests(docs)
+
+  test("request building covers every document with unique custom_id") {
+    assert(reqs.count() == docs.count())
+    assert(reqs.select("custom_id").distinct().count() == docs.count())
+  }
+
+  test("jsonl round trip preserves request fields") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Jsonl.writeLines(Requests.toJsonLines(reqs.limit(50)), dir)
+    val back = Jsonl.read(spark, dir)
+    assert(back.count() == 50)
+    val r = back.selectExpr("custom_id", "body.model",
+      "body.messages[0].role", "body.max_tokens").collect()
+    assert(r.forall(_.getString(2) == "system"))
+    assert(r.map(_.getString(0)).distinct.length == 50)
+  }
+
+  test("response parse recovers doc_id and splits errors") {
+    val parsed = Responses.parse(Simulator.respond(reqs))
+    val errs = Responses.errors(parsed)
+    val oks = Responses.results(parsed)
+    assert(errs.count() + oks.count() == reqs.count())
+    // error population = doc_id % 53 == 0 by construction
+    assert(errs.filter(col("doc_id") % 53 =!= 0).count() == 0)
+    assert(oks.filter(col("content").isNull).count() == 0)
+  }
+
+  test("validation flags only the planted invalid population") {
+    val v = Validation.validate(reqs)
+    assert(v.filter(!col("is_valid") && col("doc_id") % 97 =!= 0).count() == 0)
+    assert(v.filter(col("reason") === "max_tokens_out_of_range").count() ==
+      reqs.filter(col("doc_id") % 97 === 0).count())
+  }
+
+  test("result sink writes csv, jsonl and parquet") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val small = Responses.parse(Simulator.respond(reqs.limit(20)))
+    for (ext <- Seq("csv", "jsonl", "parquet")) {
+      val p = s"$base/out.$ext"
+      ResultSink.save(small, p)
+      val readBack = ext match {
+        case "csv" => spark.read.option("header", "true").csv(p)
+        case "jsonl" => spark.read.json(p)
+        case "parquet" => spark.read.parquet(p)
+      }
+      assert(readBack.count() == 20, s"sink $ext")
+    }
+  }
+}
