@@ -405,7 +405,45 @@ object Analytics {
       |  ORDER BY c.tus DESC NULLS LAST, c.event_id DESC) = 1
       |ORDER BY purchase_id""".stripMargin
 
+  /** Custom whole-operator plan: top-3 orders per priority through the
+    * TopKPerKey logical/physical operator (bounded heaps, one shuffle)
+    * instead of a window sort. See graft.plans.TopKPerKey.
+    */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    graft.plans.TopK.perKey(o, Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  private val q16Sql =
+    """SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** Semi-structured JSON column extraction (events.props). */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
+      .orderBy(col("event_type"))
+
+  private val q17Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q16_topk_custom" -> (q16 _),
+    "q17_json_extract" -> (q17 _),
     "q1_agg" -> (q1 _),
     "q2_filter_project" -> (q2 _),
     "q3_join_agg" -> (q3 _),
@@ -423,6 +461,8 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q16_topk_custom" -> q16Sql,
+    "q17_json_extract" -> q17Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_agg" -> q3Sql,

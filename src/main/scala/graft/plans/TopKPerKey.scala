@@ -1,0 +1,121 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.DatasetBridge
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import scala.collection.mutable
+
+/** Whole-operator custom plan: top-K rows per key.
+  *
+  * The composable alternative (window `row_number() <= k`) fully sorts
+  * every partition — O(n log n) per key group and a complete sort
+  * buffer. This operator keeps a bounded k-element heap per key —
+  * O(n log k), O(keys·k) memory — which is the difference between a
+  * spilling sort and a streaming pass when n/key is millions of rows at
+  * 100 TB. Implemented as the full Catalyst stack: logical node →
+  * planner Strategy → physical exec with a required hash distribution
+  * (the planner inserts the one shuffle on the key).
+  */
+case class TopKPerKeyLogical(keys: Seq[Expression], order: Expression,
+    tie: Expression, k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
+/** Planner rule: logical top-k → heap-based exec. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyLogical(keys, order, tie, k, child) =>
+      TopKPerKeyExec(keys, order, tie, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Per-partition bounded-heap top-k; rows ranked by (order DESC, tie
+  * ASC). Requires clustering on `keys` so each key lives in exactly one
+  * partition.
+  */
+case class TopKPerKeyExec(keys: Seq[Expression], order: Expression,
+    tie: Expression, k: Int, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keysL = keys
+    val orderL = org.apache.spark.sql.catalyst.expressions.BindReferences
+      .bindReference(order, childOutput)
+    val tieL = org.apache.spark.sql.catalyst.expressions.BindReferences
+      .bindReference(tie, childOutput)
+    val kL = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keysL, childOutput)
+      // heap head = current worst of the k retained rows
+      type Entry = (Double, Long, UnsafeRow)
+      val worstAtHead = new Ordering[Entry] {
+        override def compare(a: Entry, b: Entry): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
+      for (row <- iter) {
+        val v = orderL.eval(row).asInstanceOf[Double]
+        val t = tieL.eval(row).asInstanceOf[Long]
+        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+          mutable.PriorityQueue.empty[Entry](worstAtHead))
+        if (heap.size < kL) {
+          heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+        } else {
+          val (wv, wt, _) = heap.head
+          if (v > wv || (v == wv && t < wt)) {
+            heap.dequeue()
+            heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+          }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+/** User-facing API. */
+object TopK {
+  /** Top-k rows per key, ranked by `orderCol` descending with
+    * `tieCol` (unique, ascending) breaking ties deterministically.
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val child = df.queryExecution.analyzed
+    def attr(n: String): Attribute = child.output
+      .find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    DatasetBridge.ofRows(spark, TopKPerKeyLogical(
+      keyCols.map(attr),
+      Cast(attr(orderCol), DoubleType),
+      Cast(attr(tieCol), LongType),
+      k, child))
+  }
+}
+
+/** SparkSessionExtensions hook for spark.sql.extensions deployments. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => TopKStrategy)
+}
