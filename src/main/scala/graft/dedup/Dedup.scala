@@ -224,7 +224,40 @@ object Dedup {
        |ORDER BY cos DESC, va, vb LIMIT 50""".stripMargin
   }
 
+  /** d6: benchmark decontamination — flag corpus documents sharing
+    * char-5-gram shingles with a held-out "benchmark" set (here: the
+    * first 5 docs stand in for the eval set). The benchmark shingle
+    * set is tiny and broadcast, so the check is one map-side semi-join
+    * pass over the corpus — the shape that scales to a 100 TB corpus
+    * against a fixed eval suite.
+    */
+  private def d6(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d))
+    val bench = sh.filter(col("doc_id") < 5).select(col("sh")).distinct()
+    sh.filter(col("doc_id") >= 5)
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= 10)
+      .orderBy(col("doc_id"))
+  }
+
+  private val d6Sql =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
+      |      i -> substring(text, i, 5))) AS s
+      |    FROM documents)),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+      |SELECT sh.doc_id, COUNT(*) AS n_overlap
+      |FROM sh JOIN bench ON sh.s = bench.s
+      |WHERE sh.doc_id >= 5
+      |GROUP BY sh.doc_id
+      |HAVING COUNT(*) >= 10
+      |ORDER BY sh.doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d6_contamination" -> (d6 _),
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_lsh" -> (d2 _),
     "d3_simhash" -> (d3 _),
@@ -232,6 +265,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d6_contamination" -> d6Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

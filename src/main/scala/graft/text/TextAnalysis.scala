@@ -162,7 +162,43 @@ object TextAnalysis {
       |FROM documents, unnest(regexp_extract_all(text, '\S+')) AS t(token)
       |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  /** Repetition / diversity scoring: type-token ratio and top-token
+    * share — the standard cheap detectors for degenerate or boilerplate
+    * documents in a training corpus. One explode + two-level agg.
+    */
+  private def t6(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val perTok = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+        (col("top_count").cast("double") / col("n_tokens")).as("top_share"))
+      .withColumn("repetitive", col("ttr") < 0.5 || col("top_share") > 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t6Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, t.tok FROM documents,
+      |    unnest(regexp_extract_all(text, '\S+')) AS t(tok)),
+      |pertok AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_count
+      |  FROM pertok GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+      |  CAST(top_count AS DOUBLE) / n_tokens AS top_share,
+      |  (CAST(n_distinct AS DOUBLE) / n_tokens < 0.5
+      |    OR CAST(top_count AS DOUBLE) / n_tokens > 0.2) AS repetitive
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t6_repetition" -> (t6 _),
     "t1_tokens" -> (t1 _),
     "t2_quality" -> (t2 _),
     "t3_langid" -> (t3 _),
@@ -170,6 +206,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t6_repetition" -> t6Sql,
     "t1_tokens" -> t1Sql,
     "t2_quality" -> t2Sql,
     "t3_langid" -> t3Sql,
