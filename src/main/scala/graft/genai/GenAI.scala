@@ -210,7 +210,22 @@ object GenAI {
       |  'data:image/png;base64,' || to_base64(encode(text)) AS data_url
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Vertex-backend request records (the reference's second engine). */
+  private def g10(s: SparkSession, d: String): DataFrame =
+    VertexRequests.generateContentRequests(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  private val g10Sql =
+    """SELECT doc_id,
+      |  'gemini-2.0-flash-001' AS model_id,
+      |  'user' AS role,
+      |  'Classify the following sentence: ''' || text || '''' AS part_text,
+      |  128 AS max_output_tokens,
+      |  CAST(0.1 AS DOUBLE) AS temperature
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "g10_vertex_request" -> (g10 _),
     "g1_request_build" -> (g1 _),
     "g2_request_validate" -> (g2 _),
     "g3_batch_shard" -> (g3 _),
@@ -222,6 +237,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g10_vertex_request" -> g10Sql,
     "g1_request_build" -> g1Sql,
     "g2_request_validate" -> g2Sql,
     "g3_batch_shard" -> g3Sql,

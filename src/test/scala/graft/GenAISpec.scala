@@ -44,6 +44,25 @@ class GenAISpec extends SparkSpec {
       reqs.filter(col("doc_id") % 97 === 0).count())
   }
 
+  test("vertex jsonl line and bigquery table shapes") {
+    val vreqs = VertexRequests.generateContentRequests(docs.limit(10))
+    val lines = VertexRequests.toJsonLines(vreqs)
+    assert(lines.columns.toSeq == Seq("line"))
+    val parsed = spark.read.json(spark.createDataset(
+      lines.rdd.map(_.getString(0)))(org.apache.spark.sql.Encoders.STRING))
+    assert(parsed.selectExpr("request.contents[0].role").collect().forall(_.getString(0) == "user"))
+    assert(parsed.selectExpr("request.generationConfig.maxOutputTokens")
+      .collect().forall(_.getLong(0) == 128L))
+    val table = VertexRequests.requestTable(vreqs)
+    assert(table.columns.toSeq == Seq("request"))
+    assert(table.count() == 10)
+  }
+
+  test("azure deployment override swaps the model field") {
+    val az = VertexRequests.overrideModel(reqs.limit(5), "my-deployment")
+    assert(az.select("model").collect().forall(_.getString(0) == "my-deployment"))
+  }
+
   test("result sink writes csv, jsonl and parquet") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val small = Responses.parse(Simulator.respond(reqs.limit(20)))
