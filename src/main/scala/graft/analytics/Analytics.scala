@@ -441,7 +441,33 @@ object Analytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Exact percentiles (interpolated) per group — Spark `percentile`
+    * and DuckDB `quantile_cont` share the linear-interpolation
+    * definition, so values match bit-for-bit. (The approximate
+    * `approx_percentile` sketch is the 100 TB path but is not
+    * oracle-comparable across engines.)
+    */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q18Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q18_percentile" -> (q18 _),
     "q16_topk_custom" -> (q16 _),
     "q17_json_extract" -> (q17 _),
     "q1_agg" -> (q1 _),
@@ -461,6 +487,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q18_percentile" -> q18Sql,
     "q16_topk_custom" -> q16Sql,
     "q17_json_extract" -> q17Sql,
     "q1_agg" -> q1Sql,
