@@ -93,11 +93,36 @@ object StreamingOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** st3: stream-static join — the event stream enriched against the
+    * static customer dimension (broadcast; re-read per micro-batch in
+    * production, no state). The standard dimension-enrichment pattern.
+    */
+  private def st3(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val c = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventsStream(s, d)
+      .join(broadcast(c), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum2(col("value")).as("sum_value"))
+    runToMemory(s, agg, "graft_st3")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  private val st3Sql =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "st1_stream_window" -> (st1 _),
-    "st2_stream_dedup" -> (st2 _))
+    "st2_stream_dedup" -> (st2 _),
+    "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
-    "st2_stream_dedup" -> st2Sql)
+    "st2_stream_dedup" -> st2Sql,
+    "st3_stream_static_join" -> st3Sql)
 }
