@@ -15,9 +15,10 @@ import graft.{QFn, Tables}
   */
 object Dedup {
 
-  /** Distinct char-5-gram shingles per document: a generate-positions
-    * transform + explode — linear in corpus size, no shuffle until the
-    * downstream agg.
+  /** Char-5-gram shingles per document (with duplicates): a generate-
+    * positions transform + explode — linear in corpus size, no
+    * shuffle. Min-based consumers (MinHash) use this directly;
+    * set-based consumers dedup via [[shinglesDistinct]].
     */
   private[graft] def shingles(docs: DataFrame): DataFrame =
     docs
@@ -26,7 +27,10 @@ object Dedup {
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("sh"))
-      .distinct()
+
+  /** Distinct (doc_id, shingle) pairs — one dedup shuffle on top. */
+  private[graft] def shinglesDistinct(docs: DataFrame): DataFrame =
+    shingles(docs).distinct()
 
   /** d1: exact dedup by md5 content hash — keep-min-id per group. */
   private def d1(s: SparkSession, d: String): DataFrame =
@@ -45,6 +49,7 @@ object Dedup {
     * candidate join touches band keys only.
     */
   private def d2(s: SparkSession, d: String): DataFrame = {
+    // min() is duplicate-insensitive, so MinHash skips the dedup shuffle
     val sh = shingles(Tables.documents(s, d))
     val mins = (0 until 8).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"s$j"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -69,10 +74,9 @@ object Dedup {
 
   private val d2Sql =
     """WITH sh AS (
-      |  SELECT DISTINCT doc_id, s FROM (
-      |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
-      |      i -> substring(text, i, 5))) AS s
-      |    FROM documents)),
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
+      |    i -> substring(text, i, 5))) AS s
+      |  FROM documents),
       |sig AS (
       |  SELECT doc_id,
       |    MIN(md5('0:' || s)) AS s0, MIN(md5('1:' || s)) AS s1,
@@ -141,7 +145,7 @@ object Dedup {
     * shingle sets of just those pairs. Top-100 most similar pairs.
     */
   private def d4(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, d)).cache()
+    val sh = shinglesDistinct(Tables.documents(s, d)).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 10)
@@ -232,7 +236,7 @@ object Dedup {
     * against a fixed eval suite.
     */
   private def d6(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, d))
+    val sh = shinglesDistinct(Tables.documents(s, d))
     val bench = sh.filter(col("doc_id") < 5).select(col("sh")).distinct()
     sh.filter(col("doc_id") >= 5)
       .join(broadcast(bench), Seq("sh"))

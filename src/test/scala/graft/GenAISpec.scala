@@ -63,6 +63,24 @@ class GenAISpec extends SparkSpec {
     assert(az.select("model").collect().forall(_.getString(0) == "my-deployment"))
   }
 
+  test("batch workflow runs end to end and saves outputs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_wf").toString
+    // doc 0 is the planted-invalid row; exclude it so validation passes
+    val r = BatchWorkflow.run(docs.filter(col("doc_id").between(1, 96)), base, shardSize = 25)
+    assert(r.finalStatus == "completed_with_errors")  // doc 53 errors
+    assert(r.results.count() + r.errors.count() == 96)
+    assert(spark.read.json(s"$base/input").count() == 96)
+    assert(spark.read.json(s"$base/results.jsonl").count() == r.results.count())
+  }
+
+  test("batch workflow halts when the sample request fails validation") {
+    val base = java.nio.file.Files.createTempDirectory("graft_wf_halt").toString
+    // doc 0 has max_tokens=0 → pre-flight fails → halt, like the reference
+    val r = BatchWorkflow.run(docs.filter(col("doc_id") < 10), base)
+    assert(r.finalStatus == "validation_failed")
+    assert(r.results.isEmpty && r.errors.isEmpty)
+  }
+
   test("result sink writes csv, jsonl and parquet") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val small = Responses.parse(Simulator.respond(reqs.limit(20)))
