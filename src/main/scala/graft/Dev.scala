@@ -1,19 +1,15 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
 /** Scratch main for environment probes during development. */
 object Dev {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(8)
-    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
-    li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"),
-        expr("percentile(l_quantity, 0.25)").as("q25"))
-      .orderBy(col("l_returnflag"))
-      .collect()
-      .foreach(r => println(s"PCT ${r.getString(0)} ${r.getDouble(1)} ${r.getDouble(2)} ${r.getDouble(3)}"))
+    val spark = GraftSession.local(32)
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for (n <- Seq("d2_minhash_lsh", "d2_minhash_lsh", "d3_simhash", "d3_simhash")) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sf).write.mode("overwrite").format("noop").save()
+      println(f"TIMING $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -49,8 +49,10 @@ object Dedup {
     * candidate join touches band keys only.
     */
   private def d2(s: SparkSession, d: String): DataFrame = {
-    // min() is duplicate-insensitive, so MinHash skips the dedup shuffle
-    val sh = shingles(Tables.documents(s, d))
+    // dedup BEFORE hashing: 8 md5s per duplicate shingle cost far more
+    // than the dedup shuffle of tiny (doc_id, 5-char) rows (measured
+    // 5x at sf0.1)
+    val sh = shinglesDistinct(Tables.documents(s, d))
     val mins = (0 until 8).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"s$j"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bands = sig.select(col("doc_id"),
@@ -74,9 +76,10 @@ object Dedup {
 
   private val d2Sql =
     """WITH sh AS (
-      |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
-      |    i -> substring(text, i, 5))) AS s
-      |  FROM documents),
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
+      |      i -> substring(text, i, 5))) AS s
+      |    FROM documents)),
       |sig AS (
       |  SELECT doc_id,
       |    MIN(md5('0:' || s)) AS s0, MIN(md5('1:' || s)) AS s1,
