@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QFn, Exact, Tables}
 
-/** Relational/analytics core: q1–q15 of SURVEY.md §2.
+/** Relational/analytics core: q1–q18 of SURVEY.md §2.
   *
   * Every query is a declarative DataFrame plan (Catalyst does pushdown,
   * pruning, join selection); each has a colocated DuckDB oracle.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QFn, Tables}
 
-/** Deduplication suite d1–d5 (SURVEY.md §2).
+/** Deduplication suite d1–d6 (SURVEY.md §2).
   *
   * Scale design: every operator is linear or candidate-bounded — no
   * global n² anywhere. MinHash/LSH shuffles signatures (bytes/doc, not

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QFn, Tables}
 
-/** GenAI batch pipeline queries g1–g9 (SURVEY.md §2): the reference's
+/** GenAI batch pipeline queries g1–g10 (SURVEY.md §2): the reference's
   * workflow stages as oracle-checked operators over `documents`.
   */
 object GenAI {

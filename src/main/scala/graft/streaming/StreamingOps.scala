@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{QFn, Exact}
 
-/** Structured Streaming operators st1–st2 (SURVEY.md §2): the same
+/** Structured Streaming operators st1–st3 (SURVEY.md §2): the same
   * event-time aggregations as the batch queries, run through
   * readStream → transform → memory sink. On a bounded input the result
   * must equal the batch answer — which is exactly what the oracle

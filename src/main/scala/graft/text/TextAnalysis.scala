@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QFn, Tables}
 
-/** Text-analysis operators t1–t5 (SURVEY.md §2) over `documents`:
+/** Text-analysis operators t1–t6 (SURVEY.md §2) over `documents`:
   * token counting, quality scoring, language-ID heuristic, content
   * fingerprinting, corpus token frequencies.
   *
