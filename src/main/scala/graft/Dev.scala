@@ -1,15 +1,13 @@
 package graft
 
-/** Scratch main for environment probes during development. */
+/** Entry smoke probe (see .claude/skills/verify): prints the flagship
+  * query's row count; also a scratch main for environment probes.
+  */
 object Dev {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(32)
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for (n <- Seq("d2_minhash_lsh", "d2_minhash_lsh", "d3_simhash", "d3_simhash")) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sf).write.mode("overwrite").format("noop").save()
-      println(f"TIMING $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+    val spark = GraftSession.local(8)
+    val df = SparkEntry.entry(spark)
+    println(s"entry rows=${df.count()}")
     spark.stop()
   }
 }
