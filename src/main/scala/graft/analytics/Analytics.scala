@@ -466,7 +466,30 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Pivot (wide) aggregation: one column per l_linestatus value.
+    * Values are enumerated explicitly — at scale an un-enumerated
+    * pivot needs an extra distinct pass over the data.
+    */
+  private def q19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(Exact.dsum2(col("l_quantity")))
+      .na.fill(0.0)
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy(col("l_returnflag"))
+
+  private val q19Sql =
+    """SELECT l_returnflag,
+      |  COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_f,
+      |  COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_o
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q19_pivot" -> (q19 _),
     "q18_percentile" -> (q18 _),
     "q16_topk_custom" -> (q16 _),
     "q17_json_extract" -> (q17 _),
@@ -487,6 +510,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q19_pivot" -> q19Sql,
     "q18_percentile" -> q18Sql,
     "q16_topk_custom" -> q16Sql,
     "q17_json_extract" -> q17Sql,

@@ -67,11 +67,38 @@ object Multimodal {
       |FROM f WHERE frame_idx % 10 = 1
       |ORDER BY user_id, frame_idx""".stripMargin
 
+  /** m3: fixed-size chunking of a binary payload (the audio-window /
+    * image-tile pattern): each document's bytes split into 64-byte
+    * chunks with per-chunk fingerprints. Generate-positions + explode,
+    * linear, no shuffle.
+    */
+  private def m3(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, length(text), 64), i -> substring(text, i, 64))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val m3Sql =
+    """SELECT doc_id, i // 64 AS chunk_idx,
+      |  CAST(length(substring(text, i + 1, 64)) AS BIGINT) AS chunk_len,
+      |  md5(substring(text, i + 1, 64)) AS chunk_md5
+      |FROM (SELECT doc_id, text,
+      |        unnest(generate_series(0, length(text) - 1, 64)) AS i
+      |      FROM documents)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "m1_binary_meta" -> (m1 _),
-    "m2_frame_sample" -> (m2 _))
+    "m2_frame_sample" -> (m2 _),
+    "m3_chunking" -> (m3 _))
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
-    "m2_frame_sample" -> m2Sql)
+    "m2_frame_sample" -> m2Sql,
+    "m3_chunking" -> m3Sql)
 }
