@@ -19,6 +19,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // catalog tables (bucketed-join path) land outside the repo
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
 
   def local(cpus: Int = 32): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
