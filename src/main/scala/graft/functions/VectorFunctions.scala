@@ -26,14 +26,14 @@ object VectorFunctions {
   def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Sequential-fold squared-L2 distance between a float array and a
-    * double array (e.g. vector vs centroid), as double. */
-  def l2sq(a: String, b: String): Column =
-    expr(
-      s"""aggregate(
-         |  zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-         |  CAST(0 AS DOUBLE),
-         |  (acc, v) -> acc + v)""".stripMargin)
+  /** Sequential squared-L2 distance between a float array and a double
+    * array (vector vs centroid) — the native [[FloatDoubleL2Sq]]
+    * expression. */
+  def l2sq(a: String, b: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(FloatDoubleL2Sq(
+      ColumnBridge.expression(expr(a)), ColumnBridge.expression(expr(b))))
+  }
 
   /** LSH bucket from hyperplane-like sign bits at fixed dims (1-based). */
   def signBucket(vec: String, dims: Seq[Int]): Column =

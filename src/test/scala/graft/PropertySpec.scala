@@ -1,0 +1,62 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Salted
+
+/** Property-style checks over ScalaCheck-generated inputs (driven
+  * manually with fixed seeds — deterministic, no scalatestplus
+  * bridge): the vector expression agrees with a reference fold; salted
+  * aggregation and the TopK operator are exactly equivalent to their
+  * naive formulations on arbitrary data.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val floatGen = Gen.chooseNum(-100f, 100f)
+  private val vecGen = Gen.listOfN(16, floatGen).map(_.toSeq)
+
+  test("FloatDot equals the sequential reference fold on random vectors") {
+    for (pairs <- samples(Gen.listOfN(8, Gen.zip(vecGen, vecGen)), 5)) {
+      val df = pairs.toDF("a", "b")
+      val got = df.select(VectorFunctions.dot("a", "b")).as[Double].collect()
+      val expected = pairs.map { case (a, b) =>
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      }
+      assert(got.toSeq == expected)
+    }
+  }
+
+  test("salted sum equals plain sum for arbitrary key/value data") {
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-1000, 1000))
+    for (rows <- samples(Gen.listOfN(60, rowGen), 5)) {
+      val df = rows.toDF("k", "v")
+        .select(col("k"), col("v").cast("long").as("v"),
+          monotonically_increasing_id().as("rid"))
+      val salted = Salted.sumByKey(df, "k", col("v"), "total", saltBy = col("rid"), salt = 4)
+        .orderBy("k").as[(Long, Long)].collect().toSeq
+      val plain = df.groupBy("k").agg(sum("v").as("total"))
+        .orderBy("k").as[(Long, Long)].collect().toSeq
+      assert(salted == plain)
+    }
+  }
+
+  test("TopK.perKey returns exactly the k best rows per key") {
+    val rowGen = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0.0, 1000.0))
+    for (rows <- samples(Gen.listOfN(50, rowGen), 5)) {
+      val indexed = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      val df = indexed.toDF("k", "v", "id")
+      val got = graft.plans.TopK.perKey(df, Seq("k"), "v", "id", 3)
+        .as[(String, Double, Long)].collect().toSeq
+      val expected = indexed.groupBy(_._1).values.flatMap(
+        _.sortBy(r => (-r._2, r._3)).take(3)).toSet
+      assert(got.toSet == expected)
+      assert(got.groupBy(_._1).values.forall(_.size <= 3))
+    }
+  }
+}

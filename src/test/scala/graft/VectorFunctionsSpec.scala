@@ -29,10 +29,10 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("l2sq is zero for identical vectors") {
-    val got = df2(Seq(1f, 2f), Seq(1f, 2f))
-      .select(VectorFunctions.l2sq("a", "b")).as[Double].head()
-    assert(got == 0.0)
+  test("l2sq is zero for identical vectors and exact for known ones") {
+    val df = Seq((Seq(1f, 2f), Seq(1.0, 2.0), Seq(4.0, 6.0))).toDF("a", "same", "far")
+    assert(df.select(VectorFunctions.l2sq("a", "same")).as[Double].head() == 0.0)
+    assert(df.select(VectorFunctions.l2sq("a", "far")).as[Double].head() == 25.0)
   }
 
   test("signBucket encodes sign bits at requested dims") {
