@@ -16,8 +16,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * why it's a Catalyst Expression rather than a UDF (no
   * serialization, participates in whole-stage codegen).
   *
-  * Arrays are assumed equal-length (embedding columns); extra elements
-  * on the longer side are ignored.
+  * Mismatched lengths yield NULL, matching the zip_with fold it
+  * replaces (null-padded elements propagate null through the sum).
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,10 +34,14 @@ case class FloatDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even for non-null children: mismatched lengths yield NULL
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null  // as zip_with's null-pad fold
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -48,15 +52,23 @@ case class FloatDot(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = acc;
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -35,6 +35,12 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(df.select(VectorFunctions.l2sq("a", "far")).as[Double].head() == 25.0)
   }
 
+  test("dot of mismatched-length arrays is null, like the zip_with fold") {
+    val got = df2(Seq(1f, 2f, 3f), Seq(1f, 2f))
+      .select(VectorFunctions.dot("a", "b")).collect().head
+    assert(got.isNullAt(0))
+  }
+
   test("signBucket encodes sign bits at requested dims") {
     val got = Seq(Tuple1(Seq(1f, -1f, 2f))).toDF("v")
       .select(VectorFunctions.signBucket("v", Seq(1, 2, 3))).as[String].head()
