@@ -488,7 +488,59 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** CUBE aggregation with grouping_id — all 4 grouping combinations
+    * in one pass (Spark expands to a single shuffle).
+    */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        Exact.dsum2(col("o_totalprice")).as("sum_price"))
+      .select(col("gid"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
+  private val q20Sql =
+    """SELECT GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
+  /** RANGE-frame moving window: per-user 10-minute trailing event sum
+    * over integer event time (range frames on epoch-µs).
+    */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val tenMinUs = 600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-tenMinUs, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"), col("value"))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .withColumn("trailing_sum",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("tus"),
+        col("trailing_n"), col("trailing_sum"))
+      .orderBy(col("user_id"), col("tus"), col("event_id"))
+  }
+
+  private val q21Sql =
+    """SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |  COUNT(*) OVER w AS trailing_n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, tus, event_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q20_cube" -> (q20 _),
+    "q21_range_window" -> (q21 _),
     "q19_pivot" -> (q19 _),
     "q18_percentile" -> (q18 _),
     "q16_topk_custom" -> (q16 _),
@@ -510,6 +562,8 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q20_cube" -> q20Sql,
+    "q21_range_window" -> q21Sql,
     "q19_pivot" -> q19Sql,
     "q18_percentile" -> q18Sql,
     "q16_topk_custom" -> q16Sql,
