@@ -522,8 +522,7 @@ object Analytics {
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"), col("value"))
       .withColumn("trailing_n", count(lit(1)).over(w))
-      .withColumn("trailing_sum",
-        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("trailing_sum", Exact.drunning2(col("value"), w))
       .select(col("user_id"), col("event_id"), col("tus"),
         col("trailing_n"), col("trailing_sum"))
       .orderBy(col("user_id"), col("tus"), col("event_id"))
