@@ -1,0 +1,23 @@
+package graft
+
+/** Determinism regression guard: every oracle query must produce
+  * byte-identical results across repeated runs (shuffle/partition
+  * order must never leak into values — the invariant behind the
+  * DuckDB hash compare). A representative query from each family.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val representative = Seq(
+    "q1_agg", "q13_sessionize", "q16_topk_custom", "q21_range_window",
+    "g4_response_parse", "t2_quality", "d2_minhash_lsh",
+    "s1_knn_brute", "m3_chunking")
+
+  for (name <- representative) {
+    test(s"$name is run-to-run deterministic") {
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sf).collect().toSeq
+      val b = fn(spark, sf).collect().toSeq
+      assert(a == b, s"$name differed between runs")
+    }
+  }
+}
