@@ -156,7 +156,7 @@ object Analytics {
       .filter(col("l_orderkey") < 1000)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"),
         Exact.drunning2(col("l_quantity"), frame).as("running_qty"))
       .orderBy(col("l_suppkey"), col("rn"))
   }
@@ -304,9 +304,9 @@ object Analytics {
 
   private val q12Sql =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS high_qty,
-      |  SUM(CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END) AS low_qty,
-      |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned
+      |  CAST(SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_qty,
+      |  CAST(SUM(CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS low_qty,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
@@ -341,8 +341,8 @@ object Analytics {
       |    CASE WHEN tus - LAG(tus) OVER w > 1800000000 THEN 1
       |         WHEN LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-      |sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flags)
+      |sess AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM flags)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(tus) AS start_us, MAX(tus) AS end_us,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -435,7 +435,7 @@ object Analytics {
 
   private val q17Sql =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
       |FROM events
       |GROUP BY event_type

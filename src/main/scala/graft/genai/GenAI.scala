@@ -125,8 +125,8 @@ object GenAI {
   private val g6Sql = ParsedCte +
     """
       |SELECT d.source, COUNT(*) AS n_total,
-      |  SUM(CASE WHEN p.status_code = 200 THEN 1 ELSE 0 END) AS n_ok,
-      |  SUM(CASE WHEN p.status_code <> 200 THEN 1 ELSE 0 END) AS n_err,
+      |  CAST(SUM(CASE WHEN p.status_code = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+      |  CAST(SUM(CASE WHEN p.status_code <> 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
       |  CAST(SUM(CASE WHEN p.status_code <> 200 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS err_rate
       |FROM parsed p JOIN documents d ON p.doc_id = d.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin
@@ -153,8 +153,8 @@ object GenAI {
     """
       |, sh AS (
       |  SELECT doc_id // 100 AS shard_id,
-      |    SUM(CASE WHEN status_code = 200 THEN 1 ELSE 0 END) AS n_ok,
-      |    SUM(CASE WHEN status_code <> 200 THEN 1 ELSE 0 END) AS n_err
+      |    CAST(SUM(CASE WHEN status_code = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+      |    CAST(SUM(CASE WHEN status_code <> 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_err
       |  FROM parsed GROUP BY 1)
       |SELECT shard_id,
       |  CASE WHEN n_err = 0 THEN 'completed'
@@ -179,9 +179,9 @@ object GenAI {
   private val g8Sql = ParsedCte +
     """
       |SELECT model, COUNT(*) AS n_requests,
-      |  SUM(prompt_tokens) AS sum_prompt_tokens,
-      |  SUM(completion_tokens) AS sum_completion_tokens,
-      |  SUM(prompt_tokens * 2500 + completion_tokens * 10000) AS cost_nano,
+      |  CAST(SUM(prompt_tokens) AS BIGINT) AS sum_prompt_tokens,
+      |  CAST(SUM(completion_tokens) AS BIGINT) AS sum_completion_tokens,
+      |  CAST(SUM(prompt_tokens * 2500 + completion_tokens * 10000) AS BIGINT) AS cost_nano,
       |  CAST(SUM(prompt_tokens * 2500 + completion_tokens * 10000) AS DOUBLE) / 1e9 AS cost_usd
       |FROM parsed WHERE status_code = 200
       |GROUP BY model ORDER BY model""".stripMargin

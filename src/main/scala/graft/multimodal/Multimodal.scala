@@ -52,7 +52,7 @@ object Multimodal {
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
-      .withColumn("frame_idx", row_number().over(w))
+      .withColumn("frame_idx", row_number().over(w).cast("long"))
       .filter((col("frame_idx") % 10) === 1)
       .select(col("user_id"), col("frame_idx"), col("event_id"), col("tus"))
       .orderBy(col("user_id"), col("frame_idx"))
@@ -78,7 +78,7 @@ object Multimodal {
         posexplode(expr(
           "transform(sequence(1, length(text), 64), i -> substring(text, i, 64))"))
           .as(Seq("chunk_idx", "chunk")))
-      .select(col("doc_id"), col("chunk_idx"),
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         length(col("chunk")).cast("long").as("chunk_len"),
         md5(col("chunk").cast("binary")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))

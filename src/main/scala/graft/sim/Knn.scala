@@ -40,7 +40,7 @@ object Knn {
       .join(e, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
@@ -78,7 +78,7 @@ object Knn {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("bucket"), col("vec_id"),
         (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .orderBy(col("q_id"), col("rank"))
   }

@@ -56,6 +56,14 @@ def main():
         else:
             for c in got.columns:
                 g, e = got[c], exp[c]
+                # dtype-strict: the driver hashes typed values, so an
+                # int64 Spark column vs a float64 DuckDB column (the
+                # HUGEINT->float64 pandas fetch) must FAIL even when
+                # every value compares equal.
+                if g.dtype != e.dtype:
+                    print(f"FAIL {name}: col {c} dtype got={g.dtype} exp={e.dtype}")
+                    ok = False
+                    break
                 try:
                     eq = (g.isna() & e.isna()) | (g == e)
                 except Exception:
