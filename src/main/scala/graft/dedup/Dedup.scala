@@ -49,11 +49,14 @@ object Dedup {
     * candidate join touches band keys only.
     */
   private def d2(s: SparkSession, d: String): DataFrame = {
-    // dedup BEFORE hashing: 8 md5s per duplicate shingle cost far more
+    // dedup BEFORE hashing: hashing duplicate shingles costs far more
     // than the dedup shuffle of tiny (doc_id, 5-char) rows (measured
-    // 5x at sf0.1)
+    // 5x at sf0.1). ONE md5 per distinct shingle; the 8 hash functions
+    // are disjoint 4-hex-char slices of that digest (16 bits each) —
+    // independent enough for banding, 8x cheaper than 8 salted md5s.
     val sh = shinglesDistinct(Tables.documents(s, d))
-    val mins = (0 until 8).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"s$j"))
+      .withColumn("h", md5(col("sh")))
+    val mins = (0 until 8).map(j => min(substring(col("h"), 1 + 4 * j, 4)).as(s"s$j"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bands = sig.select(col("doc_id"),
       md5(concat(col("s0"), col("s1"))).as("b0"),
@@ -80,13 +83,14 @@ object Dedup {
       |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
       |      i -> substring(text, i, 5))) AS s
       |    FROM documents)),
+      |hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
       |sig AS (
       |  SELECT doc_id,
-      |    MIN(md5('0:' || s)) AS s0, MIN(md5('1:' || s)) AS s1,
-      |    MIN(md5('2:' || s)) AS s2, MIN(md5('3:' || s)) AS s3,
-      |    MIN(md5('4:' || s)) AS s4, MIN(md5('5:' || s)) AS s5,
-      |    MIN(md5('6:' || s)) AS s6, MIN(md5('7:' || s)) AS s7
-      |  FROM sh GROUP BY doc_id),
+      |    MIN(substring(h, 1, 4)) AS s0, MIN(substring(h, 5, 4)) AS s1,
+      |    MIN(substring(h, 9, 4)) AS s2, MIN(substring(h, 13, 4)) AS s3,
+      |    MIN(substring(h, 17, 4)) AS s4, MIN(substring(h, 21, 4)) AS s5,
+      |    MIN(substring(h, 25, 4)) AS s6, MIN(substring(h, 29, 4)) AS s7
+      |  FROM hashed GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, md5(s0 || s1) AS b0, md5(s2 || s3) AS b1,
       |         md5(s4 || s5) AS b2, md5(s6 || s7) AS b3 FROM sig),
@@ -148,8 +152,18 @@ object Dedup {
     * shingle sets of just those pairs. Top-100 most similar pairs.
     */
   private def d4(s: SparkSession, d: String): DataFrame = {
-    val sh = shinglesDistinct(Tables.documents(s, d)).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sh = shinglesDistinct(Tables.documents(s, d))
+    // One shingle-set array per document, built once. The exact-Jaccard
+    // stage below intersects the two per-doc arrays of each candidate
+    // pair directly — no re-join of the full shingle relation (the
+    // round-2 plan joined `sh` twice per pair and was the slowest query
+    // of the sweep). No cache: the `sh` distinct-Exchange and the
+    // docSets agg-Exchange are reused across branches by Spark's
+    // ReuseExchange rule, which survives executor loss at cluster
+    // scale where a cached RDD would not.
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 10)
     val rareSh = sh.join(rare.select(col("sh")), Seq("sh"))
@@ -157,12 +171,10 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val common = pairs.join(sh.as("x"), col("da") === col("x.doc_id"))
-      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.sh") === col("y.sh"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), Seq("da"))
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), Seq("db"))
+    pairs
+      .join(docSets.select(col("doc_id").as("da"), col("shs").as("shsa"), col("sz").as("sza")), Seq("da"))
+      .join(docSets.select(col("doc_id").as("db"), col("shs").as("shsb"), col("sz").as("szb")), Seq("db"))
+      .withColumn("n_common", size(array_intersect(col("shsa"), col("shsb"))).cast("long"))
       .select(col("da"), col("db"), col("n_common"),
         (col("n_common").cast("double") / (col("sza") + col("szb") - col("n_common"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("da"), col("db"))
@@ -200,16 +212,17 @@ object Dedup {
     */
   private def d5(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions
-    val n = s.sessionState.conf.numShufflePartitions
     val e = Tables.embeddings(s, d)
-    // norms once per vector (not per pair); probe side spread across
-    // tasks before the pairwise work
+    // norms once per vector (not per pair)
     val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
       .withColumn("norm_a", sqrt(VectorFunctions.dot("ea", "ea")))
-      .repartition(n)
     val b = e.select(col("vec_id").as("vb"), col("label"), col("embedding").as("eb"))
       .withColumn("norm_b", sqrt(VectorFunctions.dot("eb", "eb")))
-    a.join(broadcast(b), Seq("label")).filter(col("va") < col("vb"))
+    // Shuffle equi-join on the block key — both sides partition by
+    // label, pairs form within a partition. Never broadcasts the
+    // table (a full-table BroadcastExchange OOMs at corpus scale);
+    // AQE's skew-join split handles a hot label.
+    a.join(b.hint("shuffle_hash"), Seq("label")).filter(col("va") < col("vb"))
       .select(col("label"), col("va"), col("vb"),
         (VectorFunctions.dot("ea", "eb") / (col("norm_a") * col("norm_b"))).as("cos"))
       .orderBy(col("cos").desc, col("va"), col("vb"))

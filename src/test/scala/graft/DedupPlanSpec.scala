@@ -1,0 +1,38 @@
+package graft
+
+/** Physical-plan shape guards for the dedup suite — the properties
+  * that matter at 100 TB, asserted so a refactor can't silently
+  * reintroduce them.
+  */
+class DedupPlanSpec extends SparkSpec {
+
+  test("d5 joins embeddings by shuffle, not broadcast") {
+    val df = SparkEntry.queries("d5_embedding_neardup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a shuffle join on label, got:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"full-table broadcast is the 100 TB OOM path:\n$plan")
+  }
+
+  test("d4 plan has no cached relation") {
+    val df = SparkEntry.queries("d4_ngram_jaccard")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"),
+      s"d4 must not cache (leaked memory across queries in round 2):\n$plan")
+  }
+
+  test("d4 result matches the definitional per-pair Jaccard") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("d4_ngram_jaccard")(spark, sf)
+      .select("da", "db", "n_common").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // spot-check the top pair against a direct shingle-set intersection
+    val (da, db, n) = got.head
+    val docs = Tables.documents(spark, sf).filter(col("doc_id").isin(da, db))
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))").as("shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((docs(da) intersect docs(db)).size.toLong == n)
+  }
+}
