@@ -224,7 +224,59 @@ object GenAI {
       |  CAST(0.1 AS DOUBLE) AS temperature
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Multiple-choice exam recipe end-to-end
+    * (run_multichoice_exam.py): pre-formatted messages pass through
+    * verbatim into json_object-forced requests, the simulated model
+    * answers `{"answer": "N"}`, and answers are parsed and scored
+    * against ground truth — per-source accuracy. Every stage is a
+    * per-row projection or one groupBy; the scoring join is on doc_id.
+    */
+  private def g11(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val items = docs.select(
+      col("doc_id"), col("source"),
+      array(
+        struct(lit("system").as("role"),
+          lit("You are a careful exam solver.").as("content")),
+        struct(lit("user").as("role"),
+          concat(
+            lit("Answer the following multiple choice question. Choose the most " +
+              "appropriate option and output in the following JSON format: " +
+              "{\"answer\": \"{option_number}\"} Do not output any text other " +
+              "than the answer.\nQuestion: which option number equals "),
+            col("doc_id") % 4 + 1,
+            lit("?\n1. one\n2. two\n3. three\n4. four")).as("content"))).as("messages"))
+    val parsed = Responses.parse(Simulator.respondExam(Requests.examRequests(items)))
+    Responses.results(parsed)
+      .select(col("doc_id"),
+        get_json_object(col("content"), "$.answer").cast("long").as("answer"))
+      .join(items.select(col("doc_id"), col("source"),
+        (col("doc_id") % 4 + 1).as("truth")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_answered"),
+        sum(when(col("answer") === col("truth"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", col("n_correct").cast("double") / col("n_answered"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle mirrors the parsed answers directly (the Spark side really
+    * does round-trip through request JSONL and response JSON).
+    */
+  private val g11Sql =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    doc_id % 4 + 1 AS truth,
+      |    CASE WHEN doc_id % 11 = 0 THEN (doc_id % 4 + 1) % 4 + 1
+      |         ELSE doc_id % 4 + 1 END AS answer
+      |  FROM documents
+      |  WHERE doc_id % 53 <> 0)
+      |SELECT source, COUNT(*) AS n_answered,
+      |  CAST(SUM(CASE WHEN answer = truth THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(SUM(CASE WHEN answer = truth THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "g11_multichoice" -> (g11 _),
     "g10_vertex_request" -> (g10 _),
     "g1_request_build" -> (g1 _),
     "g2_request_validate" -> (g2 _),
@@ -237,6 +289,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g11_multichoice" -> g11Sql,
     "g10_vertex_request" -> g10Sql,
     "g1_request_build" -> g1Sql,
     "g2_request_validate" -> g2Sql,

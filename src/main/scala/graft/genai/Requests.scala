@@ -40,6 +40,41 @@ object Requests {
       when(col("doc_id") % 97 === 0, lit(0)).otherwise(lit(10)).as("max_tokens"),
       lit(0.1).as("temperature"))
 
+  /** Pre-formatted-messages pass-through — the multiple-choice-exam
+    * recipe (examples/openai/run_multichoice_exam.py:37-59): the caller
+    * supplies the complete `messages` array verbatim (array of
+    * {role, content} structs); the body pins `max_tokens: 50`,
+    * `temperature: 0.0` and forces JSON output via
+    * `response_format: {"type": "json_object"}`.
+    */
+  def examRequests(items: DataFrame, model: String = "gpt-4.1-nano"): DataFrame =
+    items.select(
+      col("doc_id"),
+      concat(lit("request-"), col("doc_id")).as("custom_id"),
+      lit("POST").as("method"),
+      lit("/v1/chat/completions").as("url"),
+      lit(model).as("model"),
+      col("messages"),
+      lit(50).as("max_tokens"),
+      lit(0.0).as("temperature"),
+      lit("json_object").as("response_format_type"))
+
+  /** Serialize exam requests to Batch API JSONL — same line shape as
+    * [[toJsonLines]] plus the `response_format` body field.
+    */
+  def examJsonLines(requests: DataFrame): DataFrame =
+    requests.select(
+      to_json(struct(
+        col("custom_id"),
+        col("method"),
+        col("url"),
+        struct(
+          col("model"),
+          col("messages"),
+          col("max_tokens"),
+          col("temperature"),
+          struct(col("response_format_type").as("type")).as("response_format")).as("body"))).as("line"))
+
   /** Serialize flat request records to the Batch API JSONL body shape
     * (custom_id/method/url/body{model,messages,...}) — the line format
     * of openai_batch_processor.py:136.

@@ -39,4 +39,33 @@ object Simulator {
             lit(1L).as("completion_tokens")).as("usage")))).as("body_json"),
       when(failed, lit("Internal server error")).otherwise(lit(null).cast("string")).as("error_message"))
   }
+
+  /** Exam-request responder (for Requests.examRequests): the fake
+    * model "solves" the question by reading the option number out of
+    * the user message, answers `{"answer": "N"}` as the forced
+    * json_object response, and answers WRONG on a deterministic sliver
+    * of rows (doc_id % 11) so accuracy scoring has signal. Transport
+    * errors keep the doc_id % 53 rule of [[respond]].
+    */
+  def respondExam(requests: DataFrame): DataFrame = {
+    val userContent = expr("element_at(messages, 2).content")
+    val solved = regexp_extract(userContent, "equals (\\d)", 1).cast("long")
+    val answer = when(col("doc_id") % 11 === 0, (solved % 4) + 1).otherwise(solved)
+    val promptTokens = expr("aggregate(messages, 3L, (acc, m) -> acc + length(m.content)) div 4")
+    val failed = col("doc_id") % 53 === 0
+    requests.select(
+      col("custom_id"),
+      when(failed, lit(500)).otherwise(lit(200)).as("status_code"),
+      when(failed, lit(null).cast("string")).otherwise(
+        to_json(struct(
+          col("model"),
+          array(struct(
+            struct(lit("assistant").as("role"),
+              concat(lit("{\"answer\": \""), answer, lit("\"}")).as("content")).as("message")
+          )).as("choices"),
+          struct(
+            promptTokens.as("prompt_tokens"),
+            lit(7L).as("completion_tokens")).as("usage")))).as("body_json"),
+      when(failed, lit("Internal server error")).otherwise(lit(null).cast("string")).as("error_message"))
+  }
 }

@@ -95,4 +95,49 @@ class GenAISpec extends SparkSpec {
       assert(readBack.count() == 20, s"sink $ext")
     }
   }
+
+  test("exam requests pass messages through verbatim and force json_object") {
+    import spark.implicits._
+    val items = Seq(
+      (1L, Seq(("system", "You are a medical expert."),
+        ("user", "Question: which option number equals 2?\n1. one\n2. two"))),
+      (2L, Seq(("user", "solo user turn, no system message")))
+    ).toDF("doc_id", "msgs")
+      .select(col("doc_id"),
+        expr("transform(msgs, m -> named_struct('role', m._1, 'content', m._2))").as("messages"))
+    val reqs = Requests.examRequests(items)
+    // pass-through: the messages column is byte-identical to the input
+    assert(reqs.select("doc_id", "messages").except(items).isEmpty &&
+      items.except(reqs.select("doc_id", "messages")).isEmpty)
+    val lines = Requests.examJsonLines(reqs).as[String].collect()
+    assert(lines.length == 2)
+    for (l <- lines) {
+      assert(l.contains("\"response_format\":{\"type\":\"json_object\"}"), l)
+      assert(l.contains("\"max_tokens\":50"), l)
+      assert(l.contains("\"temperature\":0.0"), l)
+      assert(l.contains("\"url\":\"/v1/chat/completions\""), l)
+    }
+    // the arbitrary caller-authored content survives serialization
+    assert(lines.exists(_.contains("You are a medical expert.")))
+    assert(lines.exists(_.contains("solo user turn, no system message")))
+  }
+
+  test("exam simulator answers {\"answer\": N} and scoring matches the planted truth") {
+    val items = Tables.documents(spark, sf).select(
+      col("doc_id"),
+      array(
+        struct(lit("system").as("role"), lit("sys").as("content")),
+        struct(lit("user").as("role"),
+          concat(lit("which option number equals "), col("doc_id") % 4 + 1,
+            lit("?")).as("content"))).as("messages"))
+    val parsed = Responses.parse(Simulator.respondExam(Requests.examRequests(items)))
+    val ok = Responses.results(parsed)
+      .withColumn("answer", get_json_object(col("content"), "$.answer").cast("long"))
+    // every successful response is valid JSON with an in-range answer
+    assert(ok.filter(col("answer").isNull || col("answer") < 1 || col("answer") > 4).count() == 0)
+    // wrong-answer population is exactly doc_id % 11 (minus transport errors)
+    val wrong = ok.filter(col("answer") =!= col("doc_id") % 4 + 1)
+    assert(wrong.filter(col("doc_id") % 11 =!= 0).count() == 0)
+    assert(wrong.count() > 0)
+  }
 }
