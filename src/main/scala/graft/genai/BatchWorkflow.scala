@@ -23,28 +23,46 @@ object BatchWorkflow {
     * @param validate         pre-flight check on a sample request; on
     *                         failure the workflow halts and returns
     *                         empty frames (reference:282-287)
+    * @param jobStatus        external job-status supplier polled via
+    *                         [[Monitor.await]] (the reference's
+    *                         `_monitor_status`); `None` skips polling —
+    *                         the simulator completes synchronously. A
+    *                         `failed`/`cancelled`/`expired`/timed-out
+    *                         job halts before retrieval and reports
+    *                         that status (vertex:204-236)
     */
   def run(documents: DataFrame, outputPathPrefix: String,
-      shardSize: Int = 50000, validate: Boolean = true): BatchResult = {
+      shardSize: Int = 50000, validate: Boolean = true,
+      jobStatus: Option[() => String] = None,
+      pollIntervalMs: Long = 30000L, timeoutMs: Long = 7200000L,
+      clock: () => Long = () => System.currentTimeMillis(),
+      sleep: Long => Unit = Thread.sleep): BatchResult = {
     val spark = documents.sparkSession
     val requests = Requests.chatRequests(documents)
+    def halted(status: String): BatchResult = {
+      val empty = Responses.parse(Simulator.respond(requests.limit(0)))
+      BatchResult(empty, empty, status)
+    }
 
     if (validate) {
       val sample = Validation.validate(
         requests.orderBy(col("doc_id")).limit(1))
-      if (sample.filter(!col("is_valid")).count() > 0) {
-        val empty = Responses.parse(Simulator.respond(requests.limit(0)))
-        return BatchResult(empty, empty, "validation_failed")
-      }
+      if (sample.filter(!col("is_valid")).count() > 0)
+        return halted("validation_failed")
     }
 
     // 1. prepare + "upload" the batch input files, sharded
     val sharded = Sharding.assign(requests, shardSize)
     Jsonl.writeLines(Requests.toJsonLines(sharded), s"$outputPathPrefix/input")
 
-    // 2-3. create batch + monitor → terminal state (external inference
-    // is the simulator here, as the hosted Batch API is in the
-    // reference)
+    // 2-3. create batch + monitor → terminal state. When the job is
+    // external, poll it; a non-success terminal state or a timeout
+    // means there is nothing to retrieve (reference:204-236, 241).
+    val monitored = jobStatus match {
+      case Some(st) => Monitor.await(st, pollIntervalMs, timeoutMs, clock, sleep)
+      case None     => "completed"
+    }
+    if (monitored != "completed") return halted(monitored)
     val parsed = Responses.parse(Simulator.respond(sharded))
 
     // 4. retrieve + split + save (reference:205-260)

@@ -60,31 +60,44 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression,
     val kL = k
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keysL, childOutput)
+      // (isNull, order, tie, row): a NULL order key ranks BELOW every
+      // non-null value — `ORDER BY order DESC` NULLS LAST, matching the
+      // window row_number formulation — never coerced to 0.0. NULL ties
+      // rank after all real tie values.
+      type Entry = (Boolean, Double, Long, UnsafeRow)
+      // a outranks b?
+      def beats(aNull: Boolean, av: Double, at: Long,
+          bNull: Boolean, bv: Double, bt: Long): Boolean =
+        if (aNull != bNull) bNull
+        else if (!aNull && av != bv) av > bv
+        else at < bt
       // heap head = current worst of the k retained rows
-      type Entry = (Double, Long, UnsafeRow)
       val worstAtHead = new Ordering[Entry] {
-        override def compare(a: Entry, b: Entry): Int = {
-          val c = java.lang.Double.compare(b._1, a._1)
-          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-        }
+        override def compare(a: Entry, b: Entry): Int =
+          if (beats(a._1, a._2, a._3, b._1, b._2, b._3)) -1
+          else if (beats(b._1, b._2, b._3, a._1, a._2, a._3)) 1
+          else 0
       }
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
       for (row <- iter) {
-        val v = orderL.eval(row).asInstanceOf[Double]
-        val t = tieL.eval(row).asInstanceOf[Long]
+        val vObj = orderL.eval(row)
+        val isNull = vObj == null
+        val v = if (isNull) 0.0 else vObj.asInstanceOf[Double]
+        val tObj = tieL.eval(row)
+        val t = if (tObj == null) Long.MaxValue else tObj.asInstanceOf[Long]
         val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
           mutable.PriorityQueue.empty[Entry](worstAtHead))
         if (heap.size < kL) {
-          heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+          heap.enqueue((isNull, v, t, row.asInstanceOf[UnsafeRow].copy()))
         } else {
-          val (wv, wt, _) = heap.head
-          if (v > wv || (v == wv && t < wt)) {
+          val (wNull, wv, wt, _) = heap.head
+          if (beats(isNull, v, t, wNull, wv, wt)) {
             heap.dequeue()
-            heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+            heap.enqueue((isNull, v, t, row.asInstanceOf[UnsafeRow].copy()))
           }
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+      heaps.valuesIterator.flatMap(_.iterator.map(_._4))
     }
   }
 

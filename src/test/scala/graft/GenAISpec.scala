@@ -81,6 +81,48 @@ class GenAISpec extends SparkSpec {
     assert(r.results.isEmpty && r.errors.isEmpty)
   }
 
+  test("monitor polls to each terminal state and times out on a stuck job") {
+    // virtual clock: each sleep advances time by the requested amount
+    def fakeClockSleep(): (() => Long, Long => Unit, () => Long) = {
+      var now = 0L
+      (() => now, (ms: Long) => now += ms, () => now)
+    }
+    for (terminal <- Seq("completed", "failed", "cancelled", "expired")) {
+      val (clock, sleep, _) = fakeClockSleep()
+      val states = Iterator("validating", "in_progress", terminal)
+      assert(Monitor.await(() => states.next(), 30000L, 7200000L, clock, sleep) == terminal)
+    }
+    val (clock, sleep, now) = fakeClockSleep()
+    var polls = 0
+    val got = Monitor.await(() => { polls += 1; "in_progress" },
+      pollIntervalMs = 30000L, timeoutMs = 120000L, clock = clock, sleep = sleep)
+    assert(got == "timeout")
+    assert(now() == 120000L)   // slept exactly to the deadline
+    assert(polls == 5)         // initial check + 4 poll-interval re-checks
+  }
+
+  test("batch workflow reports failed and timeout jobs without retrieving") {
+    val base = java.nio.file.Files.createTempDirectory("graft_wf_mon").toString
+    val good = docs.filter(col("doc_id").between(1, 20))
+    val failed = BatchWorkflow.run(good, s"$base/f",
+      jobStatus = Some(() => "failed"))
+    assert(failed.finalStatus == "failed")
+    assert(failed.results.isEmpty && failed.errors.isEmpty)
+
+    var now = 0L
+    val timedOut = BatchWorkflow.run(good, s"$base/t",
+      jobStatus = Some(() => "in_progress"),
+      pollIntervalMs = 1000L, timeoutMs = 3000L,
+      clock = () => now, sleep = ms => now += ms)
+    assert(timedOut.finalStatus == "timeout")
+    assert(timedOut.results.isEmpty && timedOut.errors.isEmpty)
+
+    val ok = BatchWorkflow.run(good, s"$base/ok",
+      jobStatus = Some(() => "completed"))
+    assert(ok.finalStatus == "completed")
+    assert(ok.results.count() == 20)
+  }
+
   test("result sink writes csv, jsonl and parquet") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val small = Responses.parse(Simulator.respond(reqs.limit(20)))

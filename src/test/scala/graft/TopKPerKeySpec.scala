@@ -24,6 +24,31 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("TopK.perKey ranks NULL order keys last, matching the window formulation") {
+    import spark.implicits._
+    // group "a": nulls must lose to every real value, including
+    // negatives and -Inf; group "b": all-null group still returns k
+    // rows ranked by tie
+    val df = Seq[(String, java.lang.Double, Long)](
+      ("a", null, 1L), ("a", 5.0, 2L), ("a", -3.0, 3L),
+      ("a", null, 4L), ("a", Double.NegativeInfinity, 5L), ("a", 7.0, 6L),
+      ("b", null, 7L), ("b", null, 8L), ("b", null, 9L)
+    ).toDF("k", "v", "id")
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 3)
+      .orderBy(col("k"), col("v").desc, col("id"))
+      .select("k", "id").as[(String, Long)].collect().toSeq
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("k"), col("v").desc, col("id"))
+      .select("k", "id").as[(String, Long)].collect().toSeq
+    assert(got == expected)
+    // explicit shape: a keeps 7.0, 5.0, -3.0 (nulls and -Inf beaten out
+    // only when non-null values fill k — -Inf still beats null)
+    assert(got.filter(_._1 == "a").map(_._2) == Seq(6L, 2L, 3L))
+    assert(got.filter(_._1 == "b").map(_._2) == Seq(7L, 8L, 9L))
+  }
+
   test("TopK.perKey with k larger than group size returns whole groups") {
     val o = Tables.orders(spark, sf).limit(7)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
