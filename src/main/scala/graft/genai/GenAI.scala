@@ -186,28 +186,35 @@ object GenAI {
       |FROM parsed WHERE status_code = 200
       |GROUP BY model ORDER BY model""".stripMargin
 
-  /** Visual-exam request building (run_visual_exam.py:93): binary
-    * payload → base64 data-URL image part. The document text stands in
-    * for image bytes (image libs are absent here); the plumbing —
-    * binary cast, base64, data-URL part — is the real operator.
+  /** Visual-exam request building (run_visual_exam.py:85-130): binary
+    * payload → base64 data-URL image part, max_completion_tokens (the
+    * o-series parameter), temperature, and forced json_object output.
+    * The document text stands in for image bytes (image libs are
+    * absent here); the plumbing — binary cast, base64, data-URL part,
+    * body params — is the real operator.
     */
-  private def g9(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      concat(lit("request-"), col("doc_id")).as("custom_id"),
+  private def g9(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.documents(s, d).select(
       col("doc_id"),
       lit("What shape is in the image? Answer in JSON.").as("prompt_text"),
-      lit("image_url").as("content_type"),
       // Spark's base64 emits MIME-chunked output (CRLF every 76 chars);
       // strip to the canonical unchunked form.
       concat(lit("data:image/png;base64,"),
         regexp_replace(base64(col("text").cast("binary")), "\r\n", "")).as("data_url"))
+    Requests.visualRequests(items)
+      .select(col("custom_id"), col("doc_id"), col("prompt_text"),
+        col("data_url"), col("max_completion_tokens"), col("temperature"),
+        col("response_format_type"))
       .orderBy(col("doc_id"))
+  }
 
   private val g9Sql =
     """SELECT 'request-' || doc_id AS custom_id, doc_id,
       |  'What shape is in the image? Answer in JSON.' AS prompt_text,
-      |  'image_url' AS content_type,
-      |  'data:image/png;base64,' || to_base64(encode(text)) AS data_url
+      |  'data:image/png;base64,' || to_base64(encode(text)) AS data_url,
+      |  100 AS max_completion_tokens,
+      |  CAST(0.0 AS DOUBLE) AS temperature,
+      |  'json_object' AS response_format_type
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Vertex-backend request records (the reference's second engine). */

@@ -33,8 +33,16 @@ object StreamingOps {
       "graft_stream_" + Integer.toHexString(d.hashCode))
     java.nio.file.Files.createDirectories(dir)
     val dst = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst))
-      java.nio.file.Files.copy(src, dst)
+    // Re-stage when the source changed (size or mtime differs) — a
+    // stale copy from a previous run must never be served.
+    val stale = !java.nio.file.Files.exists(dst) ||
+      java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
+      java.nio.file.Files.getLastModifiedTime(dst).compareTo(
+        java.nio.file.Files.getLastModifiedTime(src)) < 0
+    if (stale)
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
     s.readStream.schema(eventsSchema).parquet(dir.toString)
   }
 

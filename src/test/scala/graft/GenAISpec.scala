@@ -123,6 +123,30 @@ class GenAISpec extends SparkSpec {
     assert(ok.results.count() == 20)
   }
 
+  test("visual requests carry image part, body params, and the o-series temperature rule") {
+    import spark.implicits._
+    val items = Seq((1L, "What shape?", "data:image/png;base64,QUJD"))
+      .toDF("doc_id", "prompt_text", "data_url")
+    val std = Requests.visualJsonLines(Requests.visualRequests(items)).as[String].head()
+    assert(std.contains("\"max_completion_tokens\":100"), std)
+    assert(std.contains("\"temperature\":0.0"), std)
+    assert(std.contains("\"response_format\":{\"type\":\"json_object\"}"), std)
+    assert(std.contains("\"image_url\":{\"url\":\"data:image/png;base64,QUJD\"}"), std)
+    assert(std.contains("\"type\":\"text\""), std)
+    // the line is well-formed JSON end to end (schema inference would
+    // yield _corrupt_record on malformed output)
+    val parsed = spark.read.json(Seq(std).toDS())
+    assert(parsed.columns.sorted.toSeq == Seq("body", "custom_id", "method", "url"))
+    assert(Seq(std).toDF("line")
+      .selectExpr("get_json_object(line, '$.body.messages[1].content[1].image_url.url')")
+      .as[String].head() == "data:image/png;base64,QUJD")
+    // o-series models reject temperature: the body must omit it
+    val oSeries = Requests.visualJsonLines(
+      Requests.visualRequests(items, model = "o4-mini")).as[String].head()
+    assert(!oSeries.contains("temperature"), oSeries)
+    assert(oSeries.contains("\"max_completion_tokens\":100"), oSeries)
+  }
+
   test("result sink writes csv, jsonl and parquet") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val small = Responses.parse(Simulator.respond(reqs.limit(20)))
