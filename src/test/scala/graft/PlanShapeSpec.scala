@@ -1,0 +1,72 @@
+package graft
+
+/** Physical-plan shape guards for the analytics core — the properties
+  * that decide whether a query survives a 100× scale-up. Asserted
+  * against plan text so a refactor that silently loses pushdown, a
+  * broadcast, or partial aggregation fails CI, not the cluster.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    // collect() runs THIS queryExecution, so AQE finalizes the plan
+    // (a .write would execute a separate copy and leave this one
+    // isFinalPlan=false with no codegen stage markers)
+    df.collect()
+    // keep only the finalized plan — AQE appends an "== Initial Plan =="
+    // section that would double-count exchanges
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  // in the simple plan string, whole-stage codegen shows as "*(n) " node
+  // prefixes, not the literal class name
+  private def hasCodegen(p: String): Boolean = """\*\(\d+\)""".r.findFirstIn(p).isDefined
+
+  test("q2 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    // at least one real predicate reached the scan, not an empty list
+    assert(!p.contains("PushedFilters: []"), p)
+    // projection pruning: the scan must not read the wide l_comment
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("q4 broadcasts the dimension side") {
+    val p = plan("q4_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q3 join tree broadcasts dims, never shuffles them as fact") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q5 plans top-k as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q5_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1 aggregates with map-side partials") {
+    val p = plan("q1_agg")
+    // two HashAggregate levels around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(hasCodegen(p), p)
+  }
+
+  test("hot paths stay inside whole-stage codegen (no interpreted UDFs)") {
+    for (q <- Seq("t1_tokens", "t2_quality", "t3_langid", "q12_case_agg")) {
+      val p = plan(q)
+      assert(hasCodegen(p), s"$q lost codegen:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q has a non-codegen UDF:\n$p")
+    }
+  }
+
+  test("d6 decontamination broadcasts only the benchmark shingle set") {
+    val p = plan("d6_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus side must remain a streamed scan, not a broadcast:
+    // exactly one broadcast exchange (the tiny eval-suite side)
+    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
+  }
+}
