@@ -25,15 +25,22 @@ object Bench {
     for ((_, fn) <- ordered)
       try fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
+    // Best-of-N per query: single-shot timings on a shared host swing
+    // up to 3x run-to-run from CPU contention; the minimum of N
+    // back-to-back executions is the steady-state cost of the plan.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
+      val times = (1 to repeats).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)
     }
     // failed queries report the sentinel -1, never a misleading
     // duration; the run as a whole still emits a parseable line
@@ -42,7 +49,7 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val nFailed = results.count(!_._3)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"repeats":$repeats}"""
     println(line)
     // stdout can be lost in log noise; persist the line for the driver
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
