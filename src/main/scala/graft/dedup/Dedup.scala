@@ -48,23 +48,35 @@ object Dedup {
     * count per document. The signature step is one pass + one agg; the
     * candidate join touches band keys only.
     */
-  private def d2(s: SparkSession, d: String): DataFrame = {
-    // dedup BEFORE hashing: hashing duplicate shingles costs far more
-    // than the dedup shuffle of tiny (doc_id, 5-char) rows (measured
-    // 5x at sf0.1). ONE md5 per distinct shingle; the 8 hash functions
-    // are disjoint 4-hex-char slices of that digest (16 bits each) —
-    // independent enough for banding, 8x cheaper than 8 salted md5s.
+  /** MinHash signature → 4 LSH band keys per document. Shared by d2
+    * (candidate counts) and d7 (cluster edges).
+    *
+    * dedup BEFORE hashing: hashing duplicate shingles costs far more
+    * than the dedup shuffle of tiny (doc_id, 5-char) rows (measured
+    * 5x at sf0.1). ONE md5 per distinct shingle; the 8 hash functions
+    * are disjoint 4-hex-char slices of that digest (16 bits each) —
+    * independent enough for banding, 8x cheaper than 8 salted md5s.
+    */
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
     val sh = shinglesDistinct(Tables.documents(s, d))
       .withColumn("h", md5(col("sh")))
     val mins = (0 until 8).map(j => min(substring(col("h"), 1 + 4 * j, 4)).as(s"s$j"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       md5(concat(col("s0"), col("s1"))).as("b0"),
       md5(concat(col("s2"), col("s3"))).as("b1"),
       md5(concat(col("s4"), col("s5"))).as("b2"),
       md5(concat(col("s6"), col("s7"))).as("b3"))
-    val long = bands.select(col("doc_id"),
+  }
+
+  /** (doc_id, band_id, bkey) long form of [[minhashBands]]. */
+  private def bandLong(bands: DataFrame): DataFrame =
+    bands.select(col("doc_id"),
       explode(map(lit(0), col("b0"), lit(1), col("b1"), lit(2), col("b2"), lit(3), col("b3"))).as(Seq("band_id", "bkey")))
+
+  private def d2(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBands(s, d)
+    val long = bandLong(bands)
     val cands = long.as("a").join(long.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -152,7 +164,13 @@ object Dedup {
     * shingle sets of just those pairs. Top-100 most similar pairs.
     */
   private def d4(s: SparkSession, d: String): DataFrame = {
+    // Shingle identity is all Jaccard needs — replace each 5-char
+    // string with its 64-bit xxhash immediately after the dedup, so
+    // every downstream shuffle, set array and intersection moves
+    // fixed-width longs instead of strings (collision odds at 64 bits
+    // are ~n²/2⁶⁵ — irrelevant next to the df-cap's own approximation).
     val sh = shinglesDistinct(Tables.documents(s, d))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     // One shingle-set array per document, built once. The exact-Jaccard
     // stage below intersects the two per-doc arrays of each candidate
     // pair directly — no re-join of the full shingle relation (the
@@ -276,7 +294,94 @@ object Dedup {
       |HAVING COUNT(*) >= 10
       |ORDER BY sh.doc_id""".stripMargin
 
+  /** d7: near-duplicate cluster assignment — connected components over
+    * the MinHash/LSH candidate graph (the same edges d2 counts), via
+    * iterative min-label propagation to a fixpoint. Every document gets
+    * `cluster_id` = min doc_id of its component (singletons keep their
+    * own id) — the canonical-representative table a dedup pipeline
+    * joins against to drop near-duplicates.
+    *
+    * Scale: each iteration is one shuffle join + partial-agg over the
+    * EDGE set (banded candidates ≪ corpus), never over documents;
+    * iterations are bounded by component diameter — near-dup clusters
+    * are shallow, and the loop stops at the observed fixpoint (label
+    * sums are strictly decreasing until convergence, so one scalar agg
+    * per round detects it). Edges and labels are checkpointed per
+    * round to truncate lineage — on a cluster this is
+    * `spark.sparkContext.setCheckpointDir` + `checkpoint()`; in
+    * local mode `localCheckpoint()` is equivalent.
+    */
+  private def d7(s: SparkSession, d: String): DataFrame = {
+    val long = bandLong(minhashBands(s, d))
+    val edges = long.as("a").join(long.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+      .localCheckpoint() // computed once, re-read every iteration
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("label").as("slabel")), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("slabel")).as("nlabel"))
+      val next = labels
+        .join(nbrMin.select(col("dst").as("doc_id"), col("nlabel")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val curSum = next.agg(sum(col("label"))).head.getLong(0)
+      converged = curSum == prevSum
+      prevSum = curSum
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d7Sql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
+      |      i -> substring(text, i, 5))) AS s
+      |    FROM documents)),
+      |hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |    MIN(substring(h, 1, 4)) AS s0, MIN(substring(h, 5, 4)) AS s1,
+      |    MIN(substring(h, 9, 4)) AS s2, MIN(substring(h, 13, 4)) AS s3,
+      |    MIN(substring(h, 17, 4)) AS s4, MIN(substring(h, 21, 4)) AS s5,
+      |    MIN(substring(h, 25, 4)) AS s6, MIN(substring(h, 29, 4)) AS s7
+      |  FROM hashed GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, md5(s0 || s1) AS b0, md5(s2 || s3) AS b1,
+      |         md5(s4 || s5) AS b2, md5(s6 || s7) AS b3 FROM sig),
+      |long AS (
+      |  SELECT doc_id, 0 AS band_id, b0 AS bkey FROM bands
+      |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+      |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+      |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+      |edges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM long a JOIN long b
+      |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id <> b.doc_id),
+      |reach AS (
+      |  SELECT doc_id AS src, doc_id AS dst FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+      |SELECT doc_id, cluster_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      |FROM clusters ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d7_cluster" -> (d7 _),
     "d6_contamination" -> (d6 _),
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_lsh" -> (d2 _),
@@ -285,6 +390,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d7_cluster" -> d7Sql,
     "d6_contamination" -> d6Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,

@@ -22,6 +22,20 @@ class DedupPlanSpec extends SparkSpec {
       s"d4 must not cache (leaked memory across queries in round 2):\n$plan")
   }
 
+  test("d7 clusters are consistent with the candidate edge set") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("d7_cluster")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.size.toLong == nDocs, "one cluster row per document")
+    // a cluster id is the min doc of its component: the root labels itself
+    rows.foreach { case (doc, c) =>
+      assert(c <= doc, s"cluster_id $c > doc $doc")
+      assert(rows(c) == c, s"root $c of doc $doc not self-labeled (${rows(c)})")
+    }
+    assert(rows.exists { case (doc, c) => c != doc }, "expected at least one non-singleton cluster")
+  }
+
   test("d4 result matches the definitional per-pair Jaccard") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("d4_ngram_jaccard")(spark, sf)
