@@ -447,14 +447,26 @@ object Analytics {
     * `approx_percentile` sketch is the 100 TB path but is not
     * oracle-comparable across engines.)
     */
-  private def q18(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  /** Exact percentiles WITHOUT Spark's `percentile` aggregate: the
+    * built-in buffers every group value in one reducer (3 groups would
+    * concentrate a 100 TB table on 3 tasks). [[graft.operators.ExactPercentile]]
+    * computes the same bit-exact result by distributed order
+    * statistics; each value column pays one bucketed rank pass.
+    */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ExactPercentile
+    val li = Tables.lineitem(s, d)
+    val price = ExactPercentile.percentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
-        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
-        count(lit(1)).as("n"))
+      .agg(max(when(col("p") === 0.5, col("value"))).as("p50_price"),
+        max(when(col("p") === 0.9, col("value"))).as("p90_price"))
+    val qty = ExactPercentile.percentiles(li, "l_returnflag", "l_quantity", Seq(0.25))
+      .select(col("l_returnflag"), col("value").as("p25_qty"))
+    val n = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    price.join(qty, Seq("l_returnflag")).join(n, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50_price"), col("p90_price"), col("p25_qty"), col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val q18Sql =
     """SELECT l_returnflag,
