@@ -49,9 +49,10 @@ object StreamingOps {
   /** Runs a bounded streaming query to completion into a memory sink
     * and returns its result table.
     */
-  private def runToMemory(s: SparkSession, out: DataFrame, name: String): DataFrame = {
+  private def runToMemory(s: SparkSession, out: DataFrame, name: String,
+                          mode: String = "complete"): DataFrame = {
     s.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = out.writeStream.outputMode("complete")
+    val q = out.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
@@ -124,12 +125,57 @@ object StreamingOps {
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /** st4: streaming gap-sessionization through the custom stateful
+    * operator ([[Sessionizer]], `flatMapGroupsWithState`) — the
+    * streaming twin of batch q13. Append mode emits CLOSED sessions
+    * only (a later event proves the 30-min gap); each user's open
+    * session stays in state, so the oracle drops the last session per
+    * user. State is one open-session summary per user — O(1), sharded
+    * by key across executors.
+    */
+  private def st4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val ev = eventsStream(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("value"))
+      .as[SessionEvent]
+    val out = Sessionizer.sessions(ev).toDF()
+    runToMemory(s, out, "graft_st4", mode = "append")
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  // sum_value replicates the operator's left-fold double accumulation
+  // (ordered list_reduce), not a decimal SUM — the state sums raw
+  // doubles in (tus, event_id) order and the fold is bit-deterministic.
+  private val st4Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+      |flags AS (SELECT *,
+      |    CASE WHEN tus - LAG(tus) OVER w > 1800000000 THEN 1
+      |         WHEN LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |sess AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM flags),
+      |agg AS (SELECT user_id, session_id,
+      |    MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+      |    COUNT(*) AS n_events,
+      |    list_reduce(list(value ORDER BY tus, event_id), (a, b) -> a + b) AS sum_value
+      |  FROM sess GROUP BY user_id, session_id),
+      |open AS (SELECT user_id, MAX(session_id) AS open_sid FROM agg GROUP BY user_id)
+      |SELECT a.user_id, session_start_us, session_end_us, n_events, sum_value
+      |FROM agg a JOIN open o ON a.user_id = o.user_id AND a.session_id < o.open_sid
+      |ORDER BY a.user_id, session_start_us""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st4_stream_sessionize" -> (st4 _),
     "st1_stream_window" -> (st1 _),
     "st2_stream_dedup" -> (st2 _),
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st4_stream_sessionize" -> st4Sql,
     "st1_stream_window" -> st1Sql,
     "st2_stream_dedup" -> st2Sql,
     "st3_stream_static_join" -> st3Sql)
