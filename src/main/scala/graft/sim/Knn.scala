@@ -112,24 +112,38 @@ object Knn {
     * any cluster). The centroid table is tiny and broadcast; assignment
     * is one pass over vectors.
     */
-  private def s3(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+  /** Per-label centroid vectors (tiny: one row per cell), exact via
+    * integer nano-unit sums. Shared by s3 (assignment) and s4 (probe).
+    */
+  private def centroidArrays(e: DataFrame): DataFrame = {
     val dims = e.select(col("vec_id"), col("label"),
       posexplode(col("embedding")).as(Seq("i", "x")))
     val cents = dims.groupBy(col("label").as("cell"), col("i"))
       .agg(sum(round(col("x").cast("double") * 1e9).cast("long")).as("c_nano"),
         count(lit(1)).as("cnt"))
       .withColumn("c", col("c_nano").cast("double") / (lit(1e9) * col("cnt")))
-    val centArr = cents.groupBy(col("cell"))
+    cents.groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
       .select(col("cell"), expr("transform(ic, s -> s.c)").as("carr"))
+  }
+
+  /** Nearest-centroid assignment: one broadcast pass over vectors,
+    * keeping `extra` payload columns.
+    */
+  private def assign(e: DataFrame, centArr: DataFrame, extra: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
     e.crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("label"), col("cell"),
-        VectorFunctions.l2sq("embedding", "carr").as("dist"))
+      .select((Seq(col("vec_id"), col("label"), col("cell"),
+        VectorFunctions.l2sq("embedding", "carr").as("dist")) ++ extra.map(col)): _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  private def s3(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    assign(e, centroidArrays(e), Seq.empty)
       .select(col("vec_id"), col("label"), col("cell").as("assigned_cell"), col("dist"))
       .orderBy(col("vec_id"))
   }
@@ -155,13 +169,84 @@ object Knn {
       |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** s4: IVF probe search — the query ranks cells by centroid distance,
+    * probes the `nprobe`=2 nearest, and brute-forces cosine only against
+    * corpus vectors ASSIGNED to those cells. The scale path of IVF ANN:
+    * the corpus is scanned once for assignment (shuffle-free broadcast
+    * pass) and each query touches ~nprobe/ncells of it; queries, cells
+    * and probe pairs all broadcast.
+    */
+  private def s4(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val centArr = centroidArrays(e)
+    val corpus = assign(e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding"))),
+        centArr, Seq("embedding", "norm_e"))
+      .select(col("vec_id"), col("cell").as("assigned_cell"), col("embedding"), col("norm_e"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cell"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centArr))
+      .select(col("q_id"), col("qe"), col("cell"),
+        VectorFunctions.l2sq("qe", "carr").as("qdist"))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= 2)
+      .select(col("q_id"), col("qe"), col("cell").as("probe_cell"))
+      .withColumn("norm_q", sqrt(VectorFunctions.dot("qe", "qe")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes)
+      .join(corpus, col("probe_cell") === col("assigned_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("assigned_cell"),
+        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("assigned_cell"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val s4Sql =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, g.i, CAST(embedding[g.i] AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, 64) AS g(i)),
+       |cents AS (
+       |  SELECT label AS cell, i,
+       |    CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * COUNT(*)) AS c
+       |  FROM dims GROUP BY label, i),
+       |centarr AS (
+       |  SELECT cell, list(c ORDER BY i) AS carr FROM cents GROUP BY cell),
+       |l2 AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])),
+       |      (acc, x) -> acc + x) AS dist
+       |  FROM embeddings e CROSS JOIN centarr c),
+       |corpus AS (
+       |  SELECT vec_id, embedding, cell AS assigned_cell FROM l2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS qe, cell AS probe_cell FROM l2
+       |  WHERE vec_id < 5
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= 2),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id, c.assigned_cell,
+       |    ${duckCos("p.qe", "c.embedding")} AS cos
+       |  FROM probes p JOIN corpus c
+       |    ON p.probe_cell = c.assigned_cell AND c.vec_id <> p.q_id)
+       |SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
+       |       vec_id, assigned_cell, cos
+       |FROM scored
+       |QUALIFY rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "s1_knn_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
-    "s3_ivf_cells" -> (s3 _))
+    "s3_ivf_cells" -> (s3 _),
+    "s4_ivf_probe" -> (s4 _))
 
   val oracles: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
-    "s3_ivf_cells" -> s3Sql)
+    "s3_ivf_cells" -> s3Sql,
+    "s4_ivf_probe" -> s4Sql)
 }
