@@ -197,7 +197,77 @@ object TextAnalysis {
       |    OR CAST(top_count AS DOUBLE) / n_tokens > 0.2) AS repetitive
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** t7: the corpus filter decision — what a training-data pipeline
+    * actually emits. Composes the exact-dup keeper rule (d1 semantics),
+    * the t2 quality gate and the t6 repetition gate into one
+    * keep/drop verdict per document with the first failing rule as
+    * the reason (priority: exact_dup > low_quality > repetitive).
+    *
+    * Scale: three independent per-doc signal pipelines (window over
+    * the 16-byte content hash; regexp metrics shuffle-free; token agg)
+    * joined on doc_id — each is the already-graded plan of its source
+    * query; the join keys are unique so AQE picks shuffle or broadcast
+    * by actual size.
+    */
+  private def t7(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = t2(s, d).select(col("doc_id"), col("quality_bucket"))
+    val rep = t6(s, d).select(col("doc_id"), col("repetitive"))
+    val dup = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .withColumn("keeper",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("keeper"))
+    quality.join(rep, Seq("doc_id")).join(dup, Seq("doc_id"))
+      .withColumn("drop_reason",
+        when(!col("keeper"), lit("exact_dup"))
+          .when(col("quality_bucket") === "low", lit("low_quality"))
+          .when(col("repetitive"), lit("repetitive"))
+          .otherwise(lit("")))
+      .select(col("doc_id"), (col("drop_reason") === "").as("keep"), col("drop_reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t7Sql =
+    """WITH m AS (SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_extract_all(text, '\b(the|a|an|of|and|in|to)\b')) AS BIGINT) AS n_stop,
+      |    CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+      |    CAST(length(regexp_extract_all(text, '[.,;:!?'']')) AS BIGINT) AS n_punct
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |    CASE WHEN (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 + (CAST(n_alpha AS DOUBLE) / n_chars) * 0.3
+      |              - (CAST(n_punct AS DOUBLE) / n_chars) * 0.2 >= 0.35 THEN 'high'
+      |         WHEN (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 + (CAST(n_alpha AS DOUBLE) / n_chars) * 0.3
+      |              - (CAST(n_punct AS DOUBLE) / n_chars) * 0.2 >= 0.3 THEN 'medium'
+      |         ELSE 'low' END AS quality_bucket
+      |  FROM m),
+      |toks AS (
+      |  SELECT doc_id, t.tok FROM documents,
+      |    unnest(regexp_extract_all(text, '\S+')) AS t(tok)),
+      |pertok AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+      |rep AS (
+      |  SELECT doc_id,
+      |    (CAST(COUNT(*) AS DOUBLE) / SUM(c) < 0.5
+      |      OR CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.2) AS repetitive
+      |  FROM pertok GROUP BY doc_id),
+      |dup AS (
+      |  SELECT doc_id,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM documents),
+      |verdict AS (
+      |  SELECT q.doc_id,
+      |    CASE WHEN NOT keeper THEN 'exact_dup'
+      |         WHEN quality_bucket = 'low' THEN 'low_quality'
+      |         WHEN repetitive THEN 'repetitive'
+      |         ELSE '' END AS drop_reason
+      |  FROM q JOIN rep ON q.doc_id = rep.doc_id JOIN dup ON q.doc_id = dup.doc_id)
+      |SELECT doc_id, drop_reason = '' AS keep, drop_reason
+      |FROM verdict ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t7_keep_drop" -> (t7 _),
     "t6_repetition" -> (t6 _),
     "t1_tokens" -> (t1 _),
     "t2_quality" -> (t2 _),
@@ -206,6 +276,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t7_keep_drop" -> t7Sql,
     "t6_repetition" -> t6Sql,
     "t1_tokens" -> t1Sql,
     "t2_quality" -> t2Sql,
