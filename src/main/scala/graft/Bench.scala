@@ -25,21 +25,27 @@ object Bench {
     for ((_, fn) <- ordered)
       try fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-    // Best-of-N per query: single-shot timings on a shared host swing
-    // up to 3x run-to-run from CPU contention; the minimum of N
-    // back-to-back executions is the steady-state cost of the plan.
+    // Best-of-N per query, N = whole-sweep passes (not back-to-back
+    // reruns): host-contention windows on a shared box last minutes and
+    // can inflate one query 10x+. Consecutive executions of the same
+    // query land in the same window; sweep-level passes space each
+    // query's samples ~a sweep apart, so the per-query minimum is a
+    // far better steady-state estimate at identical total cost.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to repeats).flatMap { _ =>
+    val samples = (1 to repeats).flatMap { _ =>
+      ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          (name, Some((System.nanoTime() - t0) / 1e9))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
+          (name, None)
         }
       }
+    }
+    val results = ordered.map { case (name, _) =>
+      val times = samples.collect { case (`name`, Some(t)) => t }
       (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)
     }
     // failed queries report the sentinel -1, never a misleading
