@@ -168,13 +168,48 @@ object StreamingOps {
       |FROM agg a JOIN open o ON a.user_id = o.user_id AND a.session_id < o.open_sid
       |ORDER BY a.user_id, session_start_us""".stripMargin
 
+  /** st5: append-mode windowed aggregation under a watermark — the
+    * production unbounded-stream path (st1's complete mode re-emits
+    * the whole result table every trigger; append emits each window
+    * once, when the watermark passes its end, and state for it is
+    * dropped). On bounded input the final watermark is
+    * max(event_time) − 10 min (ms precision), so exactly the windows
+    * whose end ≤ that watermark are emitted — which is what the
+    * oracle's HAVING clause replicates. The still-open tail windows
+    * stay in state, like st4's open sessions.
+    */
+  private def st5(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum2(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("hour_s"),
+        col("event_type"), col("n"), col("sum_value"))
+    runToMemory(s, agg, "graft_st5", mode = "append")
+      .orderBy(col("hour_s"), col("event_type"))
+  }
+
+  // Watermark is ms-precision in Spark: floor(max_us/1000) − 600000.
+  private val st5Sql =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING (hour_s + 3600) * 1000 <=
+      |  (SELECT MAX(epoch_us(ts)) // 1000 - 600000 FROM events)
+      |ORDER BY hour_s, event_type""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st5_stream_append_window" -> (st5 _),
     "st4_stream_sessionize" -> (st4 _),
     "st1_stream_window" -> (st1 _),
     "st2_stream_dedup" -> (st2 _),
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st5_stream_append_window" -> st5Sql,
     "st4_stream_sessionize" -> st4Sql,
     "st1_stream_window" -> st1Sql,
     "st2_stream_dedup" -> st2Sql,
