@@ -62,6 +62,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("s4 probe search never shuffles or broadcasts the corpus for the probe join") {
+    val p = plan("s4_ivf_probe")
+    // probes/centroids broadcast; the corpus streams through
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // corpus-side SortMergeJoin would mean the probe join shuffled it
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d7 edge graph has no cartesian or nested-loop join") {
+    val p = plan("d7_cluster")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t7 verdict joins stay equi-joins on doc_id") {
+    val p = plan("t7_keep_drop")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(hasCodegen(p), p)
+  }
+
   test("d6 decontamination broadcasts only the benchmark shingle set") {
     val p = plan("d6_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
