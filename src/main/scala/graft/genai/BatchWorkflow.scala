@@ -23,6 +23,12 @@ object BatchWorkflow {
     * @param validate         pre-flight check on a sample request; on
     *                         failure the workflow halts and returns
     *                         empty frames (reference:282-287)
+    * @param endpoint         target API endpoint recorded per batch
+    *                         (reference `_create_batch` endpoint arg)
+    * @param completionWindow batch completion window (reference: only
+    *                         "24h" is supported by the API today)
+    * @param metadata         key/value metadata attached to each
+    *                         created batch (reference:163-179)
     * @param jobStatus        external job-status supplier polled via
     *                         [[Monitor.await]] (the reference's
     *                         `_monitor_status`); `None` skips polling —
@@ -33,6 +39,9 @@ object BatchWorkflow {
     */
   def run(documents: DataFrame, outputPathPrefix: String,
       shardSize: Int = 50000, validate: Boolean = true,
+      endpoint: String = "/v1/chat/completions",
+      completionWindow: String = "24h",
+      metadata: Map[String, String] = Map.empty,
       jobStatus: Option[() => String] = None,
       pollIntervalMs: Long = 30000L, timeoutMs: Long = 7200000L,
       clock: () => Long = () => System.currentTimeMillis(),
@@ -54,6 +63,20 @@ object BatchWorkflow {
     // 1. prepare + "upload" the batch input files, sharded
     val sharded = Sharding.assign(requests, shardSize)
     Jsonl.writeLines(Requests.toJsonLines(sharded), s"$outputPathPrefix/input")
+
+    // 2a. batch-creation manifest — one record per shard with the
+    // reference's `batches.create` arguments (endpoint,
+    // completion_window, metadata) so a resubmission or audit can
+    // reconstruct every job. Tiny (one row per shard).
+    val metaJson = metadata.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val manifest = sharded.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_requests"))
+      .select(col("shard_id"), col("n_requests"),
+        lit(endpoint).as("endpoint"),
+        lit(completionWindow).as("completion_window"),
+        lit(metaJson).as("metadata"))
+    Jsonl.write(manifest, s"$outputPathPrefix/batches")
 
     // 2-3. create batch + monitor → terminal state. When the job is
     // external, poll it; a non-success terminal state or a timeout

@@ -71,6 +71,14 @@ class GenAISpec extends SparkSpec {
     assert(r.results.count() + r.errors.count() == 96)
     assert(spark.read.json(s"$base/input").count() == 96)
     assert(spark.read.json(s"$base/results.jsonl").count() == r.results.count())
+    // batch-creation manifest: one row per shard, create args recorded
+    val manifest = spark.read.json(s"$base/batches")
+    assert(manifest.count() == 4) // 96 docs / shardSize 25, doc_id div
+    val row = manifest.orderBy(col("shard_id")).head()
+    assert(row.getAs[String]("endpoint") == "/v1/chat/completions")
+    assert(row.getAs[String]("completion_window") == "24h")
+    assert(row.getAs[String]("metadata") == "{}")
+    assert(manifest.agg(org.apache.spark.sql.functions.sum(col("n_requests"))).head.getLong(0) == 96)
   }
 
   test("batch workflow halts when the sample request fails validation") {
