@@ -44,9 +44,11 @@ object ExactPercentile {
     val vals = df.select(col(groupCol), col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
     // Approximate boundaries: any values work; quantiles make buckets
-    // near-equal so the per-bucket sort in step 3 stays bounded.
+    // near-equal so the per-bucket sort in step 3 stays bounded. The
+    // loose 5% error keeps the Greenwald-Khanna summaries small — a
+    // 5%-off boundary costs a 5%-bigger bucket, nothing else.
     val boundaries = vals.stat
-      .approxQuantile("v", (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+      .approxQuantile("v", (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.05)
       .distinct.sorted
     val bArr = array(boundaries.map(lit(_)): _*)
     val bucketed = vals.withColumn("bucket", size(filter(bArr, b => b <= col("v"))))
