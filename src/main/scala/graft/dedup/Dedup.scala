@@ -319,8 +319,15 @@ object Dedup {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()
       .localCheckpoint() // computed once, re-read every iteration
+    // Seed with the one-hop minimum: with initial labels = doc_id the
+    // first propagation round needs no labels join at all — it is just
+    // min(src) per dst — so the loop starts one round ahead.
+    val seed = edges.groupBy(col("dst")).agg(min(col("src")).as("nlabel"))
     var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("label"))
+      .select(col("doc_id"))
+      .join(seed.select(col("dst").as("doc_id"), col("nlabel")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("nlabel"), col("doc_id"))).as("label"))
       .localCheckpoint()
     var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
