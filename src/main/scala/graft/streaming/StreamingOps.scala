@@ -201,7 +201,45 @@ object StreamingOps {
       |  (SELECT MAX(epoch_us(ts)) // 1000 - 600000 FROM events)
       |ORDER BY hour_s, event_type""".stripMargin
 
+  /** st6: stream-stream interval join — each click joined to the same
+    * user's purchases within the following 30 minutes. Both sides carry
+    * watermarks and the join carries a time-range constraint, so state
+    * on either side is dropped once the watermark passes the range —
+    * the production attribution-join pattern with bounded state. On
+    * bounded input the inner join emits exactly the batch answer.
+    */
+  private def st6(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        timestamp_micros(expr("ts div 1000")).as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("cts")).as("click_us"), unix_micros(col("pts")).as("purchase_us"))
+    runToMemory(s, joined, "graft_st6", mode = "append")
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  private val st6Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events)
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.tus AS click_us, p.tus AS purchase_us
+      |FROM e c JOIN e p ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.tus >= c.tus AND p.tus <= c.tus + 1800000000
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st6_stream_stream_join" -> (st6 _),
     "st5_stream_append_window" -> (st5 _),
     "st4_stream_sessionize" -> (st4 _),
     "st1_stream_window" -> (st1 _),
@@ -209,6 +247,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st6_stream_stream_join" -> st6Sql,
     "st5_stream_append_window" -> st5Sql,
     "st4_stream_sessionize" -> st4Sql,
     "st1_stream_window" -> st1Sql,
