@@ -282,7 +282,32 @@ object GenAI {
       |  CAST(SUM(CASE WHEN answer = truth THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  /** g12: failure resubmission — rebuild a retry batch for every
+    * request whose response came back non-200, keeping the original
+    * body, tagging the attempt and re-keying custom_id so the Batch
+    * API treats it as a new request while results still join back by
+    * doc_id. The standard recover-step after `completed_with_errors`.
+    */
+  private def g12(s: SparkSession, d: String): DataFrame = {
+    val r = reqs(s, d)
+    val failed = Responses.errors(Responses.parse(Simulator.respond(r)))
+      .select(col("doc_id"))
+    r.join(failed, Seq("doc_id"))
+      .withColumn("custom_id", concat(lit("retry-1-"), col("doc_id").cast("string")))
+      .withColumn("attempt", lit(2L))
+      .orderBy(col("doc_id"))
+  }
+
+  private val g12Sql = ParsedCte +
+    """
+      |SELECT r.doc_id, 'retry-1-' || r.doc_id AS custom_id, r.method, r.url, r.model,
+      |  r.system_content, r.user_content, r.max_tokens, r.temperature,
+      |  CAST(2 AS BIGINT) AS attempt
+      |FROM reqs r JOIN parsed p ON r.doc_id = p.doc_id AND p.status_code <> 200
+      |ORDER BY r.doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "g12_retry_failed" -> (g12 _),
     "g11_multichoice" -> (g11 _),
     "g10_vertex_request" -> (g10 _),
     "g1_request_build" -> (g1 _),
@@ -296,6 +321,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g12_retry_failed" -> g12Sql,
     "g11_multichoice" -> g11Sql,
     "g10_vertex_request" -> g10Sql,
     "g1_request_build" -> g1Sql,
