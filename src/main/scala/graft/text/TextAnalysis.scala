@@ -266,7 +266,33 @@ object TextAnalysis {
       |SELECT doc_id, drop_reason = '' AS keep, drop_reason
       |FROM verdict ORDER BY doc_id""".stripMargin
 
+  /** t8: deterministic train/val/test split assignment — the standard
+    * stable-hash split (~80/10/10) that survives corpus growth: a
+    * document's split depends only on its id's md5, never on row order,
+    * partitioning or corpus size, so re-running on an extended corpus
+    * never migrates an existing document across splits. Lexicographic
+    * hex-range compare keeps the rule engine-portable (0x00–0xcc
+    * train ≈ 80.1%, 0xcd–0xe5 val ≈ 9.8%, rest test).
+    */
+  private def t8(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2).as("h2"))
+      .withColumn("split",
+        when(col("h2") < "cd", lit("train"))
+          .when(col("h2") < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+
+  private val t8Sql =
+    """SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t8_split_assign" -> (t8 _),
     "t7_keep_drop" -> (t7 _),
     "t6_repetition" -> (t6 _),
     "t1_tokens" -> (t1 _),
@@ -276,6 +302,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t8_split_assign" -> t8Sql,
     "t7_keep_drop" -> t7Sql,
     "t6_repetition" -> t6Sql,
     "t1_tokens" -> t1Sql,
