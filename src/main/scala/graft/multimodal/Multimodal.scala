@@ -92,13 +92,45 @@ object Multimodal {
       |      FROM documents)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** m4: chunk-level cross-document dedup (content-defined-chunking
+    * style): fingerprints shared by ≥2 documents expose repeated
+    * byte-ranges — watermarks, boilerplate headers, copied segments —
+    * that whole-file hashing misses. One shuffle on the 16-byte
+    * fingerprint; chunks themselves never shuffle.
+    */
+  private def m4(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(text), 64), i -> substring(text, i, 64))"))
+          .as("chunk"))
+      .groupBy(md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_md5"))
+
+  private val m4Sql =
+    """WITH c AS (
+      |  SELECT doc_id, md5(substring(text, i + 1, 64)) AS chunk_md5
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(0, length(text) - 1, 64)) AS i
+      |        FROM documents))
+      |SELECT chunk_md5, COUNT(*) AS n_occurrences,
+      |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc_id
+      |FROM c GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY chunk_md5""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "m1_binary_meta" -> (m1 _),
     "m2_frame_sample" -> (m2 _),
-    "m3_chunking" -> (m3 _))
+    "m3_chunking" -> (m3 _),
+    "m4_chunk_dedup" -> (m4 _))
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
-    "m3_chunking" -> m3Sql)
+    "m3_chunking" -> m3Sql,
+    "m4_chunk_dedup" -> m4Sql)
 }
