@@ -97,4 +97,34 @@ object BatchWorkflow {
     val status = if (errors.isEmpty) "completed" else "completed_with_errors"
     BatchResult(results, errors, status)
   }
+
+  /** Resume an interrupted or partial run: documents that already have
+    * a saved result OR error under `outputPathPrefix` are skipped
+    * (anti-join on doc_id — distributed, no driver set), and only the
+    * remainder is processed, into `outputPathPrefix/resume` so the
+    * original outputs stay intact for the caller to union. Re-running
+    * a completed prefix is a no-op over zero rows — the workflow is
+    * idempotent.
+    */
+  def resume(documents: DataFrame, outputPathPrefix: String,
+      shardSize: Int = 50000, validate: Boolean = true,
+      endpoint: String = "/v1/chat/completions",
+      completionWindow: String = "24h",
+      metadata: Map[String, String] = Map.empty,
+      jobStatus: Option[() => String] = None,
+      pollIntervalMs: Long = 30000L, timeoutMs: Long = 7200000L,
+      clock: () => Long = () => System.currentTimeMillis(),
+      sleep: Long => Unit = Thread.sleep): BatchResult = {
+    val spark = documents.sparkSession
+    val processed = Seq("results.jsonl", "errors.jsonl").flatMap { f =>
+      scala.util.Try(Jsonl.read(spark, s"$outputPathPrefix/$f").select(col("doc_id"))).toOption
+    }
+    val remaining = processed.reduceOption(_ unionByName _) match {
+      case Some(p) => documents.join(p.distinct(), Seq("doc_id"), "left_anti")
+      case None    => documents
+    }
+    run(remaining, s"$outputPathPrefix/resume", shardSize, validate,
+      endpoint, completionWindow, metadata, jobStatus,
+      pollIntervalMs, timeoutMs, clock, sleep)
+  }
 }

@@ -81,6 +81,20 @@ class GenAISpec extends SparkSpec {
     assert(manifest.agg(org.apache.spark.sql.functions.sum(col("n_requests"))).head.getLong(0) == 96)
   }
 
+  test("resume processes only documents without a saved result or error") {
+    val base = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    // first (interrupted) run covers docs 1-50
+    BatchWorkflow.run(docs.filter(col("doc_id").between(1, 50)), base)
+    // resume over the full 1-96 population picks up only 51-96
+    val r = BatchWorkflow.resume(docs.filter(col("doc_id").between(1, 96)), base)
+    assert(r.results.count() + r.errors.count() == 46)
+    assert(spark.read.json(s"$base/resume/input").count() == 46)
+    assert(r.results.agg(org.apache.spark.sql.functions.min(col("doc_id"))).head.getLong(0) >= 51)
+    // resuming again is a no-op
+    val again = BatchWorkflow.resume(docs.filter(col("doc_id").between(1, 50)), base)
+    assert(again.results.count() + again.errors.count() == 0)
+  }
+
   test("batch workflow halts when the sample request fails validation") {
     val base = java.nio.file.Files.createTempDirectory("graft_wf_halt").toString
     // doc 0 has max_tokens=0 → pre-flight fails → halt, like the reference
