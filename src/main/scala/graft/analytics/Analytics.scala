@@ -540,6 +540,31 @@ object Analytics {
       .orderBy(col("user_id"), col("tus"), col("event_id"))
   }
 
+  /** Rank-family window functions (ntile / percent_rank / cume_dist)
+    * per customer. The order key includes the unique o_orderkey so the
+    * rank-derived doubles are tie-free and engine-identical: both
+    * engines compute (rank−1)/(n−1) and rank/n on exact integers.
+    */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("ntile4", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q22Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS ntile4,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   private val q21Sql =
     """SELECT user_id, event_id, epoch_us(ts) AS tus,
       |  COUNT(*) OVER w AS trailing_n,
@@ -552,6 +577,7 @@ object Analytics {
   val queries: Map[String, QFn] = Map(
     "q20_cube" -> (q20 _),
     "q21_range_window" -> (q21 _),
+    "q22_rank_family" -> (q22 _),
     "q19_pivot" -> (q19 _),
     "q18_percentile" -> (q18 _),
     "q16_topk_custom" -> (q16 _),
@@ -575,6 +601,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q20_cube" -> q20Sql,
     "q21_range_window" -> q21Sql,
+    "q22_rank_family" -> q22Sql,
     "q19_pivot" -> q19Sql,
     "q18_percentile" -> q18Sql,
     "q16_topk_custom" -> q16Sql,

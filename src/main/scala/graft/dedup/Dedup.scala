@@ -125,7 +125,10 @@ object Dedup {
     * sum of ±1 votes from each token's md5 hex digit j. One explode +
     * one agg; signature is a compact bit string.
     */
-  private def d3(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, simhash) signatures — shared by d3 (histogram) and d8
+    * (hamming-neighbor pairs).
+    */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .filter(col("tok") =!= "").distinct()
@@ -135,12 +138,16 @@ object Dedup {
     val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
     val bits = (0 until 16).map(j => when(col(s"v$j") > 0, lit("1")).otherwise(lit("0")))
     votes.select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  private def d3(s: SparkSession, d: String): DataFrame =
+    simhashSigs(s, d)
       .withColumn("n_ones", length(regexp_replace(col("simhash"), "0", "")).cast("long"))
       .withColumn("sig_count", count(lit(1)).over(Window.partitionBy(col("simhash"))))
       .orderBy(col("doc_id"))
-  }
 
-  private val d3Sql = {
+  /** Shared oracle CTE ending in sigs(doc_id, simhash). */
+  private val SimhashCte = {
     val votes = (0 until 16).map(j =>
       s"SUM(CASE WHEN substring(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j").mkString(",\n      |    ")
     val bits = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
@@ -151,12 +158,15 @@ object Dedup {
       |  SELECT doc_id,
       |    $votes
       |  FROM toks GROUP BY doc_id),
-      |sigs AS (SELECT doc_id, $bits AS simhash FROM votes)
+      |sigs AS (SELECT doc_id, $bits AS simhash FROM votes)""".stripMargin
+  }
+
+  private val d3Sql = SimhashCte +
+    """
       |SELECT doc_id, simhash,
       |  CAST(length(replace(simhash, '0', '')) AS BIGINT) AS n_ones,
       |  COUNT(*) OVER (PARTITION BY simhash) AS sig_count
       |FROM sigs ORDER BY doc_id""".stripMargin
-  }
 
   /** d4: n-gram Jaccard over inverted-index candidates. Candidates are
     * pairs sharing a *rare* shingle (2 ≤ df ≤ 10 — the df cap kills
@@ -387,7 +397,47 @@ object Dedup {
       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       |FROM clusters ORDER BY doc_id""".stripMargin
 
+  /** d8: SimHash near-dup pairs within hamming distance 1, found by
+    * probe-key join instead of an n² signature compare: every document
+    * emits its signature plus the 16 one-bit flips (17 fixed-width
+    * probes), and a pair surfaces iff one side's probe equals the other
+    * side's signature — an equi-join on the probe key, candidates
+    * bounded by bucket occupancy. The standard multi-index SimHash
+    * lookup, here for k=1 (k bits → sum over C(16,i) probe variants).
+    * Each direction of a pair matches exactly once (identity probe for
+    * hamming 0, the differing-bit flip for hamming 1), so `da < db`
+    * alone dedups.
+    */
+  private def d8(s: SparkSession, d: String): DataFrame = {
+    val sigs = simhashSigs(s, d)
+    val flips = (0 until 16).map { j =>
+      concat(substring(col("simhash"), 1, j),
+        when(substring(col("simhash"), j + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("simhash"), j + 2, 15 - j))
+    }
+    val probes = sigs.select(col("doc_id").as("da"),
+      explode(array((col("simhash") +: flips): _*)).as("probe"))
+    probes.join(sigs.select(col("doc_id").as("db"), col("simhash").as("sigb")),
+        col("probe") === col("sigb") && col("da") < col("db"))
+      .join(sigs.select(col("doc_id").as("da"), col("simhash").as("siga")), Seq("da"))
+      .select(col("da"), col("db"),
+        when(col("siga") === col("sigb"), 0L).otherwise(1L).as("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val d8Sql = SimhashCte +
+    """,
+      |ham AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |      i -> CASE WHEN substring(a.simhash, i, 1) <> substring(b.simhash, i, 1)
+      |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+      |SELECT da, db, hamming FROM ham WHERE hamming <= 1
+      |ORDER BY da, db""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d8_simhash_pairs" -> (d8 _),
     "d7_cluster" -> (d7 _),
     "d6_contamination" -> (d6 _),
     "d1_exact_dedup" -> (d1 _),
@@ -397,6 +447,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d8_simhash_pairs" -> d8Sql,
     "d7_cluster" -> d7Sql,
     "d6_contamination" -> d6Sql,
     "d1_exact_dedup" -> d1Sql,
