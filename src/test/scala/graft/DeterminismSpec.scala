@@ -10,7 +10,11 @@ class DeterminismSpec extends SparkSpec {
   private val representative = Seq(
     "q1_agg", "q13_sessionize", "q16_topk_custom", "q21_range_window",
     "g4_response_parse", "t2_quality", "d2_minhash_lsh",
-    "s1_knn_brute", "m3_chunking")
+    "s1_knn_brute", "m3_chunking",
+    // round-3 additions: iterative clustering, distributed order
+    // statistics, probe joins, composed verdicts
+    "d7_cluster", "q18_percentile", "q22_rank_family",
+    "s4_ivf_probe", "d8_simhash_pairs", "t7_keep_drop", "t8_split_assign")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {
