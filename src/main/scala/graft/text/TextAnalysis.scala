@@ -291,7 +291,45 @@ object TextAnalysis {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** t9: deterministic mixture sampling — the corpus-assembly step
+    * that downweights or upweights sources. Each source gets a mix
+    * weight (here a function of its numeric suffix standing in for a
+    * configured mixture table); a document survives iff the first 4
+    * hex chars of md5(source:doc_id) fall under the weight's
+    * threshold. Like t8, membership is a pure function of content
+    * identity: stable under re-runs, row order, partitioning and
+    * corpus growth, and exact-rate in expectation per source.
+    */
+  private def t9(s: SparkSession, d: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    val weight = (lit(1) + srcNum % 4).cast("double") / 4.0
+    val thresh = when(col("mix_weight") === 0.25, lit("4000"))
+      .when(col("mix_weight") === 0.5, lit("8000"))
+      .when(col("mix_weight") === 0.75, lit("c000"))
+      .otherwise(lit("g")) // > any hex digit: keep-all
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), weight.as("mix_weight"))
+      .filter(substring(md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 4) < thresh)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t9Sql =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    (1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4) / CAST(4 AS DOUBLE) AS mix_weight
+      |  FROM documents)
+      |SELECT doc_id, source, mix_weight
+      |FROM w
+      |WHERE substring(md5(source || ':' || doc_id), 1, 4) <
+      |  CASE WHEN mix_weight = 0.25 THEN '4000'
+      |       WHEN mix_weight = 0.5 THEN '8000'
+      |       WHEN mix_weight = 0.75 THEN 'c000'
+      |       ELSE 'g' END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t9_mix_sample" -> (t9 _),
     "t8_split_assign" -> (t8 _),
     "t7_keep_drop" -> (t7 _),
     "t6_repetition" -> (t6 _),
@@ -302,6 +340,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t9_mix_sample" -> t9Sql,
     "t8_split_assign" -> t8Sql,
     "t7_keep_drop" -> t7Sql,
     "t6_repetition" -> t6Sql,
