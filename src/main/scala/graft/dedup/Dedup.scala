@@ -320,6 +320,12 @@ object Dedup {
     * round to truncate lineage — on a cluster this is
     * `spark.sparkContext.setCheckpointDir` + `checkpoint()`; in
     * local mode `localCheckpoint()` is equivalent.
+    *
+    * Oracle note: the DuckDB check materializes the full transitive
+    * closure (Σ|component|² rows) — exact but quadratic in component
+    * size, so it is practical only at the sf0.01 gate. The operator
+    * itself was validated at sf0.1 (finishes in seconds; the closure
+    * oracle does not).
     */
   private def d7(s: SparkSession, d: String): DataFrame = {
     val long = bandLong(minhashBands(s, d))
