@@ -32,6 +32,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ExactPercentile equals the buffering built-in on random grouped data") {
+    import graft.operators.ExactPercentile
+    // values with deliberate ties and negatives; ragged group sizes
+    val rowGen = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-50, 50).map(_ / 4.0))
+    for (rows <- samples(Gen.listOfN(80, rowGen), 5); p <- Seq(0.0, 0.37, 0.5, 0.91, 1.0)) {
+      val df = rows.toDF("g", "v")
+      val exp = df.groupBy(col("g")).agg(expr(s"percentile(v, $p)").as("value"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = ExactPercentile.percentiles(df, "g", "v", Seq(p), nBuckets = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(got == exp, s"p=$p: $got != $exp")
+    }
+  }
+
   test("salted sum equals plain sum for arbitrary key/value data") {
     val rowGen = Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-1000, 1000))
     for (rows <- samples(Gen.listOfN(60, rowGen), 5)) {
