@@ -50,7 +50,11 @@ object ExactPercentile {
     val boundaries = vals.stat
       .approxQuantile("v", (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.05)
       .distinct.sorted
-    val bArr = array(boundaries.map(lit(_)): _*)
+    // empty on empty input (and a single bucket on constant input):
+    // an untyped empty array literal would fail analysis, and any
+    // sentinel below every v works — all rows land in bucket 1
+    val bArr = array(
+      (if (boundaries.isEmpty) Array(Double.NegativeInfinity) else boundaries).map(lit(_)): _*)
     val bucketed = vals.withColumn("bucket", size(filter(bArr, b => b <= col("v"))))
 
     val counts = bucketed.groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("cnt"))

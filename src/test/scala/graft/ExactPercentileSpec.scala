@@ -40,6 +40,14 @@ class ExactPercentileSpec extends SparkSpec {
     }
   }
 
+  test("degenerate inputs: empty frame and constant values") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(ExactPercentile.percentiles(empty, "g", "v", Seq(0.5)).count() == 0)
+    val const = Seq.fill(40)(("a", 7.0)).toDF("g", "v")
+    assert(ours(const, "g", "v", 0.5) == Map("a" -> 7.0))
+  }
+
   test("plan has no single-reducer group sort: widest window is (group, bucket)") {
     val li = Tables.lineitem(spark, sf)
     val plan = ExactPercentile.percentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
