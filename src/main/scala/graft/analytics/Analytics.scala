@@ -565,6 +565,29 @@ object Analytics {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** The q15 as-of semantics through the NATIVE merge-join operator
+    * ([[graft.plans.AsOfNative]] — logical node → Strategy →
+    * BinaryExecNode): two clustered shuffles + per-partition sorts +
+    * one streaming merge pass, instead of the union+window formulation.
+    * Checked against the identical DuckDB oracle as q15.
+    */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.AsOfNative
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), expr("ts div 1000").as("tus"),
+        col("user_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus").as("purchase_us"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus").as("click_us"), col("event_id").as("click_id"))
+    AsOfNative.latestAtOrBefore(purchases, clicks,
+        "user_id", "purchase_us", "purchase_id", "click_us", "click_id")
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("click_id"), col("click_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   private val q21Sql =
     """SELECT user_id, event_id, epoch_us(ts) AS tus,
       |  COUNT(*) OVER w AS trailing_n,
@@ -578,6 +601,7 @@ object Analytics {
     "q20_cube" -> (q20 _),
     "q21_range_window" -> (q21 _),
     "q22_rank_family" -> (q22 _),
+    "q23_asof_native" -> (q23 _),
     "q19_pivot" -> (q19 _),
     "q18_percentile" -> (q18 _),
     "q16_topk_custom" -> (q16 _),
@@ -602,6 +626,7 @@ object Analytics {
     "q20_cube" -> q20Sql,
     "q21_range_window" -> q21Sql,
     "q22_rank_family" -> q22Sql,
+    "q23_asof_native" -> q15Sql,
     "q19_pivot" -> q19Sql,
     "q18_percentile" -> q18Sql,
     "q16_topk_custom" -> q16Sql,

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+import graft.plans.AsOfNative
+
+/** The native merge-join as-of operator must be row-identical to the
+  * union+window formulation — on the real events table and on random
+  * data with time ties, duplicate keys and unmatched left rows.
+  */
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def normalize(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy("lid").collect().toSeq.map(_.toSeq)
+
+  test("native as-of equals union+window on the events table") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts div 1000").as("tus"),
+        col("user_id"), col("event_type"))
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("tus").as("lt"), col("event_id").as("lid"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), col("tus").as("rt"), col("event_id").as("rid"))
+    val a = normalize(AsOfJoin.latestAtOrBefore(l, r, "k", "lt", "lid", "rt", "rid"))
+    val b = normalize(AsOfNative.latestAtOrBefore(l, r, "k", "lt", "lid", "rt", "rid"))
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("native as-of equals union+window on random data with ties and gaps") {
+    def samples[T](g: Gen[T], n: Int): Seq[T] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+    // few keys + tiny time domain → dense ties; key 9 exists only on
+    // the left (never matches)
+    val rowGen = Gen.zip(Gen.oneOf(1L, 2L, 3L, 9L), Gen.chooseNum(0L, 12L))
+    for (seed <- 0 until 4) {
+      val lRows = samples(Gen.listOfN(40, rowGen), 1).head.zipWithIndex
+        .map { case ((k, t), i) => (k, t, 1000L + i) }
+      val rRows = samples(Gen.listOfN(40, rowGen), 1).head.zipWithIndex
+        .collect { case ((k, t), i) if k != 9L => (k, t, 2000L + i) }
+      val l = lRows.toDF("k", "lt", "lid")
+      val r = rRows.toDF("k", "rt", "rid")
+      val a = normalize(AsOfJoin.latestAtOrBefore(l, r, "k", "lt", "lid", "rt", "rid"))
+      val b = normalize(AsOfNative.latestAtOrBefore(l, r, "k", "lt", "lid", "rt", "rid"))
+      assert(a == b, s"seed $seed:\n${a.diff(b)} vs ${b.diff(a)}")
+    }
+  }
+}
