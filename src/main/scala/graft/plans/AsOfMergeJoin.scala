@@ -61,6 +61,13 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expressio
     rightKeys.map(SortOrder(_, Ascending)) ++
       Seq(SortOrder(rightTime, Ascending), SortOrder(rightTie, Ascending)))
 
+  // every left row passes through exactly once, clustered and sorted as
+  // required — declaring it lets the planner elide downstream exchanges
+  // and sorts on the same keys
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output

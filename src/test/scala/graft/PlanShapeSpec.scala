@@ -82,6 +82,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(hasCodegen(p), p)
   }
 
+  test("q23 plans the native as-of merge exec, no window or union") {
+    val p = plan("q23_asof_native")
+    assert(p.contains("AsOfMergeJoin"), p)
+    assert(!p.contains("Window") && !p.contains("Union"), p)
+  }
+
   test("d6 decontamination broadcasts only the benchmark shingle set") {
     val p = plan("d6_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
