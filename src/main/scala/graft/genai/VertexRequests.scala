@@ -1,6 +1,6 @@
 package graft.genai
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Vertex AI (Gemini) batch request construction — the reference's
