@@ -588,6 +588,44 @@ object Analytics {
       .orderBy(col("purchase_id"))
   }
 
+  /** Pure range join (NO equi-key): purchase events paired with error
+    * events within ±5 minutes, globally. Spark's planner would execute
+    * the raw inequality join as a nested-loop cartesian; banding both
+    * sides into eps-width time buckets and probing the 3 adjacent
+    * bands turns it into a shuffle EQUI-join on the band id with
+    * per-band bounded candidates — the standard distributed
+    * range-join construction. Each pair matches in exactly one probe
+    * band (the build side's own), so no dedup pass is needed.
+    */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val epsUs = 300L * 1000000L
+    val e = Tables.events(s, d)
+      .select(col("event_id"), expr("ts div 1000").as("tus"), col("event_type"))
+    // integer `div`, not double division: a boundary time rounding into
+    // the wrong band could put a true pair 2 bands apart and lose it
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("tus").as("pus"),
+        expr(s"tus div $epsUs").as("b0"))
+      .withColumn("band", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      .drop("b0")
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("tus").as("eus"),
+        expr(s"tus div $epsUs").as("band"))
+    purchases.join(errors, Seq("band"))
+      .filter(abs(col("pus") - col("eus")) <= epsUs)
+      .select(col("purchase_id"), col("error_id"), (col("pus") - col("eus")).as("delta_us"))
+      .orderBy(col("purchase_id"), col("error_id"))
+  }
+
+  private val q24Sql =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS tus, event_type FROM events)
+      |SELECT a.event_id AS purchase_id, b.event_id AS error_id,
+      |  a.tus - b.tus AS delta_us
+      |FROM e a JOIN e b
+      |  ON a.event_type = 'purchase' AND b.event_type = 'error'
+      |  AND b.tus BETWEEN a.tus - 300000000 AND a.tus + 300000000
+      |ORDER BY purchase_id, error_id""".stripMargin
+
   private val q21Sql =
     """SELECT user_id, event_id, epoch_us(ts) AS tus,
       |  COUNT(*) OVER w AS trailing_n,
@@ -602,6 +640,7 @@ object Analytics {
     "q21_range_window" -> (q21 _),
     "q22_rank_family" -> (q22 _),
     "q23_asof_native" -> (q23 _),
+    "q24_range_join" -> (q24 _),
     "q19_pivot" -> (q19 _),
     "q18_percentile" -> (q18 _),
     "q16_topk_custom" -> (q16 _),
@@ -627,6 +666,7 @@ object Analytics {
     "q21_range_window" -> q21Sql,
     "q22_rank_family" -> q22Sql,
     "q23_asof_native" -> q15Sql,
+    "q24_range_join" -> q24Sql,
     "q19_pivot" -> q19Sql,
     "q18_percentile" -> q18Sql,
     "q16_topk_custom" -> q16Sql,

@@ -88,6 +88,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Union"), p)
   }
 
+  test("q24 range join executes as an equi-join on the band, never a nested loop") {
+    val p = plan("q24_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d6 decontamination broadcasts only the benchmark shingle set") {
     val p = plan("d6_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
