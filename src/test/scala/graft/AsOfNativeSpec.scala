@@ -29,6 +29,24 @@ class AsOfNativeSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("native as-of is correct when inputs arrive mis-partitioned") {
+    // one side pre-shuffled on the WRONG column, the other on the key
+    // with a different partition count: EnsureRequirements must insert
+    // the exchanges that make the merge's zipPartitions co-partitioned
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts div 1000").as("tus"),
+        col("user_id"), col("event_type"))
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("tus").as("lt"), col("event_id").as("lid"))
+      .repartition(7, col("lid"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), col("tus").as("rt"), col("event_id").as("rid"))
+      .repartition(3, col("k"))
+    val a = normalize(AsOfJoin.latestAtOrBefore(l, r, "k", "lt", "lid", "rt", "rid"))
+    val b = normalize(AsOfNative.latestAtOrBefore(l, r, "k", "lt", "lid", "rt", "rid"))
+    assert(a.nonEmpty && a == b)
+  }
+
   test("native as-of equals union+window on random data with ties and gaps") {
     def samples[T](g: Gen[T], n: Int): Seq[T] =
       (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
