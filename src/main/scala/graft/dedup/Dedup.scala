@@ -43,13 +43,10 @@ object Dedup {
     """SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size
       |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin
 
-  /** d2: MinHash signatures (k=8 md5-seeded hash functions over
-    * shingles) + LSH banding (4 bands × 2 rows) + bucket-join candidate
-    * count per document. The signature step is one pass + one agg; the
-    * candidate join touches band keys only.
-    */
-  /** MinHash signature → 4 LSH band keys per document. Shared by d2
-    * (candidate counts) and d7 (cluster edges).
+  /** MinHash signature (k=8 md5-seeded hash functions over shingles) →
+    * 4 LSH band keys per document. Shared by d2 (candidate counts) and
+    * d7 (cluster edges). One pass + one agg; downstream joins touch
+    * band keys only.
     *
     * dedup BEFORE hashing: hashing duplicate shingles costs far more
     * than the dedup shuffle of tiny (doc_id, 5-char) rows (measured
@@ -121,12 +118,10 @@ object Dedup {
       |FROM bands LEFT JOIN cands ON bands.doc_id = cands.doc_id
       |ORDER BY bands.doc_id""".stripMargin
 
-  /** d3: 16-bit SimHash over distinct tokens. Bit j is the sign of the
-    * sum of ±1 votes from each token's md5 hex digit j. One explode +
-    * one agg; signature is a compact bit string.
-    */
-  /** (doc_id, simhash) signatures — shared by d3 (histogram) and d8
-    * (hamming-neighbor pairs).
+  /** 16-bit SimHash over distinct tokens: bit j is the sign of the sum
+    * of ±1 votes from each token's md5 hex digit j. One explode + one
+    * agg; the signature is a compact bit string. Shared by d3
+    * (histogram) and d8 (hamming-neighbor pairs).
     */
   private def simhashSigs(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
@@ -173,22 +168,26 @@ object Dedup {
     * hot-key skew); Jaccard is then computed exactly on the full
     * shingle sets of just those pairs. Top-100 most similar pairs.
     */
-  private def d4(s: SparkSession, d: String): DataFrame = {
-    // Shingle identity is all Jaccard needs — replace each 5-char
-    // string with its 64-bit xxhash immediately after the dedup, so
-    // every downstream shuffle, set array and intersection moves
-    // fixed-width longs instead of strings (collision odds at 64 bits
-    // are ~n²/2⁶⁵ — irrelevant next to the df-cap's own approximation).
+  /** Candidate pairs joined to both documents' shingle-set arrays —
+    * the shared engine of d4 (Jaccard) and d9 (containment).
+    *
+    * Shingle identity is all set overlap needs — each 5-char string is
+    * replaced with its 64-bit xxhash immediately after the dedup, so
+    * every downstream shuffle, set array and intersection moves
+    * fixed-width longs instead of strings (collision odds at 64 bits
+    * are ~n²/2⁶⁵ — irrelevant next to the df-cap's own approximation).
+    * One shingle-set array per document, built once; the overlap stage
+    * intersects the two per-doc arrays of each candidate pair directly
+    * — no re-join of the full shingle relation (the round-2 plan
+    * joined it twice per pair and was the slowest query of the sweep).
+    * No cache: the distinct-Exchange and the docSets agg-Exchange are
+    * reused across branches by Spark's ReuseExchange rule, which
+    * survives executor loss at cluster scale where a cached RDD would
+    * not.
+    */
+  private def candidateOverlap(s: SparkSession, d: String): DataFrame = {
     val sh = shinglesDistinct(Tables.documents(s, d))
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    // One shingle-set array per document, built once. The exact-Jaccard
-    // stage below intersects the two per-doc arrays of each candidate
-    // pair directly — no re-join of the full shingle relation (the
-    // round-2 plan joined `sh` twice per pair and was the slowest query
-    // of the sweep). No cache: the `sh` distinct-Exchange and the
-    // docSets agg-Exchange are reused across branches by Spark's
-    // ReuseExchange rule, which survives executor loss at cluster
-    // scale where a cached RDD would not.
     val docSets = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("sh")).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
@@ -203,11 +202,14 @@ object Dedup {
       .join(docSets.select(col("doc_id").as("da"), col("shs").as("shsa"), col("sz").as("sza")), Seq("da"))
       .join(docSets.select(col("doc_id").as("db"), col("shs").as("shsb"), col("sz").as("szb")), Seq("db"))
       .withColumn("n_common", size(array_intersect(col("shsa"), col("shsb"))).cast("long"))
+  }
+
+  private def d4(s: SparkSession, d: String): DataFrame =
+    candidateOverlap(s, d)
       .select(col("da"), col("db"), col("n_common"),
         (col("n_common").cast("double") / (col("sza") + col("szb") - col("n_common"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("da"), col("db"))
       .limit(100)
-  }
 
   private val d4Sql =
     """WITH sh AS (
@@ -442,7 +444,48 @@ object Dedup {
       |SELECT da, db, hamming FROM ham WHERE hamming <= 1
       |ORDER BY da, db""".stripMargin
 
+  /** d9: shingle containment (Broder's asymmetric overlap,
+    * |A∩B| / |A| with A the smaller set) over the same inverted-index
+    * candidates as d4. Jaccard misses a short document quoted inside a
+    * much larger one (the union term swamps the intersection);
+    * containment is the standard measure for that inclusion case.
+    * Top-100 most-contained pairs.
+    */
+  private def d9(s: SparkSession, d: String): DataFrame =
+    candidateOverlap(s, d)
+      .withColumn("sz_min", least(col("sza"), col("szb")))
+      .select(col("da"), col("db"), col("n_common"),
+        (col("n_common").cast("double") / col("sz_min")).as("containment"))
+      .orderBy(col("containment").desc, col("da"), col("db"))
+      .limit(100)
+
+  private val d9Sql =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
+      |      i -> substring(text, i, 5))) AS s
+      |    FROM documents)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 10),
+      |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |common AS (
+      |  SELECT p.da, p.db, COUNT(*) AS n_common
+      |  FROM pairs p
+      |  JOIN sh x ON x.doc_id = p.da
+      |  JOIN sh y ON y.doc_id = p.db AND y.s = x.s
+      |  GROUP BY p.da, p.db)
+      |SELECT c.da, c.db, c.n_common,
+      |  CAST(c.n_common AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment
+      |FROM common c
+      |JOIN sizes sa ON sa.doc_id = c.da
+      |JOIN sizes sb ON sb.doc_id = c.db
+      |ORDER BY containment DESC, da, db LIMIT 100""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d9_containment" -> (d9 _),
     "d8_simhash_pairs" -> (d8 _),
     "d7_cluster" -> (d7 _),
     "d6_contamination" -> (d6 _),
@@ -453,6 +496,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d9_containment" -> d9Sql,
     "d8_simhash_pairs" -> d8Sql,
     "d7_cluster" -> d7Sql,
     "d6_contamination" -> d6Sql,
