@@ -31,7 +31,7 @@ object Bench {
     // query land in the same window; sweep-level passes space each
     // query's samples ~a sweep apart, so the per-query minimum is a
     // far better steady-state estimate at identical total cost.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val samples = (1 to repeats).flatMap { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -56,9 +56,15 @@ object Bench {
     val nFailed = results.count(!_._3)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"repeats":$repeats}"""
-    println(line)
     // stdout can be lost in log noise; persist the line for the driver
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    // Print the JSON only AFTER spark.stop(): executor-shutdown log
+    // lines otherwise interleave with (or truncate) the metric line in
+    // captured output. The marker line lets a parser seek to the JSON
+    // without regex-ing through sbt/log4j noise.
     spark.stop()
+    println("GRAFT_BENCH_JSON")
+    println(line)
+    System.out.flush()
   }
 }

@@ -43,21 +43,30 @@ object Dedup {
     """SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size
       |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin
 
-  /** MinHash signature (k=8 md5-seeded hash functions over shingles) →
-    * 4 LSH band keys per document. Shared by d2 (candidate counts) and
-    * d7 (cluster edges). One pass + one agg; downstream joins touch
-    * band keys only.
+  /** MinHash signature (k=8 hash functions over shingles) → 4 LSH band
+    * keys per document. Shared by d2 (candidate counts) and d7 (cluster
+    * edges). One pass + one agg; downstream joins touch band keys only.
     *
     * dedup BEFORE hashing: hashing duplicate shingles costs far more
     * than the dedup shuffle of tiny (doc_id, 5-char) rows (measured
-    * 5x at sf0.1). ONE md5 per distinct shingle; the 8 hash functions
-    * are disjoint 4-hex-char slices of that digest (16 bits each) —
-    * independent enough for banding, 8x cheaper than 8 salted md5s.
+    * 5x at sf0.1). TWO md5s per distinct shingle (plain + salted); the
+    * 8 hash functions are disjoint 8-hex-char slices of the two
+    * digests — 32 bits each. Width matters: the min of n uniform
+    * W-bit values concentrates near 2^W/n, so 16-bit slices (round 3)
+    * leave a shingle-rich document's minima crowded near 0 and its LSH
+    * bands collide with unrelated large documents; at 32 bits the min
+    * of even a million shingles keeps ~12 bits of spread per function
+    * (band collision odds ~2^-48). Lexicographic MIN over fixed-width
+    * lowercase hex equals numeric min, identically in Spark and DuckDB.
     */
   private def minhashBands(s: SparkSession, d: String): DataFrame = {
     val sh = shinglesDistinct(Tables.documents(s, d))
-      .withColumn("h", md5(col("sh")))
-    val mins = (0 until 8).map(j => min(substring(col("h"), 1 + 4 * j, 4)).as(s"s$j"))
+      .withColumn("h1", md5(col("sh")))
+      .withColumn("h2", md5(concat(lit("x"), col("sh"))))
+    val mins = (0 until 8).map { j =>
+      val src = if (j < 4) col("h1") else col("h2")
+      min(substring(src, 1 + 8 * (j % 4), 8)).as(s"s$j")
+    }
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     sig.select(col("doc_id"),
       md5(concat(col("s0"), col("s1"))).as("b0"),
@@ -86,19 +95,22 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private val d2Sql =
-    """WITH sh AS (
+  /** Shared oracle CTE body (no WITH keyword — d7 prefixes RECURSIVE)
+    * ending in long(doc_id, band_id, bkey): the DuckDB mirror of
+    * [[minhashBands]] + [[bandLong]]. */
+  private val MinhashCteBody =
+    """sh AS (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
       |      i -> substring(text, i, 5))) AS s
       |    FROM documents)),
-      |hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
+      |hashed AS (SELECT doc_id, md5(s) AS h1, md5('x' || s) AS h2 FROM sh),
       |sig AS (
       |  SELECT doc_id,
-      |    MIN(substring(h, 1, 4)) AS s0, MIN(substring(h, 5, 4)) AS s1,
-      |    MIN(substring(h, 9, 4)) AS s2, MIN(substring(h, 13, 4)) AS s3,
-      |    MIN(substring(h, 17, 4)) AS s4, MIN(substring(h, 21, 4)) AS s5,
-      |    MIN(substring(h, 25, 4)) AS s6, MIN(substring(h, 29, 4)) AS s7
+      |    MIN(substring(h1, 1, 8)) AS s0, MIN(substring(h1, 9, 8)) AS s1,
+      |    MIN(substring(h1, 17, 8)) AS s2, MIN(substring(h1, 25, 8)) AS s3,
+      |    MIN(substring(h2, 1, 8)) AS s4, MIN(substring(h2, 9, 8)) AS s5,
+      |    MIN(substring(h2, 17, 8)) AS s6, MIN(substring(h2, 25, 8)) AS s7
       |  FROM hashed GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, md5(s0 || s1) AS b0, md5(s2 || s3) AS b1,
@@ -107,7 +119,10 @@ object Dedup {
       |  SELECT doc_id, 0 AS band_id, b0 AS bkey FROM bands
       |  UNION ALL SELECT doc_id, 1, b1 FROM bands
       |  UNION ALL SELECT doc_id, 2, b2 FROM bands
-      |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+      |  UNION ALL SELECT doc_id, 3, b3 FROM bands)""".stripMargin
+
+  private val d2Sql = "WITH " + MinhashCteBody +
+    """,
       |cands AS (
       |  SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_candidates
       |  FROM long a JOIN long b
@@ -118,20 +133,31 @@ object Dedup {
       |FROM bands LEFT JOIN cands ON bands.doc_id = cands.doc_id
       |ORDER BY bands.doc_id""".stripMargin
 
-  /** 16-bit SimHash over distinct tokens: bit j is the sign of the sum
-    * of ±1 votes from each token's md5 hex digit j. One explode + one
-    * agg; the signature is a compact bit string. Shared by d3
-    * (histogram) and d8 (hamming-neighbor pairs).
+  /** 64-bit SimHash over distinct tokens: bit j is the sign of the sum
+    * of ±1 votes from bit j of each token's md5 (hex digit j/4, bit
+    * j%4 MSB-first — the first 16 hex chars cover all 64 positions).
+    * One explode + one agg; the signature is a compact bit string.
+    * Shared by d3 (histogram) and d8 (hamming-neighbor pairs).
+    *
+    * 64 bits matter at scale: a 16-bit signature (rounds 1–3) packs N
+    * documents into 2^16 buckets, so unrelated documents collide with
+    * probability N/65536 and the d8 probe join degenerates quadratic.
+    * At 64 bits whole-signature collisions are vanishing and hamming
+    * proximity actually means near-duplication.
     */
   private def simhashSigs(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .filter(col("tok") =!= "").distinct()
       .withColumn("h", md5(col("tok")))
-    val voteCols = (0 until 16).map(j =>
-      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$j"))
+    val voteCols = (0 until 64).map { j =>
+      val digit = j / 4 + 1       // 1-indexed hex char of the md5
+      val mask = 8 >> (j % 4)     // bit within the hex digit, MSB first
+      sum(when(expr(s"(cast(conv(substring(h, $digit, 1), 16, 10) as int) div $mask) % 2") === 1, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
     val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    val bits = (0 until 16).map(j => when(col(s"v$j") > 0, lit("1")).otherwise(lit("0")))
+    val bits = (0 until 64).map(j => when(col(s"v$j") > 0, lit("1")).otherwise(lit("0")))
     votes.select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
@@ -141,11 +167,17 @@ object Dedup {
       .withColumn("sig_count", count(lit(1)).over(Window.partitionBy(col("simhash"))))
       .orderBy(col("doc_id"))
 
-  /** Shared oracle CTE ending in sigs(doc_id, simhash). */
+  /** Shared oracle CTE ending in sigs(doc_id, simhash) — the DuckDB
+    * mirror of [[simhashSigs]]: same 64 md5 bit votes, hex digit value
+    * via strpos over the hex alphabet (DuckDB has no `conv`).
+    */
   private val SimhashCte = {
-    val votes = (0 until 16).map(j =>
-      s"SUM(CASE WHEN substring(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j").mkString(",\n      |    ")
-    val bits = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val votes = (0 until 64).map { j =>
+      val digit = j / 4 + 1
+      val mask = 8 >> (j % 4)
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substring(h, $digit, 1)) - 1) // $mask) % 2 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n      |    ")
+    val bits = (0 until 64).map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
     s"""WITH toks AS (
       |  SELECT DISTINCT doc_id, md5(t.tok) AS h
       |  FROM documents, unnest(regexp_extract_all(text, '\\S+')) AS t(tok)),
@@ -236,24 +268,32 @@ object Dedup {
       |JOIN sizes sb ON sb.doc_id = c.db
       |ORDER BY jaccard DESC, da, db LIMIT 100""".stripMargin
 
-  /** d5: embedding-cosine near-dup — label-blocked pair scan (never a
-    * global n²; on a real corpus the block key is an LSH bucket, see
-    * s2), exact-decimal cosine, top-50 most similar pairs.
+  /** d5: embedding-cosine near-dup — hyperplane-LSH-blocked pair scan
+    * (the same 4-dim sign bucket as s2), exact cosine within each
+    * bucket, top-50 most similar pairs. Never a global n²: a true
+    * near-duplicate embedding pair agrees on sign buckets with high
+    * probability, and with b sign bits the expected bucket occupancy
+    * is n/2^b, so within-bucket pair work is Σ(n/2^b)²·2^b = n²/2^b —
+    * tunable by adding bits as the corpus grows. (Rounds 1–3 blocked
+    * on `label`, whose cardinality is FIXED — a handful of blocks at
+    * 100 TB is a full quadratic scan in disguise.)
     */
   private def d5(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions
     val e = Tables.embeddings(s, d)
+      .withColumn("bucket",
+        VectorFunctions.signBucket("embedding", VectorFunctions.defaultSignDims))
     // norms once per vector (not per pair)
-    val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+    val a = e.select(col("vec_id").as("va"), col("bucket"), col("embedding").as("ea"))
       .withColumn("norm_a", sqrt(VectorFunctions.dot("ea", "ea")))
-    val b = e.select(col("vec_id").as("vb"), col("label"), col("embedding").as("eb"))
+    val b = e.select(col("vec_id").as("vb"), col("bucket"), col("embedding").as("eb"))
       .withColumn("norm_b", sqrt(VectorFunctions.dot("eb", "eb")))
-    // Shuffle equi-join on the block key — both sides partition by
-    // label, pairs form within a partition. Never broadcasts the
+    // Shuffle equi-join on the bucket key — both sides partition by
+    // bucket, pairs form within a partition. Never broadcasts the
     // table (a full-table BroadcastExchange OOMs at corpus scale);
-    // AQE's skew-join split handles a hot label.
-    a.join(b.hint("shuffle_hash"), Seq("label")).filter(col("va") < col("vb"))
-      .select(col("label"), col("va"), col("vb"),
+    // AQE's skew-join split handles a hot bucket.
+    a.join(b.hint("shuffle_hash"), Seq("bucket")).filter(col("va") < col("vb"))
+      .select(col("bucket"), col("va"), col("vb"),
         (VectorFunctions.dot("ea", "eb") / (col("norm_a") * col("norm_b"))).as("cos"))
       .orderBy(col("cos").desc, col("va"), col("vb"))
       .limit(50)
@@ -263,12 +303,15 @@ object Dedup {
     def dot(a: String, b: String) =
       s"""list_reduce(list_transform(generate_series(1, 64),
          |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)""".stripMargin
-    s"""WITH pairs AS (
-       |  SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+    val bucket = graft.functions.VectorFunctions.defaultSignDims.map(i =>
+      s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT a.bucket, a.vec_id AS va, b.vec_id AS vb,
        |         a.embedding AS ea, b.embedding AS eb
-       |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id < b.vec_id)
-       |SELECT label, va, vb,
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT bucket, va, vb,
        |  ${dot("ea", "eb")} / (sqrt(${dot("ea", "ea")}) * sqrt(${dot("eb", "eb")})) AS cos
        |FROM pairs
        |ORDER BY cos DESC, va, vb LIMIT 50""".stripMargin
@@ -365,33 +408,20 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // Near-dup components are shallow (diameter ≪ 50); a component
+    // whose min-label eccentricity exceeds the cap would silently get
+    // WRONG cluster ids, so fail loudly instead of emitting them.
+    if (!converged)
+      throw new IllegalStateException(
+        s"d7 label propagation did not converge within $iter iterations — " +
+          "component diameter exceeds the cap; raise it or pre-split the graph")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("doc_id"))
   }
 
-  private val d7Sql =
-    """WITH RECURSIVE sh AS (
-      |  SELECT DISTINCT doc_id, s FROM (
-      |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
-      |      i -> substring(text, i, 5))) AS s
-      |    FROM documents)),
-      |hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
-      |sig AS (
-      |  SELECT doc_id,
-      |    MIN(substring(h, 1, 4)) AS s0, MIN(substring(h, 5, 4)) AS s1,
-      |    MIN(substring(h, 9, 4)) AS s2, MIN(substring(h, 13, 4)) AS s3,
-      |    MIN(substring(h, 17, 4)) AS s4, MIN(substring(h, 21, 4)) AS s5,
-      |    MIN(substring(h, 25, 4)) AS s6, MIN(substring(h, 29, 4)) AS s7
-      |  FROM hashed GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id, md5(s0 || s1) AS b0, md5(s2 || s3) AS b1,
-      |         md5(s4 || s5) AS b2, md5(s6 || s7) AS b3 FROM sig),
-      |long AS (
-      |  SELECT doc_id, 0 AS band_id, b0 AS bkey FROM bands
-      |  UNION ALL SELECT doc_id, 1, b1 FROM bands
-      |  UNION ALL SELECT doc_id, 2, b2 FROM bands
-      |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+  private val d7Sql = "WITH RECURSIVE " + MinhashCteBody +
+    """,
       |edges AS (
       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
       |  FROM long a JOIN long b
@@ -405,43 +435,60 @@ object Dedup {
       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       |FROM clusters ORDER BY doc_id""".stripMargin
 
-  /** d8: SimHash near-dup pairs within hamming distance 1, found by
-    * probe-key join instead of an n² signature compare: every document
-    * emits its signature plus the 16 one-bit flips (17 fixed-width
-    * probes), and a pair surfaces iff one side's probe equals the other
-    * side's signature — an equi-join on the probe key, candidates
-    * bounded by bucket occupancy. The standard multi-index SimHash
-    * lookup, here for k=1 (k bits → sum over C(16,i) probe variants).
-    * Each direction of a pair matches exactly once (identity probe for
-    * hamming 0, the differing-bit flip for hamming 1), so `da < db`
-    * alone dedups.
+  /** d8: SimHash near-dup pairs within hamming distance ≤ 3, via the
+    * standard multi-index (HmSearch/"detecting near-duplicates for web
+    * crawling") split: the 64-bit signature breaks into 4 disjoint
+    * 16-bit blocks; two signatures within hamming 3 agree on at least
+    * one whole block (pigeonhole: 3 differing bits can dirty at most 3
+    * of the 4 blocks). Candidates therefore surface from an EQUI-join
+    * on (block_id, block bits); the exact 64-bit hamming check runs
+    * only on those candidates. No n² compare, no signature flips —
+    * candidate volume per block is bucket-occupancy-bounded
+    * (~N/2^16 per block value), and unlike the 16-bit scheme of
+    * rounds 1–3 a block match no longer implies a reported pair: the
+    * 64-bit verify kills random collisions.
     */
   private def d8(s: SparkSession, d: String): DataFrame = {
     val sigs = simhashSigs(s, d)
-    val flips = (0 until 16).map { j =>
-      concat(substring(col("simhash"), 1, j),
-        when(substring(col("simhash"), j + 1, 1) === "1", lit("0")).otherwise(lit("1")),
-        substring(col("simhash"), j + 2, 15 - j))
-    }
-    val probes = sigs.select(col("doc_id").as("da"),
-      explode(array((col("simhash") +: flips): _*)).as("probe"))
-    probes.join(sigs.select(col("doc_id").as("db"), col("simhash").as("sigb")),
-        col("probe") === col("sigb") && col("da") < col("db"))
+    val blocks = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("block_id"), substring(col("simhash"), 1 + 16 * b, 16).as("bbits"))): _*)).as("blk"))
+      .select(col("doc_id"), col("blk.block_id").as("block_id"), col("blk.bbits").as("bbits"))
+    val cands = blocks.as("a").join(blocks.as("b"),
+        col("a.block_id") === col("b.block_id") && col("a.bbits") === col("b.bbits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cands
       .join(sigs.select(col("doc_id").as("da"), col("simhash").as("siga")), Seq("da"))
-      .select(col("da"), col("db"),
-        when(col("siga") === col("sigb"), 0L).otherwise(1L).as("hamming"))
+      .join(sigs.select(col("doc_id").as("db"), col("simhash").as("sigb")), Seq("db"))
+      .withColumn("hamming", expr(
+        """cast(aggregate(transform(sequence(1, 64),
+          |  i -> if(substring(siga, i, 1) <> substring(sigb, i, 1), 1, 0)),
+          |  0, (acc, x) -> acc + x) as bigint)""".stripMargin))
+      .filter(col("hamming") <= 3)
+      .select(col("da"), col("db"), col("hamming"))
       .orderBy(col("da"), col("db"))
   }
 
   private val d8Sql = SimhashCte +
     """,
+      |blocks AS (
+      |  SELECT doc_id, g.b AS block_id, substring(simhash, 1 + 16 * g.b, 16) AS bbits
+      |  FROM sigs, generate_series(0, 3) AS g(b)),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM blocks a JOIN blocks b
+      |    ON a.block_id = b.block_id AND a.bbits = b.bbits AND a.doc_id < b.doc_id),
       |ham AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db,
-      |    CAST(list_sum(list_transform(generate_series(1, 16),
-      |      i -> CASE WHEN substring(a.simhash, i, 1) <> substring(b.simhash, i, 1)
+      |  SELECT c.da, c.db,
+      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |      i -> CASE WHEN substring(sa.simhash, i, 1) <> substring(sb.simhash, i, 1)
       |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-      |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
-      |SELECT da, db, hamming FROM ham WHERE hamming <= 1
+      |  FROM cands c
+      |  JOIN sigs sa ON sa.doc_id = c.da
+      |  JOIN sigs sb ON sb.doc_id = c.db)
+      |SELECT da, db, hamming FROM ham WHERE hamming <= 3
       |ORDER BY da, db""".stripMargin
 
   /** d9: shingle containment (Broder's asymmetric overlap,

@@ -39,4 +39,9 @@ object VectorFunctions {
   def signBucket(vec: String, dims: Seq[Int]): Column =
     concat(dims.map(i =>
       when(expr(s"element_at($vec, $i)") > 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** The default sign-bucket dims shared by s2 (ANN probe) and d5
+    * (embedding near-dup blocking) — spread across the vector so the
+    * bits are uncorrelated for typical embeddings. */
+  val defaultSignDims: Seq[Int] = Seq(1, 8, 17, 33)
 }

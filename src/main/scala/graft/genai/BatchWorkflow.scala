@@ -68,14 +68,19 @@ object BatchWorkflow {
     // reference's `batches.create` arguments (endpoint,
     // completion_window, metadata) so a resubmission or audit can
     // reconstruct every job. Tiny (one row per shard).
-    val metaJson = metadata.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    // metadata serialized via to_json so quotes/backslashes/control
+    // chars in keys or values are escaped properly (hand-concatenated
+    // JSON broke on a single embedded quote)
+    val metaJson =
+      if (metadata.isEmpty) lit("{}")
+      else to_json(map(metadata.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
     val manifest = sharded.groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_requests"))
       .select(col("shard_id"), col("n_requests"),
         lit(endpoint).as("endpoint"),
         lit(completionWindow).as("completion_window"),
-        lit(metaJson).as("metadata"))
+        metaJson.as("metadata"))
     Jsonl.write(manifest, s"$outputPathPrefix/batches")
 
     // 2-3. create batch + monitor → terminal state. When the job is

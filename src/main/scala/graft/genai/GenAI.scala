@@ -282,6 +282,53 @@ object GenAI {
       |  CAST(SUM(CASE WHEN answer = truth THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  /** g13: visual-exam recipe end-to-end (run_visual_exam.py:150-210):
+    * build the image-part requests (the g9 stage), run the simulated
+    * visual model, parse each `{"answer": "N"}` out of the forced
+    * json_object response, compare against the answer key, and score
+    * per-source accuracy — the visual analogue of g11's multichoice
+    * scoring. Per-row projections + one doc_id equi-join + one groupBy.
+    */
+  private def g13(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val items = docs.select(
+      col("doc_id"),
+      lit("Which option number matches the shape in the image? Output " +
+        "{\"answer\": \"{option_number}\"} and nothing else.").as("prompt_text"),
+      concat(lit("data:image/png;base64,"),
+        regexp_replace(base64(col("text").cast("binary")), "\r\n", "")).as("data_url"))
+    val parsed = Responses.parse(Simulator.respondVisual(Requests.visualRequests(items)))
+    // answer key: the "image" is the document bytes; its shape id is
+    // the byte length mod 4 (what the simulated model derives too)
+    val key = docs.select(col("doc_id"), col("source"),
+      (length(col("text").cast("binary")) % 4 + 1).cast("long").as("truth"))
+    Responses.results(parsed)
+      .select(col("doc_id"),
+        get_json_object(col("content"), "$.answer").cast("long").as("answer"))
+      .join(key, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_answered"),
+        sum(when(col("answer") === col("truth"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", col("n_correct").cast("double") / col("n_answered"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle mirrors the scored answers directly (the Spark side really
+    * round-trips through base64 data-URLs and response JSON).
+    */
+  private val g13Sql =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    octet_length(encode(text)) % 4 + 1 AS truth,
+      |    CASE WHEN doc_id % 13 = 0 THEN (octet_length(encode(text)) % 4 + 1) % 4 + 1
+      |         ELSE octet_length(encode(text)) % 4 + 1 END AS answer
+      |  FROM documents
+      |  WHERE doc_id % 53 <> 0)
+      |SELECT source, COUNT(*) AS n_answered,
+      |  CAST(SUM(CASE WHEN answer = truth THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(SUM(CASE WHEN answer = truth THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   /** g12: failure resubmission — rebuild a retry batch for every
     * request whose response came back non-200, keeping the original
     * body, tagging the attempt and re-keying custom_id so the Batch
@@ -307,6 +354,7 @@ object GenAI {
       |ORDER BY r.doc_id""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "g13_visual_exam" -> (g13 _),
     "g12_retry_failed" -> (g12 _),
     "g11_multichoice" -> (g11 _),
     "g10_vertex_request" -> (g10 _),
@@ -321,6 +369,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g13_visual_exam" -> g13Sql,
     "g12_retry_failed" -> g12Sql,
     "g11_multichoice" -> g11Sql,
     "g10_vertex_request" -> g10Sql,

@@ -40,6 +40,35 @@ object Simulator {
       when(failed, lit("Internal server error")).otherwise(lit(null).cast("string")).as("error_message"))
   }
 
+  /** Visual-exam responder (for Requests.visualRequests): the fake
+    * model "looks at the image" by decoding the data-URL payload and
+    * deriving the shape from its byte length, answers
+    * `{"answer": "N"}`, and answers WRONG on a deterministic sliver
+    * (doc_id % 13) so accuracy scoring has signal. Transport errors
+    * keep the doc_id % 53 rule of [[respond]].
+    */
+  def respondVisual(requests: DataFrame): DataFrame = {
+    // strip the 22-char "data:image/png;base64," prefix, decode
+    val truth = length(unbase64(expr("substring(data_url, 23)"))) % 4 + 1
+    val answer = when(col("doc_id") % 13 === 0, (truth % 4) + 1).otherwise(truth)
+    val promptTokens = expr("(length(prompt_text) + length(data_url) div 4 + 3) div 4")
+    val failed = col("doc_id") % 53 === 0
+    requests.select(
+      col("custom_id"),
+      when(failed, lit(500)).otherwise(lit(200)).as("status_code"),
+      when(failed, lit(null).cast("string")).otherwise(
+        to_json(struct(
+          col("model"),
+          array(struct(
+            struct(lit("assistant").as("role"),
+              concat(lit("{\"answer\": \""), answer, lit("\"}")).as("content")).as("message")
+          )).as("choices"),
+          struct(
+            promptTokens.as("prompt_tokens"),
+            lit(9L).as("completion_tokens")).as("usage")))).as("body_json"),
+      when(failed, lit("Internal server error")).otherwise(lit(null).cast("string")).as("error_message"))
+  }
+
   /** Exam-request responder (for Requests.examRequests): the fake
     * model "solves" the question by reading the option number out of
     * the user message, answers `{"answer": "N"}` as the forced

@@ -68,7 +68,12 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expressio
     left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     val lKeysB = leftKeys
@@ -94,7 +99,12 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expressio
       var candKey: UnsafeRow = null
       lIter.map { l =>
         val lk = lKeyProj(l)
-        val lt = ltBound.eval(l).asInstanceOf[Long]
+        // enforce the documented non-null precondition: unboxing null
+        // would silently coerce to 0L and match as epoch 0
+        val ltv = ltBound.eval(l)
+        if (ltv == null) throw new IllegalStateException(
+          "as-of join: null left event time — filter nulls before joining")
+        val lt = ltv.asInstanceOf[Long]
         // consume right rows that are now admissible (key behind ours,
         // or same key with time <= ours); the ordering guarantees no
         // later left row of this key needs anything we discard
@@ -102,7 +112,10 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expressio
         while (advancing && rIter.hasNext) {
           val rk = rKeyProj(rIter.head)
           val c = keyOrd.compare(rk, lk)
-          if (c < 0 || (c == 0 && rtBound.eval(rIter.head).asInstanceOf[Long] <= lt)) {
+          val rtv = if (c == 0) rtBound.eval(rIter.head) else null
+          if (c == 0 && rtv == null) throw new IllegalStateException(
+            "as-of join: null right event time — filter nulls before joining")
+          if (c < 0 || (c == 0 && rtv.asInstanceOf[Long] <= lt)) {
             val r = rIter.next()
             if (c == 0) {
               cand = r.asInstanceOf[UnsafeRow].copy()
@@ -111,6 +124,7 @@ case class AsOfMergeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expressio
           } else advancing = false
         }
         val matched = cand != null && keyOrd.compare(candKey, lk) == 0
+        numOutputRows += 1
         joiner(joined(l, if (matched) cand else nullRight))
       }
     }

@@ -41,6 +41,13 @@ object TopKStrategy extends SparkStrategy {
 /** Per-partition bounded-heap top-k; rows ranked by (order DESC, tie
   * ASC). Requires clustering on `keys` so each key lives in exactly one
   * partition.
+  *
+  * Memory: heaps are O(distinct keys per partition × k) and never
+  * spill. That is the operator's contract — top-k per key only makes
+  * sense when k·keys ≪ rows — but a mis-keyed call (e.g. keying on a
+  * unique id) would otherwise OOM an executor. The guard
+  * `graft.topk.maxKeysPerPartition` (default 10M) fails fast with the
+  * offending partition's key count instead.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Expression,
     tie: Expression, k: Int, child: SparkPlan) extends UnaryExecNode {
@@ -50,7 +57,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression,
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val maxKeys = conf.getConfString("graft.topk.maxKeysPerPartition", "10000000").toLong
     val childOutput = child.output
     val keysL = keys
     val orderL = org.apache.spark.sql.catalyst.expressions.BindReferences
@@ -87,6 +100,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression,
         val t = if (tObj == null) Long.MaxValue else tObj.asInstanceOf[Long]
         val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
           mutable.PriorityQueue.empty[Entry](worstAtHead))
+        if (heaps.size > maxKeys) throw new IllegalStateException(
+          s"TopKPerKey: over $maxKeys distinct keys in one partition — " +
+            "the key is too fine-grained for a per-key heap (heap memory " +
+            "is keys×k); re-key or raise graft.topk.maxKeysPerPartition")
         if (heap.size < kL) {
           heap.enqueue((isNull, v, t, row.asInstanceOf[UnsafeRow].copy()))
         } else {
@@ -97,7 +114,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression,
           }
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_._4))
+      heaps.valuesIterator.flatMap(_.iterator.map { e =>
+        numOutputRows += 1
+        e._4
+      })
     }
   }
 

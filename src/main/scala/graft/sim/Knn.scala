@@ -58,7 +58,7 @@ object Knn {
        |QUALIFY rank <= 10
        |ORDER BY q_id, rank""".stripMargin
 
-  private val lshDims = Seq(1, 8, 17, 33)
+  private val lshDims = VectorFunctions.defaultSignDims
 
   /** s2: LSH-bucketed ANN — hyperplane-sign bucket (4 fixed dims), then
     * brute-force only within the query's bucket. The bucket key is a

@@ -65,4 +65,34 @@ class AsOfNativeSpec extends SparkSpec {
       assert(a == b, s"seed $seed:\n${a.diff(b)} vs ${b.diff(a)}")
     }
   }
+
+  test("native as-of rejects null event times instead of matching epoch 0") {
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val l = Seq((1L, Some(5L), 100L), (1L, None, 101L)).toDF("k", "lt", "lid")
+    val r = Seq((1L, 3L, 200L)).toDF("k", "rt", "rid")
+    val exL = intercept[Exception] {
+      AsOfNative.latestAtOrBefore(l, r, "k", "lt", "lid", "rt", "rid").collect()
+    }
+    assert(messages(exL).exists(_.contains("null left event time")), exL.toString)
+    val l2 = Seq((1L, 5L, 100L)).toDF("k", "lt", "lid")
+    val r2 = Seq((1L, Some(3L), 200L), (1L, None, 201L)).toDF("k", "rt", "rid")
+    val exR = intercept[Exception] {
+      AsOfNative.latestAtOrBefore(l2, r2, "k", "lt", "lid", "rt", "rid").collect()
+    }
+    assert(messages(exR).exists(_.contains("null right event time")), exR.toString)
+  }
+
+  test("AsOfMergeJoinExec reports numOutputRows (one per left row)") {
+    val l = Seq((1L, 5L, 100L), (1L, 9L, 101L), (2L, 4L, 102L)).toDF("k", "lt", "lid")
+    val r = Seq((1L, 3L, 200L), (2L, 9L, 201L)).toDF("k", "rt", "rid")
+    val df = AsOfNative.latestAtOrBefore(l, r, "k", "lt", "lid", "rt", "rid")
+    val n = df.collect().length
+    val execs = collectInPlan(df.queryExecution.executedPlan) {
+      case e: graft.plans.AsOfMergeJoinExec => e
+    }
+    assert(execs.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(execs.head.metrics("numOutputRows").value == n.toLong)
+    assert(n == 3)
+  }
 }

@@ -36,6 +36,30 @@ class DedupPlanSpec extends SparkSpec {
     assert(rows.exists { case (doc, c) => c != doc }, "expected at least one non-singleton cluster")
   }
 
+  test("d8 equals the brute-force all-pairs hamming filter") {
+    import org.apache.spark.sql.functions._
+    // d3 exposes the same 64-bit signatures; brute-force every pair in
+    // the test (fine at sf0.001) and compare sets
+    val sigs = SparkEntry.queries("d3_simhash")(spark, sf)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val expected = (for {
+      (da, sa) <- sigs; (db, sb) <- sigs
+      if da < db
+      h = hamming(sa, sb) if h <= 3
+    } yield (da, db, h.toLong)).toSet
+    val got = SparkEntry.queries("d8_simhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // 64-bit signatures: hamming proximity is rare, not the norm — the
+    // 16-bit scheme reported nearly half of all pairs as "neighbors"
+    val nDocs = sigs.length.toLong
+    assert(got.size.toLong * 4 < nDocs * (nDocs - 1) / 2,
+      s"${got.size} pairs of ${nDocs * (nDocs - 1) / 2} possible — signature too narrow")
+  }
+
   test("d4 result matches the definitional per-pair Jaccard") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("d4_ngram_jaccard")(spark, sf)

@@ -228,4 +228,79 @@ class GenAISpec extends SparkSpec {
     assert(wrong.filter(col("doc_id") % 11 =!= 0).count() == 0)
     assert(wrong.count() > 0)
   }
+
+  test("g13 visual exam scores exactly the planted error populations") {
+    val got = SparkEntry.queries("g13_visual_exam")(spark, sf)
+      .orderBy("source").collect()
+    // answered = not a transport error (%53); wrong = %13 (the flipped
+    // answer (t%4)+1 never equals t for t in 1..4)
+    val exp = docs.filter(col("doc_id") % 53 =!= 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_answered"),
+        sum(when(col("doc_id") % 13 =!= 0, 1L).otherwise(0L)).as("n_correct"))
+      .orderBy("source").collect()
+    assert(got.length == exp.length && got.nonEmpty)
+    for ((g, e) <- got.zip(exp)) {
+      assert(g.getString(0) == e.getString(0))
+      assert(g.getLong(1) == e.getLong(1), s"n_answered for ${g.getString(0)}")
+      assert(g.getLong(2) == e.getLong(2), s"n_correct for ${g.getString(0)}")
+      assert(g.getDouble(3) == e.getLong(2).toDouble / e.getLong(1))
+    }
+  }
+
+  test("vertex retrieval round-trips a GCS-style predictions directory") {
+    val vreqs = VertexRequests.generateContentRequests(docs.limit(20))
+    val dir = java.nio.file.Files.createTempDirectory("graft_vertex").toString
+    // the reference's layout: {output_uri}/{job}/predictions.jsonl
+    Jsonl.writeLines(VertexResults.simulateLines(vreqs), s"$dir/job-0/predictions.jsonl")
+    val res = VertexResults.readOutputDir(spark, dir)
+    assert(res.count() == 20)
+    assert(res.filter(col("prediction").isin("positive", "negative")).count() == 20)
+    assert(res.filter(col("prompt_tokens").isNull || col("candidates_tokens") =!= 1L).count() == 0)
+    assert(res.filter(col("request_text").startsWith("Classify")).count() == 20)
+  }
+
+  test("vertex retrieval from a BigQuery-shaped table matches the JSONL path") {
+    val vreqs = VertexRequests.generateContentRequests(docs.limit(15))
+    val lines = VertexResults.simulateLines(vreqs)
+    val table = lines.select(
+      get_json_object(col("line"), "$.request").as("request"),
+      get_json_object(col("line"), "$.response").as("response"))
+    val viaTable = VertexResults.fromTable(table)
+      .select("request_text", "prediction", "prompt_tokens", "candidates_tokens")
+      .orderBy("request_text").collect().toSeq
+    val viaLines = VertexResults.parse(lines)
+      .select("request_text", "prediction", "prompt_tokens", "candidates_tokens")
+      .orderBy("request_text").collect().toSeq
+    assert(viaTable.nonEmpty && viaTable == viaLines)
+  }
+
+  test("cleanup manifest deletes registered artifacts and is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cleanup").toString
+    val m = new CleanupManifest(spark)
+    Jsonl.writeLines(Requests.toJsonLines(reqs.limit(5)), s"$dir/a")
+    Jsonl.writeLines(Requests.toJsonLines(reqs.limit(5)), s"$dir/b")
+    m.register(s"$dir/a"); m.register(s"$dir/b")
+    assert(m.registered.size == 2)
+    val r = m.cleanup()
+    assert(r.size == 2 && r.values.forall(identity), r.toString)
+    assert(!new java.io.File(s"$dir/a").exists && !new java.io.File(s"$dir/b").exists)
+    assert(m.registered.isEmpty)
+    // re-running cleanup on nothing (and on already-deleted paths) is a no-op
+    m.register(s"$dir/a")
+    assert(m.cleanup() == Map(s"$dir/a" -> true))
+  }
+
+  test("batch manifest metadata survives quotes and backslashes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    val raw = """has "quote" and \slash"""
+    BatchWorkflow.run(docs.filter(col("doc_id").between(1, 5)), dir,
+      metadata = Map("description" -> raw, "job" -> "exam"))
+    val metaStr = Jsonl.read(spark, s"$dir/batches").select("metadata").head.getString(0)
+    val back = spark.range(1)
+      .select(get_json_object(lit(metaStr), "$.description").as("d"),
+        get_json_object(lit(metaStr), "$.job").as("j")).head
+    assert(back.getString(0) == raw, s"metadata JSON mangled: $metaStr")
+    assert(back.getString(1) == "exam")
+  }
 }

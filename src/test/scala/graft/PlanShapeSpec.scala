@@ -93,6 +93,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d8 multi-index probe stays an equi-join on the block key") {
+    val p = plan("d8_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate join must be a real join on (block_id, bbits) —
+    // hash or merge, either is equi
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("d6 decontamination broadcasts only the benchmark shingle set") {
     val p = plan("d6_contamination")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -7,4 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Collect matching nodes from an executed plan, descending through
+    * the AQE wrappers (AdaptiveSparkPlanExec / QueryStageExec are leaf
+    * nodes to TreeNode.collect, hiding the real operators).
+    */
+  def collectInPlan[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    pf.lift(p).toSeq ++ kids.flatMap(collectInPlan(_)(pf))
+  }
 }

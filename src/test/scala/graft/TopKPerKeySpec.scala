@@ -55,4 +55,33 @@ class TopKPerKeySpec extends SparkSpec {
     val got = TopK.perKey(o, Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 1000)
     assert(got.count() == 7)
   }
+
+  test("TopKPerKeyExec reports numOutputRows like a built-in operator") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val df = TopK.perKey(o, Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 5)
+    val n = df.collect().length
+    val execs = collectInPlan(df.queryExecution.executedPlan) {
+      case t: graft.plans.TopKPerKeyExec => t
+    }
+    assert(execs.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(execs.head.metrics.contains("numOutputRows"))
+    assert(execs.head.metrics("numOutputRows").value == n.toLong)
+  }
+
+  test("TopK.perKey fails fast when keys-per-partition exceeds the guard") {
+    // key on the unique order id: every row its own heap — exactly the
+    // mis-keyed call the guard exists for
+    spark.conf.set("graft.topk.maxKeysPerPartition", "10")
+    try {
+      val o = Tables.orders(spark, sf).limit(500)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      val ex = intercept[Exception] {
+        TopK.perKey(o, Seq("o_orderkey"), "o_totalprice", "o_orderkey", 1).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("TopKPerKey")), ex.toString)
+    } finally spark.conf.unset("graft.topk.maxKeysPerPartition")
+  }
 }
