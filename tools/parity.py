@@ -21,6 +21,43 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def d7_oracle(con, sql: str) -> pd.DataFrame:
+    """Iterative min-label propagation replacement for d7's registered
+    transitive-closure SQL.
+
+    The registered oracle (what the driver runs at sf0.01) materializes
+    the full reachability closure — exact but Σ|component|² rows, which
+    is impractical at sf0.1 where the corpus's near-dup families give
+    ~1M LSH edges. This computes the same cluster assignment with the
+    same fixpoint the Spark operator uses: per-round min-label over the
+    edge set, looped host-side (single-statement SQL cannot iterate-
+    with-aggregates). Cost per round is one scan of the edge table.
+    """
+    # everything up to the closure CTE is the shared shingle/band/edge
+    # pipeline — reuse it verbatim so the edge set is identical
+    prefix = sql.split(",\nreach AS")[0]
+    con.execute(f"CREATE OR REPLACE TEMP TABLE __edges AS {prefix} SELECT src, dst FROM edges")
+    con.execute("""CREATE OR REPLACE TEMP TABLE __labels AS
+                   SELECT doc_id, doc_id AS label FROM documents""")
+    for _ in range(200):
+        con.execute("""CREATE OR REPLACE TEMP TABLE __next AS
+            SELECT l.doc_id, LEAST(l.label, COALESCE(m.nlabel, l.label)) AS label
+            FROM __labels l LEFT JOIN (
+              SELECT e.dst AS doc_id, MIN(l2.label) AS nlabel
+              FROM __edges e JOIN __labels l2 ON l2.doc_id = e.src
+              GROUP BY e.dst) m USING (doc_id)""")
+        changed = con.execute("""SELECT count(*) FROM __next n
+            JOIN __labels l USING (doc_id) WHERE n.label <> l.label""").fetchone()[0]
+        con.execute("CREATE OR REPLACE TEMP TABLE __labels AS SELECT * FROM __next")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("d7 oracle label propagation did not converge")
+    return con.execute("""SELECT doc_id, label AS cluster_id,
+        CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+        FROM __labels ORDER BY doc_id""").df()
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -41,7 +78,10 @@ def main():
             continue
         got = canon(pd.concat([pd.read_parquet(f) for f in files]))
         try:
-            exp = canon(con.execute(oracle[name]).df())
+            if name == "d7_cluster":
+                exp = canon(d7_oracle(con, oracle[name]))
+            else:
+                exp = canon(con.execute(oracle[name]).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
