@@ -16,6 +16,19 @@ object BatchWorkflow {
 
   case class BatchResult(results: DataFrame, errors: DataFrame, finalStatus: String)
 
+  /** Timestamped output prefix — the reference stamps
+    * `{output_path_prefix}_{YYYYMMDD_HHMMSS}` at the start of every
+    * run (openai_batch_processor.py:273-274) so reruns never clobber
+    * earlier outputs. UTC, clock injectable for tests; pass the result
+    * as [[run]]'s `outputPathPrefix`.
+    */
+  def timestampedPrefix(prefix: String,
+      clock: () => Long = () => System.currentTimeMillis()): String = {
+    val fmt = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    s"${prefix}_${fmt.format(new java.util.Date(clock()))}"
+  }
+
   /** @param documents       input corpus (doc_id, text, lang, ...)
     * @param outputPathPrefix where request/result files land
     *                         (reference: output_path_prefix)

@@ -291,6 +291,53 @@ class GenAISpec extends SparkSpec {
     assert(m.cleanup() == Map(s"$dir/a" -> true))
   }
 
+  test("vertex workflow runs end-to-end over the JSONL input shape") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vwf").toString
+    val r = VertexWorkflow.run(docs.limit(30), s"$base/input", s"$base/output",
+      localSavePath = Some(s"$base/local.parquet"))
+    assert(r.finalStatus == "completed")
+    assert(r.results.get.count() == 30)
+    assert(spark.read.parquet(s"$base/local.parquet").count() == 30)
+    // both the input artifact and the job output dir are registered
+    assert(r.cleanup.registered.toSet ==
+      Set(s"$base/input", s"$base/output/job-0"))
+    val outcome = r.cleanup.cleanup()
+    assert(outcome.values.forall(identity), outcome.toString)
+    assert(!new java.io.File(s"$base/input").exists)
+    assert(!new java.io.File(s"$base/output/job-0").exists)
+  }
+
+  test("vertex workflow bq:// input writes the single-request-column table") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vwf_bq").toString
+    val r = VertexWorkflow.run(docs.limit(10), s"bq://$base/reqtable", s"$base/output")
+    assert(r.finalStatus == "completed")
+    val table = spark.read.parquet(s"$base/reqtable")
+    assert(table.columns.toSeq == Seq("request"))
+    assert(table.count() == 10)
+    assert(r.cleanup.registered.contains(s"$base/reqtable"))
+  }
+
+  test("vertex workflow halts on validation failure and failed jobs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vwf_halt").toString
+    val bad = VertexWorkflow.run(docs.limit(5), s"$base/i1", s"$base/o1",
+      modelId = "not-a-gemini-model")
+    assert(bad.finalStatus == "validation_failed:unknown_model")
+    assert(bad.results.isEmpty && bad.cleanup.registered.isEmpty)
+    val failed = VertexWorkflow.run(docs.limit(5), s"$base/i2", s"$base/o2",
+      jobStatus = Some(() => "failed"))
+    assert(failed.finalStatus == "failed" && failed.results.isEmpty)
+    // the input was already uploaded when the job failed — it must be
+    // in the manifest so cleanup can reclaim it (reference behavior)
+    assert(failed.cleanup.registered == Seq(s"$base/i2"))
+  }
+
+  test("timestamped prefix matches the reference's stamp format") {
+    // 2026-08-16 00:30:40 UTC
+    val fixed = 1786840240000L
+    assert(BatchWorkflow.timestampedPrefix("out/batch", () => fixed) ==
+      "out/batch_20260816_003040")
+  }
+
   test("batch manifest metadata survives quotes and backslashes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_meta").toString
     val raw = """has "quote" and \slash"""
