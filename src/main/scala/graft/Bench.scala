@@ -19,7 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=d8_simhash_pairs,d2_minhash_lsh
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
     // Untimed warm-up at the smallest SF: pays JIT/codegen compilation
     // once so the timed pass measures steady-state execution.
     for ((_, fn) <- ordered)

@@ -80,10 +80,24 @@ object Dedup {
     bands.select(col("doc_id"),
       explode(map(lit(0), col("b0"), lit(1), col("b1"), lit(2), col("b2"), lit(3), col("b3"))).as(Seq("band_id", "bkey")))
 
+  /** Stop-bucket cap for the d2 band candidate join: a band bucket with
+    * more than this many members is skipped entirely (the same skew
+    * guard as d4's df ≤ 10 stop-shingle cap). An m-member bucket costs
+    * m² join rows, so one giant dup family — exactly what a templated
+    * corpus produces at scale — would otherwise go quadratic; families
+    * that big are already caught by exact dedup (d1) and by d7's
+    * star-contracted clustering, which does NOT pay the m² price.
+    */
+  private[graft] val MaxBandBucket = 50
+
   private def d2(s: SparkSession, d: String): DataFrame = {
     val bands = minhashBands(s, d)
     val long = bandLong(bands)
-    val cands = long.as("a").join(long.as("b"),
+    val capped = long
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_id"), col("bkey"))))
+      .filter(col("bsz") <= MaxBandBucket)
+      .drop("bsz")
+    val cands = capped.as("a").join(capped.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("cand"))
@@ -122,10 +136,15 @@ object Dedup {
       |  UNION ALL SELECT doc_id, 3, b3 FROM bands)""".stripMargin
 
   private val d2Sql = "WITH " + MinhashCteBody +
-    """,
+    s""",
+      |capped AS (
+      |  SELECT doc_id, band_id, bkey FROM (
+      |    SELECT doc_id, band_id, bkey,
+      |      COUNT(*) OVER (PARTITION BY band_id, bkey) AS bsz FROM long)
+      |  WHERE bsz <= $MaxBandBucket),
       |cands AS (
       |  SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_candidates
-      |  FROM long a JOIN long b
+      |  FROM capped a JOIN capped b
       |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
       |  GROUP BY a.doc_id)
       |SELECT bands.doc_id AS doc_id, b0, b1, b2, b3,
@@ -145,7 +164,7 @@ object Dedup {
     * At 64 bits whole-signature collisions are vanishing and hamming
     * proximity actually means near-duplication.
     */
-  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+  private def simhashVotes(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .filter(col("tok") =!= "").distinct()
@@ -156,9 +175,24 @@ object Dedup {
       sum(when(expr(s"(cast(conv(substring(h, $digit, 1), 16, 10) as int) div $mask) % 2") === 1, 1)
         .otherwise(-1)).as(s"v$j")
     }
-    val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+  }
+
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
     val bits = (0 until 64).map(j => when(col(s"v$j") > 0, lit("1")).otherwise(lit("0")))
-    votes.select(col("doc_id"), concat(bits: _*).as("simhash"))
+    simhashVotes(s, d).select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** The same 64 votes packed into ONE long (vote j at bit 63−j, so the
+    * long's binary rendering equals [[simhashSigs]]'s bit string). A
+    * 64-bit xor + popcount per pair replaces 128 interpreted substring
+    * calls — the whole hamming verify is one codegen'd instruction pair.
+    */
+  private def simhashSigLong(s: SparkSession, d: String): DataFrame = {
+    // disjoint bit contributions: addition == bitwise OR, no overflow
+    val sig = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, lit(1L << (63 - j))).otherwise(lit(0L))).reduce(_ + _)
+    simhashVotes(s, d).select(col("doc_id"), sig.as("sig"))
   }
 
   private def d3(s: SparkSession, d: String): DataFrame =
@@ -452,34 +486,50 @@ object Dedup {
     * 16-bit blocks; two signatures within hamming 3 agree on at least
     * one whole block (pigeonhole: 3 differing bits can dirty at most 3
     * of the 4 blocks). Candidates therefore surface from an EQUI-join
-    * on (block_id, block bits); the exact 64-bit hamming check runs
-    * only on those candidates. No n² compare, no signature flips —
-    * candidate volume per block is bucket-occupancy-bounded
-    * (~N/2^16 per block value), and unlike the 16-bit scheme of
-    * rounds 1–3 a block match no longer implies a reported pair: the
-    * 64-bit verify kills random collisions.
+    * on (block_id, block bits) over DISTINCT signatures — identical
+    * signatures (exact-dup families, the hot buckets) collapse to one
+    * row before the join and expand back to doc pairs after — and the
+    * exact hamming check is a codegen'd `bit_count(siga ^ sigb)` over
+    * packed longs. No n² compare, no signature flips, no interpreted
+    * per-bit loop.
     */
   private def d8(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashSigs(s, d)
-    val blocks = sigs.select(col("doc_id"),
+    val sigs = simhashSigLong(s, d)
+    // Collapse identical signatures BEFORE the block join: exact-dup
+    // families are exactly the hot buckets (sf0.1: one 16-bit block
+    // value held 1,639 of 5,000 docs and alone contributed 1.34M of
+    // 1.96M candidate pairs; only 3,866 DISTINCT signatures exist).
+    // The join then scales with distinct-signature bucket occupancy,
+    // not dup-family size — a templated corpus at 100× no longer goes
+    // quadratic, because its template family is one signature row here.
+    val uniq = sigs.select(col("sig")).distinct()
+    val blocks = uniq.select(col("sig"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("block_id"), substring(col("simhash"), 1 + 16 * b, 16).as("bbits"))): _*)).as("blk"))
-      .select(col("doc_id"), col("blk.block_id").as("block_id"), col("blk.bbits").as("bbits"))
-    val cands = blocks.as("a").join(blocks.as("b"),
+        struct(lit(b).as("block_id"),
+          shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bbits"))): _*)).as("blk"))
+      .select(col("sig"), col("blk.block_id").as("block_id"), col("blk.bbits").as("bbits"))
+    // verify FIRST (codegen'd xor+popcount), dedup the survivors: most
+    // candidates fail the hamming test, so the distinct shuffles only
+    // true near-dup signature pairs
+    val sigPairs = blocks.as("a").join(blocks.as("b"),
         col("a.block_id") === col("b.block_id") && col("a.bbits") === col("b.bbits") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          col("a.sig") < col("b.sig"))
+      .select(col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .filter(expr("bit_count(siga ^ sigb) <= 3"))
       .distinct()
-    cands
-      .join(sigs.select(col("doc_id").as("da"), col("simhash").as("siga")), Seq("da"))
-      .join(sigs.select(col("doc_id").as("db"), col("simhash").as("sigb")), Seq("db"))
-      .withColumn("hamming", expr(
-        """cast(aggregate(transform(sequence(1, 64),
-          |  i -> if(substring(siga, i, 1) <> substring(sigb, i, 1), 1, 0)),
-          |  0, (acc, x) -> acc + x) as bigint)""".stripMargin))
-      .filter(col("hamming") <= 3)
-      .select(col("da"), col("db"), col("hamming"))
-      .orderBy(col("da"), col("db"))
+      .withColumn("hamming", expr("cast(bit_count(siga ^ sigb) as bigint)"))
+    // expand signature pairs back to document pairs
+    val diff = sigPairs
+      .join(sigs.select(col("sig").as("siga"), col("doc_id").as("ida")), Seq("siga"))
+      .join(sigs.select(col("sig").as("sigb"), col("doc_id").as("idb")), Seq("sigb"))
+      .select(least(col("ida"), col("idb")).as("da"),
+        greatest(col("ida"), col("idb")).as("db"), col("hamming"))
+    // hamming-0 pairs (same signature, different docs) are output rows
+    // by definition — Σ C(m,2) per family is the answer's own size
+    val same = sigs.as("x").join(sigs.as("y"),
+        col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), lit(0L).as("hamming"))
+    same.unionAll(diff).orderBy(col("da"), col("db"))
   }
 
   private val d8Sql = SimhashCte +

@@ -60,6 +60,37 @@ class DedupPlanSpec extends SparkSpec {
       s"${got.size} pairs of ${nDocs * (nDocs - 1) / 2} possible — signature too narrow")
   }
 
+  test("d2 stop-bucket cap drops candidates from an oversized dup family") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a dup family LARGER than the cap (identical text → identical
+    // bands → every band bucket holds the whole family), a 2-doc
+    // family under the cap, and unique filler docs
+    val big = (0L until dedup.Dedup.MaxBandBucket + 10L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val small = Seq(
+      (1000L, "an entirely different small duplicate family text body"),
+      (1001L, "an entirely different small duplicate family text body"))
+    // fillers must not be near-dups of each other: distinct shingle
+    // sets, not a shared template with one varying token
+    val filler = (2000L until 2005L).map { i =>
+      val words = (0 until 12).map(w => java.lang.Long.toString(i * 104729 + w * 7919, 36))
+      (i, words.mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("d2cap").toString
+    (big ++ small ++ filler).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d2_minhash_lsh")(spark, dir)
+      .select("doc_id", "n_candidates").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    big.foreach { case (id, _) =>
+      assert(out(id) == 0L, s"doc $id of the oversized family must be capped out, got ${out(id)}")
+    }
+    assert(out(1000L) == 1L && out(1001L) == 1L,
+      s"small family under the cap keeps its candidates: ${out(1000L)}, ${out(1001L)}")
+    filler.foreach { case (id, _) => assert(out(id) == 0L) }
+  }
+
   test("d4 result matches the definitional per-pair Jaccard") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("d4_ngram_jaccard")(spark, sf)
