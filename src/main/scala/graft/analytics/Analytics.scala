@@ -451,19 +451,21 @@ object Analytics {
     * built-in buffers every group value in one reducer (3 groups would
     * concentrate a 100 TB table on 3 tasks). [[graft.operators.ExactPercentile]]
     * computes the same bit-exact result by distributed order
-    * statistics; each value column pays one bucketed rank pass.
+    * statistics; both value columns share ONE bucketed rank pass
+    * (melted long form), not one per column.
     */
   private def q18(s: SparkSession, d: String): DataFrame = {
     import graft.operators.ExactPercentile
     val li = Tables.lineitem(s, d)
-    val price = ExactPercentile.percentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+    val pct = ExactPercentile.percentilesMany(li, "l_returnflag",
+      Seq("l_extendedprice" -> Seq(0.5, 0.9), "l_quantity" -> Seq(0.25)))
       .groupBy(col("l_returnflag"))
-      .agg(max(when(col("p") === 0.5, col("value"))).as("p50_price"),
-        max(when(col("p") === 0.9, col("value"))).as("p90_price"))
-    val qty = ExactPercentile.percentiles(li, "l_returnflag", "l_quantity", Seq(0.25))
-      .select(col("l_returnflag"), col("value").as("p25_qty"))
+      .agg(
+        max(when(col("vcol") === "l_extendedprice" && col("p") === 0.5, col("value"))).as("p50_price"),
+        max(when(col("vcol") === "l_extendedprice" && col("p") === 0.9, col("value"))).as("p90_price"),
+        max(when(col("vcol") === "l_quantity" && col("p") === 0.25, col("value"))).as("p25_qty"))
     val n = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-    price.join(qty, Seq("l_returnflag")).join(n, Seq("l_returnflag"))
+    pct.join(n, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("p50_price"), col("p90_price"), col("p25_qty"), col("n"))
       .orderBy(col("l_returnflag"))
   }

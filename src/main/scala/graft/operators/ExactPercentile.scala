@@ -12,23 +12,25 @@ import org.apache.spark.sql.functions._
   * 100 TB fact table with 3 groups concentrates the whole table on 3
   * tasks. This operator instead:
   *
-  *  1. buckets values by approximate quantile boundaries (driver gets
-  *     only the boundary array; a skewed or unlucky sample costs load
-  *     balance, never correctness),
-  *  2. computes per-(group, bucket) counts and turns them into rank
-  *     offsets with a prefix-sum window over that tiny relation,
-  *  3. row-numbers within each (group, bucket) — bounded partitions by
-  *     construction — and adds the offset: the exact global rank of
-  *     every row within its group,
-  *  4. joins the (broadcast) per-group target ranks and keeps only the
-  *     two order statistics that straddle each requested percentile,
+  *  1. buckets values by approximate quantile boundaries from a seeded
+  *     random sample (the driver holds only the boundary array; a
+  *     skewed or unlucky sample costs load balance, never correctness),
+  *     assigned by the codegen'd binary-search [[graft.functions.SortedBucket]],
+  *  2. aggregates per-(group, bucket) counts — map-side partials, so
+  *     no data row shuffles — and turns them into rank offsets with a
+  *     prefix-sum window over that tiny relation,
+  *  3. identifies the ≤ 2 buckets per requested percentile that contain
+  *     its target order statistics, and row-numbers ONLY inside those
+  *     buckets (a broadcast join drops every other row at the scan),
+  *  4. keeps the two order statistics that straddle each requested
+  *     percentile,
   *  5. interpolates with the SQL-standard formula
   *     `(hi - pos) * v_lo + (pos - lo) * v_hi` (the same double
   *     arithmetic as Spark's `Percentile` and DuckDB's
   *     `quantile_cont`, so results are bit-identical).
   *
   * Every stage is a shuffle-parallel aggregation or a bounded window;
-  * the widest sort is one bucket of one group.
+  * the only sort is over the handful of target buckets.
   */
 object ExactPercentile {
 
@@ -39,56 +41,117 @@ object ExactPercentile {
     *         non-null `valueCol` values.
     */
   def percentiles(df: DataFrame, groupCol: String, valueCol: String,
-                  ps: Seq[Double], nBuckets: Int = 64): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
-    val vals = df.select(col(groupCol), col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-    // Approximate boundaries: any values work; quantiles make buckets
-    // near-equal so the per-bucket sort in step 3 stays bounded. The
-    // loose 5% error keeps the Greenwald-Khanna summaries small — a
-    // 5%-off boundary costs a 5%-bigger bucket, nothing else.
-    val boundaries = vals.stat
-      .approxQuantile("v", (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.05)
-      .distinct.sorted
-    // empty on empty input (and a single bucket on constant input):
-    // an untyped empty array literal would fail analysis, and any
-    // sentinel below every v works — all rows land in bucket 1
-    val bArr = array(
-      (if (boundaries.isEmpty) Array(Double.NegativeInfinity) else boundaries).map(lit(_)): _*)
-    val bucketed = vals.withColumn("bucket", size(filter(bArr, b => b <= col("v"))))
+                  ps: Seq[Double], nBuckets: Int = 64): DataFrame =
+    percentilesMany(df, groupCol, Seq(valueCol -> ps), nBuckets).drop("vcol")
 
-    val counts = bucketed.groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("cnt"))
-    // groups × buckets rows: metadata scale. Prefix-sum offsets + group
-    // totals via windows over it, then broadcast back.
-    val wg = Window.partitionBy(groupCol)
+  /** Percentiles over SEVERAL value columns in ONE set of passes: the
+    * columns melt into long form (vcol, v), so all of them share one
+    * boundary action (the multi-column approxQuantile), one per-
+    * (group, column, bucket) count, one bounded rank window, and one
+    * target join — where the per-column formulation pays each of those
+    * passes once per column.
+    *
+    * @param specs (valueCol, percentiles) per column
+    * @return DataFrame(groupCol, "vcol", "p", "value")
+    */
+  def percentilesMany(df: DataFrame, groupCol: String,
+                      specs: Seq[(String, Seq[Double])], nBuckets: Int = 64): DataFrame = {
+    require(specs.nonEmpty &&
+      specs.forall { case (_, ps) => ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0) })
+    val vcols = specs.map(_._1)
+    val spark = df.sparkSession
+    val doubled = df.select(col(groupCol) +: vcols.map(c => col(c).cast("double").as(c)): _*)
+    // Approximate bucket boundaries from a DRIVER-SIDE RANDOM SAMPLE
+    // (seeded, ~50k rows, all columns in one narrow scan): any values
+    // work — quantile-ish boundaries make buckets near-equal so the
+    // per-bucket sort below stays bounded, and a skewed or unlucky
+    // sample costs load balance, never correctness. This replaces
+    // approxQuantile, whose Greenwald-Khanna merge pass cost more than
+    // the rest of the query.
+    // count the CALLER's frame: a plain scan count is satisfied from
+    // parquet metadata, while counting the cast projection re-reads rows
+    val total = df.count()
+    val fraction = if (total <= 50000L) 1.0 else 50000.0 / total
+    val sampleRows = doubled.sample(withReplacement = false, fraction, seed = 42)
+      .select(vcols.map(col): _*).collect()
+    val allBounds = vcols.indices.map { i =>
+      val vs = sampleRows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i)).toArray.sorted
+      if (vs.isEmpty) Array(Double.NegativeInfinity)  // all rows land in bucket 1
+      else (1 until nBuckets).map(b => vs((b.toLong * vs.length / nBuckets).toInt.min(vs.length - 1)))
+        .distinct.toArray
+    }
+    // melt to (col_id, v) long form — an INT column id, not the column
+    // name: the id rides every shuffled row and sort key below
+    val melted = doubled
+      .select(col(groupCol),
+        explode(map(vcols.zipWithIndex.flatMap { case (c, i) => Seq(lit(i), col(c)) }: _*))
+          .as(Seq("cid", "v")))
+      .filter(col("v").isNotNull)
+    // bucket via the native binary-search expression (codegen; the
+    // higher-order filter alternative pays an interpreted lambda per
+    // boundary per row and dominated the round-4 q18 profile)
+    import graft.functions.SortedBucket
+    val bucketExpr = vcols.indices.tail.foldLeft(
+      SortedBucket.of(col("v"), allBounds(0).toSeq)) { (acc, i) =>
+      when(col("cid") === lit(i), SortedBucket.of(col("v"), allBounds(i).toSeq)).otherwise(acc)
+    }
+    val bucketed = melted.withColumn("bucket", bucketExpr)
+
+    // PASS 1 — per-(group, column, bucket) counts: map-side partial
+    // aggregation collapses each task to ≤ groups×columns×buckets rows
+    // before the exchange, so no data row ever shuffles.
+    val counts = bucketed.groupBy(col(groupCol), col("cid"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // metadata scale from here: prefix-sum offsets + totals via windows
+    // over the counts relation, broadcast back.
+    val wg = Window.partitionBy(groupCol, "cid")
     val offsets = counts
       .withColumn("offset", coalesce(
         sum(col("cnt")).over(wg.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-    val totals = counts.groupBy(col(groupCol)).agg(sum(col("cnt")).as("n"))
+    val totals = counts.groupBy(col(groupCol), col("cid")).agg(sum(col("cnt")).as("n"))
 
-    // Target order statistics per (group, percentile): 0-based position
-    // pos = p*(n-1); ranks lo = floor(pos)+1 and hi = ceil(pos)+1.
-    val targets = totals
-      .select(col(groupCol), col("n"), explode(array(ps.map(lit(_)): _*)).as("p"))
+    // Target order statistics per (group, column, percentile): 0-based
+    // position pos = p*(n-1); ranks lo = floor(pos)+1, hi = ceil(pos)+1.
+    import spark.implicits._
+    val psDf = specs.zipWithIndex
+      .flatMap { case ((_, ps), i) => ps.map(p => (i, p)) }.toDF("cid", "p")
+    val targets = totals.join(broadcast(psDf), Seq("cid"))
       .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
       .withColumn("lo", floor(col("pos")) + 1)
       .withColumn("hi", ceil(col("pos")) + 1)
 
-    val ranked = bucketed
-      .join(broadcast(offsets.select(col(groupCol), col("bucket"), col("offset"))),
-        Seq(groupCol, "bucket"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(groupCol, "bucket").orderBy("v")) + col("offset"))
+    // The buckets that actually CONTAIN a target order statistic —
+    // ≤ 2 per (group, column, percentile), metadata-sized.
+    val targetBuckets = offsets.as("o")
+      .join(targets.select(col(groupCol), col("cid"), col("lo"), col("hi")).as("t"),
+        col(s"o.$groupCol") === col(s"t.$groupCol") && col("o.cid") === col("t.cid") &&
+          ((col("t.lo") > col("o.offset") && col("t.lo") <= col("o.offset") + col("o.cnt")) ||
+           (col("t.hi") > col("o.offset") && col("t.hi") <= col("o.offset") + col("o.cnt"))))
+      .select(col(s"o.$groupCol").as(groupCol), col("o.cid").as("cid"),
+        col("o.bucket").as("bucket"), col("o.offset").as("offset"))
+      .distinct()
 
+    // PASS 2 — rank ONLY inside target buckets: the broadcast semi-ish
+    // join throws away every other row at the scan, so the window sort
+    // touches a handful of bounded buckets, not the table.
+    val ranked = bucketed
+      .join(broadcast(targetBuckets), Seq(groupCol, "cid", "bucket"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(groupCol, "cid", "bucket").orderBy("v"))
+          + col("offset"))
+
+    val vcolName = vcols.indices.tail.foldLeft(lit(vcols(0))) {
+      (acc, i) => when(col("cid") === lit(i), lit(vcols(i))).otherwise(acc)
+    }
     ranked
-      .join(broadcast(targets), ranked(groupCol) === targets(groupCol) &&
-        (col("rn") === col("lo") || col("rn") === col("hi")))
-      .drop(targets(groupCol))
-      .groupBy(col(groupCol), col("p"), col("pos"), col("lo"), col("hi"))
+      .join(broadcast(targets.withColumnRenamed(groupCol, "__g").withColumnRenamed("cid", "__c")),
+        ranked(groupCol) === col("__g") && ranked("cid") === col("__c") &&
+          (col("rn") === col("lo") || col("rn") === col("hi")))
+      .groupBy(col(groupCol), col("cid"), col("p"), col("pos"), col("lo"), col("hi"))
       .agg(max(when(col("rn") === col("lo"), col("v"))).as("vlo"),
         max(when(col("rn") === col("hi"), col("v"))).as("vhi"))
-      .select(col(groupCol), col("p"),
+      .select(col(groupCol), vcolName.as("vcol"), col("p"),
         interpolate(col("pos"), col("lo"), col("hi"), col("vlo"), col("vhi")).as("value"))
   }
 

@@ -4,12 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.DatasetBridge
-import org.apache.spark.sql.types.{DoubleType, LongType}
 import scala.collection.mutable
 
 /** Whole-operator custom plan: top-K rows per key.
@@ -71,52 +70,62 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression,
     val tieL = org.apache.spark.sql.catalyst.expressions.BindReferences
       .bindReference(tie, childOutput)
     val kL = k
+    // NATIVE-type orderings: ranking a BIGINT by its value, not a lossy
+    // Double image (2^53+1 and 2^53 cast to the SAME double — a cast
+    // here would rank large long keys wrongly). Decimal, date, string
+    // order keys all compare in their own type for the same reason.
+    val orderOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(order.dataType)
+    val tieOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(tie.dataType)
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keysL, childOutput)
-      // (isNull, order, tie, row): a NULL order key ranks BELOW every
-      // non-null value — `ORDER BY order DESC` NULLS LAST, matching the
-      // window row_number formulation — never coerced to 0.0. NULL ties
-      // rank after all real tie values.
-      type Entry = (Boolean, Double, Long, UnsafeRow)
+      // (order, tie, row), nulls as raw nulls: a NULL order key ranks
+      // BELOW every non-null value — `ORDER BY order DESC` NULLS LAST,
+      // matching the window row_number formulation. NULL ties rank
+      // after all real tie values.
+      type Entry = (Any, Any, UnsafeRow)
       // a outranks b?
-      def beats(aNull: Boolean, av: Double, at: Long,
-          bNull: Boolean, bv: Double, bt: Long): Boolean =
-        if (aNull != bNull) bNull
-        else if (!aNull && av != bv) av > bv
-        else at < bt
+      def beats(av: Any, at: Any, bv: Any, bt: Any): Boolean =
+        if ((av == null) != (bv == null)) bv == null
+        else if (av != null && orderOrd.compare(av, bv) != 0) orderOrd.compare(av, bv) > 0
+        else if ((at == null) != (bt == null)) bt == null
+        else if (at == null) false
+        else tieOrd.compare(at, bt) < 0
       // heap head = current worst of the k retained rows
       val worstAtHead = new Ordering[Entry] {
         override def compare(a: Entry, b: Entry): Int =
-          if (beats(a._1, a._2, a._3, b._1, b._2, b._3)) -1
-          else if (beats(b._1, b._2, b._3, a._1, a._2, a._3)) 1
+          if (beats(a._1, a._2, b._1, b._2)) -1
+          else if (beats(b._1, b._2, a._1, a._2)) 1
           else 0
       }
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
       for (row <- iter) {
-        val vObj = orderL.eval(row)
-        val isNull = vObj == null
-        val v = if (isNull) 0.0 else vObj.asInstanceOf[Double]
-        val tObj = tieL.eval(row)
-        val t = if (tObj == null) Long.MaxValue else tObj.asInstanceOf[Long]
+        val v = orderL.eval(row)
+        val t = tieL.eval(row)
         val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
           mutable.PriorityQueue.empty[Entry](worstAtHead))
         if (heaps.size > maxKeys) throw new IllegalStateException(
           s"TopKPerKey: over $maxKeys distinct keys in one partition — " +
             "the key is too fine-grained for a per-key heap (heap memory " +
             "is keys×k); re-key or raise graft.topk.maxKeysPerPartition")
+        // copyValue: a UTF8String/Decimal from eval points into the
+        // iterator's reused row buffer; retained keys need own storage
+        def entry(): Entry = (InternalRow.copyValue(v), InternalRow.copyValue(t),
+          row.asInstanceOf[UnsafeRow].copy())
         if (heap.size < kL) {
-          heap.enqueue((isNull, v, t, row.asInstanceOf[UnsafeRow].copy()))
+          heap.enqueue(entry())
         } else {
-          val (wNull, wv, wt, _) = heap.head
-          if (beats(isNull, v, t, wNull, wv, wt)) {
+          val (wv, wt, _) = heap.head
+          if (beats(v, t, wv, wt)) {
             heap.dequeue()
-            heap.enqueue((isNull, v, t, row.asInstanceOf[UnsafeRow].copy()))
+            heap.enqueue(entry())
           }
         }
       }
       heaps.valuesIterator.flatMap(_.iterator.map { e =>
         numOutputRows += 1
-        e._4
+        e._3
       })
     }
   }
@@ -139,11 +148,10 @@ object TopK {
     def attr(n: String): Attribute = child.output
       .find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    // order/tie rank in their NATIVE types (no Cast): a double image of
+    // a BIGINT collapses values above 2^53 and would rank them wrongly
     DatasetBridge.ofRows(spark, TopKPerKeyLogical(
-      keyCols.map(attr),
-      Cast(attr(orderCol), DoubleType),
-      Cast(attr(tieCol), LongType),
-      k, child))
+      keyCols.map(attr), attr(orderCol), attr(tieCol), k, child))
   }
 }
 

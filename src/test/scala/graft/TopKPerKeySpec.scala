@@ -49,6 +49,32 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got.filter(_._1 == "b").map(_._2) == Seq(7L, 8L, 9L))
   }
 
+  test("TopK.perKey ranks BIGINT order keys above 2^53 in native precision") {
+    import spark.implicits._
+    // 2^53 and 2^53+1 cast to the SAME double — the pre-round-5 Double
+    // image would call these tied and pick by tie id; native long
+    // ordering must rank 2^53+1 first
+    val big = 1L << 53
+    val df = Seq(
+      ("a", big, 1L), ("a", big + 1L, 2L), ("a", big - 1L, 3L),
+      ("a", 0L, 4L), ("b", Long.MaxValue, 5L), ("b", Long.MaxValue - 1L, 6L)
+    ).toDF("k", "v", "id")
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 2)
+      .orderBy(col("k"), col("v").desc)
+      .select("k", "id").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L), ("a", 1L), ("b", 5L), ("b", 6L)), got.toString)
+  }
+
+  test("TopK.perKey ranks string order keys lexicographically (no numeric cast)") {
+    import spark.implicits._
+    val df = Seq(("g", "banana", 1L), ("g", "apple", 2L), ("g", "cherry", 3L))
+      .toDF("k", "v", "id")
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 2)
+      .orderBy(col("v").desc)
+      .select("v").as[String].collect().toSeq
+    assert(got == Seq("cherry", "banana"), got.toString)
+  }
+
   test("TopK.perKey with k larger than group size returns whole groups") {
     val o = Tables.orders(spark, sf).limit(7)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
