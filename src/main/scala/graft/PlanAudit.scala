@@ -11,9 +11,18 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q2_filter_project", "q3_join_agg", "q4_broadcast_join",
         "q5_topk", "t5_ngram_top", "d2_minhash_lsh", "s1_knn_brute")
+    // GRAFT_AUDIT_EXEC=1: execute first, so the ADAPTIVE plan finalizes
+    // and runtime decisions (stage reuse, skew splits, coalesced
+    // partitions) are visible — the static plan never shows AQE's
+    // exchange reuse.
+    val exec = sys.env.get("GRAFT_AUDIT_EXEC").contains("1")
     for (n <- names) {
       println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, sf).queryExecution.explainString(
+      val df = SparkEntry.queries(n)(spark, sf)
+      // collect() drives THIS queryExecution's adaptive plan (a sink
+      // write would execute a fresh one and leave this plan unfinalized)
+      if (exec) df.collect()
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

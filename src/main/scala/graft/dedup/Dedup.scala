@@ -22,6 +22,11 @@ object Dedup {
     */
   private[graft] def shingles(docs: DataFrame): DataFrame =
     docs
+      // explicit notnull: downstream self-joins push isnotnull(doc_id)
+      // into one branch's scan only, which de-canonicalizes otherwise
+      // identical subtrees and defeats AQE stage reuse (see
+      // simhashVotes) — filter at the base so all consumers match
+      .filter(col("doc_id").isNotNull)
       // the corpus arrives as few dense files; spread rows across the
       // cluster BEFORE the expensive explode+hash work, not after
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
@@ -166,6 +171,12 @@ object Dedup {
     */
   private def simhashVotes(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
+      // explicit notnull: self-joins downstream push isnotnull(doc_id)
+      // into ONE branch's scan and not the other, making the two votes
+      // subtrees canonicalize differently — AQE then cannot reuse the
+      // shuffle stage and the whole token pipeline runs twice. With the
+      // filter at the base, every consumer shares one identical subtree.
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .filter(col("tok") =!= "").distinct()
       .withColumn("h", md5(col("tok")))

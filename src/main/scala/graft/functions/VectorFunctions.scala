@@ -40,8 +40,18 @@ object VectorFunctions {
     concat(dims.map(i =>
       when(expr(s"element_at($vec, $i)") > 0f, lit("1")).otherwise(lit("0"))): _*)
 
+  /** Sign-bucket dims for a b-bit hyperplane-sign LSH key over a
+    * 64-dim vector: evenly spread 1-based positions, so the bits are
+    * as uncorrelated as axis-aligned signs get. Within-bucket pair
+    * work is n²/2^b — callers widen b as the corpus grows. */
+  def signDims(bits: Int, vecLen: Int = 64): Seq[Int] = {
+    require(bits >= 1 && bits <= vecLen, s"bits $bits out of range 1..$vecLen")
+    (0 until bits).map(i => 1 + i * vecLen / bits)
+  }
+
   /** The default sign-bucket dims shared by s2 (ANN probe) and d5
-    * (embedding near-dup blocking) — spread across the vector so the
-    * bits are uncorrelated for typical embeddings. */
-  val defaultSignDims: Seq[Int] = Seq(1, 8, 17, 33)
+    * (embedding near-dup blocking): 8 bits → 256 buckets (expected
+    * occupancy n/256). Round 4 used 4 fixed bits — n²/16 within-bucket
+    * work, quadratic-ish at 100× corpus growth. */
+  val defaultSignDims: Seq[Int] = signDims(8)
 }

@@ -60,9 +60,10 @@ object Knn {
 
   private val lshDims = VectorFunctions.defaultSignDims
 
-  /** s2: LSH-bucketed ANN — hyperplane-sign bucket (4 fixed dims), then
-    * brute-force only within the query's bucket. The bucket key is a
-    * per-row expression; the probe join is an equi-join on it.
+  /** s2: LSH-bucketed ANN — hyperplane-sign bucket (defaultSignDims,
+    * 8 bits), then brute-force only within the query's bucket. The
+    * bucket key is a per-row expression; the probe join is an equi-join
+    * on it.
     */
   private def s2(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -83,13 +84,12 @@ object Knn {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  private val s2BucketSql = lshDims
+    .map(i => s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
   private val s2Sql =
     s"""WITH b AS (
-       |  SELECT vec_id, embedding,
-       |    (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END) ||
-       |    (CASE WHEN embedding[8] > 0 THEN '1' ELSE '0' END) ||
-       |    (CASE WHEN embedding[17] > 0 THEN '1' ELSE '0' END) ||
-       |    (CASE WHEN embedding[33] > 0 THEN '1' ELSE '0' END) AS bucket
+       |  SELECT vec_id, embedding, $s2BucketSql AS bucket
        |  FROM embeddings),
        |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
        |scored AS (

@@ -275,6 +275,30 @@ class GenAISpec extends SparkSpec {
     assert(viaTable.nonEmpty && viaTable == viaLines)
   }
 
+  test("fromTable tolerates a missing status column and absent usageMetadata") {
+    import spark.implicits._
+    // the reference's BQ parse (vertex_ai_batch_processor.py:283-296)
+    // tolerates rows with no usageMetadata and tables with no status
+    // column; the Spark read must yield nulls, not errors
+    val table = Seq(
+      ("""{"contents":[{"parts":[{"text":"full row"}]}]}""",
+        """{"candidates":[{"content":{"parts":[{"text":"ok"}]}}],"usageMetadata":{"promptTokenCount":7,"candidatesTokenCount":1}}"""),
+      ("""{"contents":[{"parts":[{"text":"no usage"}]}]}""",
+        """{"candidates":[{"content":{"parts":[{"text":"fine"}]}}]}"""),
+      ("""{"contents":[{"parts":[{"text":"failed row"}]}]}""",
+        """{"error":"backend unavailable"}""")
+    ).toDF("request", "response")
+    val res = VertexResults.fromTable(table).orderBy("request_text").collect()
+    assert(res.length == 3)
+    assert(res.map(_.getString(4)).forall(_ == null), "missing status column reads as null status")
+    val byText = res.map(r => r.getString(0) -> r).toMap
+    assert(byText("full row").getLong(2) == 7L && byText("full row").getLong(3) == 1L)
+    assert(byText("no usage").getString(1) == "fine")
+    assert(byText("no usage").isNullAt(2) && byText("no usage").isNullAt(3),
+      "absent usageMetadata yields null token counts")
+    assert(byText("failed row").isNullAt(1) && byText("failed row").isNullAt(2))
+  }
+
   test("cleanup manifest deletes registered artifacts and is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cleanup").toString
     val m = new CleanupManifest(spark)

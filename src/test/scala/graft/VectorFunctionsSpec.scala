@@ -46,4 +46,30 @@ class VectorFunctionsSpec extends SparkSpec {
       .select(VectorFunctions.signBucket("v", Seq(1, 2, 3))).as[String].head()
     assert(got == "101")
   }
+
+  test("signDims spreads b in-range distinct dims across the vector") {
+    for (b <- Seq(1, 4, 8, 12, 16)) {
+      val dims = VectorFunctions.signDims(b)
+      assert(dims.length == b && dims.distinct.length == b)
+      assert(dims.forall(i => i >= 1 && i <= 64), dims.toString)
+    }
+    assert(VectorFunctions.signDims(8) == Seq(1, 9, 17, 25, 33, 41, 49, 57))
+    intercept[IllegalArgumentException](VectorFunctions.signDims(0))
+    intercept[IllegalArgumentException](VectorFunctions.signDims(65))
+  }
+
+  test("8-bit sign bucket occupancy: symmetric random vectors spread near n/2^b") {
+    // the whole point of the widened bucket: within-bucket pair work is
+    // n²/2^b, so occupancy must actually divide the corpus — a bucket
+    // holding a large corpus fraction would be a quadratic scan in
+    // disguise
+    val rnd = new scala.util.Random(7)
+    val n = 2000
+    val vecs = Seq.fill(n)(Tuple1(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))).toDF("v")
+    val occ = vecs.select(VectorFunctions.signBucket("v", VectorFunctions.defaultSignDims).as("b"))
+      .groupBy("b").count().as[(String, Long)].collect()
+    assert(occ.length > 200, s"expected ~256 occupied buckets, got ${occ.length}")
+    val maxOcc = occ.map(_._2).max
+    assert(maxOcc < n / 50, s"hot bucket of $maxOcc rows out of $n — bits are correlated")
+  }
 }
