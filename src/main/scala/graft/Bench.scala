@@ -58,8 +58,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val nFailed = results.count(!_._3)
+    // regression gate vs BASELINE.md: a query over 2x its pinned budget
+    // is a flag, not noise (budgets already carry 25% headroom)
+    val over = results.collect {
+      case (k, v, true) if Budgets.seconds.get(k).exists(b => v > 2 * b) =>
+        "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"repeats":$repeats}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats}"""
     // stdout can be lost in log noise; persist the line for the driver
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     // Print the JSON only AFTER spark.stop(): executor-shutdown log
