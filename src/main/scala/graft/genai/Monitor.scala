@@ -21,18 +21,30 @@ object Monitor {
 
   /** Polls `status` until terminal or timed out; returns the final
     * state, or `"timeout"` if the deadline passed first.
+    *
+    * `onPoll(state, elapsedMs)` fires after every status check — the
+    * reference's per-poll progress chatter ("Batch status: ...",
+    * openai_batch_processor.py:184-200) as an injectable hook; the
+    * default logs nothing so library callers choose their sink.
     */
   def await(status: () => String,
       pollIntervalMs: Long = 30000L,
       timeoutMs: Long = 7200000L,
       clock: () => Long = () => System.currentTimeMillis(),
-      sleep: Long => Unit = Thread.sleep): String = {
+      sleep: Long => Unit = Thread.sleep,
+      onPoll: (String, Long) => Unit = (_, _) => ()): String = {
     val start = clock()
     var state = status()
+    onPoll(state, clock() - start)
     while (!TerminalStates.contains(state) && clock() - start < timeoutMs) {
       sleep(pollIntervalMs)
       state = status()
+      onPoll(state, clock() - start)
     }
     if (TerminalStates.contains(state)) state else "timeout"
   }
+
+  /** A ready-made `onPoll` in the reference's wording. */
+  def printingPoll: (String, Long) => Unit =
+    (state, elapsed) => println(s"Batch status: $state (elapsed ${elapsed / 1000}s)")
 }

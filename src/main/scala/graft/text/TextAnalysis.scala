@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QFn, Tables}
 
 /** Text-analysis operators t1–t6 (SURVEY.md §2) over `documents`:
@@ -328,7 +329,73 @@ object TextAnalysis {
       |       ELSE 'g' END
       |ORDER BY doc_id""".stripMargin
 
+  /** t10: sequence packing — the LLM-training assembly step that
+    * concatenates the corpus (in stable doc_id order) and cuts it into
+    * fixed-size training sequences of `PackTokens` tokens. Each
+    * document gets its global token offset, the training-sequence id
+    * its first token lands in, and whether it straddles a sequence
+    * boundary (the rows a loss-masking or resampling pass cares about).
+    *
+    * The global offset is a distributed PREFIX SUM, not a single
+    * window: a flat `SUM OVER (ORDER BY doc_id)` puts the whole corpus
+    * in one task. Instead (the ExactPercentile pattern):
+    *   1. per-bucket token sums, bucket = doc_id div `PackBucket`
+    *      (map-side partial agg — metadata-sized result),
+    *   2. bucket offsets via one ordered window over that METADATA
+    *      relation (corpus/PackBucket rows — at 10⁹ docs and
+    *      PackBucket 4096 that is ~250k rows on one task, fine; grow
+    *      PackBucket with the corpus),
+    *   3. per-doc cumsum WITHIN each bucket (bounded partitions by
+    *      construction) + broadcast bucket offset.
+    */
+  private[graft] val PackTokens = 512L
+  private[graft] val PackBucket = 64L
+
+  private def t10(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("pbucket", expr(s"doc_id div $PackBucket"))
+    val bsums = base.groupBy(col("pbucket")).agg(sum(col("n_tokens")).as("btok"))
+    val boffsets = bsums.withColumn("boffset", coalesce(
+      sum(col("btok")).over(
+        Window.orderBy(col("pbucket")).rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L)))
+      .select(col("pbucket"), col("boffset"))
+    val local = Window.partitionBy(col("pbucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(boffsets), Seq("pbucket"))
+      .withColumn("tok_offset", col("boffset") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .withColumn("seq_id", expr(s"tok_offset div $PackTokens"))
+      .withColumn("crosses_boundary",
+        when(col("n_tokens") > 0,
+          expr(s"tok_offset div $PackTokens") =!=
+            expr(s"(tok_offset + n_tokens - 1) div $PackTokens"))
+          .otherwise(lit(false)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        col("seq_id"), col("crosses_boundary"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t10Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      |  FROM t)
+      |SELECT doc_id, n_tokens, tok_offset,
+      |  tok_offset // $PackTokens AS seq_id,
+      |  CASE WHEN n_tokens > 0
+      |       THEN (tok_offset // $PackTokens) <> ((tok_offset + n_tokens - 1) // $PackTokens)
+      |       ELSE FALSE END AS crosses_boundary
+      |FROM o ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t10_pack" -> (t10 _),
     "t9_mix_sample" -> (t9 _),
     "t8_split_assign" -> (t8 _),
     "t7_keep_drop" -> (t7 _),
@@ -340,6 +407,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t10_pack" -> t10Sql,
     "t9_mix_sample" -> t9Sql,
     "t8_split_assign" -> t8Sql,
     "t7_keep_drop" -> t7Sql,

@@ -123,6 +123,17 @@ class GenAISpec extends SparkSpec {
     assert(polls == 5)         // initial check + 4 poll-interval re-checks
   }
 
+  test("monitor fires onPoll per status check with state and elapsed time") {
+    var now = 0L
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val states = Iterator("validating", "in_progress", "completed")
+    val got = Monitor.await(() => states.next(), 30000L, 7200000L,
+      clock = () => now, sleep = ms => now += ms, onPoll = (s, e) => seen += ((s, e)))
+    assert(got == "completed")
+    // the reference's monitor loop prints every poll, first check included
+    assert(seen.toSeq == Seq(("validating", 0L), ("in_progress", 30000L), ("completed", 60000L)))
+  }
+
   test("batch workflow reports failed and timeout jobs without retrieving") {
     val base = java.nio.file.Files.createTempDirectory("graft_wf_mon").toString
     val good = docs.filter(col("doc_id").between(1, 20))

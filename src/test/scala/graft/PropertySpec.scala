@@ -73,4 +73,26 @@ class PropertySpec extends SparkSpec {
       assert(got.groupBy(_._1).values.forall(_.size <= 3))
     }
   }
+
+  test("t10 hierarchical prefix sum equals the flat single-window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    // the distributed (bucketed) offset computation must be value-
+    // identical to the single-task formulation it replaces
+    val got = SparkEntry.queries("t10_pack")(spark, sf)
+      .select("doc_id", "tok_offset", "seq_id", "crosses_boundary").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val flat = Tables.documents(spark, sf)
+      .select(col("doc_id"), text.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("tok_offset"), col("n_tokens")).collect()
+      .map { r =>
+        val (off, n) = (r.getLong(1), r.getLong(2))
+        (r.getLong(0), off, off / 512L, n > 0 && off / 512L != (off + n - 1) / 512L)
+      }
+    assert(got.sortBy(_._1).toSeq == flat.sortBy(_._1).toSeq)
+    // packing must actually produce straddling docs (the rows the
+    // masking pass exists for) and multiple sequences
+    assert(got.count(_._4) > 0 && got.map(_._3).distinct.length > 1)
+  }
 }
