@@ -102,6 +102,29 @@ object StreamingOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** st7: watermark-BOUNDED streaming dedup — st2's `dropDuplicates`
+    * keeps every key it has ever seen in state, which on an unbounded
+    * feed grows without limit (the 100 TB OOM in slow motion).
+    * `dropDuplicatesWithinWatermark` drops a key's state once the
+    * watermark passes it: correct whenever duplicates arrive within the
+    * watermark delay of each other (the retry/replay window that
+    * actually produces duplicates in practice), with O(watermark·rate)
+    * state. On bounded input with in-window duplicates it equals the
+    * batch distinct, which is what the oracle checks.
+    */
+  private def st7(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum2(col("value")).as("sum_value"))
+    runToMemory(s, agg, "graft_st7")
+      .orderBy(col("event_type"))
+  }
+
+  private val st7Sql = st2Sql
+
   /** st3: stream-static join — the event stream enriched against the
     * static customer dimension (broadcast; re-read per micro-batch in
     * production, no state). The standard dimension-enrichment pattern.
@@ -239,6 +262,7 @@ object StreamingOps {
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "st7_stream_dedup_bounded" -> (st7 _),
     "st6_stream_stream_join" -> (st6 _),
     "st5_stream_append_window" -> (st5 _),
     "st4_stream_sessionize" -> (st4 _),
@@ -247,6 +271,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st7_stream_dedup_bounded" -> st7Sql,
     "st6_stream_stream_join" -> st6Sql,
     "st5_stream_append_window" -> st5Sql,
     "st4_stream_sessionize" -> st4Sql,
