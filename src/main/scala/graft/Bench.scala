@@ -54,7 +54,10 @@ object Bench {
     }
     // failed queries report the sentinel -1, never a misleading
     // duration; the run as a whole still emits a parseable line
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
+    // 3-decimal seconds: ms resolution is below run-to-run jitter, and
+    // a compact line survives a driver that captures only an output tail
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f(v) else "-1") }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val nFailed = results.count(!_._3)
@@ -65,7 +68,7 @@ object Bench {
         "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats}"""
     // stdout can be lost in log noise; persist the line for the driver
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     // Print the JSON only AFTER spark.stop(): executor-shutdown log
@@ -73,6 +76,12 @@ object Bench {
     // captured output. The marker line lets a parser seek to the JSON
     // without regex-ing through sbt/log4j noise.
     spark.stop()
+    // emitted TWICE: a log collector that keeps only the tail of the
+    // output can slice through the first copy (BENCH_r04's driver parse
+    // lost the line's head exactly this way); the second, later copy
+    // then still carries a complete marker + line.
+    println("GRAFT_BENCH_JSON")
+    println(line)
     println("GRAFT_BENCH_JSON")
     println(line)
     System.out.flush()

@@ -74,6 +74,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SortedBucket binary search equals the interpreted filter count") {
+    import graft.functions.SortedBucket
+    val doubleGen = Gen.chooseNum(-1000.0, 1000.0)
+    for (seedIdx <- 0 until 5) {
+      val bounds = samples(Gen.listOfN(40, doubleGen), 1).head
+        .map(b => math.rint(b * 4) / 4)   // force some exact boundary hits
+        .distinct.sorted
+      val vals = samples(Gen.listOfN(200, doubleGen), 1)
+        .head.map(v => math.rint(v * 4) / 4) ++ bounds   // include the boundaries themselves
+      val df = vals.map(Tuple1(_)).toDF("v")
+      val bArr = array(bounds.map(lit(_)): _*)
+      val rows = df.select(
+        SortedBucket.of(col("v"), bounds).as("fast"),
+        (size(filter(bArr, b => b <= col("v"))) + 1).as("ref")).collect()
+      rows.foreach(r => assert(r.getInt(0) == r.getInt(1), s"seed $seedIdx: $r"))
+    }
+  }
+
   test("t10 hierarchical prefix sum equals the flat single-window cumsum") {
     import org.apache.spark.sql.expressions.Window
     // the distributed (bucketed) offset computation must be value-
