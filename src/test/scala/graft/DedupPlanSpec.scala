@@ -91,6 +91,28 @@ class DedupPlanSpec extends SparkSpec {
     filler.foreach { case (id, _) => assert(out(id) == 0L) }
   }
 
+  test("d8 verifies hamming via codegen'd bit_count, not an interpreted per-bit fold") {
+    val plan = SparkEntry.queries("d8_simhash_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bit_count"), "hamming must be bit_count(xor) on packed longs")
+    assert(!plan.contains("transform(sequence"),
+      "the 128-substring interpreted hamming fold is the round-4 45x regression")
+  }
+
+  test("q18 plan: bounded rank windows only, no buffering percentile, few scans") {
+    val df = SparkEntry.queries("q18_percentile")(spark, sf)
+    df.collect()  // finalize the adaptive plan: AQE reuses the counts stage at runtime
+    // executedPlan.toString prints final + initial sections; judge the final only
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(!plan.contains("percentile("),
+      "the buffering percentile aggregate concentrates a group on one reducer")
+    val windows = plan.linesIterator.count(_.trim.stripPrefix("+- ").startsWith("Window"))
+    assert(windows <= 1, s"expected at most the target-bucket rank window, got $windows:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 3, s"q18 should scan lineitem for counts, ranks and n only, got $scans")
+  }
+
   test("d4 result matches the definitional per-pair Jaccard") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("d4_ngram_jaccard")(spark, sf)
