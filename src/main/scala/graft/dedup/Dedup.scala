@@ -418,6 +418,15 @@ object Dedup {
     * size, so it is practical only at the sf0.01 gate. The operator
     * itself was validated at sf0.1 (finishes in seconds; the closure
     * oracle does not).
+    *
+    * Design note — UNVERIFIED edges: cluster edges are raw LSH band
+    * collisions, not similarity-verified pairs. With 8×32-bit minhash
+    * functions a band collision is ~2^-48 likely for unrelated docs,
+    * so false merges need adversarial inputs; a stricter pipeline
+    * would verify each (root, member) edge with d4's Jaccard before
+    * propagating, at the cost of joining the shingle sets per edge.
+    * Verification against the bucket ROOT only (not all pairs) keeps
+    * the star contraction's linear edge count if ever needed.
     */
   private def d7(s: SparkSession, d: String): DataFrame = {
     val long = bandLong(minhashBands(s, d))
