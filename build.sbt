@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through RAW. The default LoggedOutput strategy
+// prefixes every stdout line with "[info] ", which breaks any consumer
+// that expects to json-parse a metric line from the captured output
+// (Bench's GRAFT_BENCH_JSON line arrived as "[info] {...}" in rounds
+// 3-5 and failed to parse).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
