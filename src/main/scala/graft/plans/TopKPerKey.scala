@@ -85,13 +85,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression,
       // matching the window row_number formulation. NULL ties rank
       // after all real tie values.
       type Entry = (Any, Any, UnsafeRow)
-      // a outranks b?
+      // a outranks b? (single interpreted compare per level — this runs
+      // once per input row on the heap-insert hot path)
       def beats(av: Any, at: Any, bv: Any, bt: Any): Boolean =
         if ((av == null) != (bv == null)) bv == null
-        else if (av != null && orderOrd.compare(av, bv) != 0) orderOrd.compare(av, bv) > 0
-        else if ((at == null) != (bt == null)) bt == null
-        else if (at == null) false
-        else tieOrd.compare(at, bt) < 0
+        else {
+          val c = if (av == null) 0 else orderOrd.compare(av, bv)
+          if (c != 0) c > 0
+          else if ((at == null) != (bt == null)) bt == null
+          else if (at == null) false
+          else tieOrd.compare(at, bt) < 0
+        }
       // heap head = current worst of the k retained rows
       val worstAtHead = new Ordering[Entry] {
         override def compare(a: Entry, b: Entry): Int =

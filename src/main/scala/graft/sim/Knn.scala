@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QFn, Tables}
 import graft.functions.VectorFunctions
+import graft.plans.TopK
 
 /** Similarity search s1–s3 (SURVEY.md §2) over `embeddings`.
   *
@@ -23,9 +24,50 @@ object Knn {
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** Stage-1 fan-out for the salted top-k: each (q_id, salt) heap sees
+    * ~1/32 of a query's candidates, so no single task ever buffers a
+    * whole query's candidate set. */
+  private val RankSalt = 32L
+
+  /** Final ranking of a scored candidate set (columns `q_id`, `vec_id`,
+    * `cos`, plus `payload`): global top-`k` per query by (cos DESC,
+    * vec_id ASC), with a 1-based `rank` column.
+    *
+    * The scale-critical part is NOT a `row_number` window — that ships
+    * every scored candidate for a query to ONE task and fully sorts it
+    * (the spilling-sort failure mode at 100 TB). Instead:
+    *
+    *  1. salted [[graft.plans.TopK.perKey]] on (q_id, salt): bounded
+    *     k-heaps spread over the cluster, O(n log k) streaming, each
+    *     reducer sees ~1/RankSalt of a query's candidates;
+    *  2. a second TopK.perKey on q_id over the ≤ RankSalt·k survivors
+    *     (any global top-k row is in its salt group's top-k, so the
+    *     two-stage result is exact);
+    *  3. rank assembly inside a per-query aggregate: collect the ≤ k
+    *     survivors, array_sort with an explicit (cos DESC, vec_id ASC)
+    *     comparator, posexplode — no Window node anywhere, and the
+    *     sorted array is k elements, never candidate-count elements.
+    */
+  private def rankTopK(scored: DataFrame, k: Int, payload: Seq[String]): DataFrame = {
+    val salted = scored.withColumn("_salt", pmod(col("vec_id"), lit(RankSalt)))
+    val stage1 = TopK.perKey(salted, Seq("q_id", "_salt"), "cos", "vec_id", k).drop("_salt")
+    val top = TopK.perKey(stage1, Seq("q_id"), "cos", "vec_id", k)
+    val fields = Seq("vec_id", "cos") ++ payload
+    top.groupBy(col("q_id"))
+      .agg(collect_list(struct(fields.map(col): _*)).as("cand"))
+      .withColumn("sorted", expr(
+        """array_sort(cand, (l, r) ->
+          |  CASE WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1
+          |       WHEN l.vec_id < r.vec_id THEN -1 WHEN l.vec_id > r.vec_id THEN 1
+          |       ELSE 0 END)""".stripMargin))
+      .select(col("q_id"), posexplode(col("sorted")).as(Seq("pos", "c")))
+      .select((Seq(col("q_id"), (col("pos") + 1).cast("long").as("rank")) ++
+        fields.map(f => col("c." + f).as(f))): _*)
+  }
+
   /** s1: brute-force cosine top-10 per query vector. The query side is
-    * tiny and broadcast; ranking is a per-query window (partitions are
-    * query-sized, never corpus-sized).
+    * tiny and broadcast; the corpus never shuffles for scoring, and the
+    * ranking runs through salted bounded heaps (see [[rankTopK]]).
     */
   private def s1(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -35,13 +77,11 @@ object Knn {
       .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm_e").as("norm_q"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    broadcast(q)
+    val scored = broadcast(q)
       .join(e, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    rankTopK(scored, 10, Seq.empty)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
@@ -58,29 +98,34 @@ object Knn {
        |QUALIFY rank <= 10
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Oracle-side bucket dims: pinned to the DEFAULT width, because the
+    * SQL string is generated once at class load. The query side reads
+    * the same default unless `graft.lsh.signBits` overrides it (sized
+    * via [[VectorFunctions.signBitsFor]] for larger corpora — only in
+    * deployments that don't run the oracle gate). */
   private val lshDims = VectorFunctions.defaultSignDims
 
-  /** s2: LSH-bucketed ANN — hyperplane-sign bucket (defaultSignDims,
-    * 8 bits), then brute-force only within the query's bucket. The
-    * bucket key is a per-row expression; the probe join is an equi-join
-    * on it.
+  /** s2: LSH-bucketed ANN — hyperplane-sign bucket (sessionSignDims,
+    * default 8 bits), then brute-force only within the query's bucket.
+    * The bucket key is a per-row expression; the probe join is an
+    * equi-join on it.
     */
   private def s2(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions)
-      .withColumn("bucket", VectorFunctions.signBucket("embedding", lshDims))
+      .withColumn("bucket",
+        VectorFunctions.signBucket("embedding", VectorFunctions.sessionSignDims(s)))
       .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("bucket"), col("norm_e").as("norm_q"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    broadcast(q)
+    val scored = broadcast(q)
       .join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("bucket"), col("vec_id"),
         (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
+    rankTopK(scored, 3, Seq("bucket"))
+      .select(col("q_id"), col("bucket"), col("vec_id"), col("cos"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -129,15 +174,23 @@ object Knn {
 
   /** Nearest-centroid assignment: one broadcast pass over vectors,
     * keeping `extra` payload columns.
+    *
+    * The argmin is a `min_by` HASH AGGREGATE, not a per-vector window:
+    * partial aggregation collapses the ncells candidate rows of each
+    * vector map-side (they are co-located — the cross join preserves
+    * the input partitioning), so the shuffle carries one row per vector
+    * and nothing is ever sorted. `cell` is unique per (vec_id,
+    * centroid) row, so the (dist, cell) order key is total and the
+    * argmin deterministic.
     */
   private def assign(e: DataFrame, centArr: DataFrame, extra: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    val payload = Seq("label", "cell", "dist") ++ extra
     e.crossJoin(broadcast(centArr))
       .select((Seq(col("vec_id"), col("label"), col("cell"),
         VectorFunctions.l2sq("embedding", "carr").as("dist")) ++ extra.map(col)): _*)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(payload.map(col): _*), struct(col("dist"), col("cell"))).as("_m"))
+      .select((col("vec_id") +: payload.map(f => col("_m." + f).as(f))): _*)
   }
 
   private def s3(s: SparkSession, d: String): DataFrame = {
@@ -193,13 +246,11 @@ object Knn {
       .filter(col("crn") <= 2)
       .select(col("q_id"), col("qe"), col("cell").as("probe_cell"))
       .withColumn("norm_q", sqrt(VectorFunctions.dot("qe", "qe")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    broadcast(probes)
+    val scored = broadcast(probes)
       .join(corpus, col("probe_cell") === col("assigned_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("assigned_cell"),
         (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+    rankTopK(scored, 5, Seq("assigned_cell"))
       .select(col("q_id"), col("rank"), col("vec_id"), col("assigned_cell"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
   }

@@ -102,6 +102,39 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("s1/s2/s4 rank candidates with bounded TopKPerKey heaps, never a window sort") {
+    // the round-5 verdict's last scale-killer: a row_number window
+    // partitioned by q_id ships EVERY scored candidate of a query to
+    // one task and fully sorts it. The fix is the salted two-stage
+    // TopKPerKey (Knn.rankTopK) — assert both heap stages survive in
+    // the executed plan and no Window node ranks the candidate set.
+    for (q <- Seq("s1_knn_brute", "s2_ann_lsh")) {
+      val p = plan(q)
+      assert("TopKPerKey".r.findAllIn(p).size >= 2, s"$q lost the two-stage top-k:\n$p")
+      assert(!p.contains("Window"), s"$q ranks through a window sort:\n$p")
+    }
+    val p4 = plan("s4_ivf_probe")
+    assert("TopKPerKey".r.findAllIn(p4).size >= 2, p4)
+    // the one allowed Window exec ("Window [") ranks the tiny query
+    // side's probe cells — and gets the WindowGroupLimit bound, which
+    // is fine and not counted; corpus-side candidate ranking and
+    // centroid assignment (min_by aggregate) must stay window-free
+    assert("Window \\[".r.findAllIn(p4).size <= 1, p4)
+  }
+
+  test("q18 never buffers groups in a percentile aggregate or globally sorts the data") {
+    val p = plan("q18_percentile")
+    // the rebuilt operator's two load-bearing properties: no built-in
+    // `percentile` (it collects every group value into one reducer's
+    // buffer) ...
+    assert(!p.contains("percentile("), p)
+    // ... and no global sort of data rows. Window/SMJ sorts are local
+    // ("Sort [...], false"); the one allowed global sort orders the
+    // 3-row final output.
+    val globalSorts = """Sort \[[^\]]*\], true""".r.findAllIn(p).size
+    assert(globalSorts <= 1, s"$globalSorts global sorts:\n$p")
+  }
+
   test("d6 decontamination broadcasts only the benchmark shingle set") {
     val p = plan("d6_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
