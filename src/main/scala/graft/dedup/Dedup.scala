@@ -262,12 +262,23 @@ object Dedup {
     * survives executor loss at cluster scale where a cached RDD would
     * not.
     */
+  /** Per-document distinct-shingle hash-set arrays (doc_id, shs, sz) —
+    * the verification substrate shared by d4/d9 (candidate overlap) and
+    * d7 (edge verification). Shingles are 64-bit xxhash longs, so the
+    * arrays shuffle as fixed-width values; Jaccard over the hashed sets
+    * equals Jaccard over the string sets up to ~n²/2⁶⁵ collision odds.
+    */
+  private[graft] def docShingleSets(docs: DataFrame): DataFrame =
+    shinglesDistinct(docs)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
+
   private def candidateOverlap(s: SparkSession, d: String): DataFrame = {
     val sh = shinglesDistinct(Tables.documents(s, d))
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    val docSets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("sh")).as("shs"))
-      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
+    val docSets = docShingleSets(Tables.documents(s, d))
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 10)
     val rareSh = sh.join(rare.select(col("sh")), Seq("sh"))
@@ -327,7 +338,7 @@ object Dedup {
     import graft.functions.VectorFunctions
     val e = Tables.embeddings(s, d)
       .withColumn("bucket",
-        VectorFunctions.signBucket("embedding", VectorFunctions.defaultSignDims))
+        VectorFunctions.signBucket("embedding", VectorFunctions.sessionSignDims(s)))
     // norms once per vector (not per pair)
     val a = e.select(col("vec_id").as("va"), col("bucket"), col("embedding").as("ea"))
       .withColumn("norm_a", sqrt(VectorFunctions.dot("ea", "ea")))
@@ -419,15 +430,40 @@ object Dedup {
     * itself was validated at sf0.1 (finishes in seconds; the closure
     * oracle does not).
     *
-    * Design note — UNVERIFIED edges: cluster edges are raw LSH band
-    * collisions, not similarity-verified pairs. With 8×32-bit minhash
-    * functions a band collision is ~2^-48 likely for unrelated docs,
-    * so false merges need adversarial inputs; a stricter pipeline
-    * would verify each (root, member) edge with d4's Jaccard before
-    * propagating, at the cost of joining the shingle sets per edge.
-    * Verification against the bucket ROOT only (not all pairs) keeps
-    * the star contraction's linear edge count if ever needed.
+    * Edges are VERIFIED before propagation (round 6): each (root,
+    * member) star edge must pass d4's exact Jaccard against the bucket
+    * root ([[ClusterEdgeMinJaccard]]) — a raw band collision (~2^-48
+    * for unrelated docs, but a templated/adversarial corpus can
+    * manufacture them) can no longer merge two genuinely dissimilar
+    * clusters. Verifying against the bucket ROOT only — not all
+    * co-bucketed pairs — keeps the star contraction's linear edge
+    * count: the check joins one shingle-set array per edge endpoint,
+    * Σ2(m−1) intersections, never m². The documented tradeoff is the
+    * mirror image of the old one: a true near-dup of a bucket MEMBER
+    * whose Jaccard to the bucket ROOT is below the threshold loses
+    * that edge (transitive families fray at the threshold boundary),
+    * which is the standard behavior of verified-LSH clustering.
     */
+  /** Minimum exact Jaccard between a star edge's two endpoints for the
+    * edge to enter d7's propagation graph. With r=2 rows per band a
+    * genuinely similar pair (J ≥ 0.5) collides on some band with
+    * probability 1−(1−J²)⁴ ≥ 66%, while a J < 0.5 bucket-mate is — by
+    * this gate — never merged regardless of how its bands collided. */
+  private[graft] val ClusterEdgeMinJaccard = 0.5
+
+  /** Jaccard gate for star edges: keep only (root, doc_id) pairs whose
+    * exact shingle-set Jaccard meets [[ClusterEdgeMinJaccard]]. One
+    * shingle-set array join per endpoint, one codegen'd array_intersect
+    * per edge — linear in edge count. */
+  private[graft] def verifyEdges(rooted: DataFrame, docSets: DataFrame): DataFrame =
+    rooted
+      .join(docSets.select(col("doc_id").as("root"), col("shs").as("shsr"), col("sz").as("szr")), Seq("root"))
+      .join(docSets, Seq("doc_id"))
+      .withColumn("n_common", size(array_intersect(col("shsr"), col("shs"))).cast("long"))
+      .filter(col("n_common").cast("double") / (col("szr") + col("sz") - col("n_common"))
+        >= ClusterEdgeMinJaccard)
+      .select(col("root"), col("doc_id"))
+
   private def d7(s: SparkSession, d: String): DataFrame = {
     val long = bandLong(minhashBands(s, d))
     // Star contraction per band bucket: every member connects to the
@@ -442,8 +478,9 @@ object Dedup {
       .filter(col("doc_id") =!= col("root"))
       .select(col("root"), col("doc_id"))
       .distinct()
-    val edges = rooted.select(col("root").as("src"), col("doc_id").as("dst"))
-      .unionAll(rooted.select(col("doc_id").as("src"), col("root").as("dst")))
+    val verified = verifyEdges(rooted, docShingleSets(Tables.documents(s, d)))
+    val edges = verified.select(col("root").as("src"), col("doc_id").as("dst"))
+      .unionAll(verified.select(col("doc_id").as("src"), col("root").as("dst")))
       .localCheckpoint() // computed once, re-read every iteration
     // Seed with the one-hop minimum: with initial labels = doc_id the
     // first propagation round needs no labels join at all — it is just
@@ -486,11 +523,28 @@ object Dedup {
   }
 
   private val d7Sql = "WITH RECURSIVE " + MinhashCteBody +
-    """,
+    s""",
+      |rooted AS (
+      |  SELECT DISTINCT root, doc_id FROM (
+      |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band_id, bkey) AS root
+      |    FROM long)
+      |  WHERE doc_id <> root),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT r.root, r.doc_id, COUNT(*) AS n_common
+      |  FROM rooted r
+      |  JOIN sh x ON x.doc_id = r.root
+      |  JOIN sh y ON y.doc_id = r.doc_id AND y.s = x.s
+      |  GROUP BY r.root, r.doc_id),
+      |verified AS (
+      |  SELECT c.root, c.doc_id
+      |  FROM common c
+      |  JOIN sizes sa ON sa.doc_id = c.root
+      |  JOIN sizes sb ON sb.doc_id = c.doc_id
+      |  WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) >= $ClusterEdgeMinJaccard),
       |edges AS (
-      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |  FROM long a JOIN long b
-      |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id <> b.doc_id),
+      |  SELECT root AS src, doc_id AS dst FROM verified
+      |  UNION ALL SELECT doc_id, root FROM verified),
       |reach AS (
       |  SELECT doc_id AS src, doc_id AS dst FROM documents
       |  UNION

@@ -36,6 +36,40 @@ class DedupPlanSpec extends SparkSpec {
     assert(rows.exists { case (doc, c) => c != doc }, "expected at least one non-singleton cluster")
   }
 
+  test("d7 edge verification drops an engineered band-collision edge between dissimilar docs") {
+    import spark.implicits._
+    // docs 1/2 share ZERO shingles — the fabricated (1,2) star edge
+    // stands in for an adversarial band collision (unrelated docs whose
+    // minhash bands happened to agree); docs 3/4 differ by one char
+    // (Jaccard ≈ 0.8) — a genuine near-dup edge
+    val docs = Seq(
+      (1L, "aaaaabbbbbcccccdddddeeeee"),
+      (2L, "fffffggggghhhhhiiiiijjjjj"),
+      (3L, "the quick brown fox jumps over the lazy dog again"),
+      (4L, "the quick brown fox jumps over the lazy dog agaim")).toDF("doc_id", "text")
+    val sets = graft.dedup.Dedup.docShingleSets(docs)
+    val rooted = Seq((1L, 2L), (3L, 4L)).toDF("root", "doc_id")
+    val kept = graft.dedup.Dedup.verifyEdges(rooted, sets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!kept.contains((1L, 2L)), "a band collision between dissimilar docs must NOT merge")
+    assert(kept.contains((3L, 4L)), "a true near-dup edge must survive verification")
+  }
+
+  test("d8 executes ONE token-pipeline scan — AQE stage reuse is load-bearing") {
+    // d8 references the simhash signature subtree from four branches
+    // (uniq, the two pair sides, the same-sig join). Identical base
+    // subtrees (notnull at the base, commit 943a9d9) let AQE reuse one
+    // shuffle stage for all of them; losing that canonicalization
+    // silently re-runs the whole token pipeline per branch (the round-4
+    // 136 s regression). Assert the FINAL adaptive plan scans
+    // documents.parquet exactly once.
+    val df = SparkEntry.queries("d8_simhash_pairs")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val docScans = "documents\\.parquet".r.findAllIn(finalPlan).size
+    assert(docScans == 1, s"$docScans documents scans in d8's final plan:\n$finalPlan")
+  }
+
   test("d8 equals the brute-force all-pairs hamming filter") {
     import org.apache.spark.sql.functions._
     // d3 exposes the same 64-bit signatures; brute-force every pair in
