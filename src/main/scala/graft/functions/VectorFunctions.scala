@@ -54,4 +54,25 @@ object VectorFunctions {
     * occupancy n/256). Round 4 used 4 fixed bits — n²/16 within-bucket
     * work, quadratic-ish at 100× corpus growth. */
   val defaultSignDims: Seq[Int] = signDims(8)
+
+  /** Sign-LSH width for an n-vector corpus: the smallest b (clamped to
+    * [4, 32]) whose expected bucket occupancy n/2^b is at most
+    * `targetOccupancy` — within-bucket pair work then scales as
+    * n·targetOccupancy (linear in n) instead of n². Use this to pick
+    * the value for the `graft.lsh.signBits` conf when the corpus
+    * outgrows the 8-bit default. */
+  def signBitsFor(n: Long, targetOccupancy: Long = 256L): Int = {
+    require(n >= 0 && targetOccupancy >= 1, "need n >= 0 and targetOccupancy >= 1")
+    val b = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy.toDouble)) / math.log(2.0)).toInt
+    math.min(32, math.max(4, b))
+  }
+
+  /** Session-configurable sign-bucket dims (conf `graft.lsh.signBits`,
+    * default 8) — the blocking width of d5 and s2. The DuckDB oracle
+    * SQL is generated against the DEFAULT width, so set the conf only
+    * in deployments that don't run the oracle gate (size it with
+    * [[signBitsFor]]). */
+  def sessionSignDims(s: org.apache.spark.sql.SparkSession): Seq[Int] =
+    signDims(s.conf.getOption("graft.lsh.signBits").map(_.toInt).getOrElse(8))
 }

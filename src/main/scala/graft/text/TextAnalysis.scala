@@ -339,23 +339,41 @@ object TextAnalysis {
     * The global offset is a distributed PREFIX SUM, not a single
     * window: a flat `SUM OVER (ORDER BY doc_id)` puts the whole corpus
     * in one task. Instead (the ExactPercentile pattern):
-    *   1. per-bucket token sums, bucket = doc_id div `PackBucket`
+    *   1. per-bucket token sums, bucket = doc_id div bucket-width
     *      (map-side partial agg — metadata-sized result),
     *   2. bucket offsets via one ordered window over that METADATA
-    *      relation (corpus/PackBucket rows — at 10⁹ docs and
-    *      PackBucket 4096 that is ~250k rows on one task, fine; grow
-    *      PackBucket with the corpus),
+    *      relation,
     *   3. per-doc cumsum WITHIN each bucket (bounded partitions by
     *      construction) + broadcast bucket offset.
+    * The bucket width is DERIVED from the corpus ([[derivePackBucket]])
+    * so both bounded stages stay ~√n as the corpus grows — a fixed
+    * width would turn stage 2 back into a single giant task at 1000×
+    * the doc count. The width does not affect the output (offsets are
+    * bucketing-invariant), so the derivation is oracle-safe.
     */
   private[graft] val PackTokens = 512L
-  private[graft] val PackBucket = 64L
+
+  /** Two-level prefix-sum bucket width for a corpus whose max doc_id
+    * is `maxId`: ⌈√(maxId+1)⌉, floored at 64. The bucket-offset window
+    * then reads ≈ maxId/width ≤ √n metadata rows and each
+    * within-bucket cumsum partition holds ≤ width ≈ √n docs — at 10⁹
+    * docs both stages are ~32k rows. Overridable per session via the
+    * `graft.pack.bucket` conf. */
+  private[graft] def derivePackBucket(maxId: Long): Long =
+    math.max(64L, math.ceil(math.sqrt((maxId + 1).toDouble)).toLong)
 
   private def t10(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .filter(col("doc_id").isNotNull)
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    // one metadata-sized scalar job to size the bucketing; doc_id is
+    // the bucketing key, so its max (not the row count) bounds both
+    // stages
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val packBucket = s.conf.getOption("graft.pack.bucket").map(_.toLong)
+      .getOrElse(derivePackBucket(maxId))
+    val base = docs
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
-      .withColumn("pbucket", expr(s"doc_id div $PackBucket"))
+      .withColumn("pbucket", expr(s"doc_id div $packBucket"))
     val bsums = base.groupBy(col("pbucket")).agg(sum(col("n_tokens")).as("btok"))
     val boffsets = bsums.withColumn("boffset", coalesce(
       sum(col("btok")).over(

@@ -113,4 +113,19 @@ class PropertySpec extends SparkSpec {
     // masking pass exists for) and multiple sequences
     assert(got.count(_._4) > 0 && got.map(_._3).distinct.length > 1)
   }
+
+  test("t10's derived pack bucket bounds BOTH prefix-sum stages at any corpus size") {
+    // stage 2's bucket-offset window reads maxId/width rows on one
+    // task; stage 3's within-bucket cumsum partitions hold ≤ width
+    // rows. The √n derivation keeps both ~√n — the property a fixed
+    // width loses at 1000× growth.
+    for (maxId <- Seq(0L, 499L, 1000000L, 1000000000L, 1000000000000L)) {
+      val width = text.TextAnalysis.derivePackBucket(maxId)
+      val metadataRows = maxId / width + 1
+      assert(width >= 64L, s"maxId=$maxId width=$width")
+      val bound = math.max(64L, math.ceil(math.sqrt((maxId + 1).toDouble)).toLong) + 1
+      assert(metadataRows <= bound, s"maxId=$maxId window input $metadataRows > $bound")
+      assert(width <= bound, s"maxId=$maxId partition width $width > $bound")
+    }
+  }
 }
