@@ -38,7 +38,9 @@ object ExactPercentile {
     *
     * @return DataFrame(groupCol, "p", "value") — "p" the requested
     *         percentile, "value" the exact interpolated result over
-    *         non-null `valueCol` values.
+    *         non-null, non-NaN `valueCol` values (NaN is excluded like
+    *         null: it has no place in an ordered statistic, and a NaN
+    *         boundary would poison the bucket binary search).
     */
   def percentiles(df: DataFrame, groupCol: String, valueCol: String,
                   ps: Seq[Double], nBuckets: Int = 64): DataFrame =
@@ -75,7 +77,12 @@ object ExactPercentile {
     val sampleRows = doubled.sample(withReplacement = false, fraction, seed = 42)
       .select(vcols.map(col): _*).collect()
     val allBounds = vcols.indices.map { i =>
-      val vs = sampleRows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i)).toArray.sorted
+      // NaN is dropped with null: it sorts LAST, so a NaN-bearing
+      // sample would otherwise push NaN into the boundary array and
+      // break its strictly-increasing contract (SortedBucket.require)
+      val vs = sampleRows.iterator
+        .filterNot(r => r.isNullAt(i) || r.getDouble(i).isNaN)
+        .map(_.getDouble(i)).toArray.sorted
       if (vs.isEmpty) Array(Double.NegativeInfinity)  // all rows land in bucket 1
       else (1 until nBuckets).map(b => vs((b.toLong * vs.length / nBuckets).toInt.min(vs.length - 1)))
         .distinct.toArray
@@ -86,7 +93,7 @@ object ExactPercentile {
       .select(col(groupCol),
         explode(map(vcols.zipWithIndex.flatMap { case (c, i) => Seq(lit(i), col(c)) }: _*))
           .as(Seq("cid", "v")))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && !isnan(col("v")))
     // bucket via the native binary-search expression (codegen; the
     // higher-order filter alternative pays an interpreted lambda per
     // boundary per row and dominated the round-4 q18 profile)

@@ -40,6 +40,20 @@ class ExactPercentileSpec extends SparkSpec {
     }
   }
 
+  test("NaN values are excluded like nulls, never poison the boundaries") {
+    import spark.implicits._
+    // enough NaNs that the boundary sample is guaranteed to draw some —
+    // the regression was a NaN boundary tripping SortedBucket's
+    // strictly-increasing require and failing the whole query
+    val df = (Seq.fill(200)(("a", Double.NaN)) ++
+      Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", Double.NaN)))
+      .toDF("g", "v")
+    val got = ours(df, "g", "v", 0.5, 4)
+    // group a: median of {1,2,3,4} = 2.5; group b: no real values →
+    // no output row for it (same as an all-null group)
+    assert(got == Map("a" -> 2.5), got.toString)
+  }
+
   test("degenerate inputs: empty frame and constant values") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double)].toDF("g", "v")
