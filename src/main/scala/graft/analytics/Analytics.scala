@@ -480,6 +480,33 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q25: q18's sketch sibling — approximate percentiles via Spark's
+    * `approx_percentile` (Greenwald-Khanna) aggregate. The sketch is
+    * MERGEABLE: partials combine map-side like any other hash
+    * aggregate, so the whole query is one pass over the data with a
+    * metadata-sized shuffle — the 100 TB path ExactPercentile's own
+    * scaladoc points at when ±ε rank error is acceptable (accuracy
+    * 10000 → error ≤ 0.01% of the rank range). Rows-only oracle: the
+    * sketch's compression points are engine-specific, so a DuckDB
+    * approx aggregate would not hash-match; the driver checks the row
+    * contract (exactly one row per group).
+    */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("price"),
+        col("l_quantity").cast("double").as("qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(price, array(0.5D, 0.9D), 10000)").as("apx_price"),
+        expr("approx_percentile(qty, 0.25D, 10000)").as("p25_qty"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("apx_price").getItem(0).as("p50_price"),
+        col("apx_price").getItem(1).as("p90_price"),
+        col("p25_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Pivot (wide) aggregation: one column per l_linestatus value.
     * Values are enumerated explicitly — at scale an un-enumerated
     * pivot needs an extra distinct pass over the data.
@@ -645,6 +672,7 @@ object Analytics {
     "q24_range_join" -> (q24 _),
     "q19_pivot" -> (q19 _),
     "q18_percentile" -> (q18 _),
+    "q25_percentile_sketch" -> (q25 _), // rows-only: no oracle entry
     "q16_topk_custom" -> (q16 _),
     "q17_json_extract" -> (q17 _),
     "q1_agg" -> (q1 _),

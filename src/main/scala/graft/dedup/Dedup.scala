@@ -95,6 +95,21 @@ object Dedup {
     */
   private[graft] val MaxBandBucket = 50
 
+  /** d2: MinHash/LSH candidate counts — per document, its 4 band keys
+    * and the number of distinct documents sharing at least one
+    * (uncapped) band bucket with it.
+    *
+    * QUERY CONTRACT (part of the semantics, mirrored by the oracle):
+    * band buckets larger than [[MaxBandBucket]] are skipped WHOLESALE.
+    * That includes bystanders — a document that merely collides into a
+    * bucket dominated by a >MaxBandBucket dup family loses its
+    * legitimate candidates from that bucket too (its other three bands
+    * still contribute). n_candidates is therefore a lower bound in the
+    * presence of giant families, the same kind of documented
+    * approximation as d4's df ≤ 10 stop-shingle cap; exact membership
+    * for such families comes from d1 (exact dedup) and d7 (clustering,
+    * which pays no m² price and has no cap).
+    */
   private def d2(s: SparkSession, d: String): DataFrame = {
     val bands = minhashBands(s, d)
     val long = bandLong(bands)

@@ -22,6 +22,15 @@ object StreamingOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** The bounded event stream, staged as EXACTLY ONE file so the whole
+    * input lands in a single micro-batch. Several oracle equalities
+    * lean on that: st7's `dropDuplicatesWithinWatermark` equals the
+    * batch distinct only while the watermark never advances mid-run
+    * (multi-batch staging could drop late rows or re-emit out-of-window
+    * duplicates), and the append-mode queries emit their final window
+    * only because one batch closes it. Stray files in the staging
+    * directory are removed to keep the single-batch invariant.
+    */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source needs a directory; stage the single
@@ -43,6 +52,13 @@ object StreamingOps {
       java.nio.file.Files.copy(src, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    // enforce the one-file staging contract (see scaladoc)
+    val listing = java.nio.file.Files.list(dir)
+    try listing
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString != "events.parquet")
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally listing.close()
     s.readStream.schema(eventsSchema).parquet(dir.toString)
   }
 
@@ -111,6 +127,13 @@ object StreamingOps {
     * actually produces duplicates in practice), with O(watermark·rate)
     * state. On bounded input with in-window duplicates it equals the
     * batch distinct, which is what the oracle checks.
+    *
+    * Oracle-equality caveat: st7Sql = st2Sql holds because
+    * [[eventsStream]] stages the input as ONE file → one micro-batch,
+    * so the watermark never advances mid-run. Staged as multiple
+    * files/triggers, the operator could legitimately drop late rows or
+    * re-emit out-of-window duplicates and the compare would flake —
+    * that is the operator's documented streaming semantics, not a bug.
     */
   private def st7(s: SparkSession, d: String): DataFrame = {
     val agg = eventsStream(s, d)
