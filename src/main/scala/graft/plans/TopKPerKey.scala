@@ -19,8 +19,10 @@ import scala.collection.mutable
   * O(n log k), O(keys·k) memory — which is the difference between a
   * spilling sort and a streaming pass when n/key is millions of rows at
   * 100 TB. Implemented as the full Catalyst stack: logical node →
-  * planner Strategy → physical exec with a required hash distribution
-  * (the planner inserts the one shuffle on the key).
+  * planner Strategy → partial + final physical execs (the partial
+  * stage thins each map partition to its local per-key top-k, so the
+  * one shuffle on the key moves at most partitions·keys·k survivor
+  * rows, never the input volume).
   */
 case class TopKPerKeyLogical(keys: Seq[Expression], order: Expression,
     tie: Expression, k: Int, child: LogicalPlan) extends UnaryNode {
@@ -28,18 +30,30 @@ case class TopKPerKeyLogical(keys: Seq[Expression], order: Expression,
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
 
-/** Planner rule: logical top-k → heap-based exec. */
+/** Planner rule: logical top-k → TWO heap-based execs, exactly like
+  * partial/final aggregation. The map-side `partial = true` stage runs
+  * the same bounded heaps over whatever partitioning the child has and
+  * emits at most keys·k survivors per partition, so the exchange the
+  * final stage's required distribution inserts shuffles survivors —
+  * never the full candidate volume. (A one-stage formulation shuffles
+  * EVERY input row to the keyed reducers; at 100 TB the shuffle, not
+  * the heap, is the bottleneck.) Top-k is a semigroup — merging
+  * per-partition top-k sets and re-heaping is exact.
+  */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyLogical(keys, order, tie, k, child) =>
-      TopKPerKeyExec(keys, order, tie, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, tie, k,
+        TopKPerKeyExec(keys, order, tie, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
 
 /** Per-partition bounded-heap top-k; rows ranked by (order DESC, tie
-  * ASC). Requires clustering on `keys` so each key lives in exactly one
-  * partition.
+  * ASC). The final stage (`partial = false`) requires clustering on
+  * `keys` so each key lives in exactly one partition; the partial
+  * stage accepts any distribution and just thins each partition to its
+  * local per-key top-k before the shuffle.
   *
   * Memory: heaps are O(distinct keys per partition × k) and never
   * spill. That is the operator's contract — top-k per key only makes
@@ -49,12 +63,16 @@ object TopKStrategy extends SparkStrategy {
   * offending partition's key count instead.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Expression,
-    tie: Expression, k: Int, child: SparkPlan) extends UnaryExecNode {
+    tie: Expression, k: Int, child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String = if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else ClusteredDistribution(keys)) :: Nil
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics

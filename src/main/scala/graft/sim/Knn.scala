@@ -24,11 +24,6 @@ object Knn {
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
-  /** Stage-1 fan-out for the salted top-k: each (q_id, salt) heap sees
-    * ~1/32 of a query's candidates, so no single task ever buffers a
-    * whole query's candidate set. */
-  private val RankSalt = 32L
-
   /** Final ranking of a scored candidate set (columns `q_id`, `vec_id`,
     * `cos`, plus `payload`): global top-`k` per query by (cos DESC,
     * vec_id ASC), with a 1-based `rank` column.
@@ -37,21 +32,19 @@ object Knn {
     * every scored candidate for a query to ONE task and fully sorts it
     * (the spilling-sort failure mode at 100 TB). Instead:
     *
-    *  1. salted [[graft.plans.TopK.perKey]] on (q_id, salt): bounded
-    *     k-heaps spread over the cluster, O(n log k) streaming, each
-    *     reducer sees ~1/RankSalt of a query's candidates;
-    *  2. a second TopK.perKey on q_id over the ≤ RankSalt·k survivors
-    *     (any global top-k row is in its salt group's top-k, so the
-    *     two-stage result is exact);
-    *  3. rank assembly inside a per-query aggregate: collect the ≤ k
+    *  1. [[graft.plans.TopK.perKey]]: bounded k-heaps, O(n log k)
+    *     streaming. The operator plans as partial+final stages, so
+    *     each map partition thins its candidates to a local per-query
+    *     top-k BEFORE the shuffle — the exchange moves at most
+    *     partitions·k rows per query, never the scored volume, and no
+    *     single task ever buffers a query's candidate set;
+    *  2. rank assembly inside a per-query aggregate: collect the ≤ k
     *     survivors, array_sort with an explicit (cos DESC, vec_id ASC)
     *     comparator, posexplode — no Window node anywhere, and the
     *     sorted array is k elements, never candidate-count elements.
     */
   private def rankTopK(scored: DataFrame, k: Int, payload: Seq[String]): DataFrame = {
-    val salted = scored.withColumn("_salt", pmod(col("vec_id"), lit(RankSalt)))
-    val stage1 = TopK.perKey(salted, Seq("q_id", "_salt"), "cos", "vec_id", k).drop("_salt")
-    val top = TopK.perKey(stage1, Seq("q_id"), "cos", "vec_id", k)
+    val top = TopK.perKey(scored, Seq("q_id"), "cos", "vec_id", k)
     val fields = Seq("vec_id", "cos") ++ payload
     top.groupBy(col("q_id"))
       .agg(collect_list(struct(fields.map(col): _*)).as("cand"))

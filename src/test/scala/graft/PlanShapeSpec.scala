@@ -105,12 +105,13 @@ class PlanShapeSpec extends SparkSpec {
   test("s1/s2/s4 rank candidates with bounded TopKPerKey heaps, never a window sort") {
     // the round-5 verdict's last scale-killer: a row_number window
     // partitioned by q_id ships EVERY scored candidate of a query to
-    // one task and fully sorts it. The fix is the salted two-stage
-    // TopKPerKey (Knn.rankTopK) — assert both heap stages survive in
-    // the executed plan and no Window node ranks the candidate set.
+    // one task and fully sorts it. The fix is TopKPerKey's partial +
+    // final heap stages (Knn.rankTopK) — assert both survive in the
+    // executed plan and no Window node ranks the candidate set.
     for (q <- Seq("s1_knn_brute", "s2_ann_lsh")) {
       val p = plan(q)
-      assert("TopKPerKey".r.findAllIn(p).size >= 2, s"$q lost the two-stage top-k:\n$p")
+      assert("TopKPerKey".r.findAllIn(p).size >= 2,
+        s"$q lost the partial+final top-k stages:\n$p")
       assert(!p.contains("Window"), s"$q ranks through a window sort:\n$p")
     }
     val p4 = plan("s4_ivf_probe")
