@@ -507,6 +507,23 @@ object Analytics {
         col("p25_qty"), col("n"))
       .orderBy(col("l_returnflag"))
 
+  /** q26: approximate distinct counting via the HyperLogLog++ sketch
+    * aggregate — q9's scale sibling. Exact distinct shuffles every
+    * distinct key to the reducers; the HLL sketch is MERGEABLE (2^p
+    * fixed-size registers, merge = per-register max, order-independent
+    * and therefore deterministic), so partials combine map-side and
+    * the shuffle carries one small sketch per group regardless of
+    * cardinality — the 100 TB cardinality path. Rows-only oracle: the
+    * register layout and bias correction are engine-specific, so
+    * DuckDB's approx_distinct would not hash-match.
+    */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Pivot (wide) aggregation: one column per l_linestatus value.
     * Values are enumerated explicitly — at scale an un-enumerated
     * pivot needs an extra distinct pass over the data.
@@ -673,6 +690,7 @@ object Analytics {
     "q19_pivot" -> (q19 _),
     "q18_percentile" -> (q18 _),
     "q25_percentile_sketch" -> (q25 _), // rows-only: no oracle entry
+    "q26_distinct_sketch" -> (q26 _),   // rows-only: no oracle entry
     "q16_topk_custom" -> (q16 _),
     "q17_json_extract" -> (q17 _),
     "q1_agg" -> (q1 _),

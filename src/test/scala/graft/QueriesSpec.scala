@@ -13,7 +13,9 @@ class QueriesSpec extends SparkSpec {
   private val rowsOnly = Set(
     // approx_percentile's sketch compression points are engine-
     // specific — no DuckDB aggregate reproduces them bit-exactly
-    "q25_percentile_sketch")
+    "q25_percentile_sketch",
+    // HLL++ register layout / bias correction are engine-specific
+    "q26_distinct_sketch")
 
   test("every query has an oracle (or is an explicit rows-only entry)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
