@@ -136,6 +136,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(globalSorts <= 1, s"$globalSorts global sorts:\n$p")
   }
 
+  test("sketch queries aggregate with map-side partials — the mergeable-sketch contract") {
+    // q25/q26 exist BECAUSE their sketches merge: partials must
+    // combine map-side so the shuffle carries one sketch per group,
+    // not the data. A plan without a partial aggregate level would be
+    // the built-in buffering shape in disguise.
+    for (q <- Seq("q25_percentile_sketch", "q26_distinct_sketch")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost map-side partial aggregation:\n$p")
+    }
+  }
+
   test("d6 decontamination broadcasts only the benchmark shingle set") {
     val p = plan("d6_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
