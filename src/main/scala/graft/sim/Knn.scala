@@ -60,7 +60,7 @@ object Knn {
 
   /** s1: brute-force cosine top-10 per query vector. The query side is
     * tiny and broadcast; the corpus never shuffles for scoring, and the
-    * ranking runs through salted bounded heaps (see [[rankTopK]]).
+    * ranking runs through partial+final bounded heaps (see [[rankTopK]]).
     */
   private def s1(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
