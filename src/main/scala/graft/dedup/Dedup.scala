@@ -85,47 +85,63 @@ object Dedup {
     bands.select(col("doc_id"),
       explode(map(lit(0), col("b0"), lit(1), col("b1"), lit(2), col("b2"), lit(3), col("b3"))).as(Seq("band_id", "bkey")))
 
-  /** Stop-bucket cap for the d2 band candidate join: a band bucket with
-    * more than this many members is skipped entirely (the same skew
-    * guard as d4's df ≤ 10 stop-shingle cap). An m-member bucket costs
-    * m² join rows, so one giant dup family — exactly what a templated
-    * corpus produces at scale — would otherwise go quadratic; families
-    * that big are already caught by exact dedup (d1) and by d7's
-    * star-contracted clustering, which does NOT pay the m² price.
+  /** Stop-bucket cap for the d2 band candidate join, measured in
+    * FAMILIES (distinct signatures), not documents: a band bucket with
+    * more than this many distinct-signature members is skipped (the
+    * same skew guard as d4's df ≤ 10 stop-shingle cap). Since an
+    * identical-signature dup family collapses to ONE row before the
+    * join (the d8 move), a giant templated family can neither blow
+    * this cap nor go quadratic — the cap only fires on the genuinely
+    * pathological case of >MaxBandBucket DISTINCT signatures whose
+    * minhash bands all collide.
     */
   private[graft] val MaxBandBucket = 50
 
   /** d2: MinHash/LSH candidate counts — per document, its 4 band keys
-    * and the number of distinct documents sharing at least one
-    * (uncapped) band bucket with it.
+    * and the number of other documents sharing at least one band
+    * bucket with it.
     *
-    * QUERY CONTRACT (part of the semantics, mirrored by the oracle):
-    * band buckets larger than [[MaxBandBucket]] are skipped WHOLESALE.
-    * That includes bystanders — a document that merely collides into a
-    * bucket dominated by a >MaxBandBucket dup family loses its
-    * legitimate candidates from that bucket too (its other three bands
-    * still contribute). n_candidates is therefore a lower bound in the
-    * presence of giant families, the same kind of documented
-    * approximation as d4's df ≤ 10 stop-shingle cap; exact membership
-    * for such families comes from d1 (exact dedup) and d7 (clustering,
-    * which pays no m² price and has no cap).
+    * Scale shape: documents with an IDENTICAL signature (all four band
+    * keys equal — exact/near-exact dup families, the hot buckets of a
+    * templated corpus) collapse to one representative row with a
+    * member count before the band join, so the join is over families
+    * and costs (families per bucket)², never (docs per bucket)².
+    * Family mates are mutual candidates by construction and are added
+    * back arithmetically (fsize − 1); cross-family candidates expand
+    * by the partner family's size. Bystander docs that collide into a
+    * family's bucket keep their candidates — the round-5 per-document
+    * cap silently zeroed them.
+    *
+    * QUERY CONTRACT (mirrored by the oracle): band buckets holding
+    * more than [[MaxBandBucket]] DISTINCT signatures are skipped
+    * wholesale; n_candidates is a lower bound in that pathological
+    * case (adversarially colliding distinct signatures).
     */
   private def d2(s: SparkSession, d: String): DataFrame = {
     val bands = minhashBands(s, d)
-    val long = bandLong(bands)
-    val capped = long
+    val sigCols = Seq(col("b0"), col("b1"), col("b2"), col("b3"))
+    val fams = bands.groupBy(sigCols: _*)
+      .agg(min(col("doc_id")).as("fid"), count(lit(1)).as("fsize"))
+    val flong = fams.select(col("fid"), col("fsize"),
+      explode(map(lit(0), col("b0"), lit(1), col("b1"), lit(2), col("b2"), lit(3), col("b3")))
+        .as(Seq("band_id", "bkey")))
+    val capped = flong
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_id"), col("bkey"))))
       .filter(col("bsz") <= MaxBandBucket)
       .drop("bsz")
-    val cands = capped.as("a").join(capped.as("b"),
+    // distinct family pairs across bands; csize rides along (it is a
+    // function of cfid, so it does not widen the distinct)
+    val fpairs = capped.as("a").join(capped.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("cand"))
+          col("a.fid") =!= col("b.fid"))
+      .select(col("a.fid").as("fid"), col("b.fid").as("cfid"), col("b.fsize").as("csize"))
       .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-    bands.join(cands, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+    val ext = fpairs.groupBy(col("fid")).agg(sum(col("csize")).as("ext"))
+    val famCands = fams.join(ext, Seq("fid"), "left")
+      .select((sigCols :+
+        (coalesce(col("ext"), lit(0L)) + col("fsize") - 1).as("n_candidates")): _*)
+    bands.join(famCands, Seq("b0", "b1", "b2", "b3"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"), col("n_candidates"))
       .orderBy(col("doc_id"))
   }
 
@@ -157,19 +173,30 @@ object Dedup {
 
   private val d2Sql = "WITH " + MinhashCteBody +
     s""",
+      |fams AS (
+      |  SELECT b0, b1, b2, b3, MIN(doc_id) AS fid, COUNT(*) AS fsize
+      |  FROM bands GROUP BY b0, b1, b2, b3),
+      |flong AS (
+      |  SELECT fid, fsize, 0 AS band_id, b0 AS bkey FROM fams
+      |  UNION ALL SELECT fid, fsize, 1, b1 FROM fams
+      |  UNION ALL SELECT fid, fsize, 2, b2 FROM fams
+      |  UNION ALL SELECT fid, fsize, 3, b3 FROM fams),
       |capped AS (
-      |  SELECT doc_id, band_id, bkey FROM (
-      |    SELECT doc_id, band_id, bkey,
-      |      COUNT(*) OVER (PARTITION BY band_id, bkey) AS bsz FROM long)
+      |  SELECT fid, fsize, band_id, bkey FROM (
+      |    SELECT fid, fsize, band_id, bkey,
+      |      COUNT(*) OVER (PARTITION BY band_id, bkey) AS bsz FROM flong)
       |  WHERE bsz <= $MaxBandBucket),
-      |cands AS (
-      |  SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_candidates
+      |fpairs AS (
+      |  SELECT DISTINCT a.fid AS fid, b.fid AS cfid, b.fsize AS csize
       |  FROM capped a JOIN capped b
-      |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
-      |  GROUP BY a.doc_id)
-      |SELECT bands.doc_id AS doc_id, b0, b1, b2, b3,
-      |  COALESCE(cands.n_candidates, 0) AS n_candidates
-      |FROM bands LEFT JOIN cands ON bands.doc_id = cands.doc_id
+      |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.fid <> b.fid),
+      |ext AS (SELECT fid, SUM(csize) AS ext FROM fpairs GROUP BY fid)
+      |SELECT bands.doc_id AS doc_id, bands.b0, bands.b1, bands.b2, bands.b3,
+      |  CAST(COALESCE(e.ext, 0) + f.fsize - 1 AS BIGINT) AS n_candidates
+      |FROM bands
+      |JOIN fams f ON bands.b0 = f.b0 AND bands.b1 = f.b1
+      |           AND bands.b2 = f.b2 AND bands.b3 = f.b3
+      |LEFT JOIN ext e ON e.fid = f.fid
       |ORDER BY bands.doc_id""".stripMargin
 
   /** 64-bit SimHash over distinct tokens: bit j is the sign of the sum

@@ -94,14 +94,16 @@ class DedupPlanSpec extends SparkSpec {
       s"${got.size} pairs of ${nDocs * (nDocs - 1) / 2} possible — signature too narrow")
   }
 
-  test("d2 stop-bucket cap drops candidates from an oversized dup family") {
+  test("d2 family collapse: a giant dup family neither caps out nor strips bystanders") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // a dup family LARGER than the cap (identical text → identical
-    // bands → every band bucket holds the whole family), a 2-doc
-    // family under the cap, and unique filler docs
-    val big = (0L until dedup.Dedup.MaxBandBucket + 10L).map(i =>
-      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    // a dup family LARGER than the (family-unit) cap — identical text
+    // → identical signature → ONE family row, so the cap must NOT fire
+    // and every member must count its fsize-1 mates; plus a 2-doc
+    // family and unique filler docs
+    val famText = "the quick brown fox jumps over the lazy dog again and again"
+    val famSize = dedup.Dedup.MaxBandBucket + 10L
+    val big = (0L until famSize).map(i => (i, famText))
     val small = Seq(
       (1000L, "an entirely different small duplicate family text body"),
       (1001L, "an entirely different small duplicate family text body"))
@@ -117,12 +119,42 @@ class DedupPlanSpec extends SparkSpec {
     val out = SparkEntry.queries("d2_minhash_lsh")(spark, dir)
       .select("doc_id", "n_candidates").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the round-5 per-DOCUMENT cap zeroed these (the whole bucket was
+    // skipped); the family-unit cap sees one row and keeps them all
     big.foreach { case (id, _) =>
-      assert(out(id) == 0L, s"doc $id of the oversized family must be capped out, got ${out(id)}")
+      assert(out(id) == famSize - 1L,
+        s"doc $id of the $famSize-doc family: got ${out(id)}, want ${famSize - 1}")
     }
     assert(out(1000L) == 1L && out(1001L) == 1L,
-      s"small family under the cap keeps its candidates: ${out(1000L)}, ${out(1001L)}")
+      s"small family keeps its candidates: ${out(1000L)}, ${out(1001L)}")
     filler.foreach { case (id, _) => assert(out(id) == 0L) }
+  }
+
+  test("d2 bystander of a giant dup family keeps its cross-family candidates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the bystander is a NEAR-dup of the family text (one word
+    // appended): J ≈ 0.9, so its minhash shares at least one band with
+    // the family for this fixed corpus (deterministic md5 minhash —
+    // checked below, not assumed). It must then count the WHOLE family
+    // (every member, via the family expansion), where the round-5
+    // per-document cap gave it 0 from that bucket.
+    val famText = "the quick brown fox jumps over the lazy dog again and again"
+    val big = (0L until dedup.Dedup.MaxBandBucket + 10L).map(i => (i, famText))
+    val bystander = (5000L, famText + " nearby")
+    val dir = java.nio.file.Files.createTempDirectory("d2bystander").toString
+    (big :+ bystander).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("d2_minhash_lsh")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (Seq(r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4)), r.getLong(5))).toMap
+    val sharesBand = rows(5000L)._1.zip(rows(0L)._1).exists { case (a, b) => a == b }
+    assert(sharesBand,
+      "test corpus must make the bystander LSH-collide with the family (fixed md5 minhash)")
+    assert(rows(5000L)._2 == big.length.toLong,
+      s"bystander must count the whole family, got ${rows(5000L)._2}")
+    assert(rows(0L)._2 == big.length.toLong, // fsize-1 mates + the bystander's family
+      s"family member counts mates + bystander, got ${rows(0L)._2}")
   }
 
   test("d8 verifies hamming via codegen'd bit_count, not an interpreted per-bit fold") {
