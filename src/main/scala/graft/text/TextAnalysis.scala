@@ -412,7 +412,40 @@ object TextAnalysis {
       |       ELSE FALSE END AS crosses_boundary
       |FROM o ORDER BY doc_id""".stripMargin
 
+  /** t11: exact stratified sampling — exactly min(k, |stratum|)
+    * documents per source, selected by deterministic content-hash
+    * order (md5 of a salted doc_id). Like t8/t9 the selection is a
+    * pure function of content identity: reproducible across runs, row
+    * order, partitioning and engines. Unlike t9's rate-based
+    * hash-threshold sampling this is exact-COUNT sampling ("give me k
+    * docs per source"), the other primitive a corpus-assembly pipeline
+    * needs.
+    *
+    * Scale shape: the per-stratum cut runs on [[graft.plans.TopK]]'s
+    * partial+final bounded heaps — no per-stratum sort, no
+    * row_number window shipping a whole stratum to one task, and the
+    * shuffle carries at most partitions·strata·k survivor rows. That
+    * is the difference between "sample 1M docs per source" working on
+    * a 100 TB corpus and a spilling window sort per source.
+    */
+  private[graft] val StratifiedK = 10
+
+  private def t11(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("strat:"), col("doc_id").cast("string")).cast("binary")).as("h"))
+    graft.plans.TopK.perKey(base, Seq("source"), "h", "doc_id", StratifiedK)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t11Sql =
+    s"""SELECT doc_id, source, h FROM (
+      |  SELECT doc_id, source, md5('strat:' || doc_id) AS h FROM documents)
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY h DESC, doc_id) <= $StratifiedK
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t11_stratified" -> (t11 _),
     "t10_pack" -> (t10 _),
     "t9_mix_sample" -> (t9 _),
     "t8_split_assign" -> (t8 _),
@@ -425,6 +458,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t11_stratified" -> t11Sql,
     "t10_pack" -> t10Sql,
     "t9_mix_sample" -> t9Sql,
     "t8_split_assign" -> t8Sql,
