@@ -311,16 +311,26 @@ object Dedup {
     * equals Jaccard over the string sets up to ~n²/2⁶⁵ collision odds.
     */
   private[graft] def docShingleSets(docs: DataFrame): DataFrame =
-    shinglesDistinct(docs)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-      .groupBy(col("doc_id"))
+    docSetsOf(hashedShingles(docs))
+
+  /** Distinct (doc_id, xxhash64(shingle)) pairs — the long form the
+    * inverted-index candidate stage joins on. */
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame =
+    shinglesDistinct(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+
+  /** [[docShingleSets]] built from an ALREADY-CONSTRUCTED hashed-shingle
+    * relation: a caller that also needs the long form (candidateOverlap
+    * joins rare shingles against it) shares ONE scan+distinct subtree by
+    * construction, instead of re-deriving the pipeline and hoping AQE
+    * canonicalizes the two copies into one exchange. */
+  private[graft] def docSetsOf(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(collect_set(col("sh")).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
 
   private def candidateOverlap(s: SparkSession, d: String): DataFrame = {
-    val sh = shinglesDistinct(Tables.documents(s, d))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    val docSets = docShingleSets(Tables.documents(s, d))
+    val sh = hashedShingles(Tables.documents(s, d))
+    val docSets = docSetsOf(sh)
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 10)
     val rareSh = sh.join(rare.select(col("sh")), Seq("sh"))

@@ -44,7 +44,14 @@ object Knn {
     *     sorted array is k elements, never candidate-count elements.
     */
   private def rankTopK(scored: DataFrame, k: Int, payload: Seq[String]): DataFrame = {
-    val top = TopK.perKey(scored, Seq("q_id"), "cos", "vec_id", k)
+    // A zero-norm embedding scores NaN (0/0) cosine. The heap's
+    // interpreted double ordering ranks NaN GREATEST (it would be
+    // selected), while the array_sort comparator below treats NaN as
+    // equal to everything (neither > nor < holds) — selection and rank
+    // assignment would disagree. Degenerate vectors are not meaningful
+    // neighbors; drop them before ranking so both stages see one order.
+    val clean = scored.filter(col("cos").isNotNull && !isnan(col("cos")))
+    val top = TopK.perKey(clean, Seq("q_id"), "cos", "vec_id", k)
     val fields = Seq("vec_id", "cos") ++ payload
     top.groupBy(col("q_id"))
       .agg(collect_list(struct(fields.map(col): _*)).as("cand"))
