@@ -72,7 +72,16 @@ object VectorFunctions {
     * default 8) — the blocking width of d5 and s2. The DuckDB oracle
     * SQL is generated against the DEFAULT width, so set the conf only
     * in deployments that don't run the oracle gate (size it with
-    * [[signBitsFor]]). */
+    * [[signBitsFor]]). Validated at parse time: a non-numeric or
+    * out-of-range width fails loudly HERE, not as a confusing
+    * element_at error (or silent mis-blocking) deep in the d5/s2 plan. */
   def sessionSignDims(s: org.apache.spark.sql.SparkSession): Seq[Int] =
-    signDims(s.conf.getOption("graft.lsh.signBits").map(_.toInt).getOrElse(8))
+    signDims(s.conf.getOption("graft.lsh.signBits").map { v =>
+      val b = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.lsh.signBits must be an integer in 1..64, got '$v'")
+      }
+      require(b >= 1 && b <= 64, s"graft.lsh.signBits must be in 1..64, got $b")
+      b
+    }.getOrElse(8))
 }

@@ -43,13 +43,18 @@ object Knn {
     *     comparator, posexplode — no Window node anywhere, and the
     *     sorted array is k elements, never candidate-count elements.
     */
-  private def rankTopK(scored: DataFrame, k: Int, payload: Seq[String]): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame, k: Int, payload: Seq[String]): DataFrame = {
     // A zero-norm embedding scores NaN (0/0) cosine. The heap's
     // interpreted double ordering ranks NaN GREATEST (it would be
     // selected), while the array_sort comparator below treats NaN as
     // equal to everything (neither > nor < holds) — selection and rank
     // assignment would disagree. Degenerate vectors are not meaningful
     // neighbors; drop them before ranking so both stages see one order.
+    // The DuckDB oracles (s1Sql/s2Sql/s4Sql) carry the SAME predicate
+    // (`cos IS NOT NULL AND NOT isnan(cos)`), so query and oracle agree
+    // by contract — not by the test corpus happening to lack zero-norm
+    // vectors. (DuckDB orders NaN greatest too; unmirrored, a zero-norm
+    // vector would rank 1 in the oracle and be absent here.)
     val clean = scored.filter(col("cos").isNotNull && !isnan(col("cos")))
     val top = TopK.perKey(clean, Seq("q_id"), "cos", "vec_id", k)
     val fields = Seq("vec_id", "cos") ++ payload
@@ -75,6 +80,12 @@ object Knn {
       // per-candidate dot loop
       .repartition(s.sessionState.conf.numShufflePartitions)
       .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+      // zero-norm guard BEFORE the cosine division: under ANSI mode
+      // (Spark 4 default) 0/0 THROWS rather than scoring NaN, so a
+      // degenerate embedding must be excluded here, not merely dropped
+      // by rankTopK's NaN filter (which stays as non-ANSI defense).
+      // The oracles' NOT isnan(cos) predicate is the same exclusion.
+      .filter(col("norm_e") > 0)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm_e").as("norm_q"))
     val scored = broadcast(q)
@@ -95,6 +106,7 @@ object Knn {
        |SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
        |       vec_id, cos
        |FROM scored
+       |WHERE cos IS NOT NULL AND NOT isnan(cos)
        |QUALIFY rank <= 10
        |ORDER BY q_id, rank""".stripMargin
 
@@ -116,6 +128,7 @@ object Knn {
       .withColumn("bucket",
         VectorFunctions.signBucket("embedding", VectorFunctions.sessionSignDims(s)))
       .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+      .filter(col("norm_e") > 0) // ANSI zero-norm guard (see s1)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("bucket"), col("norm_e").as("norm_q"))
@@ -144,6 +157,7 @@ object Knn {
        |SELECT q_id, bucket, vec_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
        |FROM scored
+       |WHERE cos IS NOT NULL AND NOT isnan(cos)
        |QUALIFY rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
@@ -233,7 +247,8 @@ object Knn {
     val e = Tables.embeddings(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions)
     val centArr = centroidArrays(e)
-    val corpus = assign(e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding"))),
+    val corpus = assign(e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+        .filter(col("norm_e") > 0), // ANSI zero-norm guard (see s1)
         centArr, Seq("embedding", "norm_e"))
       .select(col("vec_id"), col("cell").as("assigned_cell"), col("embedding"), col("norm_e"))
     val wc = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cell"))
@@ -246,6 +261,7 @@ object Knn {
       .filter(col("crn") <= 2)
       .select(col("q_id"), col("qe"), col("cell").as("probe_cell"))
       .withColumn("norm_q", sqrt(VectorFunctions.dot("qe", "qe")))
+      .filter(col("norm_q") > 0) // ANSI zero-norm guard (see s1)
     val scored = broadcast(probes)
       .join(corpus, col("probe_cell") === col("assigned_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("assigned_cell"),
@@ -286,6 +302,7 @@ object Knn {
        |SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
        |       vec_id, assigned_cell, cos
        |FROM scored
+       |WHERE cos IS NOT NULL AND NOT isnan(cos)
        |QUALIFY rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 

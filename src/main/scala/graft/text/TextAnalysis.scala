@@ -369,8 +369,16 @@ object TextAnalysis {
     // stages
     val maxRow = docs.agg(max(col("doc_id"))).head()
     val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    val packBucket = s.conf.getOption("graft.pack.bucket").map(_.toLong)
-      .getOrElse(derivePackBucket(maxId))
+    // validated at parse time: bucket ≤ 0 would make `doc_id div 0`
+    // yield NULL buckets and silently collapse both prefix-sum stages
+    val packBucket = s.conf.getOption("graft.pack.bucket").map { v =>
+      val b = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.pack.bucket must be a positive integer, got '$v'")
+      }
+      require(b > 0, s"graft.pack.bucket must be > 0, got $b")
+      b
+    }.getOrElse(derivePackBucket(maxId))
     val base = docs
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
       .withColumn("pbucket", expr(s"doc_id div $packBucket"))

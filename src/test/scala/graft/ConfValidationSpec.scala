@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.VectorFunctions
+
+/** Conf-override validation (ADVICE r6/r7): a bad `graft.pack.bucket`
+  * or `graft.lsh.signBits` must fail loudly at parse time — never
+  * `div 0` null buckets or a confusing element_at error mid-plan.
+  */
+class ConfValidationSpec extends SparkSpec {
+
+  private def withConf(key: String, value: String)(body: => Unit): Unit = {
+    spark.conf.set(key, value)
+    try body finally spark.conf.unset(key)
+  }
+
+  test("graft.pack.bucket rejects zero, negatives, and non-numerics") {
+    for (bad <- Seq("0", "-5", "abc")) withConf("graft.pack.bucket", bad) {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("t10_pack")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("graft.pack.bucket"), s"message for '$bad': ${e.getMessage}")
+    }
+  }
+
+  test("graft.pack.bucket override does not change t10's output (bucketing-invariant offsets)") {
+    val default = SparkEntry.queries("t10_pack")(spark, sf).collect().toSeq
+    withConf("graft.pack.bucket", "17") {
+      val overridden = SparkEntry.queries("t10_pack")(spark, sf).collect().toSeq
+      assert(overridden === default)
+    }
+  }
+
+  test("graft.lsh.signBits rejects out-of-range and non-numeric widths") {
+    for (bad <- Seq("0", "65", "-1", "wide")) withConf("graft.lsh.signBits", bad) {
+      val e = intercept[IllegalArgumentException] {
+        VectorFunctions.sessionSignDims(spark)
+      }
+      assert(e.getMessage.contains("graft.lsh.signBits") || e.getMessage.contains("bits"),
+        s"message for '$bad': ${e.getMessage}")
+    }
+  }
+
+  test("graft.lsh.signBits accepts a valid width; default is 8 bits") {
+    assert(VectorFunctions.sessionSignDims(spark) === VectorFunctions.defaultSignDims)
+    withConf("graft.lsh.signBits", "16") {
+      assert(VectorFunctions.sessionSignDims(spark).size === 16)
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** rankTopK's degenerate-vector contract (ADVICE r7): a zero-norm
+  * embedding scores NaN cosine and must be DROPPED before ranking —
+  * and the DuckDB oracles carry the same predicate, so the agreement
+  * is by contract, not a property of the generated test corpus.
+  */
+class KnnRankSpec extends SparkSpec {
+
+  test("zero-norm embedding is excluded by the norm guard; ranks stay contiguous") {
+    import spark.implicits._
+    // corpus with an injected zero vector (vec 2); query vector (1, 0).
+    // Under ANSI mode (Spark 4 default) an unguarded cosine division
+    // would THROW 0/0 — the s1/s2/s4 shape filters norm > 0 BEFORE the
+    // division, which is what this replicates.
+    val e = Seq(
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(0f, 0f)), // zero norm: excluded by the guard
+      (3L, Seq(0.6f, 0.8f)),
+      (4L, Seq(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+      .filter(col("norm_e") > 0)
+    val q = Seq((0L, Seq(1f, 0f))).toDF("q_id", "qe")
+      .withColumn("norm_q", sqrt(VectorFunctions.dot("qe", "qe")))
+      .filter(col("norm_q") > 0)
+    val scored = q.crossJoin(e)
+      .select(col("q_id"), col("vec_id"),
+        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
+    val out = sim.Knn.rankTopK(scored, 10, Seq.empty)
+      .orderBy(col("rank"))
+      .select(col("rank"), col("vec_id"), col("cos"))
+      .collect()
+    assert(!out.exists(_.getLong(1) == 2L), "zero-norm row must not be ranked")
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L), "ranks must stay contiguous")
+    // (cos DESC, vec_id ASC): 1.0, 0.6, -1.0
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("rankTopK drops an injected NaN cosine (non-ANSI defense) and keeps one order") {
+    import spark.implicits._
+    val scored = Seq(
+      (0L, 1L, 0.9), (0L, 2L, 0.0), (0L, 3L, 0.5)
+    ).toDF("q_id", "vec_id", "cos")
+      // inject NaN the way a non-ANSI session's 0/0 would produce it
+      .withColumn("cos", when(col("vec_id") === 2L, lit(Double.NaN)).otherwise(col("cos")))
+    val out = sim.Knn.rankTopK(scored, 2, Seq.empty)
+      .orderBy(col("rank"))
+      .select(col("rank"), col("vec_id")).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 3L),
+      "NaN row must be dropped, not ranked greatest")
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("every similarity oracle mirrors the NaN/null filter") {
+    for (name <- Seq("s1_knn_brute", "s2_ann_lsh", "s4_ivf_probe")) {
+      val sql = SparkEntry.oracleSql(name)
+      assert(sql.contains("NOT isnan(cos)") && sql.contains("cos IS NOT NULL"),
+        s"$name oracle must carry the rankTopK NaN/null predicate")
+    }
+  }
+}

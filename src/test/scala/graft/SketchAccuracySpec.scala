@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Accuracy bounds for the two sketch queries that deliberately have
+  * no DuckDB oracle (sketch internals are engine-specific — see the
+  * QueriesSpec rows-only allowlist). This spec replaces the missing
+  * oracle with the sketches' OWN published contracts, checked against
+  * exact results on the same data:
+  *
+  *  - q25 `approx_percentile(..., accuracy)` (Greenwald-Khanna):
+  *    returns an actual input value whose RANK is within
+  *    ⌈n/accuracy⌉ of the target rank ⌈p·n⌉;
+  *  - q26 `approx_count_distinct` (HyperLogLog++): relative error
+  *    concentrated within the default relativeSD = 0.05.
+  *
+  * A silently-broken sketch (wrong column, wrong group wiring, a
+  * regression in the rewrite between partial and final agg) lands far
+  * outside both bounds, so "no_oracle" no longer means "unchecked".
+  */
+class SketchAccuracySpec extends SparkSpec {
+
+  /** q25's accuracy parameter (Analytics.q25 passes 10000). */
+  private val Accuracy = 10000
+
+  /** GK rank-error check: `apx` must be an element of `sorted` whose
+    * 1-based rank lies within e = ⌈n/accuracy⌉ (+1 slack for the
+    * boundary-interpolation of ⌈p·n⌉ itself) of the target rank. */
+  private def assertWithinRankError(sorted: Array[Double], p: Double, apx: Double,
+      label: String): Unit = {
+    val n = sorted.length
+    assert(n > 0, s"$label: empty group")
+    assert(sorted.contains(apx),
+      s"$label: approx_percentile must return an actual input value, got $apx")
+    val e = math.max(1L, math.ceil(n.toDouble / Accuracy).toLong) + 1
+    val target = math.ceil(p * n).toLong.max(1L)
+    val lo = sorted(((target - e).max(1L) - 1).toInt)
+    val hi = sorted(((target + e).min(n.toLong) - 1).toInt)
+    assert(apx >= lo && apx <= hi,
+      s"$label: $apx outside rank window [$lo, $hi] (target rank $target ± $e of n=$n)")
+  }
+
+  test("q25 approx percentiles are within GK rank error of the exact order statistics") {
+    val approx = SparkEntry.queries("q25_percentile_sketch")(spark, sf).collect()
+    assert(approx.nonEmpty)
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("price"),
+        col("l_quantity").cast("double").as("qty"))
+      .collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    for (r <- approx) {
+      val flag = r.getString(0)
+      val grp = byFlag(flag)
+      val prices = grp.map(_.getDouble(1)).sorted
+      val qtys = grp.map(_.getDouble(2)).sorted
+      assert(r.getLong(4) === grp.length.toLong, s"$flag: group count wiring")
+      assertWithinRankError(prices, 0.5, r.getDouble(1), s"$flag p50_price")
+      assertWithinRankError(prices, 0.9, r.getDouble(2), s"$flag p90_price")
+      assertWithinRankError(qtys, 0.25, r.getDouble(3), s"$flag p25_qty")
+    }
+  }
+
+  test("q25 sketch agrees with the ExactPercentile operator within the same rank window") {
+    // ties the sketch to the exact distributed operator it substitutes
+    // for at 100 TB: the interpolated exact value and the sketch value
+    // must be within one rank-window width of each other
+    val li = Tables.lineitem(spark, sf)
+    val exact = operators.ExactPercentile
+      .percentilesMany(li, "l_returnflag", Seq("l_extendedprice" -> Seq(0.5)))
+      .select(col("l_returnflag"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = SparkEntry.queries("q25_percentile_sketch")(spark, sf)
+      .select(col("l_returnflag"), col("p50_price")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val prices = li.select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getDouble(1)).sorted }
+    for ((flag, apx) <- approx) {
+      val sorted = prices(flag)
+      val n = sorted.length
+      val e = (math.max(1L, math.ceil(n.toDouble / Accuracy).toLong) + 1).toInt
+      val target = math.ceil(0.5 * n).toLong.max(1L).toInt
+      val width = sorted((target + e).min(n) - 1) - sorted((target - e).max(1) - 1)
+      assert(math.abs(apx - exact(flag)) <= width + 1e-9,
+        s"$flag: sketch p50 $apx vs exact ${exact(flag)} differ by more than the rank window $width")
+    }
+  }
+
+  /** HLL++ default relativeSD in Spark's `approx_count_distinct`. */
+  private val Rsd = 0.05
+
+  test("q26 approx distinct counts are within HLL++ relative error of exact counts") {
+    val approx = SparkEntry.queries("q26_distinct_sketch")(spark, sf).collect()
+    assert(approx.nonEmpty)
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (r <- approx) {
+      val et = r.getString(0)
+      val (exUsers, exEvents) = exact(et)
+      assert(r.getLong(2) === exEvents, s"$et: n_events wiring")
+      val rel = math.abs(r.getLong(1) - exUsers).toDouble / exUsers
+      // 2x the configured standard deviation: deterministic data, so
+      // this is a fixed margin, not a flaky statistical gate
+      assert(rel <= 2 * Rsd,
+        s"$et: approx ${r.getLong(1)} vs exact $exUsers — relative error $rel > ${2 * Rsd}")
+    }
+  }
+}
