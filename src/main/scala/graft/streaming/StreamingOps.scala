@@ -62,16 +62,42 @@ object StreamingOps {
     s.readStream.schema(eventsSchema).parquet(dir.toString)
   }
 
+  /** State-store partition count for the bounded streaming queries
+    * (conf `graft.stream.partitions`). Stateful operators commit one
+    * delta file per state partition per store per micro-batch — at the
+    * session default of 32 partitions, st6's interval join (4 state
+    * stores x 32 partitions x data+watermark batches) pays ~256 file
+    * commits of pure fixed overhead while the DATA per batch is tiny.
+    * 4 partitions cut that floor 8x; the stateful work itself is keyed
+    * and sharded identically (results are partitioning-invariant), and
+    * an unbounded production feed — where state volume, not commit
+    * count, dominates — would raise this back up. */
+  private def streamPartitions(s: SparkSession): String =
+    s.conf.getOption("graft.stream.partitions").getOrElse("4")
+
   /** Runs a bounded streaming query to completion into a memory sink
     * and returns its result table.
+    *
+    * `Trigger.AvailableNow` (not `processAllAvailable` polling): the
+    * query plans all staged input at start — still ONE data micro-batch
+    * for the single staged file, preserving the eventsStream invariant —
+    * runs the no-data watermark-advance batch, and stops itself, so
+    * completion is event-driven rather than poll-detected.
     */
   private def runToMemory(s: SparkSession, out: DataFrame, name: String,
                           mode: String = "complete"): DataFrame = {
     s.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = out.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    // shuffle.partitions is read at query START and pinned in the
+    // checkpoint; setting it here scopes the reduction to this
+    // streaming query, the finally puts the batch default back
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamPartitions(s))
+    try {
+      val q = out.writeStream.outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
