@@ -516,7 +516,10 @@ object Dedup {
         >= ClusterEdgeMinJaccard)
       .select(col("root"), col("doc_id"))
 
-  private def d7(s: SparkSession, d: String): DataFrame = {
+  /** Converged min-label cluster assignment (doc_id, cluster_id) —
+    * d7's propagation loop, factored out so d10's keep-best decision
+    * consumes the same clustering. */
+  private def clusterAssignments(s: SparkSession, d: String): DataFrame = {
     val long = bandLong(minhashBands(s, d))
     // Star contraction per band bucket: every member connects to the
     // bucket's min doc_id, both directions. Connectivity-equivalent to
@@ -570,11 +573,19 @@ object Dedup {
         s"d7 label propagation did not converge within $iter iterations — " +
           "component diameter exceeds the cap; raise it or pre-split the graph")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .orderBy(col("doc_id"))
   }
 
-  private val d7Sql = "WITH RECURSIVE " + MinhashCteBody +
+  private def d7(s: SparkSession, d: String): DataFrame =
+    clusterAssignments(s, d)
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+
+  /** Shared oracle CTE chain ending in clusters(doc_id, cluster_id):
+    * the DuckDB mirror of [[clusterAssignments]] (via full transitive
+    * closure — exact at the driver's sf0.01 gate; tools/parity.py
+    * swaps in iterative propagation for larger SFs). Shared by d7 and
+    * d10. */
+  private val ClusterCteBody = MinhashCteBody +
     s""",
       |rooted AS (
       |  SELECT DISTINCT root, doc_id FROM (
@@ -601,10 +612,53 @@ object Dedup {
       |  SELECT doc_id AS src, doc_id AS dst FROM documents
       |  UNION
       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      |clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+      |clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
+  private val d7Sql = "WITH RECURSIVE " + ClusterCteBody +
+    """
       |SELECT doc_id, cluster_id,
       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       |FROM clusters ORDER BY doc_id""".stripMargin
+
+  /** d10: keep-best-per-cluster — the decision a real dedup pipeline
+    * actually consumes (the reference's analogous join-back of model
+    * results onto source rows: run_text_classifier.py:100-120). Joins
+    * d7's converged cluster assignment with t2's quality score and
+    * flags, per cluster, the single highest-quality document as the
+    * keeper (ties broken by min doc_id); every other row is the drop
+    * list. One projection-join plus the same per-cluster window d7
+    * already pays: clusters are bounded near-dup families, so the
+    * window partitions stay small at any corpus scale, and the argmax
+    * is a lexicographic struct max — no second shuffle, no sort beyond
+    * the cluster window.
+    */
+  private def d10(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.text.TextAnalysis
+      .qualityScored(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+    // (quality_score DESC, doc_id ASC) argmax as a struct max: negated
+    // doc_id makes the lexicographic max pick min doc_id among ties
+    val rankKey = struct(col("quality_score"), (-col("doc_id")).as("nid"))
+    clusterAssignments(s, d)
+      .join(scored, Seq("doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep", rankKey === max(rankKey).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d10Sql = "WITH RECURSIVE " + ClusterCteBody + ",\n" +
+    graft.text.TextAnalysis.QualityScoreCte +
+    """
+      |SELECT c.doc_id, c.cluster_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size,
+      |  q.quality_score,
+      |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |    ORDER BY q.quality_score DESC, c.doc_id) = 1 AS keep
+      |FROM clusters c JOIN qscore q ON q.doc_id = c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
 
   /** d8: SimHash near-dup pairs within hamming distance ≤ 3, via the
     * standard multi-index (HmSearch/"detecting near-duplicates for web
@@ -719,6 +773,7 @@ object Dedup {
       |ORDER BY containment DESC, da, db LIMIT 100""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d10_cluster_keep" -> (d10 _),
     "d9_containment" -> (d9 _),
     "d8_simhash_pairs" -> (d8 _),
     "d7_cluster" -> (d7 _),
@@ -730,6 +785,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d10_cluster_keep" -> d10Sql,
     "d9_containment" -> d9Sql,
     "d8_simhash_pairs" -> d8Sql,
     "d7_cluster" -> d7Sql,

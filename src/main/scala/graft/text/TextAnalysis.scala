@@ -34,17 +34,21 @@ object TextAnalysis {
       |  CAST(length(regexp_extract_all(text, '\s')) AS BIGINT) AS n_whitespace
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Heuristic quality score: stopword density, alphabetic density,
-    * mean token length — the standard cheap pre-filters for LLM
-    * training corpora.
+  /** Heuristic quality metrics per document (stopword density,
+    * alphabetic density, mean token length — the standard cheap
+    * pre-filters for LLM training corpora), combined into t2's scalar
+    * `quality_score`. Factored out of t2 because the score is ALSO the
+    * ranking key of d10's keep-best-per-cluster decision — one
+    * definition, two consumers, oracle-checked through both. Pure
+    * per-row projection: no shuffle, codegen'd regexp counting.
     */
-  private def t2(s: SparkSession, d: String): DataFrame = {
+  private[graft] def qualityScored(docs: DataFrame): DataFrame = {
     val nChars = length(col("text")).cast("long")
     val nTokens = tokenCount(col("text"))
     val nStop = regexp_count(col("text"), lit("\\b(the|a|an|of|and|in|to)\\b")).cast("long")
     val nAlpha = regexp_count(col("text"), lit("[a-zA-Z]")).cast("long")
     val nPunct = regexp_count(col("text"), lit("[.,;:!?']")).cast("long")
-    Tables.documents(s, d).select(
+    docs.select(
       col("doc_id"),
       (nStop.cast("double") / nTokens).as("stopword_ratio"),
       (nAlpha.cast("double") / nChars).as("alpha_ratio"),
@@ -52,12 +56,15 @@ object TextAnalysis {
       ((nChars - regexp_count(col("text"), lit("\\s")).cast("long")).cast("double") / nTokens).as("mean_token_len"))
       .withColumn("quality_score",
         col("stopword_ratio") * 0.5 + col("alpha_ratio") * 0.3 - col("punct_ratio") * 0.2)
+  }
+
+  private def t2(s: SparkSession, d: String): DataFrame =
+    qualityScored(Tables.documents(s, d))
       .withColumn("quality_bucket",
         when(col("quality_score") >= 0.35, lit("high"))
           .when(col("quality_score") >= 0.3, lit("medium"))
           .otherwise(lit("low")))
       .orderBy(col("doc_id"))
-  }
 
   private val t2Sql =
     """WITH m AS (SELECT doc_id,
@@ -81,6 +88,20 @@ object TextAnalysis {
       |            - (CAST(n_punct AS DOUBLE) / n_chars) * 0.2 >= 0.3 THEN 'medium'
       |       ELSE 'low' END AS quality_bucket
       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** DuckDB CTE body mirroring [[qualityScored]]'s `quality_score`
+    * (same expression tree as t2Sql's, so the doubles are
+    * bit-identical). Shared by d10's oracle. */
+  private[graft] val QualityScoreCte =
+    """qscore AS (
+      |  SELECT doc_id,
+      |    (CAST(CAST(length(regexp_extract_all(text, '\b(the|a|an|of|and|in|to)\b')) AS BIGINT) AS DOUBLE)
+      |      / CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)) * 0.5
+      |    + (CAST(CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS DOUBLE)
+      |      / CAST(length(text) AS BIGINT)) * 0.3
+      |    - (CAST(CAST(length(regexp_extract_all(text, '[.,;:!?'']')) AS BIGINT) AS DOUBLE)
+      |      / CAST(length(text) AS BIGINT)) * 0.2 AS quality_score
+      |  FROM documents)""".stripMargin
 
   /** Language-ID by per-language stopword hit counts, argmax with a
     * fixed priority tie-break.
