@@ -6,8 +6,16 @@ package graft
 object Dev {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
-    val df = SparkEntry.entry(spark)
-    println(s"entry rows=${df.count()}")
+    args.headOption match {
+      case Some("d8diag") =>
+        // stage-cardinality dump for bench-regression diagnosis
+        // (BASELINE.md "Diagnosing a d8 regression")
+        val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        dedup.Dedup.d8Diag(spark, sfDir).toSeq.sortBy(_._1)
+          .foreach { case (k, v) => println(s"$k=$v") }
+      case _ =>
+        println(s"entry rows=${SparkEntry.entry(spark).count()}")
+    }
     spark.stop()
   }
 }

@@ -673,7 +673,19 @@ object Dedup {
     * packed longs. No n² compare, no signature flips, no interpreted
     * per-bit loop.
     */
-  private def d8(s: SparkSession, d: String): DataFrame = {
+  private def d8(s: SparkSession, d: String): DataFrame =
+    d8Build(s, d, (df, _) => df).orderBy(col("da"), col("db"))
+
+  /** d8 with per-stage observation taps ([[d8Diag]]), WITHOUT the
+    * final presentation sort: a global sort's range-partitioner
+    * sampling pass re-executes the child pipeline, which would count
+    * every observed row twice. The default path passes an identity
+    * tap and adds the sort back, so the production plan is
+    * byte-identical (no CollectMetrics node to defeat the one-scan
+    * AQE-reuse guard).
+    */
+  private def d8Build(s: SparkSession, d: String,
+      tap: (DataFrame, String) => DataFrame): DataFrame = {
     val sigs = simhashSigLong(s, d)
     // Collapse identical signatures BEFORE the block join: exact-dup
     // families are exactly the hot buckets (sf0.1: one 16-bit block
@@ -691,25 +703,53 @@ object Dedup {
     // verify FIRST (codegen'd xor+popcount), dedup the survivors: most
     // candidates fail the hamming test, so the distinct shuffles only
     // true near-dup signature pairs
-    val sigPairs = blocks.as("a").join(blocks.as("b"),
+    val sigPairs = tap(blocks.as("a").join(blocks.as("b"),
         col("a.block_id") === col("b.block_id") && col("a.bbits") === col("b.bbits") &&
           col("a.sig") < col("b.sig"))
       .select(col("a.sig").as("siga"), col("b.sig").as("sigb"))
       .filter(expr("bit_count(siga ^ sigb) <= 3"))
-      .distinct()
+      .distinct(), "d8_sig_pairs")
       .withColumn("hamming", expr("cast(bit_count(siga ^ sigb) as bigint)"))
     // expand signature pairs back to document pairs
-    val diff = sigPairs
+    val diff = tap(sigPairs
       .join(sigs.select(col("sig").as("siga"), col("doc_id").as("ida")), Seq("siga"))
       .join(sigs.select(col("sig").as("sigb"), col("doc_id").as("idb")), Seq("sigb"))
       .select(least(col("ida"), col("idb")).as("da"),
-        greatest(col("ida"), col("idb")).as("db"), col("hamming"))
+        greatest(col("ida"), col("idb")).as("db"), col("hamming")), "d8_pairs_expand")
     // hamming-0 pairs (same signature, different docs) are output rows
     // by definition — Σ C(m,2) per family is the answer's own size
-    val same = sigs.as("x").join(sigs.as("y"),
+    val same = tap(sigs.as("x").join(sigs.as("y"),
         col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), lit(0L).as("hamming"))
-    same.unionAll(diff).orderBy(col("da"), col("db"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), lit(0L).as("hamming")),
+      "d8_pairs_same")
+    same.unionAll(diff)
+  }
+
+  /** d8 regression diagnosis (VERDICT r6/r7: the 9.6 s driver-bench
+    * inflation vanished unexplained because no per-stage cardinalities
+    * existed). Runs d8 with `observe` taps on the linear stages —
+    * verified signature pairs out of the block self-join, expanded
+    * cross-family doc pairs, same-signature family pairs — plus the
+    * block-join input size as a metadata-sized side job, and returns
+    * all cardinalities. Interpretation: cardinalities unchanged vs a
+    * healthy run + inflated wall-time = host/GC pressure, not a plan
+    * or data regression; a blown-up `d8_sig_pairs` or `d8_blocks`
+    * means the corpus (or a code change) broke the multi-index
+    * contract. Taps sit only on LINEAR stages — the shared
+    * sigs/blocks subtree is counted by the side job — so the metric
+    * is well-defined whether or not AQE reuses the exchange.
+    */
+  def d8Diag(s: SparkSession, d: String): Map[String, Long] = {
+    val obs = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Observation]
+    val out = d8Build(s, d, (df, name) => {
+      val o = org.apache.spark.sql.Observation(name)
+      obs(name) = o
+      df.observe(o, count(lit(1)).as("rows"))
+    })
+    out.write.mode("overwrite").format("noop").save()
+    val stages = obs.map { case (k, o) => k -> o.get("rows").asInstanceOf[Long] }.toMap
+    val nSigs = simhashSigLong(s, d).select(col("sig")).distinct().count()
+    stages + ("d8_distinct_sigs" -> nSigs, "d8_blocks" -> nSigs * 4)
   }
 
   private val d8Sql = SimhashCte +
