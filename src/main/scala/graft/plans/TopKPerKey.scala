@@ -39,12 +39,30 @@ case class TopKPerKeyLogical(keys: Seq[Expression], order: Expression,
   * EVERY input row to the keyed reducers; at 100 TB the shuffle, not
   * the heap, is the bottleneck.) Top-k is a semigroup — merging
   * per-partition top-k sets and re-heaping is exact.
+  *
+  * Degenerate-key caveat + bypass (conf `graft.topk.partial`, default
+  * on): when keys are NEAR-UNIQUE (rows/key ≲ k, e.g. top-k "per
+  * doc_id"), the partial stage thins nothing — every row survives its
+  * own heap — and its cost is pure overhead. That overhead is bounded:
+  * the stage adds NO shuffle (it runs on the child's partitioning), so
+  * the worst case is one hash-map probe + O(log k) heap insert + one
+  * UnsafeRow copy per row — a single extra narrow pass, ~5-10% of the
+  * operator's runtime in the all-unique-keys worst case, while the
+  * upside when keys repeat is shuffling partitions·keys·k rows instead
+  * of ALL rows. Hence partial stays ON by default; a caller that KNOWS
+  * its key is near-unique sets `graft.topk.partial=false` and plans
+  * only the final stage (results are identical — the semigroup merge
+  * of singleton sets is the identity).
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyLogical(keys, order, tie, k, child) =>
-      TopKPerKeyExec(keys, order, tie, k,
-        TopKPerKeyExec(keys, order, tie, k, planLater(child), partial = true)) :: Nil
+      val partialOn = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.topk.partial", "true").toBoolean
+      val base = planLater(child)
+      val inner = if (partialOn) TopKPerKeyExec(keys, order, tie, k, base, partial = true)
+                  else base
+      TopKPerKeyExec(keys, order, tie, k, inner) :: Nil
     case _ => Nil
   }
 }

@@ -95,6 +95,44 @@ class TopKPerKeySpec extends SparkSpec {
     assert(execs.head.metrics("numOutputRows").value == n.toLong)
   }
 
+  test("graft.topk.partial=false bypasses the partial stage with identical results") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    def run() = TopK.perKey(o, Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 5)
+    def partialCount(df: org.apache.spark.sql.DataFrame): Int =
+      collectInPlan(df.queryExecution.executedPlan) {
+        case t: graft.plans.TopKPerKeyExec if t.partial => t
+      }.size
+    val withPartial = run()
+    val expected = withPartial
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().toSeq
+    assert(partialCount(withPartial) === 1)
+    spark.conf.set("graft.topk.partial", "false")
+    try {
+      val bypassed = run()
+      val got = bypassed
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+        .collect().toSeq
+      assert(partialCount(bypassed) === 0, "bypass must plan only the final stage")
+      assert(got === expected, "bypass must not change results")
+    } finally spark.conf.unset("graft.topk.partial")
+  }
+
+  test("bypass agrees with default on a NEAR-UNIQUE key (the degenerate case it exists for)") {
+    import spark.implicits._
+    // every key has exactly one row: the partial stage thins nothing
+    val df = (1L to 1000L).map(i => (s"k$i", i.toDouble, i)).toDF("k", "v", "id")
+    val expected = TopK.perKey(df, Seq("k"), "v", "id", 3)
+      .orderBy(col("k"), col("id")).collect().toSeq
+    spark.conf.set("graft.topk.partial", "false")
+    try {
+      val got = TopK.perKey(df, Seq("k"), "v", "id", 3)
+        .orderBy(col("k"), col("id")).collect().toSeq
+      assert(got === expected)
+    } finally spark.conf.unset("graft.topk.partial")
+  }
+
   test("TopK.perKey fails fast when keys-per-partition exceeds the guard") {
     // key on the unique order id: every row its own heap — exactly the
     // mis-keyed call the guard exists for
