@@ -37,6 +37,26 @@ object Dedup {
   private[graft] def shinglesDistinct(docs: DataFrame): DataFrame =
     shingles(docs).distinct()
 
+  /** Distinct word-3-gram shingles per document — the word-level
+    * sibling of [[shinglesDistinct]] and the common production choice
+    * for fuzzy text dedup (char grams catch edit-level noise; word
+    * grams catch reordered/rewritten boilerplate at ~10x fewer
+    * shingles per document). Same linear shape: tokenize, slide a
+    * 3-token window, explode, dedup. Documents under 3 tokens yield
+    * no shingles (and so join nothing downstream).
+    */
+  private[graft] def wordShinglesDistinct(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("doc_id").isNotNull)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("sh"))
+      .distinct()
+
   /** d1: exact dedup by md5 content hash — keep-min-id per group. */
   private def d1(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -64,8 +84,14 @@ object Dedup {
     * (band collision odds ~2^-48). Lexicographic MIN over fixed-width
     * lowercase hex equals numeric min, identically in Spark and DuckDB.
     */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
-    val sh = shinglesDistinct(Tables.documents(s, d))
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    minhashBandsFrom(shinglesDistinct(Tables.documents(s, d)))
+
+  /** [[minhashBands]] over ANY distinct (doc_id, sh) shingle relation —
+    * char grams (d2/d7) and word grams (d11) share the whole
+    * signature+banding pipeline; only the shingle source differs. */
+  private def minhashBandsFrom(shDistinct: DataFrame): DataFrame = {
+    val sh = shDistinct
       .withColumn("h1", md5(col("sh")))
       .withColumn("h2", md5(concat(lit("x"), col("sh"))))
     val mins = (0 until 8).map { j =>
@@ -117,8 +143,14 @@ object Dedup {
     * wholesale; n_candidates is a lower bound in that pathological
     * case (adversarially colliding distinct signatures).
     */
-  private def d2(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashBands(s, d)
+  private def d2(s: SparkSession, d: String): DataFrame =
+    candidateCounts(minhashBands(s, d))
+
+  /** d2's family-collapsed band-join candidate counting over ANY
+    * [[minhashBandsFrom]] output — shared verbatim by d11 (word-gram
+    * signatures), so the skew contract (family collapse +
+    * [[MaxBandBucket]] cap) is one implementation. */
+  private def candidateCounts(bands: DataFrame): DataFrame = {
     val sigCols = Seq(col("b0"), col("b1"), col("b2"), col("b3"))
     val fams = bands.groupBy(sigCols: _*)
       .agg(min(col("doc_id")).as("fid"), count(lit(1)).as("fsize"))
@@ -145,15 +177,31 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Shared oracle CTE body (no WITH keyword — d7 prefixes RECURSIVE)
-    * ending in long(doc_id, band_id, bkey): the DuckDB mirror of
-    * [[minhashBands]] + [[bandLong]]. */
-  private val MinhashCteBody =
+  /** DuckDB mirror of [[shinglesDistinct]]: distinct char-5-gram
+    * relation `sh(doc_id, s)`. */
+  private val CharShingleCte =
     """sh AS (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 4),
       |      i -> substring(text, i, 5))) AS s
-      |    FROM documents)),
+      |    FROM documents))""".stripMargin
+
+  /** DuckDB mirror of [[wordShinglesDistinct]]: distinct word-3-gram
+    * relation `sh(doc_id, s)` (same CTE name, so the downstream
+    * minhash chain is shared verbatim). */
+  private val WordShingleCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |    FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      |          FROM documents)))""".stripMargin
+
+  /** Shared oracle CTE body (no WITH keyword — d7 prefixes RECURSIVE)
+    * ending in long(doc_id, band_id, bkey): the DuckDB mirror of
+    * [[minhashBandsFrom]] + [[bandLong]] over the given shingle CTE. */
+  private def minhashCteFrom(shingleCte: String): String = shingleCte +
+    """,
       |hashed AS (SELECT doc_id, md5(s) AS h1, md5('x' || s) AS h2 FROM sh),
       |sig AS (
       |  SELECT doc_id,
@@ -171,7 +219,10 @@ object Dedup {
       |  UNION ALL SELECT doc_id, 2, b2 FROM bands
       |  UNION ALL SELECT doc_id, 3, b3 FROM bands)""".stripMargin
 
-  private val d2Sql = "WITH " + MinhashCteBody +
+  private val MinhashCteBody = minhashCteFrom(CharShingleCte)
+
+  /** DuckDB mirror of [[candidateCounts]] — shared by d2 and d11. */
+  private val CandidateCountsSqlTail =
     s""",
       |fams AS (
       |  SELECT b0, b1, b2, b3, MIN(doc_id) AS fid, COUNT(*) AS fsize
@@ -198,6 +249,19 @@ object Dedup {
       |           AND bands.b2 = f.b2 AND bands.b3 = f.b3
       |LEFT JOIN ext e ON e.fid = f.fid
       |ORDER BY bands.doc_id""".stripMargin
+
+  private val d2Sql = "WITH " + MinhashCteBody + CandidateCountsSqlTail
+
+  /** d11: d2's MinHash/LSH candidate counting over WORD-3-gram
+    * signatures ([[wordShinglesDistinct]]) — the production fuzzy-dedup
+    * configuration for rewritten/templated text. Entire pipeline
+    * (signatures, banding, family collapse, bucket cap, candidate
+    * arithmetic) is shared with d2; only the shingle source differs.
+    */
+  private def d11(s: SparkSession, d: String): DataFrame =
+    candidateCounts(minhashBandsFrom(wordShinglesDistinct(Tables.documents(s, d))))
+
+  private val d11Sql = "WITH " + minhashCteFrom(WordShingleCte) + CandidateCountsSqlTail
 
   /** 64-bit SimHash over distinct tokens: bit j is the sign of the sum
     * of ±1 votes from bit j of each token's md5 (hex digit j/4, bit
@@ -813,6 +877,7 @@ object Dedup {
       |ORDER BY containment DESC, da, db LIMIT 100""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d11_word_minhash" -> (d11 _),
     "d10_cluster_keep" -> (d10 _),
     "d9_containment" -> (d9 _),
     "d8_simhash_pairs" -> (d8 _),
@@ -825,6 +890,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d11_word_minhash" -> d11Sql,
     "d10_cluster_keep" -> d10Sql,
     "d9_containment" -> d9Sql,
     "d8_simhash_pairs" -> d8Sql,
