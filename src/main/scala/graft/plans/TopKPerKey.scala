@@ -57,8 +57,14 @@ case class TopKPerKeyLogical(keys: Seq[Expression], order: Expression,
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyLogical(keys, order, tie, k, child) =>
-      val partialOn = org.apache.spark.sql.internal.SQLConf.get
-        .getConfString("graft.topk.partial", "true").toBoolean
+      val raw = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.topk.partial", "true")
+      val partialOn = raw.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"graft.topk.partial must be true or false, got '$other'")
+      }
       val base = planLater(child)
       val inner = if (partialOn) TopKPerKeyExec(keys, order, tie, k, base, partial = true)
                   else base

@@ -306,15 +306,70 @@ object Knn {
        |QUALIFY rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  /** s5: ANN recall@3 — the standard quality metric for an
+    * approximate index: per query, the fraction of the TRUE top-3
+    * (s1's brute-force ranking) that the LSH-bucketed path (s2)
+    * actually returned. A production pipeline runs exactly this
+    * measurement on a query sample before trusting an ANN index at
+    * corpus scale; here it doubles as an executable contract tying the
+    * approximate operator to its exact reference. Both sides are the
+    * existing operators; the comparison is a tiny (queries x k)
+    * semi-join plus one aggregate — measurement cost is the two
+    * rankings themselves, nothing quadratic.
+    */
+  private def s5(s: SparkSession, d: String): DataFrame = {
+    val tru = s1(s, d).filter(col("rank") <= 3).select(col("q_id"), col("vec_id"))
+    val ann = s2(s, d).select(col("q_id"), col("vec_id"))
+    val nTrue = tru.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+    val nFound = tru.join(ann, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_found"))
+    nTrue.join(nFound, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"))
+      .withColumn("recall", col("n_found").cast("double") / col("n_true"))
+      .orderBy(col("q_id"))
+  }
+
+  private val s5Sql =
+    s"""WITH tru AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS cos
+       |    FROM (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5) q
+       |    JOIN embeddings e ON e.vec_id <> q.q_id)
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 3),
+       |b AS (
+       |  SELECT vec_id, embedding, $s2BucketSql AS bucket
+       |  FROM embeddings),
+       |ann AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, bb.vec_id, ${duckCos("q.qe", "bb.embedding")} AS cos
+       |    FROM (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 5) q
+       |    JOIN b bb ON bb.bucket = q.bucket AND bb.vec_id <> q.q_id)
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 3),
+       |nt AS (SELECT q_id, COUNT(*) AS n_true FROM tru GROUP BY q_id),
+       |nf AS (
+       |  SELECT t.q_id, COUNT(*) AS n_found
+       |  FROM tru t JOIN ann a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+       |  GROUP BY t.q_id)
+       |SELECT nt.q_id, nt.n_true,
+       |  CAST(COALESCE(nf.n_found, 0) AS BIGINT) AS n_found,
+       |  CAST(COALESCE(nf.n_found, 0) AS DOUBLE) / nt.n_true AS recall
+       |FROM nt LEFT JOIN nf ON nf.q_id = nt.q_id
+       |ORDER BY nt.q_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "s1_knn_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
     "s3_ivf_cells" -> (s3 _),
-    "s4_ivf_probe" -> (s4 _))
+    "s4_ivf_probe" -> (s4 _),
+    "s5_ann_recall" -> (s5 _))
 
   val oracles: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ivf_cells" -> s3Sql,
-    "s4_ivf_probe" -> s4Sql)
+    "s4_ivf_probe" -> s4Sql,
+    "s5_ann_recall" -> s5Sql)
 }

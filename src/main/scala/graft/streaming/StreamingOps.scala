@@ -73,7 +73,17 @@ object StreamingOps {
     * an unbounded production feed — where state volume, not commit
     * count, dominates — would raise this back up. */
   private def streamPartitions(s: SparkSession): String =
-    s.conf.getOption("graft.stream.partitions").getOrElse("4")
+    s.conf.getOption("graft.stream.partitions").map { v =>
+      // validated at parse time (the ADVICE r6 conf contract): an
+      // invalid value would otherwise surface as an opaque planner
+      // error at stream start
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.stream.partitions must be a positive integer, got '$v'")
+      }
+      require(n >= 1, s"graft.stream.partitions must be >= 1, got $n")
+      n.toString
+    }.getOrElse("4")
 
   /** Runs a bounded streaming query to completion into a memory sink
     * and returns its result table.

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
 /** Conf-override validation (ADVICE r6/r7): a bad `graft.pack.bucket`
@@ -37,6 +38,28 @@ class ConfValidationSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("graft.lsh.signBits") || e.getMessage.contains("bits"),
         s"message for '$bad': ${e.getMessage}")
+    }
+  }
+
+  test("graft.stream.partitions rejects non-positive and non-numeric values") {
+    for (bad <- Seq("0", "-2", "many")) withConf("graft.stream.partitions", bad) {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("st2_stream_dedup")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("graft.stream.partitions"), s"message for '$bad': ${e.getMessage}")
+    }
+  }
+
+  test("graft.topk.partial rejects non-boolean values") {
+    withConf("graft.topk.partial", "maybe") {
+      val e = intercept[Exception] {
+        graft.plans.TopK.perKey(
+          Tables.orders(spark, sf).select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+          Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("graft.topk.partial")), e.toString)
     }
   }
 
