@@ -154,4 +154,32 @@ class PlanShapeSpec extends SparkSpec {
     // exactly one broadcast exchange (the tiny eval-suite side)
     assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
   }
+
+  test("d10 fuses cluster_size and the keep argmax into ONE cluster window") {
+    val p = plan("d10_cluster_keep")
+    // two Window execs total: the band-bucket star roots inherited
+    // from clusterAssignments, and the per-cluster size+argmax pass —
+    // count(*) and max(struct) over the same spec must share one node,
+    // not sort the cluster partition twice
+    assert("Window \\[".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d11 word-gram band join stays an equi-join, never a nested loop") {
+    val p = plan("d11_word_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(hasCodegen(p), p)
+  }
+
+  test("s5 recall compare runs over heap-ranked sides — no window anywhere") {
+    val p = plan("s5_ann_recall")
+    // both ranking sides run through TopKPerKey; the comparison adds
+    // only joins and aggregates — a Window here would mean a ranking
+    // regression in s1/s2. (The semi-join itself may be folded away by
+    // AQE's empty-relation propagation at this SF: the sf0.001 corpus
+    // is so sparse that LSH recall is legitimately 0 for every query.)
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
