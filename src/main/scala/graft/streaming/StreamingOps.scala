@@ -68,10 +68,12 @@ object StreamingOps {
     * session default of 32 partitions, st6's interval join (4 state
     * stores x 32 partitions x data+watermark batches) pays ~256 file
     * commits of pure fixed overhead while the DATA per batch is tiny.
-    * 4 partitions cut that floor 8x; the stateful work itself is keyed
-    * and sharded identically (results are partitioning-invariant), and
-    * an unbounded production feed — where state volume, not commit
-    * count, dominates — would raise this back up. */
+    * 2 partitions cut that floor 16x (measured: 21.6 s -> 10.8 s for
+    * the seven-query subset at sf0.1; 4 partitions left ~0.8 s on the
+    * table vs 2); the stateful work itself is keyed and sharded
+    * identically (results are partitioning-invariant), and an
+    * unbounded production feed — where state volume, not commit count,
+    * dominates — would raise this back up. */
   private def streamPartitions(s: SparkSession): String =
     s.conf.getOption("graft.stream.partitions").map { v =>
       // validated at parse time (the ADVICE r6 conf contract): an
@@ -83,7 +85,7 @@ object StreamingOps {
       }
       require(n >= 1, s"graft.stream.partitions must be >= 1, got $n")
       n.toString
-    }.getOrElse("4")
+    }.getOrElse("2")
 
   /** Runs a bounded streaming query to completion into a memory sink
     * and returns its result table.
