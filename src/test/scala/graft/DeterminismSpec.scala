@@ -14,7 +14,10 @@ class DeterminismSpec extends SparkSpec {
     // round-3 additions: iterative clustering, distributed order
     // statistics, probe joins, composed verdicts
     "d7_cluster", "q18_percentile", "q22_rank_family",
-    "s4_ivf_probe", "d8_simhash_pairs", "t7_keep_drop", "t8_split_assign")
+    "s4_ivf_probe", "d8_simhash_pairs", "t7_keep_drop", "t8_split_assign",
+    // round-8 additions: cluster keep-best (double argmax over a
+    // window), word-gram minhash, recall measurement
+    "d10_cluster_keep", "d11_word_minhash", "s5_ann_recall")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {
