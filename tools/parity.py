@@ -33,6 +33,16 @@ def d7_oracle(con, sql: str) -> pd.DataFrame:
     edge set, looped host-side (single-statement SQL cannot iterate-
     with-aggregates). Cost per round is one scan of the edge table.
     """
+    _d7_labels(con, sql)
+    return con.execute("""SELECT doc_id, label AS cluster_id,
+        CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+        FROM __labels ORDER BY doc_id""").df()
+
+
+def _d7_labels(con, sql: str) -> None:
+    """Populate temp table __labels with the converged min-label
+    assignment for the cluster CTE chain embedded in `sql` (shared by
+    the d7 and d10 oracles)."""
     # everything up to the closure CTE is the shared shingle/band/edge
     # pipeline — reuse it verbatim so the edge set is identical
     prefix = sql.split(",\nreach AS")[0]
@@ -53,9 +63,21 @@ def d7_oracle(con, sql: str) -> pd.DataFrame:
             break
     else:
         raise RuntimeError("d7 oracle label propagation did not converge")
-    return con.execute("""SELECT doc_id, label AS cluster_id,
-        CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
-        FROM __labels ORDER BY doc_id""").df()
+
+
+def d10_oracle(con, sql: str) -> pd.DataFrame:
+    """d10 via the same iterative propagation as d7_oracle, plus the
+    quality CTE lifted verbatim from the registered oracle SQL."""
+    _d7_labels(con, sql)
+    qcte = "qscore AS" + sql.split("qscore AS")[1].split("\nSELECT c.doc_id")[0]
+    return con.execute(f"""WITH {qcte}
+        SELECT l.doc_id, l.label AS cluster_id,
+          CAST(COUNT(*) OVER (PARTITION BY l.label) AS BIGINT) AS cluster_size,
+          q.quality_score,
+          ROW_NUMBER() OVER (PARTITION BY l.label
+            ORDER BY q.quality_score DESC, l.doc_id) = 1 AS keep
+        FROM __labels l JOIN qscore q ON q.doc_id = l.doc_id
+        ORDER BY l.doc_id""").df()
 
 
 def main():
@@ -80,6 +102,8 @@ def main():
         try:
             if name == "d7_cluster":
                 exp = canon(d7_oracle(con, oracle[name]))
+            elif name == "d10_cluster_keep":
+                exp = canon(d10_oracle(con, oracle[name]))
             else:
                 exp = canon(con.execute(oracle[name]).df())
         except Exception as e:
