@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 class SketchAccuracySpec extends SparkSpec {
 
+  /** sf0.01, not the usual sf0.001: the bound only bites when the
+    * sketches actually compress — at sf0.001 the per-group
+    * cardinalities are small enough that both sketches are exact by
+    * construction and a broken rewrite could still slip through. The
+    * collected exact sides stay small (~60k rows). */
+  private val accSf = "/root/testdata/sf0.01"
+
   /** q25's accuracy parameter (Analytics.q25 passes 10000). */
   private val Accuracy = 10000
 
@@ -41,9 +48,9 @@ class SketchAccuracySpec extends SparkSpec {
   }
 
   test("q25 approx percentiles are within GK rank error of the exact order statistics") {
-    val approx = SparkEntry.queries("q25_percentile_sketch")(spark, sf).collect()
+    val approx = SparkEntry.queries("q25_percentile_sketch")(spark, accSf).collect()
     assert(approx.nonEmpty)
-    val rows = Tables.lineitem(spark, sf)
+    val rows = Tables.lineitem(spark, accSf)
       .select(col("l_returnflag"),
         col("l_extendedprice").cast("double").as("price"),
         col("l_quantity").cast("double").as("qty"))
@@ -65,12 +72,12 @@ class SketchAccuracySpec extends SparkSpec {
     // ties the sketch to the exact distributed operator it substitutes
     // for at 100 TB: the interpolated exact value and the sketch value
     // must be within one rank-window width of each other
-    val li = Tables.lineitem(spark, sf)
+    val li = Tables.lineitem(spark, accSf)
     val exact = operators.ExactPercentile
       .percentilesMany(li, "l_returnflag", Seq("l_extendedprice" -> Seq(0.5)))
       .select(col("l_returnflag"), col("value"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val approx = SparkEntry.queries("q25_percentile_sketch")(spark, sf)
+    val approx = SparkEntry.queries("q25_percentile_sketch")(spark, accSf)
       .select(col("l_returnflag"), col("p50_price")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val prices = li.select(col("l_returnflag"), col("l_extendedprice").cast("double"))
@@ -90,9 +97,9 @@ class SketchAccuracySpec extends SparkSpec {
   private val Rsd = 0.05
 
   test("q26 approx distinct counts are within HLL++ relative error of exact counts") {
-    val approx = SparkEntry.queries("q26_distinct_sketch")(spark, sf).collect()
+    val approx = SparkEntry.queries("q26_distinct_sketch")(spark, accSf).collect()
     assert(approx.nonEmpty)
-    val exact = Tables.events(spark, sf)
+    val exact = Tables.events(spark, accSf)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n_events"))
       .collect()
