@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The bounded streaming oracles stage their input as ONE file so the
+  * whole corpus lands in a single micro-batch (see
+  * StreamingOps.eventsStream — several oracle equalities lean on the
+  * watermark never advancing mid-run). This spec shows that constraint
+  * is an ORACLE-equality artifact, not an operator limitation: a
+  * complete-mode windowed aggregation fed the same events as TWO
+  * micro-batches (maxFilesPerTrigger=1) still equals the batch answer,
+  * because complete mode re-emits the whole result table after state
+  * has absorbed every batch.
+  */
+class StreamingMultiBatchSpec extends SparkSpec {
+
+  test("complete-mode window agg over two micro-batches equals the batch answer") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = Tables.events(s, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    // split the corpus into two files by event_id parity — both halves
+    // span the full time range, so batch 2 contains rows that are LATE
+    // relative to batch 1's high-water mark
+    val dir = java.nio.file.Files.createTempDirectory("graft_multibatch").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("overwrite").parquet(dir + "/a")
+    events.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("overwrite").parquet(dir + "/b")
+    val staged = java.nio.file.Files.createTempDirectory("graft_multibatch_in")
+    for ((sub, name) <- Seq("a" -> "part0.parquet", "b" -> "part1.parquet")) {
+      val f = new java.io.File(dir + "/" + sub).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, staged.resolve(name))
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force TWO micro-batches
+      .parquet(staged.toString)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum2(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("hour_s"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("graft_multibatch").start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+      "input must actually arrive as two data micro-batches")
+    val got = s.table("graft_multibatch")
+      .orderBy(col("hour_s"), col("event_type")).collect().toSeq
+    val expected = events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum2(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("hour_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_s"), col("event_type")).collect().toSeq
+    assert(got == expected, "multi-batch complete-mode result diverged from batch")
+  }
+}
