@@ -13,6 +13,10 @@ object Dev {
         val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
         dedup.Dedup.d8Diag(spark, sfDir).toSeq.sortBy(_._1)
           .foreach { case (k, v) => println(s"$k=$v") }
+      case Some("d7diag") =>
+        val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        dedup.Dedup.d7Diag(spark, sfDir).toSeq.sortBy(_._1)
+          .foreach { case (k, v) => println(s"$k=$v") }
       case _ =>
         println(s"entry rows=${SparkEntry.entry(spark).count()}")
     }

@@ -582,8 +582,11 @@ object Dedup {
 
   /** Converged min-label cluster assignment (doc_id, cluster_id) —
     * d7's propagation loop, factored out so d10's keep-best decision
-    * consumes the same clustering. */
-  private def clusterAssignments(s: SparkSession, d: String): DataFrame = {
+    * consumes the same clustering. `stats`, when given, receives the
+    * loop diagnostics ([[d7Diag]]) at diag-only cost — the production
+    * path passes None and runs no extra job. */
+  private def clusterAssignments(s: SparkSession, d: String,
+      stats: Option[scala.collection.mutable.Map[String, Long]] = None): DataFrame = {
     val long = bandLong(minhashBands(s, d))
     // Star contraction per band bucket: every member connects to the
     // bucket's min doc_id, both directions. Connectivity-equivalent to
@@ -601,6 +604,10 @@ object Dedup {
     val edges = verified.select(col("root").as("src"), col("doc_id").as("dst"))
       .unionAll(verified.select(col("doc_id").as("src"), col("root").as("dst")))
       .localCheckpoint() // computed once, re-read every iteration
+    stats.foreach { m =>
+      m("d7_star_candidates") = rooted.count()
+      m("d7_verified_edges") = edges.count() / 2
+    }
     // Seed with the one-hop minimum: with initial labels = doc_id the
     // first propagation round needs no labels join at all — it is just
     // min(src) per dst — so the loop starts one round ahead.
@@ -636,7 +643,25 @@ object Dedup {
       throw new IllegalStateException(
         s"d7 label propagation did not converge within $iter iterations — " +
           "component diameter exceeds the cap; raise it or pre-split the graph")
+    stats.foreach(_.update("d7_iterations", iter.toLong))
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** d7 regression diagnosis, the [[d8Diag]] sibling: runs the
+    * clustering with loop diagnostics (star-contraction candidate
+    * pairs, Jaccard-surviving edges, propagation rounds to fixpoint,
+    * resulting docs/clusters). Interpretation mirrors d8's: stable
+    * counts + inflated wall-time = host pressure; a jump in
+    * `d7_iterations` means deeper components (chained near-dup
+    * families — propagation cost is rounds x edge scan); a jump in
+    * `d7_star_candidates` with flat `d7_verified_edges` means band
+    * collisions the Jaccard gate is absorbing. */
+  def d7Diag(s: SparkSession, d: String): Map[String, Long] = {
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    val labels = clusterAssignments(s, d, Some(m))
+    m("d7_docs") = labels.count()
+    m("d7_clusters") = labels.select(col("cluster_id")).distinct().count()
+    m.toMap
   }
 
   private def d7(s: SparkSession, d: String): DataFrame =

@@ -19,6 +19,16 @@ class D8DiagSpec extends SparkSpec {
       "every verified signature pair expands to at least one doc pair")
   }
 
+  test("d7Diag reports loop diagnostics consistent with the d7 output") {
+    val m = dedup.Dedup.d7Diag(spark, sf)
+    val out = SparkEntry.queries("d7_cluster")(spark, sf)
+    assert(m("d7_docs") === out.count())
+    assert(m("d7_iterations") >= 1 && m("d7_iterations") <= 50)
+    assert(m("d7_verified_edges") <= m("d7_star_candidates"),
+      "the Jaccard gate can only remove candidate edges")
+    assert(m("d7_clusters") <= m("d7_docs"))
+  }
+
   test("the default d8 plan carries no CollectMetrics node (taps are diag-only)") {
     val plan = SparkEntry.queries("d8_simhash_pairs")(spark, sf)
       .queryExecution.optimizedPlan

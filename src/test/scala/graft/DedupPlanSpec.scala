@@ -157,6 +157,23 @@ class DedupPlanSpec extends SparkSpec {
       s"family member counts mates + bystander, got ${rows(0L)._2}")
   }
 
+  test("word shingles: sub-3-token docs yield none, 3 tokens yield exactly one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two"),                    // 2 tokens -> no shingle
+      (2L, "alpha beta gamma"),           // 3 tokens -> 1 shingle
+      (3L, "  a   b c   d  "),            // ragged whitespace -> 2 shingles
+      (4L, "x x x x")                     // repeated tokens -> 2 DISTINCT shingles
+    ).toDF("doc_id", "text")
+    val sh = dedup.Dedup.wordShinglesDistinct(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!sh.contains(1L), "2-token doc must produce no shingles")
+    assert(sh(2L) === Set("alpha beta gamma"))
+    assert(sh(3L) === Set("a b c", "b c d"), "tokenization must drop empty split tokens")
+    assert(sh(4L) === Set("x x x"), "duplicate shingles must dedup")
+  }
+
   test("d8 verifies hamming via codegen'd bit_count, not an interpreted per-bit fold") {
     val plan = SparkEntry.queries("d8_simhash_pairs")(spark, sf)
       .queryExecution.executedPlan.toString
