@@ -2,7 +2,6 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.{QFn, Tables}
 
 /** Deduplication suite d1–d6 (SURVEY.md §2).
@@ -157,10 +156,15 @@ object Dedup {
     val flong = fams.select(col("fid"), col("fsize"),
       explode(map(lit(0), col("b0"), lit(1), col("b1"), lit(2), col("b2"), lit(3), col("b3")))
         .as(Seq("band_id", "bkey")))
-    val capped = flong
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_id"), col("bkey"))))
+    // bucket-size cap via groupBy+join, NOT count().over(Window): a
+    // window partition is a whole band bucket buffered in one task —
+    // exactly the adversarial case the cap exists for. The aggregate
+    // does map-side partials and the join back is AQE-skew-splittable.
+    val okBuckets = flong.groupBy(col("band_id"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= MaxBandBucket)
-      .drop("bsz")
+      .select(col("band_id"), col("bkey"))
+    val capped = flong.join(okBuckets, Seq("band_id", "bkey"))
     // distinct family pairs across bands; csize rides along (it is a
     // function of cfid, so it does not widen the distinct)
     val fpairs = capped.as("a").join(capped.as("b"),
@@ -312,11 +316,24 @@ object Dedup {
     simhashVotes(s, d).select(col("doc_id"), sig.as("sig"))
   }
 
-  private def d3(s: SparkSession, d: String): DataFrame =
-    simhashSigs(s, d)
-      .withColumn("n_ones", length(regexp_replace(col("simhash"), "0", "")).cast("long"))
-      .withColumn("sig_count", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+  /** d3: signature histogram. sig_count via groupBy+join, NOT
+    * count().over(Window.partitionBy(simhash)): a window partition is a
+    * whole identical-signature dup family buffered in ONE task (a
+    * templated corpus at 100× has million-doc families), while the
+    * aggregate does map-side partials and the join back on simhash is
+    * AQE-skew-splittable. Both branches shuffle the same sigs subtree
+    * by simhash, so exchange reuse covers the second reference.
+    */
+  private def d3(s: SparkSession, d: String): DataFrame = {
+    val sigs = simhashSigs(s, d)
+    val counts = sigs.groupBy(col("simhash")).agg(count(lit(1)).as("sig_count"))
+    sigs
+      .join(counts, Seq("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        length(regexp_replace(col("simhash"), "0", "")).cast("long").as("n_ones"),
+        col("sig_count"))
       .orderBy(col("doc_id"))
+  }
 
   /** Shared oracle CTE ending in sigs(doc_id, simhash) — the DuckDB
     * mirror of [[simhashSigs]]: same 64 md5 bit votes, hex digit value
@@ -595,8 +612,14 @@ object Dedup {
     // Σm(m−1) for an m-member bucket — the corpus's near-dup families
     // make this the difference between ~40k and ~1.2M edges at sf0.1,
     // and between linear and quadratic growth in family size at 100 TB.
-    val rooted = long.withColumn("root",
-      min(col("doc_id")).over(Window.partitionBy(col("band_id"), col("bkey"))))
+    // Roots via groupBy+join, not min().over(Window.partitionBy(bucket)):
+    // a window partition is a whole band bucket in one task — the very
+    // million-doc family the star contraction is defending against —
+    // while the min-aggregate does map-side partials and the join back
+    // is AQE-skew-splittable.
+    val roots = long.groupBy(col("band_id"), col("bkey"))
+      .agg(min(col("doc_id")).as("root"))
+    val rooted = long.join(roots, Seq("band_id", "bkey"))
       .filter(col("doc_id") =!= col("root"))
       .select(col("root"), col("doc_id"))
       .distinct()
@@ -664,10 +687,20 @@ object Dedup {
     m.toMap
   }
 
-  private def d7(s: SparkSession, d: String): DataFrame =
-    clusterAssignments(s, d)
-      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  /** d7 output: cluster_size via groupBy+join, not a per-cluster
+    * Window (a converged mega-cluster would buffer in one window task;
+    * the aggregate+join shape scales). The labels relation is
+    * localCheckpoint-ed by [[clusterAssignments]], so both branches
+    * read the same materialized RDD — no recompute.
+    */
+  private def d7(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterAssignments(s, d)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
+  }
 
   /** Shared oracle CTE chain ending in clusters(doc_id, cluster_id):
     * the DuckDB mirror of [[clusterAssignments]] (via full transitive
@@ -715,26 +748,26 @@ object Dedup {
     * d7's converged cluster assignment with t2's quality score and
     * flags, per cluster, the single highest-quality document as the
     * keeper (ties broken by min doc_id); every other row is the drop
-    * list. One projection-join plus the same per-cluster window d7
-    * already pays: clusters are bounded near-dup families, so the
-    * window partitions stay small at any corpus scale, and the argmax
-    * is a lexicographic struct max — no second shuffle, no sort beyond
-    * the cluster window.
+    * list. One projection-join plus ONE per-cluster aggregate: the
+    * count and the argmax ride the same groupBy (map-side partials, no
+    * family-sized window partition in one task — a converged
+    * mega-cluster at 100× would buffer whole in a WindowExec), and the
+    * join back on cluster_id is AQE-skew-splittable. The argmax is a
+    * lexicographic struct max, so no sort anywhere.
     */
   private def d10(s: SparkSession, d: String): DataFrame = {
     val scored = graft.text.TextAnalysis
       .qualityScored(Tables.documents(s, d))
       .select(col("doc_id"), col("quality_score"))
-    val w = Window.partitionBy(col("cluster_id"))
     // (quality_score DESC, doc_id ASC) argmax as a struct max: negated
     // doc_id makes the lexicographic max pick min doc_id among ties
     val rankKey = struct(col("quality_score"), (-col("doc_id")).as("nid"))
-    clusterAssignments(s, d)
-      .join(scored, Seq("doc_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("keep", rankKey === max(rankKey).over(w))
+    val joined = clusterAssignments(s, d).join(scored, Seq("doc_id"))
+    val perCluster = joined.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), max(rankKey).as("best_key"))
+    joined.join(perCluster, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        col("quality_score"), col("keep"))
+        col("quality_score"), (rankKey === col("best_key")).as("keep"))
       .orderBy(col("doc_id"))
   }
 

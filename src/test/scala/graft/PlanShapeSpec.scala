@@ -155,14 +155,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
   }
 
-  test("d10 fuses cluster_size and the keep argmax into ONE cluster window") {
-    val p = plan("d10_cluster_keep")
-    // two Window execs total: the band-bucket star roots inherited
-    // from clusterAssignments, and the per-cluster size+argmax pass —
-    // count(*) and max(struct) over the same spec must share one node,
-    // not sort the cluster partition twice
-    assert("Window \\[".r.findAllIn(p).size == 2, p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  test("dedup family counts run window-free — no family-sized single-task buffer") {
+    // the round-8 verdict's last scale finding: count/max over
+    // Window.partitionBy(family) buffers a whole dup family / band
+    // bucket / cluster in ONE task (a templated corpus at 100× has
+    // million-doc families). d3's sig_count, d7's star roots +
+    // cluster_size, d10's size+argmax, and d2/d11's bucket cap are all
+    // groupBy().agg() + join back now — map-side partials, and the
+    // join is AQE-skew-splittable. Assert no WindowExec survives.
+    for (q <- Seq("d3_simhash", "d7_cluster", "d10_cluster_keep",
+        "d2_minhash_lsh", "d11_word_minhash")) {
+      val p = plan(q)
+      assert(!"Window \\[".r.findAllIn(p).hasNext,
+        s"$q reintroduced a family-sized window partition:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
   }
 
   test("d11 word-gram band join stays an equi-join, never a nested loop") {
