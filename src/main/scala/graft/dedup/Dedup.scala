@@ -782,6 +782,87 @@ object Dedup {
       |FROM clusters c JOIN qscore q ON q.doc_id = c.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  /** d12: incremental-ingest dedup — the daily-batch shape a production
+    * pipeline runs BETWEEN whole-corpus sweeps: admit or reject each
+    * document of a "new batch" against the existing corpus's dedup
+    * manifest, without re-clustering the corpus. Mirrors the
+    * reference's idempotent resume (BatchWorkflow.resume;
+    * openai_batch_processor.py run → join-back
+    * run_text_classifier.py:100-120): already-processed work is
+    * recognized by key, only the delta proceeds.
+    *
+    * The batch split is pure integer arithmetic on the corpus max id
+    * (`doc_id * 5 > max_id * 4` → newest ~20% are "today's ingest"),
+    * identical in Spark and DuckDB — no doubles, no rounding drift.
+    * The manifest is two key sets aggregated from the existing corpus:
+    * exact md5 fingerprints (d1's key) and 64-bit SimHash signatures
+    * (d3/d8's key — an identical signature is the hot near-dup family
+    * bucket). A new document is rejected `exact_dup` on a fingerprint
+    * hit, else `near_dup` on a signature hit, else admitted.
+    *
+    * Scale shape: the max id is a one-row aggregate broadcast into
+    * the split (no collect); both manifests are groupBy-distinct
+    * relations joined on their key — map-side partials into an
+    * AQE-skew-splittable equi-join, never a table broadcast (at 100 TB
+    * the manifest is corpus-sized). Within-batch duplicates are out of
+    * scope by contract (the next whole-corpus sweep owns them — this
+    * operator answers only "is it new vs the corpus").
+    */
+  private def d12(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val flagged = docs.crossJoin(broadcast(mx))
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("is_new", col("doc_id") * 5 > col("mx") * 4)
+    val newb = flagged.filter(col("is_new")).select(col("doc_id"), col("fp"))
+    val corpusFp = flagged.filter(!col("is_new"))
+      .groupBy(col("fp")).agg(lit(1).as("fp_hit"))
+    val sigs = simhashSigs(s, d).crossJoin(broadcast(mx))
+    val newSigs = sigs.filter(col("doc_id") * 5 > col("mx") * 4)
+      .select(col("doc_id"), col("simhash"))
+    val corpusSigs = sigs.filter(col("doc_id") * 5 <= col("mx") * 4)
+      .groupBy(col("simhash")).agg(lit(1).as("sig_hit"))
+    newb
+      .join(corpusFp, Seq("fp"), "left")
+      // left: an empty/whitespace-only document has no tokens and so no
+      // signature row (matching the oracle's sigs CTE) — it can still
+      // be exact-dup-rejected by fingerprint
+      .join(newSigs, Seq("doc_id"), "left")
+      .join(corpusSigs, Seq("simhash"), "left")
+      .select(col("doc_id"), col("fp"),
+        (col("fp_hit").isNull && col("sig_hit").isNull).as("admit"),
+        when(col("fp_hit").isNotNull, "exact_dup")
+          .when(col("sig_hit").isNotNull, "near_dup")
+          .otherwise("admitted").as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d12Sql = SimhashCte +
+    """,
+      |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+      |newb AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents, mx
+      |  WHERE doc_id * 5 > mx * 4),
+      |corpus_fp AS (
+      |  SELECT DISTINCT md5(text) AS fp FROM documents, mx
+      |  WHERE doc_id * 5 <= mx * 4),
+      |new_sig AS (
+      |  SELECT s.doc_id, s.simhash FROM sigs s, mx
+      |  WHERE s.doc_id * 5 > mx * 4),
+      |corpus_sig AS (
+      |  SELECT DISTINCT s.simhash FROM sigs s, mx
+      |  WHERE s.doc_id * 5 <= mx * 4)
+      |SELECT n.doc_id, n.fp,
+      |  (cf.fp IS NULL AND cs.simhash IS NULL) AS admit,
+      |  CASE WHEN cf.fp IS NOT NULL THEN 'exact_dup'
+      |       WHEN cs.simhash IS NOT NULL THEN 'near_dup'
+      |       ELSE 'admitted' END AS reason
+      |FROM newb n
+      |LEFT JOIN corpus_fp cf ON cf.fp = n.fp
+      |LEFT JOIN new_sig ns ON ns.doc_id = n.doc_id
+      |LEFT JOIN corpus_sig cs ON cs.simhash = ns.simhash
+      |ORDER BY n.doc_id""".stripMargin
+
   /** d8: SimHash near-dup pairs within hamming distance ≤ 3, via the
     * standard multi-index (HmSearch/"detecting near-duplicates for web
     * crawling") split: the 64-bit signature breaks into 4 disjoint
@@ -935,6 +1016,7 @@ object Dedup {
       |ORDER BY containment DESC, da, db LIMIT 100""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d12_incremental_dedup" -> (d12 _),
     "d11_word_minhash" -> (d11 _),
     "d10_cluster_keep" -> (d10 _),
     "d9_containment" -> (d9 _),
@@ -948,6 +1030,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d12_incremental_dedup" -> d12Sql,
     "d11_word_minhash" -> d11Sql,
     "d10_cluster_keep" -> d10Sql,
     "d9_containment" -> d9Sql,

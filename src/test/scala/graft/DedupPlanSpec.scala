@@ -209,4 +209,32 @@ class DedupPlanSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     assert((docs(da) intersect docs(db)).size.toLong == n)
   }
+
+  test("d12 fires all three admit paths — exact, near (token-permuted), admitted") {
+    import spark.implicits._
+    // the driver testdata has no byte-identical dup pair (d1 groups are
+    // all size 1), so the exact_dup branch never fires there — exercise
+    // it with a constructed corpus. max id 15 → new batch = {13,14,15}
+    // (doc_id*5 > 60). 13 copies doc 1 verbatim (exact_dup); 14 permutes
+    // doc 2's words — same distinct token set → same SimHash, different
+    // md5 (near_dup); 15 is fresh (admitted).
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "completely unrelated corpus filler text body here")) ++
+      (4L to 12L).map(i => (i, s"unique filler document number $i with its own words ${i * 31}"))
+    val newBatch = Seq(
+      (13L, "alpha beta gamma delta epsilon zeta"),
+      (14L, "eight seven six five four three two one"),
+      (15L, "genuinely novel content never seen in the corpus before"))
+    val dir = java.nio.file.Files.createTempDirectory("d12inc").toString
+    (existing ++ newBatch).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d12_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
+    assert(out.keySet == Set(13L, 14L, 15L), s"new batch rows: ${out.keySet}")
+    assert(out(13L) == (false, "exact_dup"), s"13: ${out(13L)}")
+    assert(out(14L) == (false, "near_dup"), s"14: ${out(14L)}")
+    assert(out(15L) == (true, "admitted"), s"15: ${out(15L)}")
+  }
 }

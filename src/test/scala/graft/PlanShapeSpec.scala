@@ -178,6 +178,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(hasCodegen(p), p)
   }
 
+  test("d12 incremental admit joins the manifest window-free, scalar-broadcast only") {
+    val p = plan("d12_incremental_dedup")
+    // the manifest lookups are plain equi-joins (AQE-skew-splittable at
+    // 100 TB); the ONLY nested-loop joins allowed are the one-row max-id
+    // broadcasts that drive the batch split (docs ⋈ mx, sigs ⋈ mx)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // four branches (new/corpus × fp/sig) each re-join the ONE-ROW max
+    // aggregate; AQE reuses the broadcast exchange itself (ReusedExchange)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4,
+      s"d12 must not nested-loop anything but the max-id scalar:\n$p")
+    // ... and every one of them must be the one-row scalar build:
+    // exactly ONE materialized IdentityBroadcastMode exchange, the rest
+    // ReusedExchange references to it (a ReusedExchange line repeats the
+    // original's description, so filter those out before counting)
+    val identityBuilds = p.linesIterator.count(l =>
+      l.contains("BroadcastExchange IdentityBroadcastMode") && !l.contains("ReusedExchange"))
+    assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
+  }
+
   test("s5 recall compare runs over heap-ranked sides — no window anywhere") {
     val p = plan("s5_ann_recall")
     // both ranking sides run through TopKPerKey; the comparison adds
