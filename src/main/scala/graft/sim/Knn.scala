@@ -271,8 +271,11 @@ object Knn {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  private val s4Sql =
-    s"""WITH dims AS (
+  /** The IVF pipeline CTE chain ending in scored(q_id, vec_id,
+    * assigned_cell, cos) — shared verbatim by the s4 oracle and the s6
+    * recall oracle, so the two necessarily measure the same index. */
+  private val ivfCtes =
+    s"""dims AS (
        |  SELECT vec_id, label, g.i, CAST(embedding[g.i] AS DOUBLE) AS x
        |  FROM embeddings, generate_series(1, 64) AS g(i)),
        |cents AS (
@@ -298,7 +301,10 @@ object Knn {
        |  SELECT p.q_id, c.vec_id, c.assigned_cell,
        |    ${duckCos("p.qe", "c.embedding")} AS cos
        |  FROM probes p JOIN corpus c
-       |    ON p.probe_cell = c.assigned_cell AND c.vec_id <> p.q_id)
+       |    ON p.probe_cell = c.assigned_cell AND c.vec_id <> p.q_id)""".stripMargin
+
+  private val s4Sql =
+    s"""WITH $ivfCtes
        |SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
        |       vec_id, assigned_cell, cos
        |FROM scored
@@ -317,9 +323,17 @@ object Knn {
     * semi-join plus one aggregate — measurement cost is the two
     * rankings themselves, nothing quadratic.
     */
-  private def s5(s: SparkSession, d: String): DataFrame = {
-    val tru = s1(s, d).filter(col("rank") <= 3).select(col("q_id"), col("vec_id"))
-    val ann = s2(s, d).select(col("q_id"), col("vec_id"))
+  private def s5(s: SparkSession, d: String): DataFrame =
+    recallVs(
+      s1(s, d).filter(col("rank") <= 3).select(col("q_id"), col("vec_id")),
+      s2(s, d).select(col("q_id"), col("vec_id")))
+
+  /** Per-query recall of an approximate ranking against a truth
+    * ranking — the shared engine of s5 (LSH index) and s6 (IVF index).
+    * A tiny (queries × k) semi-join plus one aggregate; measurement
+    * cost is the two rankings themselves, nothing quadratic.
+    */
+  private def recallVs(tru: DataFrame, ann: DataFrame): DataFrame = {
     val nTrue = tru.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
     val nFound = tru.join(ann, Seq("q_id", "vec_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_found"))
@@ -330,14 +344,33 @@ object Knn {
       .orderBy(col("q_id"))
   }
 
-  private val s5Sql =
-    s"""WITH tru AS (
+  /** Brute-force truth CTE `tru(q_id, vec_id)` at top-`k` — the s1
+    * ranking (same NaN/ANSI predicate as s1Sql) that both recall
+    * oracles (s5/s6) compare their approximate index against. */
+  private def truTopSql(k: Int): String =
+    s"""tru AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS cos
        |    FROM (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5) q
        |    JOIN embeddings e ON e.vec_id <> q.q_id)
        |  WHERE cos IS NOT NULL AND NOT isnan(cos)
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 3),
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= $k)""".stripMargin
+
+  /** Recall tail over tru/ann CTEs — the SQL mirror of [[recallVs]]. */
+  private val recallTailSql =
+    """nt AS (SELECT q_id, COUNT(*) AS n_true FROM tru GROUP BY q_id),
+      |nf AS (
+      |  SELECT t.q_id, COUNT(*) AS n_found
+      |  FROM tru t JOIN ann a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+      |  GROUP BY t.q_id)
+      |SELECT nt.q_id, nt.n_true,
+      |  CAST(COALESCE(nf.n_found, 0) AS BIGINT) AS n_found,
+      |  CAST(COALESCE(nf.n_found, 0) AS DOUBLE) / nt.n_true AS recall
+      |FROM nt LEFT JOIN nf ON nf.q_id = nt.q_id
+      |ORDER BY nt.q_id""".stripMargin
+
+  private val s5Sql =
+    s"""WITH ${truTopSql(3)},
        |b AS (
        |  SELECT vec_id, embedding, $s2BucketSql AS bucket
        |  FROM embeddings),
@@ -348,28 +381,45 @@ object Knn {
        |    JOIN b bb ON bb.bucket = q.bucket AND bb.vec_id <> q.q_id)
        |  WHERE cos IS NOT NULL AND NOT isnan(cos)
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 3),
-       |nt AS (SELECT q_id, COUNT(*) AS n_true FROM tru GROUP BY q_id),
-       |nf AS (
-       |  SELECT t.q_id, COUNT(*) AS n_found
-       |  FROM tru t JOIN ann a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
-       |  GROUP BY t.q_id)
-       |SELECT nt.q_id, nt.n_true,
-       |  CAST(COALESCE(nf.n_found, 0) AS BIGINT) AS n_found,
-       |  CAST(COALESCE(nf.n_found, 0) AS DOUBLE) / nt.n_true AS recall
-       |FROM nt LEFT JOIN nf ON nf.q_id = nt.q_id
-       |ORDER BY nt.q_id""".stripMargin
+       |$recallTailSql""".stripMargin
+
+  /** s6: IVF recall@5 — s5's quality contract for the OTHER index. s5
+    * measures the LSH bucket path; this measures the IVF probe path
+    * (s4) against the same brute-force truth (s1), per query vector.
+    * Recall here is governed by nprobe (s4 probes 2 of the cells) —
+    * the knob a production IVF deployment actually tunes: raising
+    * nprobe trades scan fraction for recall, and THIS query is the
+    * measurement that justifies the setting before trusting the index
+    * at corpus scale. Shares [[recallVs]] with s5; the oracle shares
+    * s4's whole CTE chain, so query and contract measure one index.
+    */
+  private def s6(s: SparkSession, d: String): DataFrame =
+    recallVs(
+      s1(s, d).filter(col("rank") <= 5).select(col("q_id"), col("vec_id")),
+      s4(s, d).select(col("q_id"), col("vec_id")))
+
+  private val s6Sql =
+    s"""WITH ${truTopSql(5)},
+       |$ivfCtes,
+       |ann AS (
+       |  SELECT q_id, vec_id FROM scored
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5),
+       |$recallTailSql""".stripMargin
 
   val queries: Map[String, QFn] = Map(
     "s1_knn_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
     "s3_ivf_cells" -> (s3 _),
     "s4_ivf_probe" -> (s4 _),
-    "s5_ann_recall" -> (s5 _))
+    "s5_ann_recall" -> (s5 _),
+    "s6_ivf_recall" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ivf_cells" -> s3Sql,
     "s4_ivf_probe" -> s4Sql,
-    "s5_ann_recall" -> s5Sql)
+    "s5_ann_recall" -> s5Sql,
+    "s6_ivf_recall" -> s6Sql)
 }

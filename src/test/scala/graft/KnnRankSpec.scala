@@ -61,5 +61,15 @@ class KnnRankSpec extends SparkSpec {
       assert(sql.contains("NOT isnan(cos)") && sql.contains("cos IS NOT NULL"),
         s"$name oracle must carry the rankTopK NaN/null predicate")
     }
+    // the recall oracles rank on BOTH sides (truth and approximate) —
+    // each ranked subquery must carry the predicate independently, or a
+    // zero-norm vector would count against recall on one side only
+    for (name <- Seq("s5_ann_recall", "s6_ivf_recall")) {
+      val sql = SparkEntry.oracleSql(name)
+      assert("NOT isnan\\(cos\\)".r.findAllIn(sql).size >= 2,
+        s"$name oracle must carry the NaN predicate in both ranked subqueries")
+      assert("cos IS NOT NULL".r.findAllIn(sql).size >= 2,
+        s"$name oracle must carry the null predicate in both ranked subqueries")
+    }
   }
 }

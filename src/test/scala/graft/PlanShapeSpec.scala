@@ -209,4 +209,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("s6 IVF recall ranks through heaps; only the probe-cell window survives") {
+    val p = plan("s6_ivf_recall")
+    // both s1 (truth) and s4 (IVF) rank candidates through TopKPerKey;
+    // the single allowed Window is s4's tiny query-side probe-cell rank
+    // (5 query rows × ncells), same as the s4 plan pin
+    assert(p.contains("TopKPerKey"), p)
+    assert("Window \\[".r.findAllIn(p).size <= 1, p)
+  }
 }
