@@ -681,7 +681,58 @@ object Analytics {
       |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, tus, event_id""".stripMargin
 
+  /** q27: the bucketed co-located join as a driver-checked query —
+    * previously proven at library level only (BucketedJoinSpec). Both
+    * sides are written ONCE bucketed+sorted on the join key into
+    * external tables, then the fact⋈fact join reads matching buckets
+    * directly: zero Exchange on either side (plan-pinned in
+    * PlanShapeSpec with broadcast disabled). At 100 TB this converts
+    * the dominant repeated join shuffle into a one-off write-time
+    * layout decision — the pattern a production deployment lives on
+    * for its hot join keys; 8 buckets here stands in for the
+    * bucket-count sizing (≈ table size / target partition size) a real
+    * table would use.
+    *
+    * The write is part of the query on purpose: the bench then prices
+    * the layout cost honestly instead of amortizing it invisibly, and
+    * Verify/Bench re-runs stay idempotent (drop + overwrite).
+    */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_bucketed_" + Integer.toHexString(d.hashCode))
+    def writeBucketed(df: DataFrame, table: String, key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.mode("overwrite")
+        .bucketBy(8, key).sortBy(key)
+        .option("path", stage.resolve(table).toString)
+        .saveAsTable(table)
+    }
+    writeBucketed(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice"),
+      "graft_q27_lineitem", "l_orderkey")
+    writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "graft_q27_orders", "o_orderkey")
+    s.table("graft_q27_lineitem")
+      .join(s.table("graft_q27_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.dsum2(col("l_quantity")).as("sum_qty"),
+        Exact.dsum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q27Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q27_bucketed_join" -> (q27 _),
     "q20_cube" -> (q20 _),
     "q21_range_window" -> (q21 _),
     "q22_rank_family" -> (q22 _),
@@ -710,6 +761,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q27_bucketed_join" -> q27Sql,
     "q20_cube" -> q20Sql,
     "q21_range_window" -> q21Sql,
     "q22_rank_family" -> q22Sql,

@@ -210,6 +210,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q27 bucketed join reads co-located buckets — no exchange on either join side") {
+    // broadcast off: at test SF the dimension would fit a broadcast and
+    // bypass bucketing entirely (at real scale neither fact side fits)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q27_bucketed_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // the aggregation above the join may exchange on its OWN key;
+      // what bucketing must eliminate is any shuffle on the join keys
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle its inputs:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("s6 IVF recall ranks through heaps; only the probe-cell window survives") {
     val p = plan("s6_ivf_recall")
     // both s1 (truth) and s4 (IVF) rank candidates through TopKPerKey;
