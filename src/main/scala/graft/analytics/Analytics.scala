@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QFn, Exact, Tables}
@@ -524,6 +524,89 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** q25b: q25's accuracy contract as a DRIVER-CHECKABLE oracle query.
+    * q25 itself is rows-only (sketch compression points are
+    * engine-specific, so values can't hash-match DuckDB), which left
+    * its correctness signal in ScalaTest only (SketchAccuracySpec).
+    * This query emits the CONTRACT instead of the value: per group,
+    * whether the sketch's result sits within the Greenwald-Khanna
+    * rank guarantee of the exact data — booleans hash-match fine.
+    *
+    * The check is rank-exact, mirroring SketchAccuracySpec: the
+    * returned value's occupied rank interval [lt+1, le] (counts of
+    * strictly-smaller / less-or-equal rows, computed in the same
+    * query) must intersect target ± e, target = ⌈p·n⌉,
+    * e = max(1, ⌈n/accuracy⌉) + 1. The oracle computes n exactly and
+    * expects every bound TRUE — so a silently-broken sketch (wrong
+    * column, broken partial-merge rewrite) now fails the DRIVER gate,
+    * not just the test suite. Two passes over the group (sketch, then
+    * rank counts against the broadcast sketch row) — the check costs
+    * one extra scan, which is what an accuracy audit costs.
+    */
+  private def q25b(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_extendedprice").cast("double").as("price"),
+      col("l_quantity").cast("double").as("qty"))
+    val apx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(price, array(0.5D, 0.9D), 10000)").as("ap"),
+        expr("approx_percentile(qty, 0.25D, 10000)").as("aq"))
+      .select(col("l_returnflag"), col("ap").getItem(0).as("a50"),
+        col("ap").getItem(1).as("a90"), col("aq").as("a25"))
+    val c = li.join(broadcast(apx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("price") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("price") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("price") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("price") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("qty") <= col("a25"), 1L).otherwise(0L)).as("le25"),
+        sum(when(col("qty") < col("a25"), 1L).otherwise(0L)).as("lt25"),
+        count(lit(1)).as("n"))
+    def ok(p: Double, le: Column, lt: Column): Column = {
+      val n = col("n")
+      val e = greatest(lit(1L), ceil(n.cast("double") / 10000).cast("long")) + lit(1L)
+      val target = ceil(n.cast("double") * p).cast("long")
+      (lt + lit(1L) <= target + e) && (le >= target - e)
+    }
+    c.select(col("l_returnflag"), col("n"),
+      ok(0.5, col("le50"), col("lt50")).as("p50_ok"),
+      ok(0.9, col("le90"), col("lt90")).as("p90_ok"),
+      ok(0.25, col("le25"), col("lt25")).as("p25_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q25bSql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p25_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q26b: q26's HLL++ accuracy contract as an oracle query — the
+    * distinct-count sibling of [[q25b]]. Emits, per group, the exact
+    * distinct count plus whether the sketch landed within 2× the
+    * default relativeSD (0.05) of it — the same fixed margin
+    * SketchAccuracySpec asserts (deterministic data → deterministic
+    * bound, not a flaky statistical gate). The oracle recomputes the
+    * exact side in DuckDB and expects all-true, making the sketch's
+    * accuracy a hash-checked driver signal. Exact + approx ride ONE
+    * aggregation (Spark plans the distinct via Expand), so the audit
+    * is a single pass.
+    */
+  private def q26b(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("apx"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("apx") - col("exact_users")).cast("double") <=
+          lit(2 * 0.05) * col("exact_users")).as("within_bound"))
+      .orderBy(col("event_type"))
+
+  private val q26bSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(*) AS n_events, TRUE AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Pivot (wide) aggregation: one column per l_linestatus value.
     * Values are enumerated explicitly — at scale an un-enumerated
     * pivot needs an extra distinct pass over the data.
@@ -742,6 +825,8 @@ object Analytics {
     "q18_percentile" -> (q18 _),
     "q25_percentile_sketch" -> (q25 _), // rows-only: no oracle entry
     "q26_distinct_sketch" -> (q26 _),   // rows-only: no oracle entry
+    "q25b_sketch_bound" -> (q25b _),    // ...their oracle-checked accuracy contracts
+    "q26b_sketch_bound" -> (q26b _),
     "q16_topk_custom" -> (q16 _),
     "q17_json_extract" -> (q17 _),
     "q1_agg" -> (q1 _),
@@ -762,6 +847,8 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q27_bucketed_join" -> q27Sql,
+    "q25b_sketch_bound" -> q25bSql,
+    "q26b_sketch_bound" -> q26bSql,
     "q20_cube" -> q20Sql,
     "q21_range_window" -> q21Sql,
     "q22_rank_family" -> q22Sql,
