@@ -4,6 +4,25 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Confs that would silently de-synchronize query results from the
+    * REGISTERED oracle SQL if overridden during a verify run:
+    * `graft.lsh.signBits` is baked into the s2/s5 oracle strings at
+    * class load (Knn.lshDims — the SQL cannot follow a session
+    * override), and `graft.stream.partitions` defines the bounded-run
+    * state regime the streaming oracle equalities were validated
+    * under. Overriding either while emitting oracle SQL would turn an
+    * intentional re-configuration into a spurious driver correctness
+    * failure — refuse loudly instead.
+    */
+  private[graft] def assertOracleSafeConfs(spark: SparkSession): Unit = {
+    val pinned = Seq("graft.lsh.signBits", "graft.stream.partitions")
+    val overridden = pinned.filter(k => spark.conf.getOption(k).isDefined)
+    if (overridden.nonEmpty) throw new IllegalStateException(
+      s"refusing to emit oracle SQL with ${overridden.mkString(", ")} overridden: " +
+        "the registered oracles are pinned to the defaults and would mismatch. " +
+        "Unset the conf(s) for verify runs, or skip the oracle gate for this session.")
+  }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — names filter the dump
     // (iterating on one operator shouldn't re-run all 50+)
@@ -16,6 +35,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    assertOracleSafeConfs(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

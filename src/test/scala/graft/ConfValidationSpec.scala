@@ -69,4 +69,18 @@ class ConfValidationSpec extends SparkSpec {
       assert(VectorFunctions.sessionSignDims(spark).size === 16)
     }
   }
+
+  test("Verify refuses to emit oracle SQL under an oracle-breaking conf override") {
+    // the s2/s5 oracle strings pin the DEFAULT sign dims at class load;
+    // a session override would change the query side only and surface
+    // as a spurious driver hash mismatch — the guard turns that into a
+    // loud refusal at verify start instead
+    for (key <- Seq("graft.lsh.signBits", "graft.stream.partitions")) {
+      withConf(key, "16") {
+        val e = intercept[IllegalStateException](Verify.assertOracleSafeConfs(spark))
+        assert(e.getMessage.contains(key), e.getMessage)
+      }
+    }
+    Verify.assertOracleSafeConfs(spark) // defaults: no throw
+  }
 }
