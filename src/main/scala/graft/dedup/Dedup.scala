@@ -771,6 +771,11 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // TEXT-COUPLING WARNING: tools/parity.py (d7_oracle/d10_oracle)
+  // re-parses this composed SQL on the literal markers ",\nreach AS",
+  // "qscore AS", and "\nSELECT c.doc_id" — a benign reformat of the
+  // CTE chain or the final SELECT's first line breaks the local parity
+  // oracle. Keep those spellings, or update parity.py in lockstep.
   private val d10Sql = "WITH RECURSIVE " + ClusterCteBody + ",\n" +
     graft.text.TextAnalysis.QualityScoreCte +
     """

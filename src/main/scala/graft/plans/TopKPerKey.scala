@@ -53,13 +53,21 @@ case class TopKPerKeyLogical(keys: Seq[Expression], order: Expression,
   * its key is near-unique sets `graft.topk.partial=false` and plans
   * only the final stage (results are identical — the semigroup merge
   * of singleton sets is the identity).
+  *
+  * `graft.topk.partial` is read at PHYSICAL-PLANNING time, not
+  * execution time: a DataFrame planned under one setting keeps that
+  * plan if executed (or its plan reused) after the conf changes —
+  * set the conf BEFORE building the DataFrame. Results are identical
+  * either way; only the plan shape differs.
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyLogical(keys, order, tie, k, child) =>
       val raw = org.apache.spark.sql.internal.SQLConf.get
         .getConfString("graft.topk.partial", "true")
-      val partialOn = raw.toLowerCase match {
+      // Locale.ROOT: the default toLowerCase is locale-sensitive
+      // (Turkish dotless-i turns "TRUE" into something unmatchable)
+      val partialOn = raw.toLowerCase(java.util.Locale.ROOT) match {
         case "true" => true
         case "false" => false
         case other => throw new IllegalArgumentException(

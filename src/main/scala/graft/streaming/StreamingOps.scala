@@ -101,7 +101,15 @@ object StreamingOps {
     s.streams.active.filter(_.name == name).foreach(_.stop())
     // shuffle.partitions is read at query START and pinned in the
     // checkpoint; setting it here scopes the reduction to this
-    // streaming query, the finally puts the batch default back
+    // streaming query, the finally puts the batch default back.
+    // SINGLE-QUERY-AT-A-TIME contract (ADVICE r8): the override is
+    // session-global while the stream runs, so any OTHER query planned
+    // on this SparkSession during that window would silently pick up
+    // the 2-partition setting. The driver contract runs queries
+    // sequentially, which is what makes this safe; a concurrent
+    // deployment would run each stream on s.newSession() instead (the
+    // plan would need building against that session from the start —
+    // DataFrames are session-bound).
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", streamPartitions(s))
     try {

@@ -91,7 +91,13 @@ object TextAnalysis {
 
   /** DuckDB CTE body mirroring [[qualityScored]]'s `quality_score`
     * (same expression tree as t2Sql's, so the doubles are
-    * bit-identical). Shared by d10's oracle. */
+    * bit-identical). Shared by d10's oracle.
+    *
+    * TEXT-COUPLING WARNING: tools/parity.py re-parses the composed d10
+    * oracle SQL by splitting on the literal markers `qscore AS` and
+    * `\nSELECT c.doc_id` (d10_oracle) — keep the leading `qscore AS`
+    * spelling here (and the `SELECT c.doc_id` line in Dedup.d10Sql)
+    * stable, or update parity.py in the same change. */
   private[graft] val QualityScoreCte =
     """qscore AS (
       |  SELECT doc_id,
