@@ -62,6 +62,70 @@ object StreamingOps {
     s.readStream.schema(eventsSchema).parquet(dir.toString)
   }
 
+  /** The bounded event stream staged as FOUR files (split by
+    * `event_id % 4`, mtimes strictly increasing in split order) read
+    * with `maxFilesPerTrigger=1` — the multi-batch regime st8 exists
+    * to exercise: the watermark genuinely advances BETWEEN batches, so
+    * windows close mid-run and late rows (each split interleaves the
+    * full time range) genuinely drop. File order is pinned by explicit
+    * modification times (the file source admits oldest-first), which
+    * makes the drop/emit sequence — and therefore st8's oracle —
+    * deterministic. A `_src_meta` marker (source size:mtime) keeps
+    * re-staging idempotent and stale-proof, mirroring [[eventsStream]].
+    */
+  private def eventsStreamMulti(s: SparkSession, d: String, nFiles: Int): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_multi_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve("_src_meta")
+    val meta = java.nio.file.Files.size(src) + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet")))
+    if (!fresh) {
+      // wipe any previous staging so stray files can't join the stream
+      val listing = java.nio.file.Files.list(dir)
+      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally listing.close()
+      val work = dir.resolve("_work")
+      val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
+      for (k <- 0 until nFiles) {
+        graft.Tables.events(s, d)
+          .filter(col("event_id") % nFiles === k)
+          .coalesce(1).write.mode("overwrite").parquet(work.toString)
+        val partFile = {
+          val l = java.nio.file.Files.list(work)
+          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally l.close()
+        }
+        val dst = dir.resolve(s"b$k.parquet")
+        java.nio.file.Files.move(partFile, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // strictly increasing mtimes pin the admission order
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 1000L))
+      }
+      // remove the _work dir (its remaining _SUCCESS etc. and itself)
+      if (java.nio.file.Files.exists(work)) {
+        val l = java.nio.file.Files.list(work)
+        try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally l.close()
+        java.nio.file.Files.deleteIfExists(work)
+      }
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
+    s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      // only the staged batch files — never the marker
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(dir.toString)
+  }
+
   /** State-store partition count for the bounded streaming queries
     * (conf `graft.stream.partitions`). Stateful operators commit one
     * delta file per state partition per store per micro-batch — at the
@@ -117,8 +181,33 @@ object StreamingOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .format("memory").queryName(name).start()
       q.awaitTermination()
+      lastRunBatches(name) = q.recentProgress.toSeq.map(_.numInputRows)
+      lastRunTrace(name) = q.recentProgress.toSeq.map { p =>
+        val drops = p.stateOperators.map(_.numRowsDroppedByWatermark).mkString(",")
+        s"batch=${p.batchId} in=${p.numInputRows} eventTime=${p.eventTime} dropped=[$drops]"
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
+  }
+
+  /** numInputRows per micro-batch of each query's last completed run —
+    * observability for the specs (StreamingMultiBatchSpec asserts st8
+    * really processed its input across MULTIPLE data batches, not one).
+    */
+  private[graft] val lastRunBatches =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+
+  /** Full per-micro-batch progress trace of each query's last run —
+    * (numInputRows, eventTime map incl. watermark, stateOperators'
+    * numRowsDroppedByWatermark) rendered as strings. Diagnosis surface
+    * for st8's per-batch oracle model (`graft.Dev st8diag`). */
+  private[graft] val lastRunTrace =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  /** Runs st8 and returns its per-batch trace (Dev st8diag). */
+  private[graft] def st8Diag(s: SparkSession, d: String): Seq[String] = {
+    st8(s, d).collect()
+    lastRunTrace.getOrElse("graft_st8", Seq("<no trace>"))
   }
 
   /** st1: streaming tumbling 1-hour window aggregation (event-time from
@@ -293,6 +382,70 @@ object StreamingOps {
       |  (SELECT MAX(epoch_us(ts)) // 1000 - 600000 FROM events)
       |ORDER BY hour_s, event_type""".stripMargin
 
+  /** st8: st5's append-mode windowed aggregation under a REAL
+    * multi-batch regime — four staged files admitted one per trigger
+    * ([[eventsStreamMulti]]), so the watermark advances between
+    * batches, windows close mid-run, and rows arriving after their
+    * window closed are dropped as late data. Every other streaming
+    * oracle equality leans on the single-file/single-batch staging
+    * invariant ([[eventsStream]]); this query is the one whose oracle
+    * replicates the per-batch mechanics instead:
+    *
+    *  - batch k = `event_id % 4 = k` (each split spans the full time
+    *    range, so later batches DO carry rows for already-closed
+    *    windows — real drops, not a vacuous pass);
+    *  - Spark keeps TWO watermarks per stateful operator (measured via
+    *    st8Diag, visible as numRowsDroppedByWatermark): EVICTION uses
+    *    the current batch's value (max event time over batches < k,
+    *    ms floor, − 10 min), but the LATE-ROW FILTER uses the PREVIOUS
+    *    batch's (max over batches < k−1) — so a row arriving in the
+    *    same batch that advances the watermark past its window is
+    *    still admitted. The two are offset exactly so that a window
+    *    evicted at batch k is un-reenterable at k+1 — no window is
+    *    ever emitted twice (append-mode invariant);
+    *  - a row in batch k is therefore dropped iff its window end ≤
+    *    the batch-(k−1) watermark;
+    *  - after the final no-data batch, exactly the windows with
+    *    end ≤ final watermark have been emitted (st5's ms-precision
+    *    rule, applied per batch in admission order).
+    *
+    * On an unbounded production feed this IS the operating regime —
+    * st8 pins those semantics with a hash-checked oracle.
+    */
+  private def st8(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStreamMulti(s, d, 4)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum2(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("hour_s"),
+        col("event_type"), col("n"), col("sum_value"))
+    runToMemory(s, agg, "graft_st8", mode = "append")
+      .orderBy(col("hour_s"), col("event_type"))
+  }
+
+  private val st8Sql =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS tus, event_type, value,
+      |    event_id % 4 AS b
+      |  FROM events),
+      |bwm AS (SELECT b, MAX(tus) // 1000 - 600000 AS wm_after FROM e GROUP BY b),
+      |wlate AS (
+      |  SELECT w.b,
+      |    (SELECT MAX(w2.wm_after) FROM bwm w2 WHERE w2.b < w.b - 1) AS wm_late
+      |  FROM bwm w),
+      |kept AS (
+      |  SELECT e.* FROM e JOIN wlate w ON w.b = e.b
+      |  WHERE w.wm_late IS NULL
+      |     OR ((tus // 3600000000) * 3600 + 3600) * 1000 > w.wm_late)
+      |SELECT (tus // 3600000000) * 3600 AS hour_s, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM kept
+      |GROUP BY 1, 2
+      |HAVING (hour_s + 3600) * 1000 <= (SELECT MAX(wm_after) FROM bwm)
+      |ORDER BY hour_s, event_type""".stripMargin
+
   /** st6: stream-stream interval join — each click joined to the same
     * user's purchases within the following 30 minutes. Both sides carry
     * watermarks and the join carries a time-range constraint, so state
@@ -331,6 +484,7 @@ object StreamingOps {
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "st8_stream_multibatch" -> (st8 _),
     "st7_stream_dedup_bounded" -> (st7 _),
     "st6_stream_stream_join" -> (st6 _),
     "st5_stream_append_window" -> (st5 _),
@@ -340,6 +494,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st8_stream_multibatch" -> st8Sql,
     "st7_stream_dedup_bounded" -> st7Sql,
     "st6_stream_stream_join" -> st6Sql,
     "st5_stream_append_window" -> st5Sql,
