@@ -279,8 +279,11 @@ object Dedup {
     * At 64 bits whole-signature collisions are vanishing and hamming
     * proximity actually means near-duplication.
     */
-  private def simhashVotes(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+  private def simhashVotes(s: SparkSession, d: String): DataFrame =
+    simhashVotesOf(Tables.documents(s, d))
+
+  private def simhashVotesOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       // explicit notnull: self-joins downstream push isnotnull(doc_id)
       // into ONE branch's scan and not the other, making the two votes
       // subtrees canonicalize differently — AQE then cannot reuse the
@@ -299,9 +302,12 @@ object Dedup {
     toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
   }
 
-  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+    simhashSigsOf(Tables.documents(s, d))
+
+  private def simhashSigsOf(docs: DataFrame): DataFrame = {
     val bits = (0 until 64).map(j => when(col(s"v$j") > 0, lit("1")).otherwise(lit("0")))
-    simhashVotes(s, d).select(col("doc_id"), concat(bits: _*).as("simhash"))
+    simhashVotesOf(docs).select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
   /** The same 64 votes packed into ONE long (vote j at bit 63−j, so the
@@ -603,8 +609,14 @@ object Dedup {
     * loop diagnostics ([[d7Diag]]) at diag-only cost — the production
     * path passes None and runs no extra job. */
   private def clusterAssignments(s: SparkSession, d: String,
+      stats: Option[scala.collection.mutable.Map[String, Long]] = None): DataFrame =
+    clusterAssignmentsOf(Tables.documents(s, d), stats)
+
+  /** [[clusterAssignments]] over ANY documents relation — d13 clusters
+    * the existing-corpus subset only, d7/d10 the whole table. */
+  private def clusterAssignmentsOf(docs: DataFrame,
       stats: Option[scala.collection.mutable.Map[String, Long]] = None): DataFrame = {
-    val long = bandLong(minhashBands(s, d))
+    val long = bandLong(minhashBandsFrom(shinglesDistinct(docs)))
     // Star contraction per band bucket: every member connects to the
     // bucket's min doc_id, both directions. Connectivity-equivalent to
     // the all-pairs band join (any two co-bucketed docs reach each
@@ -623,7 +635,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("root"))
       .select(col("root"), col("doc_id"))
       .distinct()
-    val verified = verifyEdges(rooted, docShingleSets(Tables.documents(s, d)))
+    val verified = verifyEdges(rooted, docShingleSets(docs))
     val edges = verified.select(col("root").as("src"), col("doc_id").as("dst"))
       .unionAll(verified.select(col("doc_id").as("src"), col("root").as("dst")))
       .localCheckpoint() // computed once, re-read every iteration
@@ -635,7 +647,8 @@ object Dedup {
     // first propagation round needs no labels join at all — it is just
     // min(src) per dst — so the loop starts one round ahead.
     val seed = edges.groupBy(col("dst")).agg(min(col("src")).as("nlabel"))
-    var labels = Tables.documents(s, d)
+    var labels = docs
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"))
       .join(seed.select(col("dst").as("doc_id"), col("nlabel")), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -827,20 +840,29 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
     val corpusSigs = sigs.filter(col("doc_id") * 5 <= col("mx") * 4)
       .groupBy(col("simhash")).agg(lit(1).as("sig_hit"))
+    admitJoin(newb, corpusFp, newSigs, corpusSigs)
+  }
+
+  /** Shared admit/reject tail of d12 and d13: the new batch left-joined
+    * against a fingerprint manifest (`fp` → fp_hit) and a signature
+    * manifest (`simhash` → sig_hit, via the new docs' own signatures),
+    * exact taking priority in the reason. All equi-joins on aggregated
+    * manifest keys — AQE-skew-splittable, never a table broadcast. */
+  private def admitJoin(newb: DataFrame, fpManifest: DataFrame,
+      newSigs: DataFrame, sigManifest: DataFrame): DataFrame =
     newb
-      .join(corpusFp, Seq("fp"), "left")
+      .join(fpManifest, Seq("fp"), "left")
       // left: an empty/whitespace-only document has no tokens and so no
       // signature row (matching the oracle's sigs CTE) — it can still
       // be exact-dup-rejected by fingerprint
       .join(newSigs, Seq("doc_id"), "left")
-      .join(corpusSigs, Seq("simhash"), "left")
+      .join(sigManifest, Seq("simhash"), "left")
       .select(col("doc_id"), col("fp"),
         (col("fp_hit").isNull && col("sig_hit").isNull).as("admit"),
         when(col("fp_hit").isNotNull, "exact_dup")
           .when(col("sig_hit").isNotNull, "near_dup")
           .otherwise("admitted").as("reason"))
       .orderBy(col("doc_id"))
-  }
 
   private val d12Sql = SimhashCte +
     """,
@@ -866,6 +888,93 @@ object Dedup {
       |LEFT JOIN corpus_fp cf ON cf.fp = n.fp
       |LEFT JOIN new_sig ns ON ns.doc_id = n.doc_id
       |LEFT JOIN corpus_sig cs ON cs.simhash = ns.simhash
+      |ORDER BY n.doc_id""".stripMargin
+
+  /** Keeper doc_ids of a corpus — d10's keep-best-per-cluster decision
+    * (quality argmax per converged cluster, ties → min doc_id) reduced
+    * to the kept id set. Same groupBy-argmax + join-back shape as d10
+    * (no cluster-sized window partition). */
+  private def keeperIds(docs: DataFrame): DataFrame = {
+    val scored = graft.text.TextAnalysis.qualityScored(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val rankKey = struct(col("quality_score"), (-col("doc_id")).as("nid"))
+    val joined = clusterAssignmentsOf(docs).join(scored, Seq("doc_id"))
+    val best = joined.groupBy(col("cluster_id")).agg(max(rankKey).as("best_key"))
+    joined.join(best, Seq("cluster_id"))
+      .filter(rankKey === col("best_key"))
+      .select(col("doc_id"))
+  }
+
+  /** d13: incremental ingest against the DEDUPED corpus — d12's admit
+    * decision with the manifest built from the existing corpus's d10
+    * KEEPERS instead of every historical document. This is the state a
+    * production pipeline actually holds after a dedup sweep: dropped
+    * documents are gone, and the admission question is "is this new
+    * document a duplicate of anything we KEPT". The semantic difference
+    * from d12 is deliberate and observable: a new document near-identical
+    * to a previously-DROPPED document (but not to its cluster's kept
+    * representative) is correctly admitted here, where d12's
+    * full-history manifest would reject it.
+    *
+    * Pipeline: cluster the existing subset only
+    * ([[clusterAssignmentsOf]] — d7's star contraction + verified
+    * propagation), pick keepers by quality argmax ([[keeperIds]] —
+    * d10's decision), then aggregate the keeper fingerprint/signature
+    * manifests and run the shared [[admitJoin]]. The signature
+    * pipelines run only over keepers and only over the new batch —
+    * never the full corpus twice.
+    */
+  private def d13(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val mx = all.agg(max(col("doc_id")).as("mx"))
+    val flagged = all.crossJoin(broadcast(mx))
+    val existing = flagged.filter(col("doc_id") * 5 <= col("mx") * 4)
+      .select(col("doc_id"), col("text"))
+    val newDocs = flagged.filter(col("doc_id") * 5 > col("mx") * 4)
+      .select(col("doc_id"), col("text"))
+    val kept = existing.join(keeperIds(existing), Seq("doc_id"), "left_semi")
+    val kfp = kept.select(md5(col("text").cast("binary")).as("fp"))
+      .groupBy(col("fp")).agg(lit(1).as("fp_hit"))
+    val ksig = simhashSigsOf(kept)
+      .groupBy(col("simhash")).agg(lit(1).as("sig_hit"))
+    val newb = newDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    admitJoin(newb, kfp, simhashSigsOf(newDocs), ksig)
+  }
+
+  private val d13Sql =
+    SimhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+    """mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+      |docs_e AS (
+      |  SELECT d.doc_id, d.text FROM documents d, mx
+      |  WHERE d.doc_id * 5 <= mx.mx * 4),""".stripMargin + "\n" +
+    // the whole d7 cluster chain, re-rooted at the existing subset
+    ClusterCteBody.replace("FROM documents", "FROM docs_e") + ",\n" +
+    graft.text.TextAnalysis.QualityScoreCte + ",\n" +
+    """keepers AS (
+      |  SELECT c.doc_id FROM clusters c JOIN qscore q ON q.doc_id = c.doc_id
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |    ORDER BY q.quality_score DESC, c.doc_id) = 1),
+      |kfp AS (
+      |  SELECT DISTINCT md5(d.text) AS fp
+      |  FROM documents d JOIN keepers k ON k.doc_id = d.doc_id),
+      |ksig AS (
+      |  SELECT DISTINCT s.simhash
+      |  FROM sigs s JOIN keepers k ON k.doc_id = s.doc_id),
+      |newb AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents, mx
+      |  WHERE doc_id * 5 > mx * 4),
+      |new_sig AS (
+      |  SELECT s.doc_id, s.simhash FROM sigs s, mx
+      |  WHERE s.doc_id * 5 > mx * 4)
+      |SELECT n.doc_id, n.fp,
+      |  (cf.fp IS NULL AND cs.simhash IS NULL) AS admit,
+      |  CASE WHEN cf.fp IS NOT NULL THEN 'exact_dup'
+      |       WHEN cs.simhash IS NOT NULL THEN 'near_dup'
+      |       ELSE 'admitted' END AS reason
+      |FROM newb n
+      |LEFT JOIN kfp cf ON cf.fp = n.fp
+      |LEFT JOIN new_sig ns ON ns.doc_id = n.doc_id
+      |LEFT JOIN ksig cs ON cs.simhash = ns.simhash
       |ORDER BY n.doc_id""".stripMargin
 
   /** d8: SimHash near-dup pairs within hamming distance ≤ 3, via the
@@ -1021,6 +1130,7 @@ object Dedup {
       |ORDER BY containment DESC, da, db LIMIT 100""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d13_keeper_admit" -> (d13 _),
     "d12_incremental_dedup" -> (d12 _),
     "d11_word_minhash" -> (d11 _),
     "d10_cluster_keep" -> (d10 _),
@@ -1035,6 +1145,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d13_keeper_admit" -> d13Sql,
     "d12_incremental_dedup" -> d12Sql,
     "d11_word_minhash" -> d11Sql,
     "d10_cluster_keep" -> d10Sql,

@@ -210,31 +210,53 @@ class DedupPlanSpec extends SparkSpec {
     assert((docs(da) intersect docs(db)).size.toLong == n)
   }
 
-  test("d12 fires all three admit paths — exact, near (token-permuted), admitted") {
+  test("d12/d13 fire all admit paths; a copy of a DROPPED near-dup splits them") {
     import spark.implicits._
     // the driver testdata has no byte-identical dup pair (d1 groups are
     // all size 1), so the exact_dup branch never fires there — exercise
-    // it with a constructed corpus. max id 15 → new batch = {13,14,15}
-    // (doc_id*5 > 60). 13 copies doc 1 verbatim (exact_dup); 14 permutes
-    // doc 2's words — same distinct token set → same SimHash, different
-    // md5 (near_dup); 15 is fresh (admitted).
+    // it with a constructed corpus. max id 16 → new batch = {13..16}
+    // (doc_id*5 > 64). Existing: docs 5/6 are char-gram near-dups that
+    // cluster together (6 = 5's text + a punctuation tail, Jaccard
+    // ≈ 0.87 ≥ 0.5); the tail only LOWERS 6's quality score (letter
+    // ratio down, punct ratio up), so doc 5 is the keeper and 6 is
+    // dropped — deterministically (quality ties would also break to
+    // the min id). New batch: 13 copies doc 1 verbatim; 14 permutes
+    // doc 2's words (same distinct token set → same SimHash, different
+    // md5); 15 is fresh; 16 copies the DROPPED doc 6 verbatim.
+    val keeperText = "the quick brown fox jumps over the lazy dog while the cat naps under the warm sun today"
+    val droppedText = keeperText + " !!!!! ?????"
     val existing = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "one two three four five six seven eight"),
-      (3L, "completely unrelated corpus filler text body here")) ++
-      (4L to 12L).map(i => (i, s"unique filler document number $i with its own words ${i * 31}"))
+      (3L, "completely unrelated corpus filler text body here"),
+      (5L, keeperText),
+      (6L, droppedText)) ++
+      (Seq(4L, 7L, 8L, 9L, 10L, 11L, 12L))
+        .map(i => (i, s"unique filler document number $i with its own words ${i * 31}"))
     val newBatch = Seq(
       (13L, "alpha beta gamma delta epsilon zeta"),
       (14L, "eight seven six five four three two one"),
-      (15L, "genuinely novel content never seen in the corpus before"))
+      (15L, "genuinely novel content never seen in the corpus before"),
+      (16L, droppedText))
     val dir = java.nio.file.Files.createTempDirectory("d12inc").toString
     (existing ++ newBatch).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("d12_incremental_dedup")(spark, dir)
-      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
-    assert(out.keySet == Set(13L, 14L, 15L), s"new batch rows: ${out.keySet}")
-    assert(out(13L) == (false, "exact_dup"), s"13: ${out(13L)}")
-    assert(out(14L) == (false, "near_dup"), s"14: ${out(14L)}")
-    assert(out(15L) == (true, "admitted"), s"15: ${out(15L)}")
+    def run(q: String): Map[Long, (Boolean, String)] =
+      SparkEntry.queries(q)(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
+    val d12 = run("d12_incremental_dedup")
+    val d13 = run("d13_keeper_admit")
+    for ((name, out) <- Seq("d12" -> d12, "d13" -> d13)) {
+      assert(out.keySet == Set(13L, 14L, 15L, 16L), s"$name new batch rows: ${out.keySet}")
+      assert(out(13L) == (false, "exact_dup"), s"$name 13: ${out(13L)}")
+      assert(out(14L) == (false, "near_dup"), s"$name 14: ${out(14L)}")
+      assert(out(15L) == (true, "admitted"), s"$name 15: ${out(15L)}")
+    }
+    // the split: d12's manifest is the FULL history (doc 6's fingerprint
+    // is in it → exact reject); d13's manifest is the deduped corpus
+    // (6 was dropped; 16 is neither doc 5's fingerprint nor its SimHash
+    // — the punctuation tokens change the distinct token set → admit)
+    assert(d12(16L) == (false, "exact_dup"), s"d12 16: ${d12(16L)}")
+    assert(d13(16L) == (true, "admitted"), s"d13 16: ${d13(16L)}")
   }
 }

@@ -198,6 +198,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
+  test("d13 keeper-manifest admit stays window-free with scalar-only broadcasts too") {
+    // same contract as d12's pin; the clustering runs eagerly inside the
+    // query builder (localCheckpoint), so the FINAL plan here is the
+    // manifest join — the cluster loop's own shape is pinned by the
+    // d3/d7/d10 window-free test above
+    val p = plan("d13_keeper_admit")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val identityBuilds = p.linesIterator.count(l =>
+      l.contains("BroadcastExchange IdentityBroadcastMode") && !l.contains("ReusedExchange"))
+    assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
+  }
+
   test("s5 recall compare runs over heap-ranked sides — no window anywhere") {
     val p = plan("s5_ann_recall")
     // both ranking sides run through TopKPerKey; the comparison adds
