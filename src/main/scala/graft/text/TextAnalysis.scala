@@ -479,7 +479,74 @@ object TextAnalysis {
       |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY h DESC, doc_id) <= $StratifiedK
       |ORDER BY doc_id""".stripMargin
 
+  /** t12: per-document corpus document-frequency profile — the IDF
+    * join-back shape every term-weighting pipeline runs: explode to
+    * per-document DISTINCT tokens, aggregate document frequency per
+    * token over the whole corpus, join the corpus statistic back to
+    * the per-document rows, re-aggregate per document. Emits the DF
+    * spread (min/max), the count of "niche" tokens (df ≤ half the
+    * corpus — a RELATIVE threshold, so the profile is meaningful at
+    * any scale), and the niche ratio. Documents made entirely of
+    * ubiquitous tokens (boilerplate) or of never-repeated tokens
+    * (OCR noise / garbage) sit at the two ends of `niche_ratio` —
+    * the standard cheap corpus-relative quality signal that t2's
+    * purely per-row score cannot see.
+    *
+    * Scale shape: both aggregations do map-side partials (the DF
+    * shuffle carries vocabulary-sized partial counts, the final
+    * shuffle document-sized rows); the join-back is a shuffle
+    * equi-join on the token key — NOT a broadcast of the DF table,
+    * which at web scale is billions of distinct tokens — and hot
+    * ubiquitous tokens are exactly the AQE skew-join case. The only
+    * broadcast is the one-row corpus count (same scalar pattern as
+    * d12/d13's max-id). Everything stays integer until the final
+    * per-row division, so the oracle compare is exact (no cross-row
+    * float sums — see [[graft.Exact]]).
+    *
+    * Documents with no tokens (empty/whitespace-only) have no
+    * exploded rows and are absent from the output, matching the
+    * oracle's inner join-back.
+    */
+  private def t12(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), lower(col("tok")).as("tok"))
+      .distinct()
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    toks.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        min(col("df")).as("min_df"),
+        max(col("df")).as("max_df"),
+        sum(when(col("df") * 2 <= col("n_docs"), 1L).otherwise(0L)).as("n_niche"))
+      .select(col("doc_id"), col("n_distinct"), col("min_df"), col("max_df"),
+        col("n_niche"),
+        (col("n_niche").cast("double") / col("n_distinct")).as("niche_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t12Sql =
+    """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |toks AS (
+      |  SELECT DISTINCT doc_id, lower(t.tok) AS tok
+      |  FROM documents, unnest(regexp_extract_all(text, '\S+')) AS t(tok)),
+      |df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+      |agg AS (
+      |  SELECT t.doc_id,
+      |    COUNT(*) AS n_distinct, MIN(d.df) AS min_df, MAX(d.df) AS max_df,
+      |    CAST(SUM(CASE WHEN d.df * 2 <= n.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_niche
+      |  FROM toks t JOIN df d ON d.tok = t.tok, n
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_distinct, min_df, max_df, n_niche,
+      |  CAST(n_niche AS DOUBLE) / n_distinct AS niche_ratio
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t12_doc_frequency" -> (t12 _),
     "t11_stratified" -> (t11 _),
     "t10_pack" -> (t10 _),
     "t9_mix_sample" -> (t9 _),
@@ -493,6 +560,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t12_doc_frequency" -> t12Sql,
     "t11_stratified" -> t11Sql,
     "t10_pack" -> t10Sql,
     "t9_mix_sample" -> t9Sql,

@@ -211,6 +211,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
+  test("t12 DF join-back shuffles on the token key — no window, one scalar broadcast") {
+    val df = SparkEntry.queries("t12_doc_frequency")(spark, sf)
+    // the DF table must NOT be broadcast-HINTED (web-scale vocabulary
+    // — AQE may still convert at runtime when the actual size is tiny,
+    // which is correct and scale-dependent); the only declared hint is
+    // the one-row corpus count
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, s"expected only the scalar broadcast hint, got ${hints.size}")
+    val p = plan("t12_doc_frequency")
+    assert(!p.contains("Window"), p)
+    val identityBuilds = p.linesIterator.count(l =>
+      l.contains("BroadcastExchange IdentityBroadcastMode") && !l.contains("ReusedExchange"))
+    assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
+    // both aggregations keep map-side partials
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
+  }
+
   test("s5 recall compare runs over heap-ranked sides — no window anywhere") {
     val p = plan("s5_ann_recall")
     // both ranking sides run through TopKPerKey; the comparison adds

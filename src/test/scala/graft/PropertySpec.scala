@@ -92,6 +92,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t12 DF profile matches a hand-computed corpus") {
+    // 4 docs, n_docs = 4 → "niche" means df*2 <= 4, i.e. df <= 2.
+    //   common: docs 1-4, df=4 — never niche
+    //   mid:    docs 1-3, df=3 — not niche
+    //   pair:   docs 1,2,4 (doc 4 via uppercase PAIR), df=3 — not
+    //           niche. If lowercasing failed to merge PAIR, "pair"
+    //           (df=2) and "PAIR" (df=1) would BOTH be niche and doc
+    //           4's n_niche would read 2 — so the merge is pinned.
+    //   only3/only4: df=1 — niche. Doc 4's repeated "common" also
+    //   checks the per-doc DISTINCT step (counted once in df).
+    val corpus = Seq(
+      (1L, "common mid pair"),
+      (2L, "common mid pair"),
+      (3L, "common mid only3"),
+      (4L, "common  common PAIR only4"))
+    val dir = java.nio.file.Files.createTempDirectory("t12df").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t12_doc_frequency")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getDouble(5))).toMap
+    // (n_distinct, min_df, max_df, n_niche) per doc
+    assert(got(1L) == ((3L, 3L, 4L, 0L), 0.0))
+    assert(got(2L) == ((3L, 3L, 4L, 0L), 0.0))
+    assert(got(3L) == ((3L, 1L, 4L, 1L), 1.0 / 3))
+    assert(got(4L) == ((3L, 1L, 4L, 1L), 1.0 / 3))
+  }
+
   test("t10 hierarchical prefix sum equals the flat single-window cumsum") {
     import org.apache.spark.sql.expressions.Window
     // the distributed (bucketed) offset computation must be value-
