@@ -843,6 +843,54 @@ object Dedup {
     admitJoin(newb, corpusFp, newSigs, corpusSigs)
   }
 
+  /** d12's manifests as standalone relations — the state a nightly
+    * dedup sweep persists for the next day's ingest: exact md5
+    * fingerprints (`fp` → fp_hit) and 64-bit SimHash signatures
+    * (`simhash` → sig_hit) of the existing ~80% (same split rule as
+    * [[d12]]). Consumed by st9's streaming admission, which stages
+    * them to parquet and joins the document stream against them; the
+    * value-level lockstep with d12 is pinned by st9 sharing d12's
+    * oracle SQL verbatim (any drift between this and d12's inline
+    * manifests fails the driver compare).
+    */
+  private[graft] def d12Manifests(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val corpusFp = docs.crossJoin(broadcast(mx))
+      .filter(col("doc_id") * 5 <= col("mx") * 4)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .groupBy(col("fp")).agg(lit(1).as("fp_hit"))
+    val corpusSigs = simhashSigs(s, d).crossJoin(broadcast(mx))
+      .filter(col("doc_id") * 5 <= col("mx") * 4)
+      .groupBy(col("simhash")).agg(lit(1).as("sig_hit"))
+    (corpusFp, corpusSigs)
+  }
+
+  /** Per-row SimHash: [[simhashSigsOf]]'s 64-bit signature computed as
+    * ONE higher-order-function fold over the row's own distinct-token
+    * array — no explode, no shuffle, no state. This is what makes a
+    * STREAMING signature possible (st9): a streaming groupBy feeding a
+    * join would be an unsupported multi-stateful plan, while this
+    * projection keeps the stream side stateless. NULL when the
+    * document has no tokens, matching the ABSENT sigs row of the
+    * batch/oracle pipelines (an all-zero signature would instead
+    * spuriously match a real all-negative-vote document). Integer-only
+    * arithmetic, same md5 bit votes — bit-identical to the batch
+    * signature; the lockstep is enforced end-to-end by st9 sharing
+    * d12's oracle.
+    */
+  private[graft] val RowSimhashSql: String = {
+    val toks = "array_distinct(filter(split(text, '\\\\s+'), t -> t != ''))"
+    val mask = "CASE WHEN j % 4 = 0 THEN 8 WHEN j % 4 = 1 THEN 4 WHEN j % 4 = 2 THEN 2 ELSE 1 END"
+    val vote = "CASE WHEN ((CAST(conv(substring(h, CAST(j DIV 4 AS INT) + 1, 1), 16, 10) AS INT) " +
+      s"DIV ($mask)) % 2) = 1 THEN 1 ELSE -1 END"
+    s"""CASE WHEN size($toks) = 0 THEN CAST(NULL AS STRING)
+       |ELSE concat_ws('', transform(
+       |  aggregate(transform($toks, t -> md5(t)), array_repeat(0, 64),
+       |    (acc, h) -> zip_with(acc, transform(sequence(0, 63), j -> $vote), (a, v) -> a + v)),
+       |  v -> CASE WHEN v > 0 THEN '1' ELSE '0' END)) END""".stripMargin
+  }
+
   /** Shared admit/reject tail of d12 and d13: the new batch left-joined
     * against a fingerprint manifest (`fp` → fp_hit) and a signature
     * manifest (`simhash` → sig_hit, via the new docs' own signatures),

@@ -126,6 +126,75 @@ object StreamingOps {
       .parquet(dir.toString)
   }
 
+  private val docsStreamSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** st9's staged inputs: the "today's ingest" document stream (the
+    * newest ~20% by id — d12's split rule — as ONE parquet file in a
+    * landing directory) plus the two dedup manifests PERSISTED to
+    * parquet, exactly the state a nightly sweep leaves behind for the
+    * next day's continuous admission ([[graft.dedup.Dedup.d12Manifests]];
+    * mirrors the reference's persisted-results resume,
+    * vertex_ai_batch_processor.py:298). Materializing the manifests at
+    * staging time also means the batch-side aggregation runs under the
+    * session's full parallelism, not the stream's reduced
+    * [[streamPartitions]] regime. The split scalar is a metadata-sized
+    * driver aggregate (same class as t10's documented max-id scalar) —
+    * staging is an eager filesystem write anyway. A `_src_meta` marker
+    * keeps re-staging idempotent and stale-proof ([[eventsStreamMulti]]).
+    * Manifests live in a SIBLING directory so the file stream source
+    * can never admit them as stream input.
+    */
+  private def stagedAdmitInputs(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val src = java.nio.file.Paths.get(d, "documents.parquet")
+    val base = System.getProperty("java.io.tmpdir")
+    val tag = Integer.toHexString(d.hashCode)
+    val dir = java.nio.file.Paths.get(base, "graft_stream_docs_" + tag)
+    val mdir = java.nio.file.Paths.get(base, "graft_stream_docs_" + tag + "_manifests")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.createDirectories(mdir)
+    val marker = mdir.resolve("_src_meta")
+    val meta = java.nio.file.Files.size(src) + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      java.nio.file.Files.exists(dir.resolve("new_docs.parquet"))
+    if (!fresh) {
+      val listing = java.nio.file.Files.list(dir)
+      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally listing.close()
+      val docs = graft.Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val work = dir.resolve("_work")
+      docs.filter(col("doc_id") * 5 > lit(mx) * 4)
+        .select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(work.toString)
+      val partFile = {
+        val l = java.nio.file.Files.list(work)
+        try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally l.close()
+      }
+      java.nio.file.Files.move(partFile, dir.resolve("new_docs.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (java.nio.file.Files.exists(work)) {
+        val l = java.nio.file.Files.list(work)
+        try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally l.close()
+        java.nio.file.Files.deleteIfExists(work)
+      }
+      val (fpM, sigM) = graft.dedup.Dedup.d12Manifests(s, d)
+      fpM.write.mode("overwrite").parquet(mdir.resolve("fp_manifest").toString)
+      sigM.write.mode("overwrite").parquet(mdir.resolve("sig_manifest").toString)
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
+    (s.readStream.schema(docsStreamSchema)
+      .option("pathGlobFilter", "new_docs.parquet")
+      .parquet(dir.toString),
+      s.read.parquet(mdir.resolve("fp_manifest").toString),
+      s.read.parquet(mdir.resolve("sig_manifest").toString))
+  }
+
   /** State-store partition count for the bounded streaming queries
     * (conf `graft.stream.partitions`). Stateful operators commit one
     * delta file per state partition per store per micro-batch — at the
@@ -483,7 +552,46 @@ object StreamingOps {
       |  AND p.tus >= c.tus AND p.tus <= c.tus + 1800000000
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** st9: streaming incremental admission — d12's admit/reject decision
+    * run as CONTINUOUS ingest: today's documents stream in from a
+    * landing directory and each is admitted or rejected against the
+    * manifests the last nightly sweep persisted
+    * ([[stagedAdmitInputs]]). The stream side is fully STATELESS — the
+    * 64-bit SimHash is computed per row by
+    * [[graft.dedup.Dedup.RowSimhashSql]]'s higher-order fold (a
+    * streaming groupBy feeding a join would be an unsupported
+    * multi-stateful plan), and both manifest joins are stream-static
+    * left equi-joins, re-planned per micro-batch with no state store
+    * at all. That statelessness is the scale story: unlike st1–st8
+    * there is no watermark and nothing accumulates — throughput is
+    * bounded only by the manifest join, and the answer is
+    * batching-invariant (any file/trigger split gives the same rows,
+    * so nothing here leans on the single-file staging invariant).
+    * A token-less document has a NULL signature, which no manifest key
+    * equals — reproducing d12's absent-sigs-row semantics through the
+    * join. Oracle: d12's SQL VERBATIM — the streaming path must
+    * produce byte-identical admissions to the batch query.
+    */
+  private def st9(s: SparkSession, d: String): DataFrame = {
+    val (stream, fpManifest, sigManifest) = stagedAdmitInputs(s, d)
+    val dec = stream
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("simhash", expr(graft.dedup.Dedup.RowSimhashSql))
+      .join(fpManifest, Seq("fp"), "left")
+      .join(sigManifest, Seq("simhash"), "left")
+      .select(col("doc_id"), col("fp"),
+        (col("fp_hit").isNull && col("sig_hit").isNull).as("admit"),
+        when(col("fp_hit").isNotNull, "exact_dup")
+          .when(col("sig_hit").isNotNull, "near_dup")
+          .otherwise("admitted").as("reason"))
+    runToMemory(s, dec, "graft_st9", mode = "append")
+      .orderBy(col("doc_id"))
+  }
+
+  private val st9Sql = graft.dedup.Dedup.oracles("d12_incremental_dedup")
+
   val queries: Map[String, QFn] = Map(
+    "st9_stream_admit" -> (st9 _),
     "st8_stream_multibatch" -> (st8 _),
     "st7_stream_dedup_bounded" -> (st7 _),
     "st6_stream_stream_join" -> (st6 _),
@@ -494,6 +602,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st9_stream_admit" -> st9Sql,
     "st8_stream_multibatch" -> st8Sql,
     "st7_stream_dedup_bounded" -> st7Sql,
     "st6_stream_stream_join" -> st6Sql,

@@ -210,6 +210,19 @@ class DedupPlanSpec extends SparkSpec {
     assert((docs(da) intersect docs(db)).size.toLong == n)
   }
 
+  test("per-row SimHash fold equals the batch explode signature on real corpus data") {
+    import org.apache.spark.sql.functions._
+    val batch = SparkEntry.queries("d3_simhash")(spark, sf)
+      .select(col("doc_id"), col("simhash"))
+    val perRow = Tables.documents(spark, sf)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), expr(graft.dedup.Dedup.RowSimhashSql).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    assert(perRow.count() == batch.count())
+    assert(perRow.except(batch).count() == 0 && batch.except(perRow).count() == 0,
+      "per-row HOF signature diverged from the batch explode signature")
+  }
+
   test("d12/d13 fire all admit paths; a copy of a DROPPED near-dup splits them") {
     import spark.implicits._
     // the driver testdata has no byte-identical dup pair (d1 groups are
@@ -246,6 +259,10 @@ class DedupPlanSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
     val d12 = run("d12_incremental_dedup")
     val d13 = run("d13_keeper_admit")
+    // the streaming admission must reproduce the batch d12 decision
+    // byte-for-byte (same manifests, per-row signature, same joins)
+    val st9 = run("st9_stream_admit")
+    assert(st9 == d12, s"st9 diverged from d12: $st9 vs $d12")
     for ((name, out) <- Seq("d12" -> d12, "d13" -> d13)) {
       assert(out.keySet == Set(13L, 14L, 15L, 16L), s"$name new batch rows: ${out.keySet}")
       assert(out(13L) == (false, "exact_dup"), s"$name 13: ${out(13L)}")
