@@ -152,17 +152,22 @@ object TextAnalysis {
       |        ELSE 'en' END) = lang AS is_match
       |FROM sc ORDER BY doc_id""".stripMargin
 
-  /** Content fingerprint: md5 over the text plus a (length-bucketed)
-    * secondary key; dup_count via a window over the fingerprint — the
-    * exact-dup detector's building block.
+  /** Content fingerprint: md5 over the text plus length; dup_count via
+    * groupBy+join on the fingerprint, NOT count().over(Window
+    * .partitionBy(fp)) — a window partition is a whole identical-text
+    * dup family buffered in ONE task (a templated corpus at 100× has
+    * million-doc families), while the aggregate does map-side partials
+    * and the join back on fp is AQE-skew-splittable (the same d3
+    * de-windowing, applied to the exact-dup counter).
     */
   private def t4(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    Tables.documents(s, d).select(
+    val base = Tables.documents(s, d).select(
       col("doc_id"),
       md5(col("text").cast("binary")).as("fp"),
       length(col("text")).cast("long").as("n_chars"))
-      .withColumn("dup_count", count(lit(1)).over(w))
+    val counts = base.groupBy(col("fp")).agg(count(lit(1)).as("dup_count"))
+    base.join(counts, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("n_chars"), col("dup_count"))
       .orderBy(col("doc_id"))
   }
 
@@ -231,21 +236,21 @@ object TextAnalysis {
     * keep/drop verdict per document with the first failing rule as
     * the reason (priority: exact_dup > low_quality > repetitive).
     *
-    * Scale: three independent per-doc signal pipelines (window over
-    * the 16-byte content hash; regexp metrics shuffle-free; token agg)
-    * joined on doc_id — each is the already-graded plan of its source
-    * query; the join keys are unique so AQE picks shuffle or broadcast
-    * by actual size.
+    * Scale: three independent per-doc signal pipelines (keeper rule
+    * via groupBy+join on the 16-byte content hash — NOT a window over
+    * fp, whose partitions are whole dup families in one task; regexp
+    * metrics shuffle-free; token agg) joined on doc_id — each is the
+    * already-graded plan of its source query; the join keys are unique
+    * so AQE picks shuffle or broadcast by actual size.
     */
   private def t7(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val quality = t2(s, d).select(col("doc_id"), col("quality_bucket"))
     val rep = t6(s, d).select(col("doc_id"), col("repetitive"))
-    val dup = Tables.documents(s, d)
+    val fps = Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-      .withColumn("keeper",
-        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .select(col("doc_id"), col("keeper"))
+    val keepers = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"))
+    val dup = fps.join(keepers, Seq("fp"))
+      .select(col("doc_id"), (col("doc_id") === col("keeper_id")).as("keeper"))
     quality.join(rep, Seq("doc_id")).join(dup, Seq("doc_id"))
       .withColumn("drop_reason",
         when(!col("keeper"), lit("exact_dup"))

@@ -163,8 +163,11 @@ class PlanShapeSpec extends SparkSpec {
     // cluster_size, d10's size+argmax, and d2/d11's bucket cap are all
     // groupBy().agg() + join back now — map-side partials, and the
     // join is AQE-skew-splittable. Assert no WindowExec survives.
+    // t4 (dup_count over fp) and t7 (keeper rule over fp) carry the
+    // same risk class — their window partitions are identical-text dup
+    // families — and were de-windowed the same way in round 9.
     for (q <- Seq("d3_simhash", "d7_cluster", "d10_cluster_keep",
-        "d2_minhash_lsh", "d11_word_minhash")) {
+        "d2_minhash_lsh", "d11_word_minhash", "t4_fingerprint", "t7_keep_drop")) {
       val p = plan(q)
       assert(!"Window \\[".r.findAllIn(p).hasNext,
         s"$q reintroduced a family-sized window partition:\n$p")
