@@ -814,7 +814,61 @@ object Analytics {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q28: incremental aggregation by PARTIAL MERGE — the daily-rollup
+    * shape at 100 TB: yesterday's aggregate state (decimal partial
+    * sums + counts over the historical ~80% of the fact table, split
+    * by the d12 integer rule on the corpus max key) is NOT recomputed;
+    * today's delta aggregates alone, and the two partial relations
+    * merge by re-aggregation. This works because count and decimal-sum
+    * are commutative monoids; the average deliberately derives from
+    * the MERGED sum/count at the end — the non-mergeable metric stored
+    * as its mergeable parts, which is the core discipline of any
+    * incremental rollup. Partials stay DECIMAL through both stages and
+    * cast to double exactly once, so decimal associativity makes the
+    * merge bit-exact.
+    *
+    * The oracle is the FULL single-pass aggregate — the driver compare
+    * literally checks incremental == recompute. At production scale
+    * the base partials would be a stored table (ResultSink) written by
+    * yesterday's run; both sides derive in-plan here so the oracle
+    * sees one self-contained query, and the base subtree is exactly
+    * what that store would contain.
+    */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables.lineitem(s, d)
+    val mx = li.agg(max(col("l_orderkey")).as("mx"))
+    val flagged = li.crossJoin(broadcast(mx))
+    def partials(side: DataFrame): DataFrame =
+      side.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("p_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("p_price"))
+    val base = partials(flagged.filter(col("l_orderkey") * 5 <= col("mx") * 4))
+    val delta = partials(flagged.filter(col("l_orderkey") * 5 > col("mx") * 4))
+    base.unionAll(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("p_qty")).as("m_qty"),
+        sum(col("p_price")).as("m_price"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("m_qty").cast("double").as("sum_qty"),
+        col("m_price").cast("double").as("sum_price"),
+        (col("m_qty").cast("double") / col("n")).cast("double").as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q28Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q28_delta_agg" -> (q28 _),
     "q27_bucketed_join" -> (q27 _),
     "q20_cube" -> (q20 _),
     "q21_range_window" -> (q21 _),
@@ -846,6 +900,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q28_delta_agg" -> q28Sql,
     "q27_bucketed_join" -> q27Sql,
     "q25b_sketch_bound" -> q25bSql,
     "q26b_sketch_bound" -> q26bSql,

@@ -214,6 +214,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
+  test("q28 partial-merge keeps map-side partials in BOTH stages, one scalar broadcast") {
+    val p = plan("q28_delta_agg")
+    assert(!p.contains("Window"), p)
+    // partial aggregation must survive at the per-side stage AND the
+    // merge stage (the shuffle carries group-sized partials, not rows)
+    assert(p.contains("partial_sum") && p.contains("partial_count"), p)
+    val identityBuilds = p.linesIterator.count(l =>
+      l.contains("BroadcastExchange IdentityBroadcastMode") && !l.contains("ReusedExchange"))
+    assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
+  }
+
   test("t12 DF join-back shuffles on the token key — no window, one scalar broadcast") {
     val df = SparkEntry.queries("t12_doc_frequency")(spark, sf)
     // the DF table must NOT be broadcast-HINTED (web-scale vocabulary
