@@ -407,7 +407,90 @@ object Knn {
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5),
        |$recallTailSql""".stripMargin
 
+  /** s7: SQ8 (int8 scalar quantization) recall@3 — the memory-side ANN
+    * lever the LSH/IVF family doesn't cover: at 100 TB of float32
+    * embeddings the scoring scan is BANDWIDTH-bound, and storing each
+    * dimension as an 8-bit code against per-dimension corpus min/max
+    * cuts the scanned bytes 4×. The quantizer here is the standard
+    * affine SQ8: one tiny stats pass (64-row min/max aggregate,
+    * broadcast), codes = floor((x−mn)/(mx−mn)·255), decode back to
+    * float32 at scoring time so the hot path stays the codegen'd
+    * [[VectorFunctions.dot]] — exactly how a production scorer runs
+    * (decode-and-FMA over codes, never materializing a float corpus).
+    * `floor`, not `round`: floor is bit-identical across engines while
+    * round's half-way rule differs, and the constant-dimension guard
+    * (mx == mn → code 0) keeps the division ANSI-safe.
+    *
+    * The query is the recall contract for that compression: top-3 by
+    * QUANTIZED cosine vs s1's exact truth, per query — the measurement
+    * that justifies 4× less scan bandwidth before trusting it. Shares
+    * [[recallVs]]/[[rankTopK]] with s5/s6; the oracle mirrors the
+    * quantize-decode arithmetic exactly (same floor, same float32
+    * cast), so the driver compare pins the full SQ8 arithmetic, not
+    * just the recall numbers.
+    */
+  private def s7(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val stats = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+    val statArr = stats
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))).as("sarr"))
+      .select(expr("transform(sarr, t -> t.mn)").as("mnarr"),
+        expr("transform(sarr, t -> t.mx)").as("mxarr"))
+    val recon = expr(
+      """transform(sequence(1, 64), i -> CAST(
+        |  CASE WHEN element_at(mxarr, i) > element_at(mnarr, i)
+        |    THEN element_at(mnarr, i)
+        |      + floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mnarr, i))
+        |          / (element_at(mxarr, i) - element_at(mnarr, i)) * 255)
+        |        / 255 * (element_at(mxarr, i) - element_at(mnarr, i))
+        |    ELSE element_at(mnarr, i) END AS FLOAT))""".stripMargin)
+    val eq = e.crossJoin(broadcast(statArr))
+      .select(col("vec_id"), recon.as("recon"))
+      .withColumn("norm_e", sqrt(VectorFunctions.dot("recon", "recon")))
+      .filter(col("norm_e") > 0) // ANSI zero-norm guard (see s1)
+    val q = eq.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("recon").as("qr"), col("norm_e").as("norm_q"))
+    val scored = broadcast(q)
+      .join(eq, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorFunctions.dot("qr", "recon") / (col("norm_q") * col("norm_e"))).as("cos"))
+    val ann = rankTopK(scored, 3, Seq.empty).select(col("q_id"), col("vec_id"))
+    recallVs(
+      s1(s, d).filter(col("rank") <= 3).select(col("q_id"), col("vec_id")),
+      ann)
+  }
+
+  private val s7Sql =
+    s"""WITH ${truTopSql(3)},
+       |dims AS (
+       |  SELECT g.i, CAST(embedding[g.i] AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, 64) AS g(i)),
+       |mmx AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY i),
+       |sarr AS (SELECT list(mn ORDER BY i) AS mnarr, list(mx ORDER BY i) AS mxarr FROM mmx),
+       |recon AS (
+       |  SELECT e.vec_id,
+       |    list_transform(generate_series(1, 64), i -> CAST(
+       |      CASE WHEN s.mxarr[i] > s.mnarr[i]
+       |        THEN s.mnarr[i]
+       |          + floor((CAST(e.embedding[i] AS DOUBLE) - s.mnarr[i])
+       |              / (s.mxarr[i] - s.mnarr[i]) * 255)
+       |            / 255 * (s.mxarr[i] - s.mnarr[i])
+       |        ELSE s.mnarr[i] END AS FLOAT)) AS r
+       |  FROM embeddings e CROSS JOIN sarr s),
+       |ann AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, c.vec_id, ${duckCos("q.qr", "c.r")} AS cos
+       |    FROM (SELECT vec_id AS q_id, r AS qr FROM recon WHERE vec_id < 5) q
+       |    JOIN recon c ON c.vec_id <> q.q_id)
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 3),
+       |$recallTailSql""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "s7_sq8_recall" -> (s7 _),
     "s1_knn_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
     "s3_ivf_cells" -> (s3 _),
@@ -416,6 +499,7 @@ object Knn {
     "s6_ivf_recall" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    "s7_sq8_recall" -> s7Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ivf_cells" -> s3Sql,

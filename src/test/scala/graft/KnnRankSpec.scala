@@ -64,7 +64,7 @@ class KnnRankSpec extends SparkSpec {
     // the recall oracles rank on BOTH sides (truth and approximate) —
     // each ranked subquery must carry the predicate independently, or a
     // zero-norm vector would count against recall on one side only
-    for (name <- Seq("s5_ann_recall", "s6_ivf_recall")) {
+    for (name <- Seq("s5_ann_recall", "s6_ivf_recall", "s7_sq8_recall")) {
       val sql = SparkEntry.oracleSql(name)
       assert("NOT isnan\\(cos\\)".r.findAllIn(sql).size >= 2,
         s"$name oracle must carry the NaN predicate in both ranked subqueries")
