@@ -1177,7 +1177,73 @@ object Dedup {
       |JOIN sizes sb ON sb.doc_id = c.db
       |ORDER BY containment DESC, da, db LIMIT 100""".stripMargin
 
+  /** Token n-gram width of d14's repeated-span metric: long enough
+    * that a cross-document match means copied text, not chance word
+    * order, short enough to catch partial overlap. */
+  private[graft] val SpanGramK = 5
+
+  /** d14: cross-document repeated n-gram coverage — the
+    * exact-substring dedup METRIC (the "what fraction of this document
+    * is copied text" number the substring-dedup literature strips
+    * documents by, where d4/d9 answer "which PAIRS overlap"). Every
+    * token position opens a [[SpanGramK]]-gram; a position is
+    * "repeated" when its gram occurs in ≥ 2 DISTINCT documents
+    * (within-document repetition is t6's metric, deliberately excluded
+    * by the distinct-doc df). Emits per document the gram count, the
+    * repeated count and the coverage ratio — near-duplicate family
+    * members score high, templated boilerplate scores mid, unique text
+    * scores 0.
+    *
+    * Scale shape: grams explode to ~token-count rows per document
+    * (positions, not pairs — never quadratic); the gram-df aggregate
+    * does map-side partials with a distinct-doc count; the join-back
+    * on the 16-byte gram key is AQE-skew-splittable — hot boilerplate
+    * grams ARE the skew case — and the final per-doc aggregate is
+    * integer-only with one terminal division (exact oracle compare,
+    * the t12 discipline at gram granularity). Documents shorter than
+    * [[SpanGramK]] tokens open no gram and are absent, matching the
+    * oracle.
+    */
+  private def d14(s: SparkSession, d: String): DataFrame = {
+    val k = SpanGramK
+    val toks = Tables.documents(s, d)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), t -> t != '')").as("ts"))
+      .filter(size(col("ts")) >= k)
+    val grams = toks.select(col("doc_id"),
+      explode(expr(
+        s"transform(sequence(0, size(ts) - $k), p -> md5(concat_ws(' ', slice(ts, p + 1, $k))))"))
+        .as("g"))
+    val gdf = grams.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(gdf, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .select(col("doc_id"), col("n_grams"), col("n_repeated"),
+        (col("n_repeated").cast("double") / col("n_grams")).as("repeat_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d14Sql = {
+    val k = SpanGramK
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+       |grams AS (
+       |  SELECT doc_id, md5(array_to_string(ts[p + 1 : p + $k], ' ')) AS g
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - $k)) AS p
+       |        FROM toks WHERE len(ts) >= $k)),
+       |gdf AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+       |SELECT gr.doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       |  CAST(SUM(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS repeat_ratio
+       |FROM grams gr JOIN gdf ON gdf.g = gr.g
+       |GROUP BY gr.doc_id
+       |ORDER BY gr.doc_id""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "d14_repeated_ngrams" -> (d14 _),
     "d13_keeper_admit" -> (d13 _),
     "d12_incremental_dedup" -> (d12 _),
     "d11_word_minhash" -> (d11 _),
@@ -1193,6 +1259,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d14_repeated_ngrams" -> d14Sql,
     "d13_keeper_admit" -> d13Sql,
     "d12_incremental_dedup" -> d12Sql,
     "d11_word_minhash" -> d11Sql,

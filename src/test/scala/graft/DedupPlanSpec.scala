@@ -210,6 +210,35 @@ class DedupPlanSpec extends SparkSpec {
     assert((docs(da) intersect docs(db)).size.toLong == n)
   }
 
+  test("d14 counts exactly the cross-doc repeated gram positions") {
+    import spark.implicits._
+    // k=5. Doc 1: 8 tokens -> 4 grams; its run "a b c d e" (positions
+    // 1-2: grams starting at 'a' and... only position 1 opens the full
+    // shared run; doc 2 embeds the SAME 5-token run, so exactly the
+    // grams equal to "a b c d e" are cross-doc (df=2). Doc 1 grams:
+    // [x1 x2 a b c], [x2 a b c d], [a b c d e], [b c d e x3] — only
+    // the third is shared. Doc 2: [a b c d e, b c d e y1, ...]: only
+    // the first. Doc 3 unique -> ratio 0. Doc 4 has 4 tokens -> absent.
+    // Within-doc repetition (doc 3's doubled run) must NOT count:
+    // df is DISTINCT docs.
+    val corpus = Seq(
+      (1L, "x1 x2 a b c d e x3"),
+      (2L, "a b c d e y1 y2 y3"),
+      (3L, "u1 u2 u3 u4 u5 u1 u2 u3 u4 u5"),
+      (4L, "t1 t2 t3 t4"))
+    val dir = java.nio.file.Files.createTempDirectory("d14span").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d14_repeated_ngrams")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"rows: ${out.keySet}")
+    assert(out(1L) == ((4L, 1L), 0.25), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((4L, 1L), 0.25), s"doc2: ${out(2L)}")
+    // doc 3: 6 grams, all df=1 (within-doc repeats excluded), but note
+    // grams [u1..u5] at positions 1 and 6 are IDENTICAL strings — still
+    // df=1 because both are in doc 3
+    assert(out(3L)._1._1 == 6L && out(3L)._1._2 == 0L && out(3L)._2 == 0.0, s"doc3: ${out(3L)}")
+  }
+
   test("per-row SimHash fold equals the batch explode signature on real corpus data") {
     import org.apache.spark.sql.functions._
     val batch = SparkEntry.queries("d3_simhash")(spark, sf)
