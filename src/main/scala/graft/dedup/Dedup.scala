@@ -89,7 +89,17 @@ object Dedup {
   /** [[minhashBands]] over ANY distinct (doc_id, sh) shingle relation —
     * char grams (d2/d7) and word grams (d11) share the whole
     * signature+banding pipeline; only the shingle source differs. */
-  private def minhashBandsFrom(shDistinct: DataFrame): DataFrame = {
+  private def minhashBandsFrom(shDistinct: DataFrame): DataFrame =
+    minhashSig(shDistinct).select(col("doc_id"),
+      md5(concat(col("s0"), col("s1"))).as("b0"),
+      md5(concat(col("s2"), col("s3"))).as("b1"),
+      md5(concat(col("s4"), col("s5"))).as("b2"),
+      md5(concat(col("s6"), col("s7"))).as("b3"))
+
+  /** The raw 8-component MinHash signature (doc_id, s0..s7) —
+    * [[minhashBandsFrom]]'s first stage, also consumed directly by
+    * d15's estimate-vs-exact accuracy measurement. */
+  private def minhashSig(shDistinct: DataFrame): DataFrame = {
     val sh = shDistinct
       .withColumn("h1", md5(col("sh")))
       .withColumn("h2", md5(concat(lit("x"), col("sh"))))
@@ -97,12 +107,7 @@ object Dedup {
       val src = if (j < 4) col("h1") else col("h2")
       min(substring(src, 1 + 8 * (j % 4), 8)).as(s"s$j")
     }
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    sig.select(col("doc_id"),
-      md5(concat(col("s0"), col("s1"))).as("b0"),
-      md5(concat(col("s2"), col("s3"))).as("b1"),
-      md5(concat(col("s4"), col("s5"))).as("b2"),
-      md5(concat(col("s6"), col("s7"))).as("b3"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** (doc_id, band_id, bkey) long form of [[minhashBands]]. */
@@ -204,16 +209,9 @@ object Dedup {
   /** Shared oracle CTE body (no WITH keyword — d7 prefixes RECURSIVE)
     * ending in long(doc_id, band_id, bkey): the DuckDB mirror of
     * [[minhashBandsFrom]] + [[bandLong]] over the given shingle CTE. */
-  private def minhashCteFrom(shingleCte: String): String = shingleCte +
+  private def minhashCteFrom(shingleCte: String): String =
+    shingleCte + MinhashSigCtePart +
     """,
-      |hashed AS (SELECT doc_id, md5(s) AS h1, md5('x' || s) AS h2 FROM sh),
-      |sig AS (
-      |  SELECT doc_id,
-      |    MIN(substring(h1, 1, 8)) AS s0, MIN(substring(h1, 9, 8)) AS s1,
-      |    MIN(substring(h1, 17, 8)) AS s2, MIN(substring(h1, 25, 8)) AS s3,
-      |    MIN(substring(h2, 1, 8)) AS s4, MIN(substring(h2, 9, 8)) AS s5,
-      |    MIN(substring(h2, 17, 8)) AS s6, MIN(substring(h2, 25, 8)) AS s7
-      |  FROM hashed GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, md5(s0 || s1) AS b0, md5(s2 || s3) AS b1,
       |         md5(s4 || s5) AS b2, md5(s6 || s7) AS b3 FROM sig),
@@ -222,6 +220,19 @@ object Dedup {
       |  UNION ALL SELECT doc_id, 1, b1 FROM bands
       |  UNION ALL SELECT doc_id, 2, b2 FROM bands
       |  UNION ALL SELECT doc_id, 3, b3 FROM bands)""".stripMargin
+
+  /** hashed+sig CTE pair (DuckDB mirror of [[minhashSig]]) — shared by
+    * the band chain above and d15's accuracy oracle. */
+  private val MinhashSigCtePart =
+    """,
+      |hashed AS (SELECT doc_id, md5(s) AS h1, md5('x' || s) AS h2 FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |    MIN(substring(h1, 1, 8)) AS s0, MIN(substring(h1, 9, 8)) AS s1,
+      |    MIN(substring(h1, 17, 8)) AS s2, MIN(substring(h1, 25, 8)) AS s3,
+      |    MIN(substring(h2, 1, 8)) AS s4, MIN(substring(h2, 9, 8)) AS s5,
+      |    MIN(substring(h2, 17, 8)) AS s6, MIN(substring(h2, 25, 8)) AS s7
+      |  FROM hashed GROUP BY doc_id)""".stripMargin
 
   private val MinhashCteBody = minhashCteFrom(CharShingleCte)
 
@@ -462,6 +473,72 @@ object Dedup {
       |JOIN sizes sa ON sa.doc_id = c.da
       |JOIN sizes sb ON sb.doc_id = c.db
       |ORDER BY jaccard DESC, da, db LIMIT 100""".stripMargin
+
+  /** d15: MinHash estimate vs exact Jaccard — the accuracy contract
+    * for the dedup suite's own sketch, completing the engine's rule
+    * that every sketch carries an executable accuracy signal (q25b
+    * bounds the percentile sketch, q26b the HLL sketch; this measures
+    * the MinHash). For each of d4's candidate pairs: the signature
+    * agreement fraction (matching components / 8 — the unbiased
+    * MinHash estimator of Jaccard), the exact shingle-set Jaccard
+    * ([[candidateOverlap]]'s verified arithmetic), and |est − exact|,
+    * surfacing the 100 WORST-estimated pairs — the tail that decides
+    * whether 8 hash functions are enough before trusting LSH banding
+    * at corpus scale (E[err] ~ √(J(1−J)/8) ≈ 0.17 at J=0.5; a tail
+    * far beyond that means correlated shingle sets, not sketch noise).
+    *
+    * Everything is per-pair integer arithmetic over the candidate set
+    * (never quadratic); the signature join adds two map-side-partial
+    * aggregates reusing d2's exact signature pipeline — measuring the
+    * REAL production signatures, not a re-derivation.
+    */
+  private def d15(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(shinglesDistinct(Tables.documents(s, d)))
+    val est = (0 until 8)
+      .map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidateOverlap(s, d)
+      .join(sig.as("a"), col("da") === col("a.doc_id"))
+      .join(sig.as("b"), col("db") === col("b.doc_id"))
+      .select(col("da"), col("db"),
+        (col("n_common").cast("double") / (col("sza") + col("szb") - col("n_common"))).as("jaccard"),
+        (est.cast("double") / 8).as("minhash_est"))
+      .withColumn("abs_err", abs(col("minhash_est") - col("jaccard")))
+      .orderBy(col("abs_err").desc, col("da"), col("db"))
+      .limit(100)
+  }
+
+  private val d15Sql = {
+    val estSql = (0 until 8)
+      .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")
+    "WITH " + CharShingleCte + MinhashSigCtePart +
+    s""",
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 10),
+       |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |common AS (
+       |  SELECT p.da, p.db, COUNT(*) AS n_common
+       |  FROM pairs p
+       |  JOIN sh x ON x.doc_id = p.da
+       |  JOIN sh y ON y.doc_id = p.db AND y.s = x.s
+       |  GROUP BY p.da, p.db),
+       |scored AS (
+       |  SELECT c.da, c.db,
+       |    CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) AS jaccard,
+       |    CAST($estSql AS DOUBLE) / 8 AS minhash_est
+       |  FROM common c
+       |  JOIN sizes sa ON sa.doc_id = c.da
+       |  JOIN sizes sb ON sb.doc_id = c.db
+       |  JOIN sig a ON a.doc_id = c.da
+       |  JOIN sig b ON b.doc_id = c.db)
+       |SELECT da, db, jaccard, minhash_est,
+       |  abs(minhash_est - jaccard) AS abs_err
+       |FROM scored
+       |ORDER BY abs_err DESC, da, db LIMIT 100""".stripMargin
+  }
 
   /** d5: embedding-cosine near-dup — hyperplane-LSH-blocked pair scan
     * (the same 4-dim sign bucket as s2), exact cosine within each
@@ -1243,6 +1320,7 @@ object Dedup {
   }
 
   val queries: Map[String, QFn] = Map(
+    "d15_minhash_accuracy" -> (d15 _),
     "d14_repeated_ngrams" -> (d14 _),
     "d13_keeper_admit" -> (d13 _),
     "d12_incremental_dedup" -> (d12 _),
@@ -1259,6 +1337,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d15_minhash_accuracy" -> d15Sql,
     "d14_repeated_ngrams" -> d14Sql,
     "d13_keeper_admit" -> d13Sql,
     "d12_incremental_dedup" -> d12Sql,

@@ -145,10 +145,11 @@ object StreamingOps {
     * Manifests live in a SIBLING directory so the file stream source
     * can never admit them as stream input.
     */
-  private def stagedAdmitInputs(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private def stagedAdmitInputs(s: SparkSession, d: String,
+      nFiles: Int = 1): (DataFrame, DataFrame, DataFrame) = {
     val src = java.nio.file.Paths.get(d, "documents.parquet")
     val base = System.getProperty("java.io.tmpdir")
-    val tag = Integer.toHexString(d.hashCode)
+    val tag = Integer.toHexString(d.hashCode) + (if (nFiles > 1) s"_n$nFiles" else "")
     val dir = java.nio.file.Paths.get(base, "graft_stream_docs_" + tag)
     val mdir = java.nio.file.Paths.get(base, "graft_stream_docs_" + tag + "_manifests")
     java.nio.file.Files.createDirectories(dir)
@@ -158,7 +159,7 @@ object StreamingOps {
       java.nio.file.Files.getLastModifiedTime(src).toMillis
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
-      java.nio.file.Files.exists(dir.resolve("new_docs.parquet"))
+      (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"new_docs_$k.parquet")))
     if (!fresh) {
       val listing = java.nio.file.Files.list(dir)
       try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
@@ -166,17 +167,24 @@ object StreamingOps {
       val docs = graft.Tables.documents(s, d).filter(col("doc_id").isNotNull)
       val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
       val work = dir.resolve("_work")
-      docs.filter(col("doc_id") * 5 > lit(mx) * 4)
-        .select(col("doc_id"), col("text"))
-        .coalesce(1).write.mode("overwrite").parquet(work.toString)
-      val partFile = {
-        val l = java.nio.file.Files.list(work)
-        try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally l.close()
+      val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
+      for (k <- 0 until nFiles) {
+        docs.filter(col("doc_id") * 5 > lit(mx) * 4)
+          .filter(col("doc_id") % nFiles === k)
+          .select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(work.toString)
+        val partFile = {
+          val l = java.nio.file.Files.list(work)
+          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally l.close()
+        }
+        val dst = dir.resolve(s"new_docs_$k.parquet")
+        java.nio.file.Files.move(partFile, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 1000L))
       }
-      java.nio.file.Files.move(partFile, dir.resolve("new_docs.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       if (java.nio.file.Files.exists(work)) {
         val l = java.nio.file.Files.list(work)
         try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
@@ -188,9 +196,10 @@ object StreamingOps {
       sigM.write.mode("overwrite").parquet(mdir.resolve("sig_manifest").toString)
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
-    (s.readStream.schema(docsStreamSchema)
-      .option("pathGlobFilter", "new_docs.parquet")
-      .parquet(dir.toString),
+    val reader = s.readStream.schema(docsStreamSchema)
+      .option("pathGlobFilter", "new_docs_*.parquet")
+    val multi = if (nFiles > 1) reader.option("maxFilesPerTrigger", "1") else reader
+    (multi.parquet(dir.toString),
       s.read.parquet(mdir.resolve("fp_manifest").toString),
       s.read.parquet(mdir.resolve("sig_manifest").toString))
   }
@@ -572,8 +581,9 @@ object StreamingOps {
     * join. Oracle: d12's SQL VERBATIM — the streaming path must
     * produce byte-identical admissions to the batch query.
     */
-  private def st9(s: SparkSession, d: String): DataFrame = {
-    val (stream, fpManifest, sigManifest) = stagedAdmitInputs(s, d)
+  private def admitPipeline(s: SparkSession,
+      staged: (DataFrame, DataFrame, DataFrame), name: String): DataFrame = {
+    val (stream, fpManifest, sigManifest) = staged
     val dec = stream
       .withColumn("fp", md5(col("text").cast("binary")))
       .withColumn("simhash", expr(graft.dedup.Dedup.RowSimhashSql))
@@ -584,9 +594,20 @@ object StreamingOps {
         when(col("fp_hit").isNotNull, "exact_dup")
           .when(col("sig_hit").isNotNull, "near_dup")
           .otherwise("admitted").as("reason"))
-    runToMemory(s, dec, "graft_st9", mode = "append")
+    runToMemory(s, dec, name, mode = "append")
       .orderBy(col("doc_id"))
   }
+
+  private def st9(s: SparkSession, d: String): DataFrame =
+    admitPipeline(s, stagedAdmitInputs(s, d), "graft_st9")
+
+  /** st9 under a REAL multi-batch regime (nFiles staged files,
+    * maxFilesPerTrigger=1) — the spec surface proving the scaladoc's
+    * batching-invariance claim: a stateless stream gives the same
+    * answer under any file/trigger split. Not a registered query (the
+    * semantics are st9's; only the batching differs). */
+  private[graft] def st9Multi(s: SparkSession, d: String, nFiles: Int): DataFrame =
+    admitPipeline(s, stagedAdmitInputs(s, d, nFiles), "graft_st9multi")
 
   private val st9Sql = graft.dedup.Dedup.oracles("d12_incremental_dedup")
 

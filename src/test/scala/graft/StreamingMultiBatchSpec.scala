@@ -79,4 +79,15 @@ class StreamingMultiBatchSpec extends SparkSpec {
     assert(trace.exists(_.matches(".*dropped=\\[.*[1-9].*\\].*")),
       s"expected late rows dropped by watermark in some batch:\n${trace.mkString("\n")}")
   }
+
+  test("st9 is batching-invariant: 3-file maxFilesPerTrigger=1 run equals the single-batch run") {
+    // st9's scaladoc claims the stateless stream gives the same answer
+    // under ANY file/trigger split — prove it with real micro-batches
+    val single = SparkEntry.queries("st9_stream_admit")(spark, sf).collect().toSeq
+    val multi = streaming.StreamingOps.st9Multi(spark, sf, 3).collect().toSeq
+    assert(multi == single, "st9 diverged under a multi-batch split")
+    val batches = streaming.StreamingOps.lastRunBatches("graft_st9multi")
+    assert(batches.count(_ > 0) >= 3,
+      s"expected >= 3 data micro-batches, got input-row trace $batches")
+  }
 }
