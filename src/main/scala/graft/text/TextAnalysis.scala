@@ -550,7 +550,47 @@ object TextAnalysis {
       |  CAST(n_niche AS DOUBLE) / n_distinct AS niche_ratio
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish tokenizer regex: GPT-2's pre-tokenizer shape (contraction
+    * suffixes, space-prefixed letter/digit runs, punctuation runs)
+    * with letter runs capped at 4 chars and digit runs at 3 — the
+    * vocabulary-less approximation of subword segmentation (long words
+    * split into pieces, as a learned BPE vocabulary would). ASCII-only
+    * and lookahead-free on purpose: the SAME pattern string runs under
+    * Java regex (Spark) and RE2 (DuckDB) with identical leftmost-first
+    * alternation, so the oracle checks the real match counts. */
+  private[graft] val BpeishPattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]{1,4}| ?[0-9]{1,3}| ?[^a-zA-Z0-9 ]+| +"
+
+  /** t13: BPE-ish token counting + fertility — the token-BUDGET
+    * estimator a pipeline runs before an LLM ever sees the corpus:
+    * whitespace words say how much text there is, subword tokens say
+    * what it will COST, and fertility (subwords per word, here ~1.5)
+    * is the conversion rate that turns corpus stats into token
+    * budgets (t10's packing and g8's cost estimate both consume token
+    * counts). Pure per-row codegen'd regexp counting — no shuffle,
+    * like t1/t2.
+    */
+  private def t13(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens_ws"),
+      regexp_count(col("text"), lit(BpeishPattern)).cast("long").as("n_tokens_bpe"))
+      .withColumn("fertility",
+        col("n_tokens_bpe").cast("double") / col("n_tokens_ws"))
+      .orderBy(col("doc_id"))
+
+  private val t13Sql = {
+    val pat = BpeishPattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens_ws,
+       |  CAST(length(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_tokens_bpe,
+       |  CAST(length(regexp_extract_all(text, '$pat')) AS DOUBLE)
+       |    / length(regexp_extract_all(text, '\\S+')) AS fertility
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "t13_bpe_tokens" -> (t13 _),
     "t12_doc_frequency" -> (t12 _),
     "t11_stratified" -> (t11 _),
     "t10_pack" -> (t10 _),
@@ -565,6 +605,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t13_bpe_tokens" -> t13Sql,
     "t12_doc_frequency" -> t12Sql,
     "t11_stratified" -> t11Sql,
     "t10_pack" -> t10Sql,

@@ -92,6 +92,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE-ish tokenizer splits contractions, long words and punctuation as designed") {
+    import graft.text.TextAnalysis
+    val cases = Seq(
+      "don't stop",   // don | 't (contraction suffix) | " stop" -> 3
+      "windowing",    // wind | owin | g (4-char letter pieces)   -> 3
+      "a!!!b",        // a | !!! (punct run) | b                  -> 3
+      "12345")        // 123 | 45 (3-digit pieces)                -> 2
+    val df = cases.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(TextAnalysis.BpeishPattern)).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 2L), df.toString)
+  }
+
   test("t12 DF profile matches a hand-computed corpus") {
     // 4 docs, n_docs = 4 → "niche" means df*2 <= 4, i.e. df <= 2.
     //   common: docs 1-4, df=4 — never niche
