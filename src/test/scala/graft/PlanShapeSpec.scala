@@ -214,6 +214,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
+  test("d14 gram coverage joins by shuffle on the gram key — no window, no nested loop") {
+    val p = plan("d14_repeated_ngrams")
+    assert(!"Window \\[".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // both the gram-df aggregate and the per-doc aggregate keep
+    // map-side partials
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
+  }
+
+  test("d15 estimate-vs-exact stays equi-join only — no quadratic path") {
+    val p = plan("d15_minhash_accuracy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // top-100 via TakeOrdered, not a global sort of all pairs
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("s7 quantized ranking runs on the same bounded heaps as s1") {
+    val p = plan("s7_sq8_recall")
+    // both rankings (exact truth + quantized) keep partial+final
+    // TopKPerKey stages; no Window ranks any candidate set
+    assert("TopKPerKey".r.findAllIn(p).size >= 4,
+      s"s7 lost the partial+final top-k stages on one side:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q28 partial-merge keeps map-side partials in BOTH stages, one scalar broadcast") {
     val p = plan("q28_delta_agg")
     assert(!p.contains("Window"), p)
