@@ -1272,14 +1272,19 @@ object Dedup {
     * scores 0.
     *
     * Scale shape: grams explode to ~token-count rows per document
-    * (positions, not pairs — never quadratic); the gram-df aggregate
-    * does map-side partials with a distinct-doc count; the join-back
-    * on the 16-byte gram key is AQE-skew-splittable — hot boilerplate
-    * grams ARE the skew case — and the final per-doc aggregate is
-    * integer-only with one terminal division (exact oracle compare,
-    * the t12 discipline at gram granularity). Documents shorter than
-    * [[SpanGramK]] tokens open no gram and are absent, matching the
-    * oracle.
+    * (positions, not pairs — never quadratic), then collapse
+    * IMMEDIATELY to one (doc_id, gram, multiplicity) row — both
+    * consumers (the gram-df aggregate and the join probe) read that
+    * same collapsed relation, so its exchange is built once and
+    * ReusedExchange covers the second branch (a raw-grams probe would
+    * instead re-run the scan+explode). df over the collapsed rows is
+    * exactly the DISTINCT-doc count, position counts are preserved in
+    * the multiplicities, and the join-back on the 16-byte gram key is
+    * AQE-skew-splittable — hot boilerplate grams ARE the skew case.
+    * The final per-doc aggregate is integer-only with one terminal
+    * division (exact oracle compare, the t12 discipline at gram
+    * granularity). Documents shorter than [[SpanGramK]] tokens open no
+    * gram and are absent, matching the oracle.
     */
   private def d14(s: SparkSession, d: String): DataFrame = {
     val k = SpanGramK
@@ -1288,15 +1293,25 @@ object Dedup {
       .select(col("doc_id"),
         expr("filter(split(text, '\\\\s+'), t -> t != '')").as("ts"))
       .filter(size(col("ts")) >= k)
-    val grams = toks.select(col("doc_id"),
+    val gcnt = toks.select(col("doc_id"),
       explode(expr(
         s"transform(sequence(0, size(ts) - $k), p -> md5(concat_ws(' ', slice(ts, p + 1, $k))))"))
         .as("g"))
-    val gdf = grams.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("df"))
-    grams.join(gdf, Seq("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    // the no-op cnt > 0 filter (cnt is a count, always >= 1) keeps the
+    // multiplicity column REFERENCED on this branch: without it column
+    // pruning rewrites this branch's copy of gcnt into a cheaper
+    // distinct-only aggregate, the two gcnt subtrees canonicalize
+    // differently, and the ReusedExchange is forfeited — the
+    // scan+explode would run twice (measured: the reuse is worth ~25%
+    // of the query). Catalyst cannot prove cnt >= 1, so the guard
+    // survives optimization; it filters nothing at runtime.
+    val gdf = gcnt.filter(col("cnt") > 0)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    gcnt.join(gdf, Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).as("n_repeated"))
       .select(col("doc_id"), col("n_grams"), col("n_repeated"),
         (col("n_repeated").cast("double") / col("n_grams")).as("repeat_ratio"))
       .orderBy(col("doc_id"))
