@@ -17,7 +17,13 @@ class DeterminismSpec extends SparkSpec {
     "s4_ivf_probe", "d8_simhash_pairs", "t7_keep_drop", "t8_split_assign",
     // round-8 additions: cluster keep-best (double argmax over a
     // window), word-gram minhash, recall measurement
-    "d10_cluster_keep", "d11_word_minhash", "s5_ann_recall")
+    "d10_cluster_keep", "d11_word_minhash", "s5_ann_recall",
+    // round-9 additions: corpus-statistic join-backs, partial-merge
+    // agg, quantized ranking, a double-ordered LIMIT boundary, and
+    // the keeper-manifest / streaming admissions
+    "t12_doc_frequency", "q28_delta_agg", "s7_sq8_recall",
+    "d14_repeated_ngrams", "d15_minhash_accuracy",
+    "d13_keeper_admit", "st9_stream_admit")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {
