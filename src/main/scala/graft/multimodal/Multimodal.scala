@@ -122,15 +122,109 @@ object Multimodal {
       |FROM c GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY chunk_md5""".stripMargin
 
+  /** m5: content-defined chunking (CDC) + cross-document chunk dedup —
+    * m4's production upgrade. m3/m4 cut at FIXED 64-byte offsets, so a
+    * single inserted byte shifts every later boundary and two
+    * near-identical payloads share almost no chunks; CDC instead cuts
+    * where a ROLLING HASH of the last [[CdcWindow]] bytes hits a mask
+    * (Rabin–Karp style: h = fold((acc·31 + byte) mod 1000003), cut
+    * when h ≡ 0 mod [[CdcMask]] → expected chunk ≈ CdcMask bytes),
+    * so boundaries re-synchronize right after any edit and shared
+    * content dedups regardless of offset. Real CDC adds min/max chunk
+    * bounds; this keeps the bare rolling-hash rule (documented
+    * simplification).
+    *
+    * The whole boundary computation is per-row higher-order-function
+    * arithmetic over the byte codes — integer-only, no UDF, no
+    * shuffle; only the final m4-shaped fingerprint aggregate shuffles
+    * (16-byte keys, map-side partials). Cross-engine exactness: the
+    * DuckDB oracle list_reduce carries an explicit prepended 0 (its
+    * fold has no zero element, Spark's aggregate does), and the
+    * position range guards length < window (Spark's sequence(8, n)
+    * runs DESCENDING for n < 8 where DuckDB's generate_series is
+    * empty).
+    */
+  private[graft] val CdcWindow = 8
+  private[graft] val CdcMask = 32
+
+  /** 31^j mod 1000003 for j = 0..CdcWindow-1 — the rolling-hash fold
+    * ((acc·31 + byte) mod M) expanded to a flat linear combination
+    * Σ byte[i−j]·31^j mod M (mod is a ring homomorphism, so the
+    * residue is identical). The flat form is ~40× faster than a
+    * nested aggregate-per-position lambda: higher-order-function
+    * lambdas run interpreted, and an inner fold per position paid an
+    * allocation + 8 interpreted steps where this pays 8 array lookups
+    * in ONE flat lambda. */
+  private val CdcPows: Seq[Long] =
+    Iterator.iterate(1L)(p => p * 31 % 1000003).take(CdcWindow).toSeq
+
+  private def m5(s: SparkSession, d: String): DataFrame = {
+    val w = CdcWindow
+    val terms = CdcPows.zipWithIndex
+      .map { case (p, j) => s"element_at(codes, i - $j) * ${p}L" }.mkString(" + ")
+    val boundaries =
+      s"""CASE WHEN length(text) >= $w THEN
+         |  filter(sequence($w, length(text)), i ->
+         |    ($terms) % 1000003 % $CdcMask = 0)
+         |ELSE CAST(array() AS array<int>) END""".stripMargin
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("codes",
+        expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
+      .withColumn("b",
+        expr(s"concat(array(0), $boundaries, array(length(text)))"))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(sequence(1, size(b) - 1),
+          |  k -> substring(text, element_at(b, k) + 1,
+          |         element_at(b, k + 1) - element_at(b, k))),
+          |  c -> c != '')""".stripMargin)).as("chunk"))
+      .groupBy(md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_md5"))
+  }
+
+  private val m5Sql = {
+    val w = CdcWindow
+    val terms = CdcPows.zipWithIndex
+      .map { case (p, j) => s"codes[i - $j] * $p" }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    list_transform(generate_series(1, length(text)), i -> ascii(substring(text, i, 1))) AS codes
+       |  FROM documents),
+       |bnd AS (
+       |  SELECT doc_id, text,
+       |    list_concat(list_concat([0],
+       |      CASE WHEN length(text) >= $w THEN
+       |        list_filter(generate_series($w, length(text)), i ->
+       |          ($terms) % 1000003 % $CdcMask = 0)
+       |      ELSE [] END), [length(text)]) AS b
+       |  FROM base),
+       |ch AS (
+       |  SELECT doc_id, chunk FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(b) - 1),
+       |      k -> substring(text, b[k] + 1, b[k + 1] - b[k]))) AS chunk
+       |    FROM bnd)
+       |  WHERE chunk <> '')
+       |SELECT md5(chunk) AS chunk_md5, COUNT(*) AS n_occurrences,
+       |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc_id
+       |FROM ch GROUP BY md5(chunk) HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_md5""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "m1_binary_meta" -> (m1 _),
     "m2_frame_sample" -> (m2 _),
     "m3_chunking" -> (m3 _),
-    "m4_chunk_dedup" -> (m4 _))
+    "m4_chunk_dedup" -> (m4 _),
+    "m5_cdc_chunks" -> (m5 _))
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m3_chunking" -> m3Sql,
-    "m4_chunk_dedup" -> m4Sql)
+    "m4_chunk_dedup" -> m4Sql,
+    "m5_cdc_chunks" -> m5Sql)
 }

@@ -92,6 +92,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CDC chunking survives a prefix insertion that kills fixed-offset chunking") {
+    // doc 2 = doc 1 with 9 inserted bytes at the front. Fixed 64-byte
+    // chunks (m4) all shift -> zero shared fingerprints; CDC
+    // boundaries (m5) re-synchronize at the first rolling-hash cut
+    // after the edit -> the tail chunks are shared. THIS is why
+    // content-defined chunking exists.
+    val base = (1 to 60).map(i => s"w${i * 7}").mkString(" ") // ~400 chars
+    val corpus = Seq((1L, base), (2L, "INSERTED " + base))
+    val dir = java.nio.file.Files.createTempDirectory("m5cdc").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cdcShared = SparkEntry.queries("m5_cdc_chunks")(spark, dir).count()
+    val fixedShared = SparkEntry.queries("m4_chunk_dedup")(spark, dir).count()
+    assert(cdcShared >= 2, s"CDC found only $cdcShared shared chunks after the insertion")
+    assert(fixedShared == 0, s"fixed-offset chunking unexpectedly survived: $fixedShared")
+  }
+
   test("BPE-ish tokenizer splits contractions, long words and punctuation as designed") {
     import graft.text.TextAnalysis
     val cases = Seq(
