@@ -67,10 +67,16 @@ object Bench {
       case (k, v, true) if Budgets.seconds.get(k).exists(b => v > 2 * b) =>
         "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
-    val line =
+    val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats}"""
-    // stdout can be lost in log noise; persist the line for the driver
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    // The stdout metric line stays SHORT (~150 bytes): BENCH_r09 came
+    // back parsed:null because the 92-entry per-query map grew the line
+    // to ~2.9 KB and the driver's 2000-char capture tail sliced it
+    // mid-line. The full per-query map lives only in bench_last.json.
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats}"""
+    // stdout can be lost in log noise; persist the full map for the driver
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     // Print the JSON only AFTER spark.stop(): executor-shutdown log
     // lines otherwise interleave with (or truncate) the metric line in
     // captured output. The marker line lets a parser seek to the JSON

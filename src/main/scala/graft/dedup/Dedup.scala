@@ -887,8 +887,11 @@ object Dedup {
     * recognized by key, only the delta proceeds.
     *
     * The batch split is pure integer arithmetic on the corpus max id
-    * (`doc_id * 5 > max_id * 4` → newest ~20% are "today's ingest"),
-    * identical in Spark and DuckDB — no doubles, no rounding drift.
+    * (`doc_id > max_id - max_id div 5` → newest ~20% are "today's
+    * ingest"), identical in Spark and DuckDB — no doubles, no rounding
+    * drift, and the division-first form cannot overflow under ANSI
+    * even at ids near Long.Max (the old `doc_id * 5 > mx * 4` multiply
+    * would throw there).
     * The manifest is two key sets aggregated from the existing corpus:
     * exact md5 fingerprints (d1's key) and 64-bit SimHash signatures
     * (d3/d8's key — an identical signature is the hot near-dup family
@@ -908,14 +911,14 @@ object Dedup {
     val mx = docs.agg(max(col("doc_id")).as("mx"))
     val flagged = docs.crossJoin(broadcast(mx))
       .withColumn("fp", md5(col("text").cast("binary")))
-      .withColumn("is_new", col("doc_id") * 5 > col("mx") * 4)
+      .withColumn("is_new", col("doc_id") > col("mx") - expr("mx div 5"))
     val newb = flagged.filter(col("is_new")).select(col("doc_id"), col("fp"))
     val corpusFp = flagged.filter(!col("is_new"))
       .groupBy(col("fp")).agg(lit(1).as("fp_hit"))
     val sigs = simhashSigs(s, d).crossJoin(broadcast(mx))
-    val newSigs = sigs.filter(col("doc_id") * 5 > col("mx") * 4)
+    val newSigs = sigs.filter(col("doc_id") > col("mx") - expr("mx div 5"))
       .select(col("doc_id"), col("simhash"))
-    val corpusSigs = sigs.filter(col("doc_id") * 5 <= col("mx") * 4)
+    val corpusSigs = sigs.filter(col("doc_id") <= col("mx") - expr("mx div 5"))
       .groupBy(col("simhash")).agg(lit(1).as("sig_hit"))
     admitJoin(newb, corpusFp, newSigs, corpusSigs)
   }
@@ -934,14 +937,25 @@ object Dedup {
     val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
     val mx = docs.agg(max(col("doc_id")).as("mx"))
     val corpusFp = docs.crossJoin(broadcast(mx))
-      .filter(col("doc_id") * 5 <= col("mx") * 4)
+      .filter(col("doc_id") <= col("mx") - expr("mx div 5"))
       .select(md5(col("text").cast("binary")).as("fp"))
       .groupBy(col("fp")).agg(lit(1).as("fp_hit"))
     val corpusSigs = simhashSigs(s, d).crossJoin(broadcast(mx))
-      .filter(col("doc_id") * 5 <= col("mx") * 4)
+      .filter(col("doc_id") <= col("mx") - expr("mx div 5"))
       .groupBy(col("simhash")).agg(lit(1).as("sig_hit"))
     (corpusFp, corpusSigs)
   }
+
+  /** Version token for STAGED manifest state (st9's parquet staging,
+    * [[graft.streaming.StreamingOps]]): the `_src_meta` freshness
+    * marker folds this in so a change to the manifest-building logic
+    * invalidates previously staged manifests (ADVICE r9 — a marker
+    * keyed only on the source parquet's size:mtime silently reuses
+    * stale manifests after a logic change). The literal prefix is
+    * bumped by hand with any [[d12Manifests]]/split-rule change; the
+    * hash tracks the signature definition automatically. */
+  private[graft] def manifestLogicToken: String =
+    "m2:" + Integer.toHexString(RowSimhashSql.hashCode)
 
   /** Per-row SimHash: [[simhashSigsOf]]'s 64-bit signature computed as
     * ONE higher-order-function fold over the row's own distinct-token
@@ -994,16 +1008,16 @@ object Dedup {
       |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
       |newb AS (
       |  SELECT doc_id, md5(text) AS fp FROM documents, mx
-      |  WHERE doc_id * 5 > mx * 4),
+      |  WHERE doc_id > mx - mx // 5),
       |corpus_fp AS (
       |  SELECT DISTINCT md5(text) AS fp FROM documents, mx
-      |  WHERE doc_id * 5 <= mx * 4),
+      |  WHERE doc_id <= mx - mx // 5),
       |new_sig AS (
       |  SELECT s.doc_id, s.simhash FROM sigs s, mx
-      |  WHERE s.doc_id * 5 > mx * 4),
+      |  WHERE s.doc_id > mx - mx // 5),
       |corpus_sig AS (
       |  SELECT DISTINCT s.simhash FROM sigs s, mx
-      |  WHERE s.doc_id * 5 <= mx * 4)
+      |  WHERE s.doc_id <= mx - mx // 5)
       |SELECT n.doc_id, n.fp,
       |  (cf.fp IS NULL AND cs.simhash IS NULL) AS admit,
       |  CASE WHEN cf.fp IS NOT NULL THEN 'exact_dup'
@@ -1053,9 +1067,9 @@ object Dedup {
     val all = Tables.documents(s, d).filter(col("doc_id").isNotNull)
     val mx = all.agg(max(col("doc_id")).as("mx"))
     val flagged = all.crossJoin(broadcast(mx))
-    val existing = flagged.filter(col("doc_id") * 5 <= col("mx") * 4)
+    val existing = flagged.filter(col("doc_id") <= col("mx") - expr("mx div 5"))
       .select(col("doc_id"), col("text"))
-    val newDocs = flagged.filter(col("doc_id") * 5 > col("mx") * 4)
+    val newDocs = flagged.filter(col("doc_id") > col("mx") - expr("mx div 5"))
       .select(col("doc_id"), col("text"))
     val kept = existing.join(keeperIds(existing), Seq("doc_id"), "left_semi")
     val kfp = kept.select(md5(col("text").cast("binary")).as("fp"))
@@ -1071,7 +1085,7 @@ object Dedup {
     """mx AS (SELECT MAX(doc_id) AS mx FROM documents),
       |docs_e AS (
       |  SELECT d.doc_id, d.text FROM documents d, mx
-      |  WHERE d.doc_id * 5 <= mx.mx * 4),""".stripMargin + "\n" +
+      |  WHERE d.doc_id <= mx.mx - mx.mx // 5),""".stripMargin + "\n" +
     // the whole d7 cluster chain, re-rooted at the existing subset
     ClusterCteBody.replace("FROM documents", "FROM docs_e") + ",\n" +
     graft.text.TextAnalysis.QualityScoreCte + ",\n" +
@@ -1087,10 +1101,10 @@ object Dedup {
       |  FROM sigs s JOIN keepers k ON k.doc_id = s.doc_id),
       |newb AS (
       |  SELECT doc_id, md5(text) AS fp FROM documents, mx
-      |  WHERE doc_id * 5 > mx * 4),
+      |  WHERE doc_id > mx - mx // 5),
       |new_sig AS (
       |  SELECT s.doc_id, s.simhash FROM sigs s, mx
-      |  WHERE s.doc_id * 5 > mx * 4)
+      |  WHERE s.doc_id > mx - mx // 5)
       |SELECT n.doc_id, n.fp,
       |  (cf.fp IS NULL AND cs.simhash IS NULL) AS admit,
       |  CASE WHEN cf.fp IS NOT NULL THEN 'exact_dup'

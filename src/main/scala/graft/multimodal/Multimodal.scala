@@ -45,14 +45,56 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** m2: every-Nth frame sampling per stream (user) in event-time
-    * order — the video-frame subsampling pattern. One shuffle on the
-    * stream key; linear scan per partition.
+    * order — the video-frame subsampling pattern.
+    *
+    * The per-user frame index is a RANK, so order is load-bearing —
+    * but `row_number().over(partitionBy(user_id))` buffers one user's
+    * ENTIRE event history in a single task (the r8/r9 risk class that
+    * de-windowed d3/d7/d10/t4/t7: one hot stream at 100× event scale
+    * is one spilling task). This is t10's two-level bucketed
+    * prefix-sum instead: events bucket by `tus div B` (B sized so the
+    * bucket count ≈ √n, conf-overridable via `graft.frame.bucket`),
+    * bucket COUNTS aggregate with map-side partials, a per-user
+    * running sum over the bucket-count METADATA rows (≤ √n rows per
+    * user) yields each bucket's starting offset, and a local
+    * row_number partitioned by (user_id, tb) ranks only one bucket's
+    * slice of one user. Both surviving windows are bounded; the join
+    * back on (user_id, tb) is AQE-skew-splittable. Offsets are
+    * bucketing-invariant, so B never affects the output (oracle-safe).
     */
   private def m2(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-    Tables.events(s, d)
+    val base = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
-      .withColumn("frame_idx", row_number().over(w).cast("long"))
+    // one metadata-sized scalar job sizes the time bucketing: width =
+    // span/√n keeps both bounded stages ~√n as the corpus grows
+    val st = base.agg(min(col("tus")), max(col("tus")), count(lit(1))).head()
+    // validated at parse time, like graft.pack.bucket: width ≤ 0 would
+    // NULL the bucket key and collapse both prefix-sum stages
+    val bucketUs = s.conf.getOption("graft.frame.bucket").map { v =>
+      val b = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.frame.bucket must be a positive integer (µs), got '$v'")
+      }
+      require(b > 0, s"graft.frame.bucket must be > 0, got $b")
+      b
+    }.getOrElse {
+      if (st.isNullAt(0)) 1L
+      else {
+        val span = st.getLong(1) - st.getLong(0) + 1
+        math.max(1L, math.ceil(span.toDouble / math.sqrt(st.getLong(2).toDouble)).toLong)
+      }
+    }
+    val tb = base.withColumn("tb", expr(s"tus div ${bucketUs}L"))
+    val counts = tb.groupBy(col("user_id"), col("tb")).agg(count(lit(1)).as("c"))
+    val boff = Window.partitionBy(col("user_id")).orderBy(col("tb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(boff), lit(0L)))
+      .select(col("user_id"), col("tb"), col("off"))
+    val local = Window.partitionBy(col("user_id"), col("tb"))
+      .orderBy(col("tus"), col("event_id"))
+    tb.join(offsets, Seq("user_id", "tb"))
+      .withColumn("frame_idx", col("off") + row_number().over(local).cast("long"))
       .filter((col("frame_idx") % 10) === 1)
       .select(col("user_id"), col("frame_idx"), col("event_id"), col("tus"))
       .orderBy(col("user_id"), col("frame_idx"))
@@ -188,8 +230,12 @@ object Multimodal {
 
   private val m5Sql = {
     val w = CdcWindow
+    // BIGINT cast (ADVICE r9): DuckDB's ascii() yields INT32, and a
+    // codepoint ≥ ~269 times a power up to ~1e6 overflows INT32 —
+    // the oracle would error on any non-ASCII corpus while the Spark
+    // side (long literals) succeeds
     val terms = CdcPows.zipWithIndex
-      .map { case (p, j) => s"codes[i - $j] * $p" }.mkString(" + ")
+      .map { case (p, j) => s"CAST(codes[i - $j] AS BIGINT) * $p" }.mkString(" + ")
     s"""WITH base AS (
        |  SELECT doc_id, text,
        |    list_transform(generate_series(1, length(text)), i -> ascii(substring(text, i, 1))) AS codes

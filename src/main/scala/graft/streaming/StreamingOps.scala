@@ -155,8 +155,12 @@ object StreamingOps {
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.createDirectories(mdir)
     val marker = mdir.resolve("_src_meta")
+    // source identity PLUS manifest-logic version (ADVICE r9): without
+    // the token, a d12Manifests/signature change silently reuses stale
+    // staged manifests and st9 fails its d12-verbatim oracle confusingly
     val meta = java.nio.file.Files.size(src) + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+      java.nio.file.Files.getLastModifiedTime(src).toMillis + ":" +
+      graft.dedup.Dedup.manifestLogicToken
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"new_docs_$k.parquet")))
@@ -169,7 +173,8 @@ object StreamingOps {
       val work = dir.resolve("_work")
       val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
       for (k <- 0 until nFiles) {
-        docs.filter(col("doc_id") * 5 > lit(mx) * 4)
+        // division-first split, matching d12's overflow-proof rule
+        docs.filter(col("doc_id") > lit(mx - mx / 5))
           .filter(col("doc_id") % nFiles === k)
           .select(col("doc_id"), col("text"))
           .coalesce(1).write.mode("overwrite").parquet(work.toString)

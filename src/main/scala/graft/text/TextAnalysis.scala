@@ -513,7 +513,10 @@ object TextAnalysis {
     * oracle's inner join-back.
     */
   private def t12(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // NULL-id guard (ADVICE r9), consistent with d12/d13/d14: a NULL
+    // doc_id would order NULLS FIRST in Spark but NULLS LAST in
+    // DuckDB, and would inflate the n_docs denominator on one side only
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
@@ -535,10 +538,11 @@ object TextAnalysis {
   }
 
   private val t12Sql =
-    """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+      |n AS (SELECT COUNT(*) AS n_docs FROM d0),
       |toks AS (
       |  SELECT DISTINCT doc_id, lower(t.tok) AS tok
-      |  FROM documents, unnest(regexp_extract_all(text, '\S+')) AS t(tok)),
+      |  FROM d0, unnest(regexp_extract_all(text, '\S+')) AS t(tok)),
       |df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
       |agg AS (
       |  SELECT t.doc_id,

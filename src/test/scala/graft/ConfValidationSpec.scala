@@ -70,6 +70,40 @@ class ConfValidationSpec extends SparkSpec {
     }
   }
 
+  test("graft.frame.bucket rejects zero, negatives, and non-numerics") {
+    for (bad <- Seq("0", "-3", "wide")) withConf("graft.frame.bucket", bad) {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("m2_frame_sample")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("graft.frame.bucket"), s"message for '$bad': ${e.getMessage}")
+    }
+  }
+
+  test("graft.frame.bucket override does not change m2's output (bucketing-invariant ranks)") {
+    val default = SparkEntry.queries("m2_frame_sample")(spark, sf).collect().toSeq
+    withConf("graft.frame.bucket", "1000003") {
+      assert(SparkEntry.queries("m2_frame_sample")(spark, sf).collect().toSeq === default)
+    }
+  }
+
+  test("graft.bucket.n rejects zero, negatives, and non-numerics") {
+    for (bad <- Seq("0", "-1", "lots")) withConf("graft.bucket.n", bad) {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("q27_bucketed_join")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("graft.bucket.n"), s"message for '$bad': ${e.getMessage}")
+    }
+  }
+
+  test("graft.bucket.n override does not change q27's output (bucketing is layout, not semantics)") {
+    val default = SparkEntry.queries("q27_bucketed_join")(spark, sf).collect().toSeq
+    withConf("graft.bucket.n", "4") {
+      assert(SparkEntry.queries("q27_bucketed_join")(spark, sf).collect().toSeq === default)
+    }
+    // restore the default-bucketed external tables for later suites
+    SparkEntry.queries("q27_bucketed_join")(spark, sf).collect()
+  }
+
   test("Verify refuses to emit oracle SQL under an oracle-breaking conf override") {
     // the s2/s5 oracle strings pin the DEFAULT sign dims at class load;
     // a session override would change the query side only and surface

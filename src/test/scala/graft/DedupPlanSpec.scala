@@ -252,19 +252,41 @@ class DedupPlanSpec extends SparkSpec {
       "per-row HOF signature diverged from the batch explode signature")
   }
 
+  test("division-first batch split survives ids near Long.Max (no ANSI overflow)") {
+    import spark.implicits._
+    // the r9 rule `doc_id * 5 > mx * 4` multiplies before comparing and
+    // throws ARITHMETIC_OVERFLOW under ANSI for ids > Long.Max/5; the
+    // division-first form `doc_id > mx - mx div 5` is overflow-free and
+    // keeps the same newest-~20% split
+    val mx = Long.MaxValue
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "one two three"),
+      (3L, "completely different corpus text"),
+      (mx - 1, "alpha beta gamma"), // exact dup of existing doc 1
+      (mx, "brand new content never seen"))
+    val dir = java.nio.file.Files.createTempDirectory("d12max").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d12_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
+    assert(out.keySet == Set(mx - 1, mx), s"new batch rows: ${out.keySet}")
+    assert(out(mx - 1) == (false, "exact_dup"), s"${out(mx - 1)}")
+    assert(out(mx) == (true, "admitted"), s"${out(mx)}")
+  }
+
   test("d12/d13 fire all admit paths; a copy of a DROPPED near-dup splits them") {
     import spark.implicits._
     // the driver testdata has no byte-identical dup pair (d1 groups are
     // all size 1), so the exact_dup branch never fires there — exercise
-    // it with a constructed corpus. max id 16 → new batch = {13..16}
-    // (doc_id*5 > 64). Existing: docs 5/6 are char-gram near-dups that
+    // it with a constructed corpus. max id 20 → new batch = {17..20}
+    // (doc_id > 20 - 20 div 5 = 16). Existing: docs 5/6 are char-gram near-dups that
     // cluster together (6 = 5's text + a punctuation tail, Jaccard
     // ≈ 0.87 ≥ 0.5); the tail only LOWERS 6's quality score (letter
     // ratio down, punct ratio up), so doc 5 is the keeper and 6 is
     // dropped — deterministically (quality ties would also break to
-    // the min id). New batch: 13 copies doc 1 verbatim; 14 permutes
+    // the min id). New batch: 17 copies doc 1 verbatim; 18 permutes
     // doc 2's words (same distinct token set → same SimHash, different
-    // md5); 15 is fresh; 16 copies the DROPPED doc 6 verbatim.
+    // md5); 19 is fresh; 20 copies the DROPPED doc 6 verbatim.
     val keeperText = "the quick brown fox jumps over the lazy dog while the cat naps under the warm sun today"
     val droppedText = keeperText + " !!!!! ?????"
     val existing = Seq(
@@ -273,13 +295,13 @@ class DedupPlanSpec extends SparkSpec {
       (3L, "completely unrelated corpus filler text body here"),
       (5L, keeperText),
       (6L, droppedText)) ++
-      (Seq(4L, 7L, 8L, 9L, 10L, 11L, 12L))
+      (Seq(4L, 7L, 8L, 9L, 10L, 11L, 12L, 13L, 14L, 15L, 16L))
         .map(i => (i, s"unique filler document number $i with its own words ${i * 31}"))
     val newBatch = Seq(
-      (13L, "alpha beta gamma delta epsilon zeta"),
-      (14L, "eight seven six five four three two one"),
-      (15L, "genuinely novel content never seen in the corpus before"),
-      (16L, droppedText))
+      (17L, "alpha beta gamma delta epsilon zeta"),
+      (18L, "eight seven six five four three two one"),
+      (19L, "genuinely novel content never seen in the corpus before"),
+      (20L, droppedText))
     val dir = java.nio.file.Files.createTempDirectory("d12inc").toString
     (existing ++ newBatch).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -293,16 +315,16 @@ class DedupPlanSpec extends SparkSpec {
     val st9 = run("st9_stream_admit")
     assert(st9 == d12, s"st9 diverged from d12: $st9 vs $d12")
     for ((name, out) <- Seq("d12" -> d12, "d13" -> d13)) {
-      assert(out.keySet == Set(13L, 14L, 15L, 16L), s"$name new batch rows: ${out.keySet}")
-      assert(out(13L) == (false, "exact_dup"), s"$name 13: ${out(13L)}")
-      assert(out(14L) == (false, "near_dup"), s"$name 14: ${out(14L)}")
-      assert(out(15L) == (true, "admitted"), s"$name 15: ${out(15L)}")
+      assert(out.keySet == Set(17L, 18L, 19L, 20L), s"$name new batch rows: ${out.keySet}")
+      assert(out(17L) == (false, "exact_dup"), s"$name 17: ${out(17L)}")
+      assert(out(18L) == (false, "near_dup"), s"$name 18: ${out(18L)}")
+      assert(out(19L) == (true, "admitted"), s"$name 19: ${out(19L)}")
     }
     // the split: d12's manifest is the FULL history (doc 6's fingerprint
     // is in it → exact reject); d13's manifest is the deduped corpus
     // (6 was dropped; 16 is neither doc 5's fingerprint nor its SimHash
     // — the punctuation tokens change the distinct token set → admit)
-    assert(d12(16L) == (false, "exact_dup"), s"d12 16: ${d12(16L)}")
-    assert(d13(16L) == (true, "admitted"), s"d13 16: ${d13(16L)}")
+    assert(d12(20L) == (false, "exact_dup"), s"d12 20: ${d12(20L)}")
+    assert(d13(20L) == (true, "admitted"), s"d13 20: ${d13(20L)}")
   }
 }

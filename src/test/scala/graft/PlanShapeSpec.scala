@@ -270,6 +270,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") && p.contains("partial_sum"), p)
   }
 
+  test("m2 frame sampling ranks per (user, time-bucket) — no whole-user window partition") {
+    // the r9 verdict's last per-entity window in an oracle query:
+    // row_number over partitionBy(user_id) buffers one hot user's whole
+    // event history in one task. The t10-style two-level prefix-sum
+    // replaces it; the surviving rank window must be bucket-scoped
+    // (partition spec includes tb), and the bucket-count aggregate must
+    // keep map-side partials.
+    val p = plan("m2_frame_sample")
+    val rn = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rn.nonEmpty, p)
+    assert(rn.forall(_.contains("tb#")), s"row_number must partition by (user_id, tb):\n$p")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("s5 recall compare runs over heap-ranked sides — no window anywhere") {
     val p = plan("s5_ann_recall")
     // both ranking sides run through TopKPerKey; the comparison adds
