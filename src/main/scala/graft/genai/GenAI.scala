@@ -329,6 +329,139 @@ object GenAI {
       |  CAST(SUM(CASE WHEN answer = truth THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  /** g14: the reference's flagship `run()` + `resume`
+    * (openai_batch_processor.py:262-303 and the resume-over-partial-
+    * state pattern of vertex_ai_batch_processor.py:298) driver-checked
+    * end-to-end. The corpus's FIRST request is invalid by construction
+    * (doc 0: doc_id % 97 = 0 → max_tokens 0), so the reference's
+    * single-probe validation would halt the whole run; the
+    * corpus-scale recipe is the distributed preflight — validate every
+    * request, carve out the rejects, run over the rest ([[Validation]]
+    * is exactly the reference's `validate_request` applied per-row).
+    *
+    * The query then executes the real workflow twice against a staged
+    * output prefix: an INITIAL run over the historical ~80% of valid
+    * docs (d12's division-first split on the corpus max id — the
+    * "interrupted after most of the corpus" state), then
+    * [[BatchWorkflow.resume]] over the FULL valid corpus, whose
+    * anti-join on the SAVED results/errors skips everything the
+    * initial run already processed. The output is the on-disk end
+    * state read back from the four saved JSONL files (not the
+    * returned frames — the save+read round-trip is part of the
+    * contract), one row per doc: its phase (initial/resume/preflight),
+    * disposition (result/error/rejected), parsed payload, and the
+    * phase's reported terminal status. The oracle recomputes the same
+    * end state relationally, so the driver literally checks
+    * "run + resume over partial state ≡ one logical pass".
+    *
+    * Scale: both runs are the two-job workflow (JSONL write + result
+    * save); the resume anti-join is a doc_id equi-join against the
+    * saved outputs, no driver-side id set. The staging write is priced
+    * in-query (the q27 pattern).
+    */
+  private def g14(s: SparkSession, d: String): DataFrame = {
+    val prefix = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_g14_" + Integer.toHexString(d.hashCode))
+    // clean slate: resume's anti-join must see exactly the initial
+    // run's outputs, never files from an older logic version
+    if (java.nio.file.Files.exists(prefix)) {
+      val walk = java.nio.file.Files.walk(prefix)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val validated = Validation.validate(Requests.chatRequests(docs))
+    val validDocs = docs.join(
+      validated.filter(col("is_valid")).select(col("doc_id")), Seq("doc_id"))
+    // corpus max id — a metadata-sized driver scalar (t10's documented
+    // pattern); division-first split form cannot ANSI-overflow
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val initial = BatchWorkflow.run(
+      validDocs.filter(col("doc_id") <= lit(mx - mx / 5)), prefix.toString)
+    val resumed = BatchWorkflow.resume(validDocs, prefix.toString)
+
+    // saved-file read-back: JSON writes omit all-null fields, so the
+    // results/errors files carry different column sets — project both
+    // onto the common schema with typed nulls
+    def readBack(path: String, phase: String, disposition: String,
+        runStatus: String): DataFrame = {
+      val raw = Jsonl.read(s, path)
+      def colOr(name: String, tpe: String) =
+        (if (raw.columns.contains(name)) col(name) else lit(null)).cast(tpe).as(name)
+      raw.select(colOr("doc_id", "long"), colOr("content", "string"),
+          colOr("error_message", "string"), colOr("prompt_tokens", "long"),
+          colOr("completion_tokens", "long"))
+        .withColumn("phase", lit(phase))
+        .withColumn("disposition", lit(disposition))
+        .withColumn("run_status", lit(runStatus))
+    }
+    val rejected = validated.filter(!col("is_valid"))
+      .select(col("doc_id"), lit(null).cast("string").as("content"),
+        col("reason").as("error_message"),
+        lit(null).cast("long").as("prompt_tokens"),
+        lit(null).cast("long").as("completion_tokens"),
+        lit("preflight").as("phase"), lit("rejected").as("disposition"),
+        lit("rejected_preflight").as("run_status"))
+    readBack(s"$prefix/results.jsonl", "initial", "result", initial.finalStatus)
+      .unionByName(readBack(s"$prefix/errors.jsonl", "initial", "error", initial.finalStatus))
+      .unionByName(readBack(s"$prefix/resume/results.jsonl", "resume", "result", resumed.finalStatus))
+      .unionByName(readBack(s"$prefix/resume/errors.jsonl", "resume", "error", resumed.finalStatus))
+      .unionByName(rejected)
+      .select(col("doc_id"), col("phase"), col("disposition"), col("content"),
+        col("error_message"), col("prompt_tokens"), col("completion_tokens"),
+        col("run_status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the workflow end state recomputed relationally — phase
+    * from the same division-first split, disposition/payload from the
+    * simulator rules, per-phase terminal status re-derived from its
+    * own error population (exactly run()'s `errors.isEmpty` rule).
+    */
+  private val g14Sql = ReqsCte +
+    """,
+      |checked AS (
+      |  SELECT doc_id, system_content, user_content,
+      |    CASE WHEN max_tokens <= 0 THEN 'max_tokens_out_of_range'
+      |         WHEN model NOT IN ('gpt-4.1-nano','gpt-4o-mini','gpt-4o') THEN 'unknown_model'
+      |         WHEN length(user_content) = 0 THEN 'empty_prompt'
+      |         WHEN length(user_content) > 4000 THEN 'prompt_too_long'
+      |    END AS reason
+      |  FROM reqs),
+      |mxv AS (SELECT MAX(doc_id) AS mx FROM documents),
+      |runs AS (
+      |  SELECT c.doc_id,
+      |    CASE WHEN c.doc_id <= mx - mx // 5 THEN 'initial' ELSE 'resume' END AS phase,
+      |    CASE WHEN c.doc_id % 53 = 0 THEN 'error' ELSE 'result' END AS disposition,
+      |    CASE WHEN c.doc_id % 53 = 0 THEN CAST(NULL AS VARCHAR)
+      |         WHEN length(regexp_extract_all(c.user_content, 'fast|small|value')) >=
+      |              length(regexp_extract_all(c.user_content, 'slow|error|big'))
+      |         THEN 'positive' ELSE 'negative' END AS content,
+      |    CASE WHEN c.doc_id % 53 = 0 THEN 'Internal server error'
+      |         ELSE CAST(NULL AS VARCHAR) END AS error_message,
+      |    CASE WHEN c.doc_id % 53 = 0 THEN CAST(NULL AS BIGINT)
+      |         ELSE CAST((length(c.system_content) + length(c.user_content) + 3) // 4 AS BIGINT) END AS prompt_tokens,
+      |    CASE WHEN c.doc_id % 53 = 0 THEN CAST(NULL AS BIGINT)
+      |         ELSE CAST(1 AS BIGINT) END AS completion_tokens
+      |  FROM checked c, mxv WHERE c.reason IS NULL),
+      |run_status AS (
+      |  SELECT phase,
+      |    CASE WHEN SUM(CASE WHEN disposition = 'error' THEN 1 ELSE 0 END) > 0
+      |         THEN 'completed_with_errors' ELSE 'completed' END AS run_status
+      |  FROM runs GROUP BY phase)
+      |SELECT r.doc_id, r.phase, r.disposition, r.content, r.error_message,
+      |       r.prompt_tokens, r.completion_tokens, st.run_status
+      |FROM runs r JOIN run_status st ON r.phase = st.phase
+      |UNION ALL
+      |SELECT doc_id, 'preflight' AS phase, 'rejected' AS disposition,
+      |  CAST(NULL AS VARCHAR) AS content, reason AS error_message,
+      |  CAST(NULL AS BIGINT) AS prompt_tokens, CAST(NULL AS BIGINT) AS completion_tokens,
+      |  'rejected_preflight' AS run_status
+      |FROM checked WHERE reason IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   /** g12: failure resubmission — rebuild a retry batch for every
     * request whose response came back non-200, keeping the original
     * body, tagging the attempt and re-keying custom_id so the Batch
@@ -354,6 +487,7 @@ object GenAI {
       |ORDER BY r.doc_id""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "g14_workflow_run" -> (g14 _),
     "g13_visual_exam" -> (g13 _),
     "g12_retry_failed" -> (g12 _),
     "g11_multichoice" -> (g11 _),
@@ -369,6 +503,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g14_workflow_run" -> g14Sql,
     "g13_visual_exam" -> g13Sql,
     "g12_retry_failed" -> g12Sql,
     "g11_multichoice" -> g11Sql,

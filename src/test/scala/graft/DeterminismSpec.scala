@@ -23,7 +23,9 @@ class DeterminismSpec extends SparkSpec {
     // the keeper-manifest / streaming admissions
     "t12_doc_frequency", "q28_delta_agg", "s7_sq8_recall",
     "d14_repeated_ngrams", "d15_minhash_accuracy",
-    "d13_keeper_admit", "st9_stream_admit")
+    "d13_keeper_admit", "st9_stream_admit",
+    // round-10 additions: the composed run+resume workflow end state
+    "g14_workflow_run")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

@@ -366,6 +366,31 @@ class GenAISpec extends SparkSpec {
     assert(failed.cleanup.registered == Seq(s"$base/i2"))
   }
 
+  test("g14 end state: every doc exactly once, resume touches only the unprocessed tail") {
+    val out = SparkEntry.queries("g14_workflow_run")(spark, sf).collect()
+    val nDocs = docs.count()
+    // exhaustive and disjoint: one final disposition per document
+    assert(out.length == nDocs, s"expected one row per doc, got ${out.length}/$nDocs")
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "a doc appeared twice")
+    val mx = out.map(_.getLong(0)).max
+    val split = mx - mx / 5
+    for (r <- out) {
+      val (id, phase, disp) = (r.getLong(0), r.getString(1), r.getString(2))
+      if (id % 97 == 0) {
+        // invalid by construction (max_tokens 0) → preflight-rejected,
+        // never entered either run — doc 0 is the probe-halt case the
+        // distributed preflight absorbs
+        assert(phase == "preflight" && disp == "rejected", s"doc $id: $phase/$disp")
+        assert(r.getString(4) == "max_tokens_out_of_range")
+      } else {
+        // partial-state contract: historical ids came from the initial
+        // run's saved files, only the tail from the resume run
+        assert(phase == (if (id <= split) "initial" else "resume"), s"doc $id: $phase")
+        assert(disp == (if (id % 53 == 0) "error" else "result"), s"doc $id: $disp")
+      }
+    }
+  }
+
   test("timestamped prefix matches the reference's stamp format") {
     // 2026-08-16 00:30:40 UTC
     val fixed = 1786840240000L
