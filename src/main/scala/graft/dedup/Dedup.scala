@@ -1116,6 +1116,65 @@ object Dedup {
       |LEFT JOIN ksig cs ON cs.simhash = ns.simhash
       |ORDER BY n.doc_id""".stripMargin
 
+  /** d16: persisted-manifest batch admission — d13's admit decision
+    * with the keeper manifests WRITTEN TO PARQUET and the admit stage
+    * reading them back as tables. This is the production split a
+    * nightly sweep + daily batch actually runs: the sweep owns
+    * clustering/keeper selection and leaves two aggregated manifest
+    * RELATIONS behind ([[keeperIds]] → fp/sig manifests, persisted via
+    * [[graft.sources.TableSource]]); the daily admit stage is three
+    * equi-joins whose manifest sides are parquet SCANS with no lineage
+    * back to the corpus — zero re-clustering at admission time
+    * (plan-pinned in DedupPlanSpec). st9 demonstrates the same
+    * persisted pattern for d12's full-history manifests on the
+    * streaming path; d16 is its batch sibling over the DEDUPED-corpus
+    * state (VERDICT r9 #4).
+    *
+    * The manifest write is priced in-query (the q27 pattern): the
+    * bench pays the sweep cost honestly, and re-runs stay idempotent
+    * (overwrite). At 100 TB the manifests are corpus-keyed aggregated
+    * relations — parquet keeps them columnar and equi-joinable with
+    * AQE skew splitting, never a broadcast.
+    *
+    * Oracle: d13's SQL verbatim — the driver compare pins
+    * "admit against persisted manifests ≡ admit against in-plan
+    * manifests" value-for-value, the same lockstep discipline st9
+    * borrows from d12.
+    */
+  private def d16(s: SparkSession, d: String): DataFrame = {
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_d16_" + Integer.toHexString(d.hashCode))
+    val all = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val mx = all.agg(max(col("doc_id")).as("mx"))
+    val flagged = all.crossJoin(broadcast(mx))
+    val existing = flagged.filter(col("doc_id") <= col("mx") - expr("mx div 5"))
+      .select(col("doc_id"), col("text"))
+    val newDocs = flagged.filter(col("doc_id") > col("mx") - expr("mx div 5"))
+      .select(col("doc_id"), col("text"))
+    // sweep stage: cluster + keeper argmax ONCE, persist the deduped
+    // corpus (what a real sweep keeps anyway), then derive both
+    // manifests from the PERSISTED keepers — without the intermediate
+    // table the two manifest writes would each re-run the whole
+    // clustering chain (measured 2x the sweep cost)
+    val kept = existing.join(keeperIds(existing), Seq("doc_id"), "left_semi")
+    graft.sources.TableSource.write(kept, stage.resolve("kept_corpus").toString)
+    val keptT = graft.sources.TableSource.read(s, stage.resolve("kept_corpus").toString)
+    graft.sources.TableSource.write(
+      keptT.select(md5(col("text").cast("binary")).as("fp"))
+        .groupBy(col("fp")).agg(lit(1).as("fp_hit")),
+      stage.resolve("fp_manifest").toString)
+    graft.sources.TableSource.write(
+      simhashSigsOf(keptT).groupBy(col("simhash")).agg(lit(1).as("sig_hit")),
+      stage.resolve("sig_manifest").toString)
+    // admit stage: manifest sides are parquet scans — the only other
+    // source in this plan is the new batch itself
+    val kfp = graft.sources.TableSource.read(s, stage.resolve("fp_manifest").toString)
+    val ksig = graft.sources.TableSource.read(s, stage.resolve("sig_manifest").toString)
+    val newb = newDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    admitJoin(newb, kfp, simhashSigsOf(newDocs), ksig)
+  }
+
   /** d8: SimHash near-dup pairs within hamming distance ≤ 3, via the
     * standard multi-index (HmSearch/"detecting near-duplicates for web
     * crawling") split: the 64-bit signature breaks into 4 disjoint
@@ -1352,6 +1411,7 @@ object Dedup {
     "d15_minhash_accuracy" -> (d15 _),
     "d14_repeated_ngrams" -> (d14 _),
     "d13_keeper_admit" -> (d13 _),
+    "d16_manifest_admit" -> (d16 _),
     "d12_incremental_dedup" -> (d12 _),
     "d11_word_minhash" -> (d11 _),
     "d10_cluster_keep" -> (d10 _),
@@ -1369,6 +1429,7 @@ object Dedup {
     "d15_minhash_accuracy" -> d15Sql,
     "d14_repeated_ngrams" -> d14Sql,
     "d13_keeper_admit" -> d13Sql,
+    "d16_manifest_admit" -> d13Sql,
     "d12_incremental_dedup" -> d12Sql,
     "d11_word_minhash" -> d11Sql,
     "d10_cluster_keep" -> d10Sql,

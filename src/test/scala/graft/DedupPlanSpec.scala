@@ -196,6 +196,23 @@ class DedupPlanSpec extends SparkSpec {
     assert(scans <= 3, s"q18 should scan lineitem for counts, ranks and n only, got $scans")
   }
 
+  test("d16 admit stage reads parquet manifests with zero re-clustering lineage") {
+    val df = SparkEntry.queries("d16_manifest_admit")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.count(_.contains("graft_d16")) >= 2,
+      s"both staged manifests must be parquet scans:\n${scans.mkString("\n")}")
+    // the only non-manifest source is the new batch itself: documents
+    // scanned for the max-id scalar, the new-batch fingerprints, and
+    // the new-batch signatures — never the corpus-side clustering
+    // chain (whose star-contraction joins would multiply documents
+    // scans well past this bound)
+    assert(scans.size <= 5,
+      s"admit stage must not re-derive the sweep, got ${scans.size} scans:\n${scans.mkString("\n")}")
+    assert(!plan.contains("Window"), "admit stage must be window-free")
+  }
+
   test("d4 result matches the definitional per-pair Jaccard") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("d4_ngram_jaccard")(spark, sf)
@@ -310,6 +327,10 @@ class DedupPlanSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
     val d12 = run("d12_incremental_dedup")
     val d13 = run("d13_keeper_admit")
+    // the persisted-manifest batch admission must reproduce d13's
+    // decision byte-for-byte (same keepers, manifests via parquet)
+    val d16 = run("d16_manifest_admit")
+    assert(d16 == d13, s"d16 diverged from d13: $d16 vs $d13")
     // the streaming admission must reproduce the batch d12 decision
     // byte-for-byte (same manifests, per-row signature, same joins)
     val st9 = run("st9_stream_admit")

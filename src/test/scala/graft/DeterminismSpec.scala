@@ -24,8 +24,9 @@ class DeterminismSpec extends SparkSpec {
     "t12_doc_frequency", "q28_delta_agg", "s7_sq8_recall",
     "d14_repeated_ngrams", "d15_minhash_accuracy",
     "d13_keeper_admit", "st9_stream_admit",
-    // round-10 additions: the composed run+resume workflow end state
-    "g14_workflow_run")
+    // round-10 additions: the composed run+resume workflow end state,
+    // persisted-manifest admission
+    "g14_workflow_run", "d16_manifest_admit")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {
