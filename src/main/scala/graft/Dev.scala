@@ -17,6 +17,14 @@ object Dev {
         val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
         dedup.Dedup.d7Diag(spark, sfDir).toSeq.sortBy(_._1)
           .foreach { case (k, v) => println(s"$k=$v") }
+      case Some("s8diag") =>
+        // Lloyd loop observability: rounds to fixpoint, per-round
+        // moved-centroid counts, final cell count — a jump in
+        // s8_iterations toward the loud cap means the corpus's
+        // cluster structure deepened (see Knn.KmeansMaxRounds)
+        val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        sim.Knn.s8Diag(spark, sfDir).toSeq.sortBy(_._1)
+          .foreach { case (k, v) => println(s"$k=$v") }
       case Some("st8diag") =>
         // per-micro-batch input rows + watermark trace for the
         // multi-batch streaming oracle (st8) — diagnosis for a

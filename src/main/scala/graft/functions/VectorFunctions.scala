@@ -35,6 +35,16 @@ object VectorFunctions {
       ColumnBridge.expression(expr(a)), ColumnBridge.expression(expr(b))))
   }
 
+  /** Column-typed overload — lets callers pass a LITERAL centroid
+    * array (typedlit), turning nearest-centroid assignment into a
+    * pure per-row projection with zero shuffle (s8's final
+    * assignment pass over learned centroids). */
+  def l2sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(FloatDoubleL2Sq(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** LSH bucket from hyperplane-like sign bits at fixed dims (1-based). */
   def signBucket(vec: String, dims: Seq[Int]): Column =
     concat(dims.map(i =>

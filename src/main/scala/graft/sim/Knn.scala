@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QFn, Tables}
@@ -489,7 +489,339 @@ object Knn {
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 3),
        |$recallTailSql""".stripMargin
 
+  /** s8's Lloyd cap: the Spark loop runs to centroid fixpoint and
+    * throws past this many rounds (d7's loud-cap discipline — a
+    * non-converged clustering must never silently ship); the DuckDB
+    * oracle unrolls EXACTLY this many rounds. The two agree by
+    * construction: once assignments stop changing, every further round
+    * is a no-op (same members → same means → same argmin), so a
+    * convergence-stopped Spark result equals the fixed-R oracle for
+    * any convergence round ≤ R — and a corpus that genuinely needs
+    * more than R rounds fails loudly on the Spark side rather than
+    * diverging quietly. Warm-started from the per-label centroids
+    * ([[kmeansSeeds]]), observed fixpoints: 13 rounds at sf0.001, 10
+    * at sf0.01, 23 at sf0.1 (the oscillating tail is 2-3 boundary
+    * vectors trading owners), so 40 carries real margin while the
+    * unrolled oracle stays cheap at the sf0.01 gate. */
+  private val KmeansMaxRounds = 40
+
+  /** k-means seeds: the per-label nano-mean centroids
+    * ([[centroidArrays]] — exactly s3/s4's index cells), so s8 IS the
+    * refinement step a real IVF build runs on top of its initial
+    * partition: deterministic, SQL-expressible (the s3Sql cents CTE),
+    * never empty at round 0, and balanced from round 0 (cold
+    * data-point seeds produced lopsided cells that made nprobe
+    * recall unmeasurable — see KnnRankSpec). k = label cardinality
+    * (10 here); unlike q27's layout-only bucket conf, k changes the
+    * OUTPUT, so it is not conf-overridable. */
+  private def kmeansSeeds(e: DataFrame): DataFrame =
+    centroidArrays(e).select(col("cell").cast("long").as("cell"), col("carr"))
+
+  /** Per-row nearest-centroid argmin over LITERAL centroids: one
+    * `least` over k (dist, cell) structs, each dist a codegen'd
+    * [[graft.functions.FloatDoubleL2Sq]] against a typedlit centroid —
+    * a pure projection, ZERO shuffle (the broadcast-join + min_by
+    * form still shuffles one row per vector; with k·64 doubles
+    * fitting in the plan, nothing needs to move at all). `least` on
+    * structs is lexicographic, so (dist, cell) is the same
+    * deterministic total order the oracle's ORDER BY dist, cell uses. */
+  private def argminCell(cent: Array[(Long, Array[Double])]): Column =
+    least(cent.map { case (cell, arr) =>
+      struct(
+        VectorFunctions.l2sq(col("embedding"), typedlit(arr.toSeq)).as("dist"),
+        lit(cell).as("cell"))
+    }: _*)
+
+  /** One Lloyd round over the persisted primitive-array corpus: a
+    * single shuffle-free `RDD.aggregate` whose accumulator is the
+    * k×(64 nano-sums + count) long matrix — integer nano-units make
+    * the cross-row sums exact and order-independent (the
+    * [[centroidArrays]] discipline), so partition/merge order cannot
+    * perturb the means. This is the one imperative-loop carve-out in
+    * the engine, and it is the canonical one (MLlib's KMeans runs the
+    * same shape): an iterative numeric solver re-planning a DataFrame
+    * per round paid ~0.5 s/round of Catalyst analysis + codegen +
+    * multi-stage scheduling — 15 s of fixed overhead at 30 rounds —
+    * where this is one ~50 ms stage per round, and at 100 TB the train
+    * loop runs over a SAMPLE anyway (see [[s8]]).
+    *
+    * Arithmetic is replicated bit-for-bit from the SQL forms so the
+    * unrolled DuckDB oracle stays exact:
+    *  - argmin: the same sequential `acc += (float→double − double)²`
+    *    fold as [[graft.functions.FloatDoubleL2Sq]], strict `<` over
+    *    cells in ascending order = ties to the lowest cell, exactly
+    *    `least(struct(dist, cell))` / `ORDER BY dist, cell`;
+    *  - nano units: `BigDecimal.valueOf(x·1e9).setScale(0, HALF_UP)`
+    *    then truncate — the exact codegen of Spark's `round(double)`
+    *    followed by `cast(long)`, which DuckDB's `round` matches (the
+    *    pattern every exact aggregate in this repo already pins).
+    *
+    * A cell that lost every member has count 0 here; the driver-side
+    * merge keeps its previous centroid (the oracle's LEFT JOIN
+    * COALESCE). */
+  private def lloydRound(vecs: org.apache.spark.rdd.RDD[Array[Float]],
+      cent: Array[(Long, Array[Double])]): Map[Long, Array[Double]] = {
+    val k = cent.length
+    val centArrs = cent.map(_._2)
+    val agg = vecs.aggregate(Array.fill(k)(new Array[Long](65)))(
+      (acc, v) => {
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          val ca = centArrs(c)
+          var dAcc = 0.0
+          var i = 0
+          while (i < 64) {
+            val d = v(i).toDouble - ca(i)
+            dAcc += d * d
+            i += 1
+          }
+          if (dAcc < bestD) { bestD = dAcc; best = c }
+          c += 1
+        }
+        val row = acc(best)
+        var i = 0
+        while (i < 64) {
+          row(i) += java.math.BigDecimal.valueOf(v(i).toDouble * 1e9)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+          i += 1
+        }
+        row(64) += 1L
+        acc
+      },
+      (a, b) => {
+        var c = 0
+        while (c < k) {
+          val ra = a(c); val rb = b(c)
+          var i = 0
+          while (i <= 64) { ra(i) += rb(i); i += 1 }
+          c += 1
+        }
+        a
+      })
+    cent.indices.iterator.flatMap { c =>
+      val row = agg(c)
+      val cnt = row(64)
+      if (cnt == 0L) None
+      else Some(cent(c)._1 ->
+        Array.tabulate(64)(i => row(i).toDouble / (1e9 * cnt)))
+    }.toMap
+  }
+
+  /** Lloyd iteration to centroid fixpoint — the canonical k-means
+    * execution shape: centroids are METADATA (k·64 doubles), held on
+    * the driver between rounds and shipped into each round's single
+    * shuffle-free aggregate ([[lloydRound]]) as task-closure
+    * literals; the corpus is persisted ONCE as primitive arrays and
+    * never collected, and no per-round lineage accumulates, so there
+    * is nothing to checkpoint. d7's loop discipline carries over:
+    * per-round movement diagnostic, loud cap ([[KmeansMaxRounds]]).
+    *
+    * Convergence = exact centroid equality (doubles round-trip the
+    * driver bit-identically; deterministic arithmetic makes the
+    * fixpoint exact, no epsilon). Centroid fixpoint lags assignment
+    * fixpoint by ≤ 1 round, so the fixed-R oracle equivalence argument
+    * (see [[KmeansMaxRounds]]) holds unchanged.
+    *
+    * Returns (final assignments, learned centroid frame, rounds).
+    */
+  private[graft] def lloyd(e: DataFrame,
+      stats: Option[scala.collection.mutable.Map[String, Long]] = None)
+      : (DataFrame, DataFrame, Int) = {
+    val s = e.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("carr",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    def collectCent(df: DataFrame): Array[(Long, Array[Double])] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def centDf(c: Array[(Long, Array[Double])]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        c.map { case (cell, arr) =>
+          org.apache.spark.sql.Row(cell, arr.toSeq) }.toSeq.asJava, schema)
+    }
+    // materialize the corpus ONCE: every round re-reading the parquet
+    // scan + repartition through a fresh lineage measured ~2x the whole
+    // loop's cost; rounds read the checkpointed partitions instead
+    val eMat = e.localCheckpoint()
+    // the train-loop view: primitive float arrays, persisted so each
+    // round is one cache-read aggregate (see lloydRound)
+    val vecs = eMat.select(col("embedding")).rdd
+      .map(_.getSeq[Float](0).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cent = collectCent(kmeansSeeds(eMat))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < KmeansMaxRounds) {
+      val byCell = lloydRound(vecs, cent)
+      // empty cells keep their previous centroid (oracle: LEFT JOIN)
+      val next = cent.map { case (cell, arr) => (cell, byCell.getOrElse(cell, arr)) }
+      val moved = next.zip(cent).count { case ((_, a1), (_, a2)) =>
+        !java.util.Arrays.equals(a1, a2) }
+      stats.foreach(_.update(s"s8_centroid_moved_r${iter + 1}", moved.toLong))
+      converged = moved == 0
+      cent = next
+      iter += 1
+    }
+    vecs.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"s8 Lloyd did not converge within $iter rounds — the oracle unrolls " +
+          s"exactly $KmeansMaxRounds rounds, so a deeper corpus must raise " +
+          "KmeansMaxRounds in BOTH engines, never ship a moving clustering")
+    stats.foreach(_.update("s8_iterations", iter.toLong))
+    val finalAssign = eMat
+      .select(col("vec_id"), argminCell(cent).as("_m"))
+      .select(col("vec_id"), col("_m.cell").as("cell"), col("_m.dist").as("dist"))
+    (finalAssign, centDf(cent), iter)
+  }
+
+  /** s8: learned IVF centroids — k-means (Lloyd) over the embedding
+    * corpus, replacing s3/s4's per-label AVERAGE centroids with
+    * centroids the data itself chose (VERDICT r9 #5: a real IVF index
+    * trains its cells; per-label averaging presumes labels partition
+    * the space well). The query output is the converged per-cell
+    * assignment statistics — membership count, min member id, and the
+    * summed squared distance in exact nano-units (the k-means
+    * objective, cross-row-summed without float drift) — so the driver
+    * compare pins the full iterative computation, not a summary.
+    *
+    * Scale shape per round: centroids are k×64 doubles in the task
+    * closure; the round is ONE shuffle-free aggregate over the
+    * persisted corpus returning a k×65 long matrix — per-partition
+    * partials, no exchange, no per-round Catalyst work
+    * ([[lloydRound]]). At 100 TB you run the same loop on a uniform
+    * sample to train, then one final [[argminCell]] projection pass
+    * over the full corpus (which is how the final assignment below is
+    * computed anyway) — the sampling split is why the train loop's
+    * per-round cost never needs to touch full scale.
+    */
+  private def s8(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val (assigned, _, _) = lloyd(e)
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("min_vec_id"),
+        sum(round(col("dist") * 1e9).cast("long")).as("sum_dist_nano"))
+      .orderBy(col("cell"))
+  }
+
+  /** s8 oracle: the SAME Lloyd recurrence unrolled [[KmeansMaxRounds]]
+    * times (DuckDB's recursive CTEs cannot aggregate over the
+    * recursive relation, so fixed-depth unrolling is the relational
+    * form; post-convergence rounds are no-ops — see KmeansMaxRounds).
+    * Generated, not hand-written: every round is the same
+    * means → COALESCE-merge → argmin triple. */
+  private val s8Sql: String = {
+    def dist(carr: String) =
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - $carr[i]) * (CAST(e.embedding[i] AS DOUBLE) - $carr[i])),
+         |      (acc, x) -> acc + x)""".stripMargin
+    val sb = new StringBuilder
+    // emb is MATERIALIZED: 50+ CTE references to the raw `embeddings`
+    // view would each open the parquet file and exhaust the process's
+    // file descriptors; materializing pins ONE scan. Each round's
+    // c/a CTEs are MATERIALIZED too: c{r} is referenced twice (by
+    // c{r+1} and a{r}), so default inlining doubles the expression
+    // tree per round — 2^25 blowup, the planner never returns.
+    sb.append(
+      s"""WITH emb AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings),
+         |c0 AS (
+         |  SELECT cell, list(c ORDER BY i) AS carr FROM (
+         |    SELECT CAST(label AS BIGINT) AS cell, g.i,
+         |      CAST(SUM(CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+         |        / (1e9 * COUNT(*)) AS c
+         |    FROM emb, generate_series(1, 64) AS g(i) GROUP BY label, g.i)
+         |  GROUP BY cell),
+         |a0 AS (
+         |  SELECT e.vec_id, c.cell, ${dist("c.carr")} AS dist
+         |  FROM emb e CROSS JOIN c0 c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cell) = 1)""".stripMargin)
+    for (r <- 1 to KmeansMaxRounds) {
+      sb.append(
+        s""",
+           |m$r AS (
+           |  SELECT a.cell, g.i,
+           |    CAST(SUM(CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+           |      / (1e9 * COUNT(*)) AS c
+           |  FROM a${r - 1} a JOIN emb e ON e.vec_id = a.vec_id,
+           |       generate_series(1, 64) AS g(i)
+           |  GROUP BY a.cell, g.i),
+           |c$r AS MATERIALIZED (
+           |  SELECT p.cell, COALESCE(n.carr, p.carr) AS carr
+           |  FROM c${r - 1} p LEFT JOIN (
+           |    SELECT cell, list(c ORDER BY i) AS carr FROM m$r GROUP BY cell) n
+           |    ON n.cell = p.cell),
+           |a$r AS MATERIALIZED (
+           |  SELECT e.vec_id, c.cell, ${dist("c.carr")} AS dist
+           |  FROM emb e CROSS JOIN c$r c
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cell) = 1)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT cell, COUNT(*) AS n_members, MIN(vec_id) AS min_vec_id,
+         |  CAST(SUM(CAST(round(dist * 1e9) AS BIGINT)) AS BIGINT) AS sum_dist_nano
+         |FROM a$KmeansMaxRounds GROUP BY cell ORDER BY cell""".stripMargin)
+    sb.toString
+  }
+
+  /** s8 regression diagnosis (the d7Diag sibling): per-round moved
+    * counts, rounds to fixpoint, final cell count. A jump in
+    * `s8_iterations` means the corpus's cluster structure deepened;
+    * a round whose moved count plateaus without reaching 0 would be
+    * the oscillation case the loud cap converts into a failure. */
+  def s8Diag(s: SparkSession, d: String): Map[String, Long] = {
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val (assigned, _, _) = lloyd(e, Some(m))
+    m("s8_cells") = assigned.select(col("cell")).distinct().count()
+    m.toMap
+  }
+
+  /** IVF probe recall with LEARNED cells (KnnRankSpec): s4's probe
+    * path re-run over [[lloyd]] centroids instead of per-label
+    * averages, measured against s1's truth — the re-measurement
+    * VERDICT r9 #5 asked for before trusting the learned index. */
+  private[graft] def learnedProbeRecall(s: SparkSession, d: String,
+      nprobe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val (_, centArr, _) = lloyd(e)
+    val corpus = assign(
+      e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+        .filter(col("norm_e") > 0),
+      centArr, Seq("embedding", "norm_e"))
+      .select(col("vec_id"), col("cell").as("assigned_cell"), col("embedding"), col("norm_e"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cell"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centArr))
+      .select(col("q_id"), col("qe"), col("cell"),
+        VectorFunctions.l2sq("qe", "carr").as("qdist"))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cell").as("probe_cell"))
+      .withColumn("norm_q", sqrt(VectorFunctions.dot("qe", "qe")))
+      .filter(col("norm_q") > 0)
+    val scored = broadcast(probes)
+      .join(corpus, col("probe_cell") === col("assigned_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
+    val ann = rankTopK(scored, 5, Seq.empty).select(col("q_id"), col("vec_id"))
+    recallVs(
+      s1(s, d).filter(col("rank") <= 5).select(col("q_id"), col("vec_id")),
+      ann)
+  }
+
   val queries: Map[String, QFn] = Map(
+    "s8_kmeans" -> (s8 _),
     "s7_sq8_recall" -> (s7 _),
     "s1_knn_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
@@ -499,6 +831,7 @@ object Knn {
     "s6_ivf_recall" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    "s8_kmeans" -> s8Sql,
     "s7_sq8_recall" -> s7Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,

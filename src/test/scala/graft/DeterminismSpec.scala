@@ -25,8 +25,8 @@ class DeterminismSpec extends SparkSpec {
     "d14_repeated_ngrams", "d15_minhash_accuracy",
     "d13_keeper_admit", "st9_stream_admit",
     // round-10 additions: the composed run+resume workflow end state,
-    // persisted-manifest admission
-    "g14_workflow_run", "d16_manifest_admit")
+    // persisted-manifest admission, iterative k-means
+    "g14_workflow_run", "d16_manifest_admit", "s8_kmeans")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {
