@@ -19,15 +19,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; `nanosAsLong` reads it as an epoch-nanos Long. All
-    * event-time logic is pure integer math on that column (and the
-    * DuckDB oracles use `epoch_ns(ts)`), which sidesteps engine
-    * timestamp-precision differences entirely.
+  /** `events.ts` is normalized to an epoch-nanos Long at this boundary,
+    * whatever the file's physical type: early testdata generations wrote
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * `nanosAsLong` reads it as the Long directly), the round-10 refresh
+    * writes timestamp[us] (read as TIMESTAMP_NTZ, converted here via the
+    * session's UTC clock). All downstream event-time logic is pure
+    * integer math on the nanos column, and the DuckDB oracles read the
+    * same instant via `epoch_us(ts)` — engine timestamp-precision and
+    * timezone differences are confined to this one conversion.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        // NTZ wall clock interpreted in the session tz (GraftSession
+        // pins UTC) → epoch micros → nanos; micros * 1000 cannot
+        // overflow Long for any representable timestamp
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp)) * 1000"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -22,67 +22,34 @@ object StreamingOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** The bounded event stream, staged as EXACTLY ONE file so the whole
-    * input lands in a single micro-batch. Several oracle equalities
-    * lean on that: st7's `dropDuplicatesWithinWatermark` equals the
-    * batch distinct only while the watermark never advances mid-run
-    * (multi-batch staging could drop late rows or re-emit out-of-window
-    * duplicates), and the append-mode queries emit their final window
-    * only because one batch closes it. Stray files in the staging
-    * directory are removed to keep the single-batch invariant.
+  /** Bumped whenever [[stageEventSplits]]' output depends on new logic
+    * (e.g. the Tables.events ts-normalization): folded into the marker
+    * string so staged files from an older logic version re-stage
+    * instead of being silently served (the ADVICE-r9 freshness rule).
     */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file stream source needs a directory; stage the single
-    // events file into one (a real deployment streams from a landing
-    // directory anyway).
-    val src = java.nio.file.Paths.get(d, "events.parquet")
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_" + Integer.toHexString(d.hashCode))
-    java.nio.file.Files.createDirectories(dir)
-    val dst = dir.resolve("events.parquet")
-    // Re-stage when the source changed (size or mtime differs) — a
-    // stale copy from a previous run must never be served.
-    val stale = !java.nio.file.Files.exists(dst) ||
-      java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
-      java.nio.file.Files.getLastModifiedTime(dst).compareTo(
-        java.nio.file.Files.getLastModifiedTime(src)) < 0
-    if (stale)
-      java.nio.file.Files.copy(src, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-    // enforce the one-file staging contract (see scaladoc)
-    val listing = java.nio.file.Files.list(dir)
-    try listing
-      .filter(p => java.nio.file.Files.isRegularFile(p) &&
-        p.getFileName.toString != "events.parquet")
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally listing.close()
-    s.readStream.schema(eventsSchema).parquet(dir.toString)
-  }
+  private val StagedEventsVersion = "tsnanos2"
 
-  /** The bounded event stream staged as FOUR files (split by
-    * `event_id % 4`, mtimes strictly increasing in split order) read
-    * with `maxFilesPerTrigger=1` — the multi-batch regime st8 exists
-    * to exercise: the watermark genuinely advances BETWEEN batches, so
-    * windows close mid-run and late rows (each split interleaves the
-    * full time range) genuinely drop. File order is pinned by explicit
-    * modification times (the file source admits oldest-first), which
-    * makes the drop/emit sequence — and therefore st8's oracle —
-    * deterministic. A `_src_meta` marker (source size:mtime) keeps
-    * re-staging idempotent and stale-proof, mirroring [[eventsStream]].
+  /** Stage the events table into a landing directory as `nFiles`
+    * parquet files split by `event_id % nFiles` (mtimes strictly
+    * increasing in split order — the file source admits oldest-first,
+    * so admission order is pinned). The write goes through
+    * [[graft.Tables.events]], so the staged `ts` is the engine-wide
+    * epoch-nanos Long whatever the source file's physical timestamp
+    * type, and matches [[eventsSchema]]. A `_src_meta` marker (source
+    * size:mtime + [[StagedEventsVersion]]) keeps re-staging idempotent
+    * and stale-proof.
     */
-  private def eventsStreamMulti(s: SparkSession, d: String, nFiles: Int): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def stageEventSplits(s: SparkSession, d: String,
+      prefix: String, nFiles: Int): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(d, "events.parquet")
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_multi_" + Integer.toHexString(d.hashCode))
+      prefix + Integer.toHexString(d.hashCode))
     java.nio.file.Files.createDirectories(dir)
     val marker = dir.resolve("_src_meta")
     val meta = java.nio.file.Files.size(src) + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+      java.nio.file.Files.getLastModifiedTime(src).toMillis + ":" +
+      StagedEventsVersion
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet")))
@@ -119,6 +86,38 @@ object StreamingOps {
       }
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
+    dir
+  }
+
+  /** The bounded event stream, staged as EXACTLY ONE file so the whole
+    * input lands in a single micro-batch. Several oracle equalities
+    * lean on that: st7's `dropDuplicatesWithinWatermark` equals the
+    * batch distinct only while the watermark never advances mid-run
+    * (multi-batch staging could drop late rows or re-emit out-of-window
+    * duplicates), and the append-mode queries emit their final window
+    * only because one batch closes it. [[stageEventSplits]] wipes stray
+    * files, preserving the single-batch invariant; the glob filter
+    * keeps the marker out of the stream.
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageEventSplits(s, d, "graft_stream_", 1)
+    s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(dir.toString)
+  }
+
+  /** The bounded event stream staged as FOUR files (split by
+    * `event_id % 4`, mtimes strictly increasing in split order) read
+    * with `maxFilesPerTrigger=1` — the multi-batch regime st8 exists
+    * to exercise: the watermark genuinely advances BETWEEN batches, so
+    * windows close mid-run and late rows (each split interleaves the
+    * full time range) genuinely drop, and the drop/emit sequence — and
+    * therefore st8's oracle — is deterministic.
+    */
+  private def eventsStreamMulti(s: SparkSession, d: String, nFiles: Int): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageEventSplits(s, d, "graft_stream_multi_", nFiles)
     s.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       // only the staged batch files — never the marker
