@@ -10,12 +10,15 @@ object Verify {
     * class load (Knn.lshDims — the SQL cannot follow a session
     * override), and `graft.stream.partitions` defines the bounded-run
     * state regime the streaming oracle equalities were validated
-    * under. Overriding either while emitting oracle SQL would turn an
+    * under; `graft.bloom.bits` is baked into d17's oracle the same way
+    * (Dedup.d17Sql embeds the default bitmap width at class load).
+    * Overriding any while emitting oracle SQL would turn an
     * intentional re-configuration into a spurious driver correctness
     * failure — refuse loudly instead.
     */
   private[graft] def assertOracleSafeConfs(spark: SparkSession): Unit = {
-    val pinned = Seq("graft.lsh.signBits", "graft.stream.partitions")
+    val pinned = Seq("graft.lsh.signBits", "graft.stream.partitions",
+      "graft.bloom.bits")
     val overridden = pinned.filter(k => spark.conf.getOption(k).isDefined)
     if (overridden.nonEmpty) throw new IllegalStateException(
       s"refusing to emit oracle SQL with ${overridden.mkString(", ")} overridden: " +

@@ -891,7 +891,59 @@ object Analytics {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q29: PARTITION-PRUNED scan over a date-partitioned layout — the
+    * other half of the physical-design story q27 started. q27's
+    * bucketing kills the JOIN shuffle; Hive-style partitioning by a
+    * derived `ship_month` kills the SCAN itself: a filter on the
+    * partition column resolves against directory METADATA, so the
+    * month query below reads one month's files and never opens the
+    * rest. At 100 TB this is the first lever anyone reaches for — a
+    * daily/monthly-partitioned fact table turns every time-bounded
+    * query from a full-corpus scan into a listing lookup, and
+    * partition pruning composes with the parquet row-group pushdown
+    * the rest of the suite already verifies (PushedFilters prunes
+    * WITHIN files; partition pruning prunes files away entirely).
+    *
+    * The partitioned write is priced in-query (the q27 discipline:
+    * layout cost paid honestly, re-runs idempotent via overwrite).
+    * PlanShapeSpec pins the contract dynamically: the executed scan's
+    * `numFiles` metric must be strictly smaller than the staged file
+    * population — pruning observed at the physical plan, not assumed.
+    * Month granularity is the layout decision: ~84 partitions over the
+    * 7-year TPC-H date range keeps every partition far above the
+    * small-file floor at any scale factor (daily partitioning at 100 TB
+    * ≈ 40 GB/day is the same math with a finer calendar).
+    */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_partitioned_" + Integer.toHexString(d.hashCode))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .write.mode("overwrite").partitionBy("ship_month")
+      .parquet(stage.toString)
+    s.read.parquet(stage.toString)
+      .filter(col("ship_month") === "1997-03")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.dsum2(col("l_quantity")).as("sum_qty"),
+        Exact.dsum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q29Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y-%m') = '1997-03'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q29_partition_prune" -> (q29 _),
     "q28_delta_agg" -> (q28 _),
     "q27_bucketed_join" -> (q27 _),
     "q20_cube" -> (q20 _),
@@ -924,6 +976,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q29_partition_prune" -> q29Sql,
     "q28_delta_agg" -> q28Sql,
     "q27_bucketed_join" -> q27Sql,
     "q25b_sketch_bound" -> q25bSql,

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QFn, Tables}
 
@@ -1175,6 +1175,129 @@ object Dedup {
     admitJoin(newb, kfp, simhashSigsOf(newDocs), ksig)
   }
 
+  /** d17's Bloom width as log2(bits) — conf `graft.bloom.bits`, default
+    * 14 (16 Ki bits = 256 long words). Validated at parse time like
+    * graft.pack.bucket; 6..26 keeps the word table between 1 row and
+    * 1 Gi bit. Sizing rule at 100 TB: bits ≈ −n·ln(p)/ln(2)² for n
+    * history keys at target false-positive rate p (10¹⁰ docs at 1% →
+    * ~12 GiB — shipped once per executor, vs an equi-join probing the
+    * full manifest for EVERY new document). NOTE the oracle SQL embeds
+    * the default at class load; [[graft.Verify]] refuses oracle
+    * emission when this conf is overridden (the lsh.signBits rule).
+    */
+  private[graft] def bloomBitsLog2(s: SparkSession): Int =
+    s.conf.getOption("graft.bloom.bits").map { v =>
+      val b = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.bloom.bits must be an integer in 6..26, got '$v'")
+      }
+      require(b >= 6 && b <= 26, s"graft.bloom.bits must be in 6..26, got $b")
+      b
+    }.getOrElse(14)
+
+  /** d17: Bloom-filter admission PREFILTER — the memory-bounded sibling
+    * of d12's exact fingerprint manifest. The manifest relation is
+    * corpus-sized (every historical fingerprint); the Bloom bitmap
+    * compresses it to m bits with a measured false-positive rate, so an
+    * admission site that cannot afford the manifest equi-join for every
+    * arriving document (an edge ingest node, a stream pre-filter ahead
+    * of the d16 batch admit) tests k bit positions instead: bits absent
+    * → DEFINITELY new, admit on the spot; all bits present → maybe-dup,
+    * route to the exact manifest check. Per new doc the output carries
+    * `bloom_maybe` (the prefilter verdict), `exact_dup` (d12's exact
+    * decision — the truth), and `false_positive` (bloom said maybe, the
+    * corpus says new — the wasted-exact-check rate, this sketch's
+    * accuracy contract in the d15/q25b tradition, and a DIRECT function
+    * of the m-vs-n sizing above).
+    *
+    * Engineering: the 128-bit md5 fingerprint itself supplies all k=4
+    * hash functions as disjoint 16-bit hex slices (no second hash — md5
+    * bits are uniform and independent), `% m` folds them onto the
+    * bitmap, and the bitmap is a ≤ m/64-row (word, bits) relation built
+    * by one `bit_or` aggregate — map-side partials, then a BROADCAST to
+    * the probe join (the bitmap is the one admission structure that is
+    * SUPPOSED to broadcast: bounded by conf at build time, independent
+    * of corpus cardinality). Spark ships `bloom_filter_agg`/
+    * `might_contain` natively, but its register layout is
+    * engine-internal — this md5-slice construction is bit-identical
+    * cross-engine, so the whole structure (build, probe, FP verdict) is
+    * driver-checked; a production deployment could swap the codegen'd
+    * built-in behind the same columns.
+    */
+  private def d17(s: SparkSession, d: String): DataFrame = {
+    val m = 1 << bloomBitsLog2(s)
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val flagged = docs.crossJoin(broadcast(mx))
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("is_new", col("doc_id") > col("mx") - expr("mx div 5"))
+    val manifest = flagged.filter(!col("is_new"))
+      .groupBy(col("fp")).agg(lit(1).as("fp_hit"))
+    // k=4 positions per fingerprint: disjoint 16-bit md5 hex slices % m
+    def positions(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(array((0 until 4).map(i =>
+          expr(s"cast(conv(substring(fp, ${1 + 4 * i}, 4), 16, 10) as int) % $m")): _*))
+        .as("pos"): _*)
+        .select(keep :+ (col("pos") / 64).cast("int").as("word") :+
+          expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"): _*)
+    val bloom = positions(manifest.select(col("fp")), Seq(col("fp")))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    val newb = flagged.filter(col("is_new")).select(col("doc_id"), col("fp"))
+    val checked = positions(newb, Seq(col("doc_id"), col("fp")))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(expr("bool_and(bits is not null and (bits & mask) = mask)").as("bloom_maybe"))
+    checked.join(manifest, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("bloom_maybe"),
+        col("fp_hit").isNotNull.as("exact_dup"),
+        (col("bloom_maybe") && col("fp_hit").isNull).as("false_positive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d17 oracle: same bitmap, DuckDB-side. Hex slices decode via strpos
+    * over the hex alphabet (no `conv` — the SimhashCte rule). Spark's
+    * `shiftleft(1L, 63)` wraps to Long.MinValue two's-complement, but
+    * DuckDB's `<<` RAISES on the sign bit — the mask spells that one
+    * case out so both engines set bit 63 identically. */
+  private val d17Sql: String = {
+    val m = 1 << 14 // the graft.bloom.bits default — Verify guards the conf
+    def hex4(off: Int): String =
+      (0 until 4).map { k =>
+        val w = 1 << (4 * (3 - k))
+        s"(strpos('0123456789abcdef', substring(fp, ${off + k}, 1)) - 1) * $w"
+      }.mkString("(", " + ", ")")
+    val slices = (0 until 4).map(i => s"${hex4(1 + 4 * i)} % $m").mkString(", ")
+    def mask(p: String): String =
+      s"""CASE WHEN ($p) % 64 = 63 THEN (-9223372036854775807 - 1)
+         |      ELSE 1::BIGINT << CAST(($p) % 64 AS INT) END""".stripMargin
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+       |mx AS (SELECT MAX(doc_id) AS mx FROM docs),
+       |manifest AS (
+       |  SELECT DISTINCT md5(text) AS fp FROM docs, mx
+       |  WHERE doc_id <= mx - mx // 5),
+       |mpos AS (
+       |  SELECT fp, unnest([$slices]) AS pos FROM manifest),
+       |bloom AS (
+       |  SELECT pos // 64 AS word, bit_or(${mask("pos")}) AS bits
+       |  FROM mpos GROUP BY pos // 64),
+       |newb AS (
+       |  SELECT doc_id, md5(text) AS fp FROM docs, mx
+       |  WHERE doc_id > mx - mx // 5),
+       |npos AS (
+       |  SELECT doc_id, fp, unnest([$slices]) AS pos FROM newb),
+       |checked AS (
+       |  SELECT n.doc_id, n.fp,
+       |    bool_and(b.bits IS NOT NULL AND
+       |      (b.bits & ${mask("n.pos")}) = ${mask("n.pos")}) AS bloom_maybe
+       |  FROM npos n LEFT JOIN bloom b ON b.word = n.pos // 64
+       |  GROUP BY n.doc_id, n.fp)
+       |SELECT c.doc_id, c.fp, c.bloom_maybe,
+       |  (m2.fp IS NOT NULL) AS exact_dup,
+       |  (c.bloom_maybe AND m2.fp IS NULL) AS false_positive
+       |FROM checked c LEFT JOIN manifest m2 ON m2.fp = c.fp
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   /** d8: SimHash near-dup pairs within hamming distance ≤ 3, via the
     * standard multi-index (HmSearch/"detecting near-duplicates for web
     * crawling") split: the 64-bit signature breaks into 4 disjoint
@@ -1412,6 +1535,7 @@ object Dedup {
     "d14_repeated_ngrams" -> (d14 _),
     "d13_keeper_admit" -> (d13 _),
     "d16_manifest_admit" -> (d16 _),
+    "d17_bloom_admit" -> (d17 _),
     "d12_incremental_dedup" -> (d12 _),
     "d11_word_minhash" -> (d11 _),
     "d10_cluster_keep" -> (d10 _),
@@ -1430,6 +1554,7 @@ object Dedup {
     "d14_repeated_ngrams" -> d14Sql,
     "d13_keeper_admit" -> d13Sql,
     "d16_manifest_admit" -> d13Sql,
+    "d17_bloom_admit" -> d17Sql,
     "d12_incremental_dedup" -> d12Sql,
     "d11_word_minhash" -> d11Sql,
     "d10_cluster_keep" -> d10Sql,

@@ -65,26 +65,30 @@ object Multimodal {
   private def m2(s: SparkSession, d: String): DataFrame = {
     val base = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
-    // one metadata-sized scalar job sizes the time bucketing: width =
-    // span/√n keeps both bounded stages ~√n as the corpus grows
-    val st = base.agg(min(col("tus")), max(col("tus")), count(lit(1))).head()
-    // validated at parse time, like graft.pack.bucket: width ≤ 0 would
-    // NULL the bucket key and collapse both prefix-sum stages
-    val bucketUs = s.conf.getOption("graft.frame.bucket").map { v =>
+    // bucket width = span/√n (keeps both bounded stages ~√n as the
+    // corpus grows), derived IN-PLAN from a one-row stats aggregate
+    // broadcast into the bucketing expression — no separate driver
+    // action (the standalone stats job measured ~2× m2's total as a
+    // second scan + job round-trip; as a broadcast scalar it is one
+    // shuffle-free reduce inside the same DAG, the d12/q28 pattern).
+    // Conf override validated at parse time, like graft.pack.bucket:
+    // width ≤ 0 would NULL the bucket key and collapse both stages.
+    val widthExpr = s.conf.getOption("graft.frame.bucket").map { v =>
       val b = try v.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"graft.frame.bucket must be a positive integer (µs), got '$v'")
       }
       require(b > 0, s"graft.frame.bucket must be > 0, got $b")
-      b
-    }.getOrElse {
-      if (st.isNullAt(0)) 1L
-      else {
-        val span = st.getLong(1) - st.getLong(0) + 1
-        math.max(1L, math.ceil(span.toDouble / math.sqrt(st.getLong(2).toDouble)).toLong)
-      }
-    }
-    val tb = base.withColumn("tb", expr(s"tus div ${bucketUs}L"))
+      lit(b)
+    }.getOrElse(
+      greatest(lit(1L), ceil((col("mx_t") - col("mn_t") + 1).cast("double") /
+        sqrt(col("n_t").cast("double")))))
+    val stats = base.agg(min(col("tus")).as("mn_t"), max(col("tus")).as("mx_t"),
+      count(lit(1)).as("n_t"))
+    val tb = base.crossJoin(broadcast(stats))
+      .withColumn("bw", widthExpr)
+      .withColumn("tb", expr("tus div bw"))
+      .select(col("user_id"), col("event_id"), col("tus"), col("tb"))
     val counts = tb.groupBy(col("user_id"), col("tb")).agg(count(lit(1)).as("c"))
     val boff = Window.partitionBy(col("user_id")).orderBy(col("tb"))
       .rowsBetween(Window.unboundedPreceding, -1)

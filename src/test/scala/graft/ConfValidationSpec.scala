@@ -109,12 +109,22 @@ class ConfValidationSpec extends SparkSpec {
     // a session override would change the query side only and surface
     // as a spurious driver hash mismatch — the guard turns that into a
     // loud refusal at verify start instead
-    for (key <- Seq("graft.lsh.signBits", "graft.stream.partitions")) {
+    for (key <- Seq("graft.lsh.signBits", "graft.stream.partitions",
+        "graft.bloom.bits")) {
       withConf(key, "16") {
         val e = intercept[IllegalStateException](Verify.assertOracleSafeConfs(spark))
         assert(e.getMessage.contains(key), e.getMessage)
       }
     }
     Verify.assertOracleSafeConfs(spark) // defaults: no throw
+  }
+
+  test("graft.bloom.bits rejects out-of-range widths and non-numerics") {
+    for (bad <- Seq("5", "27", "wide")) withConf("graft.bloom.bits", bad) {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("d17_bloom_admit")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("graft.bloom.bits"), s"message for '$bad': ${e.getMessage}")
+    }
   }
 }

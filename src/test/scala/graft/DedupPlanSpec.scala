@@ -256,6 +256,38 @@ class DedupPlanSpec extends SparkSpec {
     assert(out(3L)._1._1 == 6L && out(3L)._1._2 == 0L && out(3L)._2 == 0.0, s"doc3: ${out(3L)}")
   }
 
+  test("d17 Bloom prefilter: no false negatives; a tiny bitmap forces measurable FPs") {
+    import spark.implicits._
+    // 40 distinct existing docs; new batch (ids > 50 - 50 div 5 = 40):
+    // one exact dup of doc 7 + nine genuinely new docs
+    val docs = (1L to 40L).map(i => (i, s"existing document body number $i")) ++
+      Seq((41L, "existing document body number 7")) ++
+      (42L to 50L).map(i => (i, s"genuinely new content $i"))
+    val dir = java.nio.file.Files.createTempDirectory("d17fp").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // bits=6 → a 64-bit bitmap; 40 fps × 4 slices saturate it, so the
+    // false-positive path genuinely fires (deterministic: md5 is fixed)
+    spark.conf.set("graft.bloom.bits", "6")
+    try {
+      val out = SparkEntry.queries("d17_bloom_admit")(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+      assert(out.keySet == (41L to 50L).toSet, s"new batch rows: ${out.keySet}")
+      // the Bloom guarantee: an exact dup can NEVER be bloom-negative
+      val (bm41, ed41, fp41) = out(41L)
+      assert(bm41 && ed41 && !fp41, s"dup row: ${out(41L)}")
+      // false_positive is definitionally bloom_maybe ∧ ¬exact_dup
+      for ((id, (bm, ed, fp)) <- out)
+        assert(fp == (bm && !ed), s"doc $id: bloom=$bm exact=$ed fp=$fp")
+      assert(out.values.count(_._3) > 0,
+        s"expected false positives under a saturated 64-bit bitmap: $out")
+    } finally spark.conf.unset("graft.bloom.bits")
+    // at the real default width the same corpus has zero FPs (m=16Ki
+    // bits vs 160 set positions) — the sizing rule in action
+    val wide = SparkEntry.queries("d17_bloom_admit")(spark, dir).collect()
+      .map(r => (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(wide.count(_._3) == 0, s"default-width FPs: ${wide.toSeq}")
+  }
+
   test("per-row SimHash fold equals the batch explode signature on real corpus data") {
     import org.apache.spark.sql.functions._
     val batch = SparkEntry.queries("d3_simhash")(spark, sf)

@@ -25,8 +25,10 @@ class DeterminismSpec extends SparkSpec {
     "d14_repeated_ngrams", "d15_minhash_accuracy",
     "d13_keeper_admit", "st9_stream_admit",
     // round-10 additions: the composed run+resume workflow end state,
-    // persisted-manifest admission, iterative k-means
-    "g14_workflow_run", "d16_manifest_admit", "s8_kmeans")
+    // persisted-manifest admission, iterative k-means, the pruned
+    // partitioned layout, and the Bloom admission prefilter
+    "g14_workflow_run", "d16_manifest_admit", "s8_kmeans",
+    "q29_partition_prune", "d17_bloom_admit")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

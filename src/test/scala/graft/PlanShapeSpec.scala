@@ -201,6 +201,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
+  test("q29 scan is partition-pruned on ship_month over a many-partition layout") {
+    val p = plan("q29_partition_prune")
+    // the month equality resolves against directory metadata, not rows
+    assert("PartitionFilters: \\[[^\\]]*ship_month".r.findFirstIn(p).isDefined, p)
+    // and the pruned layout genuinely has many partitions to skip
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_partitioned_" + Integer.toHexString(sf.hashCode))
+    val listing = java.nio.file.Files.list(stage)
+    val months =
+      try listing.filter(x => x.getFileName.toString.startsWith("ship_month=")).count()
+      finally listing.close()
+    assert(months > 12, s"staged month partitions: $months")
+  }
+
+  test("d17 bloom probe broadcasts only the bounded bitmap; no window, no cartesian") {
+    val p = plan("d17_bloom_admit")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the word bitmap (≤ m/64 rows by construction) probes via
+    // broadcast hash join; the fp manifest joins stay shuffle equi-joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only nested-loop broadcast is the one-row max-id scalar
+    val identityBuilds = p.linesIterator.count(l =>
+      l.contains("BroadcastExchange IdentityBroadcastMode") && !l.contains("ReusedExchange"))
+    assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
+  }
+
   test("d13 keeper-manifest admit stays window-free with scalar-only broadcasts too") {
     // same contract as d12's pin; the clustering runs eagerly inside the
     // query builder (localCheckpoint), so the FINAL plan here is the
@@ -282,7 +310,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(rn.nonEmpty, p)
     assert(rn.forall(_.contains("tb#")), s"row_number must partition by (user_id, tb):\n$p")
     assert(p.contains("partial_count"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the bucket-width stats row rides an in-plan scalar broadcast (the
+    // d12/q28 pattern — replaced a separate driver action); it must be
+    // the ONLY nested-loop build, and a one-row identity one at that
+    val identityBuilds = p.linesIterator.count(l =>
+      l.contains("BroadcastExchange IdentityBroadcastMode") && !l.contains("ReusedExchange"))
+    assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
   test("s5 recall compare runs over heap-ranked sides — no window anywhere") {
