@@ -820,7 +820,174 @@ object Knn {
       ann)
   }
 
+  /** s9: Product-Quantization recall@3 — the ANN compression family's
+    * last lever. SQ8 (s7) cuts scan bytes 4×; PQ cuts them 32×: each
+    * 64-dim float32 vector stores as 8 four-bit codes (one per 8-dim
+    * subspace, 16 centroids each), and scoring never decodes — the
+    * standard ADC (asymmetric distance computation) precomputes, per
+    * query, the partial dot of the query's subvector with every
+    * centroid (a queries×8×16 lookup table, broadcast), and a
+    * candidate's score is the sum of 8 table lookups keyed by its
+    * codes. The scan side therefore reads CODES only; at 100 TB of
+    * embeddings that is the difference between scanning 3 TB and
+    * scanning 100.
+    *
+    * Codebook: per-subspace nano-mean seeds (cell = vec_id % 16 — the
+    * deterministic, SQL-expressible initial partition) refined by
+    * EXACTLY ONE Lloyd round in both engines. Fixpoint training is
+    * [[lloyd]]'s already-demonstrated machinery (s8) applied per
+    * subspace; one pinned round keeps the oracle's unrolling finite
+    * while still exercising the assign→re-mean→re-assign arithmetic
+    * the driver compare must pin. At 100 TB the codebook trains on a
+    * sample and only the final linear encode pass touches the corpus
+    * (the s8 split).
+    *
+    * Production shape, faithfully: PQ generates CANDIDATES (top-20 by
+    * exact-integer ADC score — nano-unit longs, so cross-row sums are
+    * order-free), then the ≤ 20 survivors re-rank by exact cosine —
+    * ADC recalls coarsely, the re-rank restores ordering quality, and
+    * recall@3 vs s1's truth measures the whole two-stage pipeline.
+    * All assignment argmins are min-struct hash aggregates (map-side
+    * partials, no window on any candidate path), both codebook tables
+    * are bounded broadcasts (8×16 rows), and the ADC aggregate sums
+    * longs.
+    */
+  private def s9(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    // subvectors: (vec_id, sub 0..7, svec = dims [sub*8+1 .. sub*8+8])
+    val subv = e.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 7), su -> slice(embedding, su * 8 + 1, 8))"))
+      .as(Seq("sub", "svec")))
+    def nanoMeans(rows: DataFrame): DataFrame = rows
+      .select(col("sub"), col("cell"), posexplode(col("svec")).as(Seq("j", "x")))
+      .groupBy(col("sub"), col("cell"), col("j"))
+      .agg(sum(round(col("x").cast("double") * 1e9).cast("long")).as("c_nano"),
+        count(lit(1)).as("cnt"))
+      .withColumn("c", col("c_nano").cast("double") / (lit(1e9) * col("cnt")))
+      .groupBy(col("sub"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("j"), col("c")))).as("jc"))
+      .select(col("sub"), col("cell"), expr("transform(jc, t -> t.c)").as("carr"))
+    val seeds = nanoMeans(subv.withColumn("cell", col("vec_id") % 16))
+    // sequential fold == FloatDoubleL2Sq's arithmetic, per subvector
+    val l2sub = expr(
+      """aggregate(zip_with(svec, carr, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+        |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin)
+    def assignSub(cb: DataFrame): DataFrame = subv
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("svec"), col("cell"), l2sub.as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      // svec is functionally dependent on the group key — first() is
+      // deterministic here; (dist, cell) is a total order (cell unique
+      // per candidate row), matching the oracle's ORDER BY dist, cell
+      .agg(min(struct(col("dist"), col("cell"))).as("m"), first(col("svec")).as("svec"))
+      .select(col("vec_id"), col("sub"), col("m.cell").as("cell"), col("svec"))
+    // one Lloyd round: re-mean over round-0 assignment; empty cells
+    // keep their seed (the s8 COALESCE rule)
+    val m1 = nanoMeans(assignSub(seeds))
+    val c1 = seeds.withColumnRenamed("carr", "p_carr")
+      .join(m1.withColumnRenamed("carr", "n_carr"), Seq("sub", "cell"), "left")
+      .select(col("sub"), col("cell"), coalesce(col("n_carr"), col("p_carr")).as("carr"))
+    val codes = assignSub(c1).select(col("vec_id"), col("sub"), col("cell").as("code"))
+    // ADC lookup table: per (query, sub, cell) partial dot, exact nanos
+    val lut = subv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("sub"), col("svec").as("qs"))
+      .join(broadcast(c1), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cell"), expr(
+        """cast(round(aggregate(zip_with(qs, carr, (a, b) -> cast(a as double) * b),
+          |  cast(0 as double), (acc, x) -> acc + x) * 1e9) as long)""".stripMargin).as("pdot"))
+    val adc = codes
+      .join(broadcast(lut), codes("sub") === lut("sub") && col("code") === lut("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("score"))
+    val cand = TopK.perKey(adc, Seq("q_id"), "score", "vec_id", 20)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank of the ≤ 20 ADC survivors (s1's cosine + guards)
+    val en = e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+      .filter(col("norm_e") > 0)
+    val q = en.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm_e").as("norm_q"))
+    val rescored = cand.join(en, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
+    val ann = rankTopK(rescored, 3, Seq.empty).select(col("q_id"), col("vec_id"))
+    recallVs(
+      s1(s, d).filter(col("rank") <= 3).select(col("q_id"), col("vec_id")),
+      ann)
+  }
+
+  /** s9 oracle: the identical seed → one-round → encode → ADC →
+    * re-rank chain. Subvector slices are 1-based inclusive in DuckDB
+    * (`embedding[a:b]`); every mean uses the nano-unit sum, every fold
+    * is a sequential list_reduce, and the ADC score is an exact BIGINT
+    * sum — the whole PQ arithmetic is pinned, not just the recall. */
+  private val s9Sql: String = {
+    def subL2(v: String, c: String) =
+      s"""list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
+         |      (acc, x) -> acc + x)""".stripMargin
+    s"""WITH ${truTopSql(3)},
+       |sub AS (
+       |  SELECT vec_id, g.sub, embedding[g.sub * 8 + 1 : g.sub * 8 + 8] AS svec
+       |  FROM embeddings, generate_series(0, 7) AS g(sub)),
+       |sd AS (
+       |  SELECT sub, vec_id % 16 AS cell, j.j, CAST(svec[j.j] AS DOUBLE) AS x
+       |  FROM sub, generate_series(1, 8) AS j(j)),
+       |seeds AS (
+       |  SELECT sub, cell, list(c ORDER BY j) AS carr FROM (
+       |    SELECT sub, cell, j,
+       |      CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * COUNT(*)) AS c
+       |    FROM sd GROUP BY sub, cell, j)
+       |  GROUP BY sub, cell),
+       |a0 AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT v.vec_id, v.sub, s.cell, ${subL2("v.svec", "s.carr")} AS dist
+       |    FROM sub v JOIN seeds s ON s.sub = v.sub)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) = 1),
+       |m1 AS (
+       |  SELECT sub, cell, list(c ORDER BY j) AS carr FROM (
+       |    SELECT a.sub, a.cell, j.j,
+       |      CAST(SUM(CAST(round(CAST(v.svec[j.j] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+       |        / (1e9 * COUNT(*)) AS c
+       |    FROM a0 a JOIN sub v ON v.vec_id = a.vec_id AND v.sub = a.sub,
+       |         generate_series(1, 8) AS j(j)
+       |    GROUP BY a.sub, a.cell, j.j)
+       |  GROUP BY sub, cell),
+       |c1 AS (
+       |  SELECT p.sub, p.cell, COALESCE(n.carr, p.carr) AS carr
+       |  FROM seeds p LEFT JOIN m1 n ON n.sub = p.sub AND n.cell = p.cell),
+       |codes AS (
+       |  SELECT vec_id, sub, cell AS code FROM (
+       |    SELECT v.vec_id, v.sub, c.cell, ${subL2("v.svec", "c.carr")} AS dist
+       |    FROM sub v JOIN c1 c ON c.sub = v.sub)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, c.sub, c.cell,
+       |    CAST(round(list_reduce(list_transform(generate_series(1, 8),
+       |      i -> CAST(q.svec[i] AS DOUBLE) * c.carr[i]), (acc, x) -> acc + x) * 1e9) AS BIGINT) AS pdot
+       |  FROM sub q JOIN c1 c ON c.sub = q.sub WHERE q.vec_id < 5),
+       |adc AS (
+       |  SELECT l.q_id, k.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS score
+       |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cell = k.code
+       |  WHERE k.vec_id <> l.q_id
+       |  GROUP BY l.q_id, k.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM adc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= 20),
+       |ann AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT c.q_id, c.vec_id, ${duckCos("qq.embedding", "e.embedding")} AS cos
+       |    FROM cand c
+       |    JOIN embeddings e ON e.vec_id = c.vec_id
+       |    JOIN embeddings qq ON qq.vec_id = c.q_id)
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 3),
+       |$recallTailSql""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "s9_pq_recall" -> (s9 _),
     "s8_kmeans" -> (s8 _),
     "s7_sq8_recall" -> (s7 _),
     "s1_knn_brute" -> (s1 _),
@@ -831,6 +998,7 @@ object Knn {
     "s6_ivf_recall" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    "s9_pq_recall" -> s9Sql,
     "s8_kmeans" -> s8Sql,
     "s7_sq8_recall" -> s7Sql,
     "s1_knn_brute" -> s1Sql,

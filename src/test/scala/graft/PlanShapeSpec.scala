@@ -319,6 +319,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
+  test("s9 PQ pipeline: assignment argmins and ADC stay window-free, codebooks broadcast") {
+    val p = plan("s9_pq_recall")
+    // per-(vec,sub) argmins are min-struct hash aggregates; candidate
+    // ranking runs TopKPerKey + the re-rank's bounded heaps — a Window
+    // here would mean a per-vector sort crept into encode or scoring
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // ADC candidates and final rank both through the custom operator
+    assert(p.contains("TopKPerKey"), p)
+    // codebook/LUT joins broadcast their bounded side
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("s5 recall compare runs over heap-ranked sides — no window anywhere") {
     val p = plan("s5_ann_recall")
     // both ranking sides run through TopKPerKey; the comparison adds
