@@ -955,7 +955,8 @@ object Dedup {
     * bumped by hand with any [[d12Manifests]]/split-rule change; the
     * hash tracks the signature definition automatically. */
   private[graft] def manifestLogicToken: String =
-    "m2:" + Integer.toHexString(RowSimhashSql.hashCode)
+    // m3: staging gained the Bloom word manifest (st10)
+    "m3:" + Integer.toHexString(RowSimhashSql.hashCode)
 
   /** Per-row SimHash: [[simhashSigsOf]]'s 64-bit signature computed as
     * ONE higher-order-function fold over the row's own distinct-token
@@ -1224,8 +1225,30 @@ object Dedup {
     * driver-checked; a production deployment could swap the codegen'd
     * built-in behind the same columns.
     */
+  /** d17's bitmap width in bits: `1 << graft.bloom.bits`. */
+  private[graft] def bloomM(s: SparkSession): Int = 1 << bloomBitsLog2(s)
+
+  /** Hash i (0..3) of the Bloom construction: the i-th disjoint 16-bit
+    * hex slice of the md5 fingerprint column `fp`, folded onto the
+    * m-bit bitmap. Shared by the batch build/probe (d17) and the
+    * stateless per-row stream probe (st10). */
+  private[graft] def bloomSliceSql(i: Int, m: Int): String =
+    s"cast(conv(substring(fp, ${1 + 4 * i}, 4), 16, 10) as int) % $m"
+
+  /** The Bloom bitmap as a (word, bits) relation — ≤ m/64 rows — built
+    * from a fingerprint column by one bit_or aggregate (map-side
+    * partials). The ONE admission structure that is supposed to
+    * broadcast: bounded by conf at build time, independent of corpus
+    * cardinality. */
+  private[graft] def bloomWordsOf(fps: DataFrame, m: Int): DataFrame =
+    fps.select(explode(array((0 until 4).map(i =>
+        expr(bloomSliceSql(i, m))): _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("word"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+
   private def d17(s: SparkSession, d: String): DataFrame = {
-    val m = 1 << bloomBitsLog2(s)
+    val m = bloomM(s)
     val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
     val mx = docs.agg(max(col("doc_id")).as("mx"))
     val flagged = docs.crossJoin(broadcast(mx))
@@ -1236,12 +1259,11 @@ object Dedup {
     // k=4 positions per fingerprint: disjoint 16-bit md5 hex slices % m
     def positions(df: DataFrame, keep: Seq[Column]): DataFrame =
       df.select(keep :+ explode(array((0 until 4).map(i =>
-          expr(s"cast(conv(substring(fp, ${1 + 4 * i}, 4), 16, 10) as int) % $m")): _*))
+          expr(bloomSliceSql(i, m))): _*))
         .as("pos"): _*)
         .select(keep :+ (col("pos") / 64).cast("int").as("word") :+
           expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"): _*)
-    val bloom = positions(manifest.select(col("fp")), Seq(col("fp")))
-      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    val bloom = bloomWordsOf(manifest.select(col("fp")), m)
     val newb = flagged.filter(col("is_new")).select(col("doc_id"), col("fp"))
     val checked = positions(newb, Seq(col("doc_id"), col("fp")))
       .join(broadcast(bloom), Seq("word"), "left")

@@ -145,7 +145,7 @@ object StreamingOps {
     * can never admit them as stream input.
     */
   private def stagedAdmitInputs(s: SparkSession, d: String,
-      nFiles: Int = 1): (DataFrame, DataFrame, DataFrame) = {
+      nFiles: Int = 1): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val src = java.nio.file.Paths.get(d, "documents.parquet")
     val base = System.getProperty("java.io.tmpdir")
     val tag = Integer.toHexString(d.hashCode) + (if (nFiles > 1) s"_n$nFiles" else "")
@@ -198,6 +198,11 @@ object StreamingOps {
       val (fpM, sigM) = graft.dedup.Dedup.d12Manifests(s, d)
       fpM.write.mode("overwrite").parquet(mdir.resolve("fp_manifest").toString)
       sigM.write.mode("overwrite").parquet(mdir.resolve("sig_manifest").toString)
+      // the sweep also leaves the Bloom bitmap behind (st10's prefilter
+      // state — d17's build over the same fp manifest)
+      graft.dedup.Dedup.bloomWordsOf(
+          fpM.select(col("fp")), graft.dedup.Dedup.bloomM(s))
+        .write.mode("overwrite").parquet(mdir.resolve("bloom_manifest").toString)
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
     val reader = s.readStream.schema(docsStreamSchema)
@@ -205,7 +210,8 @@ object StreamingOps {
     val multi = if (nFiles > 1) reader.option("maxFilesPerTrigger", "1") else reader
     (multi.parquet(dir.toString),
       s.read.parquet(mdir.resolve("fp_manifest").toString),
-      s.read.parquet(mdir.resolve("sig_manifest").toString))
+      s.read.parquet(mdir.resolve("sig_manifest").toString),
+      s.read.parquet(mdir.resolve("bloom_manifest").toString))
   }
 
   /** State-store partition count for the bounded streaming queries
@@ -586,8 +592,8 @@ object StreamingOps {
     * produce byte-identical admissions to the batch query.
     */
   private def admitPipeline(s: SparkSession,
-      staged: (DataFrame, DataFrame, DataFrame), name: String): DataFrame = {
-    val (stream, fpManifest, sigManifest) = staged
+      staged: (DataFrame, DataFrame, DataFrame, DataFrame), name: String): DataFrame = {
+    val (stream, fpManifest, sigManifest, _) = staged
     val dec = stream
       .withColumn("fp", md5(col("text").cast("binary")))
       .withColumn("simhash", expr(graft.dedup.Dedup.RowSimhashSql))
@@ -615,7 +621,51 @@ object StreamingOps {
 
   private val st9Sql = graft.dedup.Dedup.oracles("d12_incremental_dedup")
 
+  /** st10: the Bloom admission PREFILTER on the continuous path —
+    * d17's decision computed where it is actually deployed: an ingest
+    * stream probing the bitmap the nightly sweep persisted (st9's
+    * staging discipline, one more manifest). A document whose k bits
+    * are not all set is DEFINITELY new and admits without ever touching
+    * the fingerprint manifest; the `false_positive` column measures the
+    * wasted-exact-check rate against the exact decision, per doc.
+    *
+    * The stream side is fully STATELESS — the st9 rule. The batch
+    * probe's explode + groupBy would be a stateful streaming aggregate,
+    * so the k=4 positions are computed as per-row COLUMNS and each
+    * probes the bitmap via its own stream-static broadcast equi-join on
+    * the word key: 4 bounded broadcast joins + the manifest equi-join,
+    * no watermark, no state store, batching-invariant. Oracle = d17's
+    * SQL verbatim (the st9 ↔ d12 lockstep pattern), and a spec asserts
+    * st10 == d17 row-for-row.
+    */
+  private def st10(s: SparkSession, d: String): DataFrame = {
+    val (stream, fpManifest, _, bloom) = stagedAdmitInputs(s, d)
+    val m = graft.dedup.Dedup.bloomM(s)
+    var probe = stream.withColumn("fp", md5(col("text").cast("binary")))
+    val hits = (0 until 4).map { i =>
+      probe = probe
+        .withColumn(s"pos$i", expr(graft.dedup.Dedup.bloomSliceSql(i, m)))
+        .join(broadcast(bloom.select(
+            (col("word")).as(s"w$i"), col("bits").as(s"bits$i"))),
+          (col(s"pos$i") / 64).cast("int") === col(s"w$i"), "left")
+      col(s"bits$i").isNotNull &&
+        expr(s"(bits$i & shiftleft(1L, cast(pos$i % 64 as int))) = " +
+          s"shiftleft(1L, cast(pos$i % 64 as int))")
+    }
+    val dec = probe
+      .withColumn("bloom_maybe", hits.reduce(_ && _))
+      .join(fpManifest, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("bloom_maybe"),
+        col("fp_hit").isNotNull.as("exact_dup"),
+        (col("bloom_maybe") && col("fp_hit").isNull).as("false_positive"))
+    runToMemory(s, dec, "graft_st10", mode = "append")
+      .orderBy(col("doc_id"))
+  }
+
+  private val st10Sql = graft.dedup.Dedup.oracles("d17_bloom_admit")
+
   val queries: Map[String, QFn] = Map(
+    "st10_stream_bloom" -> (st10 _),
     "st9_stream_admit" -> (st9 _),
     "st8_stream_multibatch" -> (st8 _),
     "st7_stream_dedup_bounded" -> (st7 _),
@@ -627,6 +677,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st10_stream_bloom" -> st10Sql,
     "st9_stream_admit" -> st9Sql,
     "st8_stream_multibatch" -> st8Sql,
     "st7_stream_dedup_bounded" -> st7Sql,

@@ -367,6 +367,17 @@ class DedupPlanSpec extends SparkSpec {
     // byte-for-byte (same manifests, per-row signature, same joins)
     val st9 = run("st9_stream_admit")
     assert(st9 == d12, s"st9 diverged from d12: $st9 vs $d12")
+    // the streaming Bloom prefilter must reproduce d17's decision
+    // byte-for-byte (persisted bitmap, per-row column probes)
+    def runBloom(q: String): Map[Long, (Boolean, Boolean, Boolean)] =
+      SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    val d17o = runBloom("d17_bloom_admit")
+    val st10 = runBloom("st10_stream_bloom")
+    assert(st10 == d17o, s"st10 diverged from d17: $st10 vs $d17o")
+    // the verbatim copy (17) is exact-dup and MUST be bloom-positive
+    assert(d17o(17L)._1 && d17o(17L)._2 && !d17o(17L)._3, s"17: ${d17o(17L)}")
     for ((name, out) <- Seq("d12" -> d12, "d13" -> d13)) {
       assert(out.keySet == Set(17L, 18L, 19L, 20L), s"$name new batch rows: ${out.keySet}")
       assert(out(17L) == (false, "exact_dup"), s"$name 17: ${out(17L)}")

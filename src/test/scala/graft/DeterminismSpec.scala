@@ -28,7 +28,8 @@ class DeterminismSpec extends SparkSpec {
     // persisted-manifest admission, iterative k-means, the pruned
     // partitioned layout, and the Bloom admission prefilter
     "g14_workflow_run", "d16_manifest_admit", "s8_kmeans",
-    "q29_partition_prune", "d17_bloom_admit", "s9_pq_recall")
+    "q29_partition_prune", "d17_bloom_admit", "s9_pq_recall",
+    "st10_stream_bloom")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {
