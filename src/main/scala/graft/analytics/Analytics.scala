@@ -942,7 +942,49 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q30: SALTED two-phase aggregation as a driver-checked query — the
+    * hot-key playbook for aggregations, promoted from library+spec
+    * ([[graft.operators.Salted]], previously exercised only by the q3
+    * skew-equivalence spec) to an oracle-checked operator. `groupBy
+    * l_returnflag` has ~3 values: at 100 TB one reducer per flag
+    * receives a third of the fact table — the aggregation analogue of
+    * the skew-join problem, and the one AQE does NOT fix (its skew
+    * handling covers joins; a skewed agg needs the partial-combine
+    * expressed manually). Salting splits each key into 16 deterministic
+    * sub-keys (pmod(hash(l_orderkey))) — the hot key's volume spreads
+    * across 16 reducers in phase one, and phase two merges 16 tiny
+    * partial rows per key.
+    *
+    * Correctness under the driver hash compare is the point: counts
+    * and DECIMAL sums are commutative monoids, so partial→merge is
+    * bit-exact (the q28 discipline) and the oracle is the PLAIN
+    * single-phase GROUP BY — the compare literally proves
+    * salted == unsalted. PlanShapeSpec pins the two-exchange shape
+    * (first keyed on (l_returnflag, __salt), then on l_returnflag).
+    */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.operators.Salted.countAndSumsByKey(
+      Tables.lineitem(s, d), "l_returnflag",
+      Seq(col("l_quantity").cast(DecimalType(18, 2)) -> "m_qty",
+        col("l_extendedprice").cast(DecimalType(18, 2)) -> "m_price"),
+      "n", col("l_orderkey"))
+      .select(col("l_returnflag"), col("n"),
+        col("m_qty").cast("double").as("sum_qty"),
+        col("m_price").cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q30Sql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q30_salted_agg" -> (q30 _),
     "q29_partition_prune" -> (q29 _),
     "q28_delta_agg" -> (q28 _),
     "q27_bucketed_join" -> (q27 _),
@@ -976,6 +1018,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q30_salted_agg" -> q30Sql,
     "q29_partition_prune" -> q29Sql,
     "q28_delta_agg" -> q28Sql,
     "q27_bucketed_join" -> q27Sql,

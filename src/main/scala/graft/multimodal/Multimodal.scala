@@ -264,17 +264,94 @@ object Multimodal {
        |ORDER BY chunk_md5""".stripMargin
   }
 
+  /** m6: perceptual hash (aHash) over the opaque payload — the
+    * multimodal dedup primitive the byte-exact family (m3/m4/m5
+    * fingerprints) cannot provide: two images that differ in a few
+    * bytes hash to DIFFERENT md5s but the SAME aHash, because the hash
+    * is computed from coarse content structure, not bytes. The classic
+    * recipe, on the stub decode (payload code units as "pixels", the
+    * DecodeStub contract): divide the payload into 64 equal spans (the
+    * 8×8 grid), average each span, emit bit j = 1 iff span j's mean
+    * exceeds the whole payload's mean. The bit rule is evaluated in
+    * INTEGER cross-multiplication (`num_j · total_len > total_num ·
+    * len_j`) — no division anywhere, so both engines agree bit-exactly
+    * on every boundary case. Payloads shorter than 64 units have no
+    * 8×8 grid and are excluded by contract.
+    *
+    * Output is the d3 shape for the new signature: per doc the 64-bit
+    * hash, its popcount, and the exact-match group size (groupBy+join,
+    * never a window over a hash family — the d3 rule). Downstream,
+    * hamming-≤k pairing over THIS signature is exactly d8's multi-index
+    * machinery (64-bit signature → 4×16-bit block equi-join), already
+    * oracle-checked there; the perceptual layer is what m6 adds.
+    * Linear: one explode, two aggregates, one equi-join back.
+    */
+  private def m6(s: SparkSession, d: String): DataFrame = {
+    val segs = Tables.documents(s, d)
+      .filter(col("doc_id").isNotNull && length(col("text")) >= 64)
+      // split-to-chars, then ascii per 1-char string: one O(n) pass.
+      // The sequence+substring form is O(n²) per row — UTF8String
+      // substring seeks from the start each call (measured 2.4× the
+      // whole query at sf0.1)
+      .select(col("doc_id"), length(col("text")).as("n"),
+        posexplode(expr("transform(split(text, ''), c -> ascii(c))"))
+          .as(Seq("pos0", "code")))
+      // pos0 is 0-based → seg ∈ 0..63 for every pos0 < n
+      .select(col("doc_id"), expr("pos0 * 64 div n").as("seg"),
+        col("code").cast("long").as("code"))
+    val per = segs.groupBy(col("doc_id"), col("seg"))
+      .agg(sum(col("code")).as("num"), count(lit(1)).as("len"))
+    val ph = per.groupBy(col("doc_id"))
+      .agg(sum(col("num")).as("tnum"), sum(col("len")).as("tlen"),
+        array_sort(collect_list(struct(col("seg"), col("num"), col("len")))).as("sl"))
+      .select(col("doc_id"), expr(
+        """concat_ws('', transform(sl,
+          |  t -> CASE WHEN t.num * tlen > tnum * t.len THEN '1' ELSE '0' END))""".stripMargin)
+        .as("phash"))
+    val counts = ph.groupBy(col("phash")).agg(count(lit(1)).as("phash_count"))
+    ph.join(counts, Seq("phash"))
+      .select(col("doc_id"), col("phash"),
+        length(regexp_replace(col("phash"), "0", "")).cast("long").as("n_ones"),
+        col("phash_count"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m6Sql =
+    """WITH base AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE doc_id IS NOT NULL AND length(text) >= 64),
+      |segs AS (
+      |  SELECT doc_id, ((i - 1) * 64) // n AS seg,
+      |    CAST(ascii(substring(text, i, 1)) AS BIGINT) AS code
+      |  FROM (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS i FROM base)),
+      |per AS (
+      |  SELECT doc_id, seg, SUM(code) AS num, COUNT(*) AS len
+      |  FROM segs GROUP BY doc_id, seg),
+      |tot AS (SELECT doc_id, SUM(num) AS tnum, SUM(len) AS tlen FROM per GROUP BY doc_id),
+      |ph AS (
+      |  SELECT p.doc_id,
+      |    string_agg(CASE WHEN p.num * t.tlen > t.tnum * p.len THEN '1' ELSE '0' END,
+      |               '' ORDER BY p.seg) AS phash
+      |  FROM per p JOIN tot t ON t.doc_id = p.doc_id
+      |  GROUP BY p.doc_id)
+      |SELECT doc_id, phash,
+      |  CAST(length(replace(phash, '0', '')) AS BIGINT) AS n_ones,
+      |  COUNT(*) OVER (PARTITION BY phash) AS phash_count
+      |FROM ph ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "m1_binary_meta" -> (m1 _),
     "m2_frame_sample" -> (m2 _),
     "m3_chunking" -> (m3 _),
     "m4_chunk_dedup" -> (m4 _),
-    "m5_cdc_chunks" -> (m5 _))
+    "m5_cdc_chunks" -> (m5 _),
+    "m6_perceptual_hash" -> (m6 _))
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m3_chunking" -> m3Sql,
     "m4_chunk_dedup" -> m4Sql,
-    "m5_cdc_chunks" -> m5Sql)
+    "m5_cdc_chunks" -> m5Sql,
+    "m6_perceptual_hash" -> m6Sql)
 }

@@ -27,4 +27,25 @@ object Salted {
       .agg(sum(valueCol).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(resultName))
+
+  /** [[sumByKey]] generalized to a row count plus several summed
+    * measures at once (same two-phase shape, one salted shuffle for
+    * all of them). Counts re-sum and sums re-sum, so any measure whose
+    * partial is EXACT under addition — longs, decimals — merges
+    * bit-exactly; pass decimal-cast columns for float measures (the
+    * q28 partial-merge discipline).
+    */
+  def countAndSumsByKey(df: DataFrame, key: String,
+      values: Seq[(Column, String)], countName: String,
+      saltBy: Column, salt: Int = 16): DataFrame = {
+    val partials = count(lit(1)).as(s"__c") +:
+      values.map { case (c, n) => sum(c).as(s"__p_$n") }
+    val merged = sum(col("__c")).as(countName) +:
+      values.map { case (_, n) => sum(col(s"__p_$n")).as(n) }
+    df.withColumn("__salt", pmod(hash(saltBy), lit(salt)))
+      .groupBy(col(key), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col(key))
+      .agg(merged.head, merged.tail: _*)
+  }
 }

@@ -201,6 +201,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
+  test("q30 salted agg runs two phases: a salted exchange, then a tiny key-only merge") {
+    val p = plan("q30_salted_agg")
+    // phase 1 shuffles on (key, salt) — the hot key spread across
+    // reducers; phase 2 merges the ≤ salt partial rows per key
+    assert("hashpartitioning\\(l_returnflag#\\d+, __salt".r.findFirstIn(p).isDefined, p)
+    assert("hashpartitioning\\(l_returnflag#\\d+, \\d+\\)".r.findFirstIn(p).isDefined, p)
+    // both phases keep map-side partials
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("q29 scan is partition-pruned on ship_month over a many-partition layout") {
     val p = plan("q29_partition_prune")
     // the month equality resolves against directory metadata, not rows

@@ -108,6 +108,30 @@ class PropertySpec extends SparkSpec {
     assert(fixedShared == 0, s"fixed-offset chunking unexpectedly survived: $fixedShared")
   }
 
+  test("perceptual hash survives a byte edit that changes the md5 fingerprint") {
+    // doc 2 = doc 1 with two adjacent characters SWAPPED inside one
+    // 8×8-grid span: every span's code-point sum — and so every aHash
+    // bit — is provably unchanged, while the byte-exact fingerprint
+    // family (t4/d1/m4 md5s) sees a different document. THIS is why a
+    // perceptual hash exists next to the exact one.
+    val base = (1 to 40).map(i => s"x${i % 9}${(i * 3) % 7}").mkString(" ") // ~160 chars
+    assert(base(0) != base(1))
+    val swapped = "" + base(1) + base(0) + base.substring(2)
+    val corpus = Seq((1L, base), (2L, swapped), (3L, "a completely different payload " * 5))
+    val dir = java.nio.file.Files.createTempDirectory("m6ph").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("m6_perceptual_hash")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L)._1 == out(2L)._1, s"aHash diverged under a span-local swap: $out")
+    assert(out(1L)._2 == 2L, s"exact-phash group should pair docs 1+2: $out")
+    assert(out(3L)._1 != out(1L)._1, s"unrelated doc collided: $out")
+    // and the byte-exact view really does see two different documents
+    val fps = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text").cast("binary"))).distinct().count()
+    assert(fps == 3L, s"expected 3 distinct md5s, got $fps")
+  }
+
   test("BPE-ish tokenizer splits contractions, long words and punctuation as designed") {
     import graft.text.TextAnalysis
     val cases = Seq(
