@@ -554,6 +554,60 @@ object TextAnalysis {
       |  CAST(n_niche AS DOUBLE) / n_distinct AS niche_ratio
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** t14: per-document top-5 TF-IDF terms — t12's corpus statistic
+    * made ACTIONABLE: t12 profiles how corpus-relative a document's
+    * vocabulary is; this extracts WHICH terms characterize each
+    * document (keyword tagging / topic labeling, the standard cheap
+    * alternative to an embedding model for corpus triage). Score =
+    * tf · N/df — the raw-count TF-IDF variant chosen deliberately:
+    * one integer multiply and one divide of exact integers per
+    * OUTPUT row, so both engines compute bit-identical doubles (a
+    * log-scaled idf would compare libm `ln` implementations across
+    * engines — the cross-row-float trap in per-row form).
+    *
+    * Scale shape: tf and df are map-side-partial aggregates; the
+    * df join-back is the t12/d14 shuffle equi-join on the token key
+    * (never a vocabulary broadcast; hot stopword tokens are the AQE
+    * skew case); the corpus count is the one-row scalar broadcast;
+    * and per-doc top-5 runs on TopKPerKey's partial+final bounded
+    * heaps — no window ever sees a document's full vocabulary.
+    * Ties (same score) break by token ascending in both engines.
+    */
+  private def t14(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), lower(col("tok")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        ((col("tf").cast("double") * col("n_docs")) / col("df")).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("doc_id"), "score", "tok", 5)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("tok"))
+  }
+
+  private val t14Sql =
+    """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+      |n AS (SELECT COUNT(*) AS n_docs FROM d0),
+      |toks AS (
+      |  SELECT doc_id, lower(t.tok) AS tok
+      |  FROM d0, unnest(regexp_extract_all(text, '\S+')) AS t(tok)),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT f.doc_id, f.tok, f.tf, d.df,
+      |    (CAST(f.tf AS DOUBLE) * n.n_docs) / d.df AS score
+      |  FROM tf f JOIN dfreq d ON d.tok = f.tok, n)
+      |SELECT doc_id, tok, tf, df, score FROM scored
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) <= 5
+      |ORDER BY doc_id, score DESC, tok""".stripMargin
+
   /** BPE-ish tokenizer regex: GPT-2's pre-tokenizer shape (contraction
     * suffixes, space-prefixed letter/digit runs, punctuation runs)
     * with letter runs capped at 4 chars and digit runs at 3 — the
@@ -596,6 +650,7 @@ object TextAnalysis {
   val queries: Map[String, QFn] = Map(
     "t13_bpe_tokens" -> (t13 _),
     "t12_doc_frequency" -> (t12 _),
+    "t14_tfidf_top" -> (t14 _),
     "t11_stratified" -> (t11 _),
     "t10_pack" -> (t10 _),
     "t9_mix_sample" -> (t9 _),
@@ -611,6 +666,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t13_bpe_tokens" -> t13Sql,
     "t12_doc_frequency" -> t12Sql,
+    "t14_tfidf_top" -> t14Sql,
     "t11_stratified" -> t11Sql,
     "t10_pack" -> t10Sql,
     "t9_mix_sample" -> t9Sql,

@@ -201,6 +201,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
+  test("t14 tf-idf ranks on bounded heaps; only the corpus count is broadcast-hinted") {
+    val df = SparkEntry.queries("t14_tfidf_top")(spark, sf)
+    // the df table must NOT be broadcast-HINTED (web-scale vocabulary —
+    // AQE may still convert at runtime when the actual size is tiny,
+    // which is correct and scale-dependent; the t12 rule); the only
+    // declared hint is the one-row corpus count
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, s"expected only the scalar broadcast hint, got ${hints.size}")
+    val p = plan("t14_tfidf_top")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+    val identityBuilds = p.linesIterator.count(l =>
+      l.contains("BroadcastExchange IdentityBroadcastMode") && !l.contains("ReusedExchange"))
+    assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
+  }
+
   test("q30 salted agg runs two phases: a salted exchange, then a tiny key-only merge") {
     val p = plan("q30_salted_agg")
     // phase 1 shuffles on (key, salt) — the hot key spread across
