@@ -731,7 +731,7 @@ object Dedup {
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("nlabel"), col("doc_id"))).as("label"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -743,7 +743,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      val curSum = next.agg(sum(col("label"))).head.getLong(0)
+      val curSum = next.agg(sum(col("label"))).head().getLong(0)
       converged = curSum == prevSum
       prevSum = curSum
       labels = next
@@ -1409,7 +1409,7 @@ object Dedup {
     out.write.mode("overwrite").format("noop").save()
     val stages = obs.map { case (k, o) => k -> o.get("rows").asInstanceOf[Long] }.toMap
     val nSigs = simhashSigLong(s, d).select(col("sig")).distinct().count()
-    stages + ("d8_distinct_sigs" -> nSigs, "d8_blocks" -> nSigs * 4)
+    stages ++ Seq("d8_distinct_sigs" -> nSigs, "d8_blocks" -> nSigs * 4)
   }
 
   private val d8Sql = SimhashCte +

@@ -377,7 +377,7 @@ object GenAI {
       validated.filter(col("is_valid")).select(col("doc_id")), Seq("doc_id"))
     // corpus max id — a metadata-sized driver scalar (t10's documented
     // pattern); division-first split form cannot ANSI-overflow
-    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
     val initial = BatchWorkflow.run(
       validDocs.filter(col("doc_id") <= lit(mx - mx / 5)), prefix.toString)
     val resumed = BatchWorkflow.resume(validDocs, prefix.toString)

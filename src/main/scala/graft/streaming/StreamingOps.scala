@@ -47,7 +47,7 @@ object StreamingOps {
       prefix + Integer.toHexString(d.hashCode))
     java.nio.file.Files.createDirectories(dir)
     val marker = dir.resolve("_src_meta")
-    val meta = java.nio.file.Files.size(src) + ":" +
+    val meta = s"${java.nio.file.Files.size(src)}:" +
       java.nio.file.Files.getLastModifiedTime(src).toMillis + ":" +
       StagedEventsVersion
     val fresh = java.nio.file.Files.exists(marker) &&
@@ -157,7 +157,7 @@ object StreamingOps {
     // source identity PLUS manifest-logic version (ADVICE r9): without
     // the token, a d12Manifests/signature change silently reuses stale
     // staged manifests and st9 fails its d12-verbatim oracle confusingly
-    val meta = java.nio.file.Files.size(src) + ":" +
+    val meta = s"${java.nio.file.Files.size(src)}:" +
       java.nio.file.Files.getLastModifiedTime(src).toMillis + ":" +
       graft.dedup.Dedup.manifestLogicToken
     val fresh = java.nio.file.Files.exists(marker) &&
@@ -168,7 +168,7 @@ object StreamingOps {
       try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
       finally listing.close()
       val docs = graft.Tables.documents(s, d).filter(col("doc_id").isNotNull)
-      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       val work = dir.resolve("_work")
       val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
       for (k <- 0 until nFiles) {
