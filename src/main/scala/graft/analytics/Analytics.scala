@@ -653,6 +653,40 @@ object Analytics {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY gid, status, priority""".stripMargin
 
+  /** q31: explicit GROUPING SETS — the member of the multi-level
+    * aggregation family (q8 rollup, q20 cube) neither can express: the
+    * detail level plus BOTH one-dimension margins, WITHOUT the grand
+    * total. A reporting rollup that publishes per-flag and per-status
+    * margins but not the all-up row is exactly this shape, and cube
+    * would compute (and then have to filter) the extra set. Spark 4's
+    * `Dataset.groupingSets` plans all three sets into ONE expand +
+    * shuffle (same engine path as rollup/cube — no union of three
+    * aggregations, no triple scan).
+    */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        Exact.dsum2(col("l_quantity")).as("sum_qty"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
+  private val q31Sql =
+    """SELECT GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+      |  COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
   /** RANGE-frame moving window: per-user 10-minute trailing event sum
     * over integer event time (range frames on epoch-µs).
     */
@@ -984,6 +1018,7 @@ object Analytics {
       |ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "q31_grouping_sets" -> (q31 _),
     "q30_salted_agg" -> (q30 _),
     "q29_partition_prune" -> (q29 _),
     "q28_delta_agg" -> (q28 _),
@@ -1018,6 +1053,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q31_grouping_sets" -> q31Sql,
     "q30_salted_agg" -> q30Sql,
     "q29_partition_prune" -> q29Sql,
     "q28_delta_agg" -> q28Sql,

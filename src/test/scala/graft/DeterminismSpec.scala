@@ -30,7 +30,7 @@ class DeterminismSpec extends SparkSpec {
     "g14_workflow_run", "d16_manifest_admit", "s8_kmeans",
     "q29_partition_prune", "d17_bloom_admit", "s9_pq_recall",
     "st10_stream_bloom", "q30_salted_agg", "m6_perceptual_hash",
-    "t14_tfidf_top")
+    "t14_tfidf_top", "q31_grouping_sets")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

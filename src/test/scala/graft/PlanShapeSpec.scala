@@ -219,6 +219,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
+  test("q31 grouping sets plan one Expand over one scan — not a union of aggregations") {
+    val p = plan("q31_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // all three sets share a single pass over the fact table
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Union"), p)
+  }
+
   test("q30 salted agg runs two phases: a salted exchange, then a tiny key-only merge") {
     val p = plan("q30_salted_agg")
     // phase 1 shuffles on (key, salt) — the hot key spread across
