@@ -35,9 +35,15 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
       case _ =>
-        // NTZ wall clock interpreted in the session tz (GraftSession
-        // pins UTC) → epoch micros → nanos; micros * 1000 cannot
-        // overflow Long for any representable timestamp
+        // NTZ wall clock interpreted in the session tz → epoch micros
+        // → nanos; micros * 1000 cannot overflow Long for any
+        // representable timestamp. The cast is correct ONLY under UTC
+        // (GraftSession pins it) — a non-UTC session would silently
+        // shift every epoch value off the DuckDB oracle's epoch_us, so
+        // the precondition is asserted, not assumed (ADVICE r10).
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events NTZ conversion requires spark.sql.session.timeZone=UTC, got '$tz'")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr(
             "unix_micros(cast(ts as timestamp)) * 1000"))

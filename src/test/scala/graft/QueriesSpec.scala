@@ -7,15 +7,13 @@ package graft
   */
 class QueriesSpec extends SparkSpec {
 
-  /** Queries DELIBERATELY registered without a DuckDB oracle (the
-    * driver then records a weaker rows-only check). Every entry here
-    * needs a reason; an accidental omission still fails the test. */
-  private val rowsOnly = Set(
-    // approx_percentile's sketch compression points are engine-
-    // specific — no DuckDB aggregate reproduces them bit-exactly
-    "q25_percentile_sketch",
-    // HLL++ register layout / bias correction are engine-specific
-    "q26_distinct_sketch")
+  /** Queries DELIBERATELY registered without a DuckDB oracle are
+    * declared in [[SparkEntry.rowsOnly]] (emitted to the driver as
+    * rows_only.json): approx_percentile's sketch compression points
+    * and HLL++'s register layout are engine-specific — no DuckDB
+    * aggregate reproduces them bit-exactly. An accidental oracle
+    * omission still fails the test. */
+  private val rowsOnly = SparkEntry.rowsOnly.keySet
 
   test("every query has an oracle (or is an explicit rows-only entry)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
@@ -24,6 +22,11 @@ class QueriesSpec extends SparkSpec {
     assert(stale.isEmpty, s"rows-only allowlist entries without a query: $stale")
     val shadowed = rowsOnly & SparkEntry.oracleSql.keySet
     assert(shadowed.isEmpty, s"rows-only entries that HAVE an oracle: $shadowed")
+    // each declared rows-only query must name a LIVE oracle-checked
+    // companion carrying its accuracy contract
+    for ((k, companion) <- SparkEntry.rowsOnly)
+      assert(SparkEntry.oracleSql.contains(companion),
+        s"$k's accuracy-contract companion $companion has no oracle")
   }
 
   test("every oracle has a query") {

@@ -43,4 +43,27 @@ class SaltedSpec extends SparkSpec {
     assert(rows.count(_._1 == 1L) > rows.length / 2)
     assert(salted(1L) == plain(1L))
   }
+
+  test("reserved intermediate columns in the input are rejected loudly") {
+    // ADVICE r10: an input already carrying __salt / __c / __p_<name>
+    // would be silently clobbered or mis-grouped — reject instead
+    import spark.implicits._
+    val withSalt = Seq((1L, 2L, 3.0)).toDF("k", "__salt", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Salted.sumByKey(withSalt, "k", col("v"), "total", saltBy = col("k"))
+    }
+    assert(e1.getMessage.contains("__salt"), e1.getMessage)
+    val withPartial = Seq((1L, 2L, 3.0)).toDF("k", "__p_total", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Salted.countAndSumsByKey(withPartial, "k", Seq(col("v") -> "total"), "n",
+        saltBy = col("k"))
+    }
+    assert(e2.getMessage.contains("__p_total"), e2.getMessage)
+    // clean inputs still pass
+    val ok = Salted.countAndSumsByKey(
+      Seq((1L, 2.0), (1L, 3.0)).toDF("k", "v"), "k",
+      Seq(col("v").cast("decimal(18,2)") -> "total"), "n", saltBy = col("v"))
+      .collect()
+    assert(ok.length == 1 && ok(0).getLong(1) == 2L)
+  }
 }

@@ -27,4 +27,20 @@ class TableSourceSpec extends SparkSpec {
     // partition filter must reach the scan, not a post-filter
     assert(plan.contains("PartitionFilters") || !plan.contains("Filter isnotnull(lang"))
   }
+
+  test("Tables.events NTZ conversion refuses a non-UTC session") {
+    // ADVICE r10: the cast-to-timestamp path interprets the NTZ wall
+    // clock in the session timezone — correct only under UTC (which
+    // GraftSession pins). A non-UTC caller must fail loudly, not
+    // silently shift every epoch value off the oracle's epoch_us.
+    val ntz = Tables.load(spark, sf, "events").schema("ts").dataType !=
+      org.apache.spark.sql.types.LongType
+    assume(ntz, "testdata generation writes ts as a physical Long; no NTZ path to guard")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] { Tables.events(spark, sf) }
+      assert(e.getMessage.contains("UTC"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
