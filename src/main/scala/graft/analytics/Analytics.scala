@@ -1017,7 +1017,96 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q32: OUTER-join null-row semantics — the most common relational
+    * shape the suite didn't cover (VERDICT r10 #2). Two joins, both
+    * with genuine unmatched populations on the preserved side(s):
+    *
+    *  - FULL OUTER fact⋈fact: urgent-priority orders vs per-order
+    *    returned-lineitem revenue, joined on orderkey. Both sides have
+    *    exclusive keys (urgent orders with no returned items; returned
+    *    items on non-urgent orders), so the outer join emits null rows
+    *    in BOTH directions. The grouping key is a CASE over the two
+    *    sides' key nullness — the grouping-on-null trap — and the
+    *    measures exercise COUNT(expr) vs COUNT(*) null-skipping plus
+    *    COALESCE-to-zero inside a decimal SUM.
+    *  - RIGHT OUTER fact⋈dim: the same urgent orders right-joined to
+    *    customer — only ~1/5 of customers have an urgent order, so most
+    *    dim rows emit with an all-null fact side and must still be
+    *    counted (n_rows) while contributing nothing to n_matched/amt.
+    *
+    * Scale: both joins are equi-joins keyed on orderkey/custkey. The
+    * full outer can never broadcast (both sides preserved) — Spark
+    * plans a sort-merge join, the shape you want at 100 TB. The right
+    * outer COULD broadcast its left (the filtered FACT — the OOM path
+    * at scale, where "urgent orders" is TBs); the merge hint pins the
+    * shuffle plan the production query needs, and PlanShapeSpec
+    * asserts no BroadcastNestedLoop and no broadcast of either fact.
+    * Decimal sums throughout (the q1 exactness discipline) so the
+    * COALESCE arithmetic is bit-exact vs the oracle.
+    */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("tp"))
+    val returned = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("rr"))
+    val fo = urgent
+      .join(returned, urgent("o_orderkey") === returned("l_orderkey"), "full_outer")
+      .withColumn("grp", concat(lit("fo:"),
+        when(col("o_orderkey").isNull, lit("returned_only"))
+          .when(col("l_orderkey").isNull, lit("urgent_only"))
+          .otherwise(lit("both"))))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull, lit(1)))
+          .as("n_matched"),
+        sum(coalesce(col("tp"), lit(0).cast(DecimalType(18, 2))) +
+            coalesce(col("rr"), lit(0).cast(DecimalType(18, 4))))
+          .cast("double").as("amt"))
+    val ro = urgent
+      .join(Tables.customer(s, d).hint("merge"),
+        urgent("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(concat(lit("ro:"), col("c_mktsegment")).as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_matched"),
+        sum(coalesce(col("tp"), lit(0).cast(DecimalType(18, 2))))
+          .cast("double").as("amt"))
+    fo.unionByName(ro).orderBy(col("grp"))
+  }
+
+  private val q32Sql =
+    """WITH urgent AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |returned AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rr
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey)
+      |SELECT 'fo:' || CASE WHEN u.o_orderkey IS NULL THEN 'returned_only'
+      |                     WHEN r.l_orderkey IS NULL THEN 'urgent_only'
+      |                     ELSE 'both' END AS grp,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(CASE WHEN u.o_orderkey IS NOT NULL AND r.l_orderkey IS NOT NULL
+      |             THEN 1 END) AS n_matched,
+      |  CAST(SUM(COALESCE(u.tp, 0) + COALESCE(r.rr, 0)) AS DOUBLE) AS amt
+      |FROM urgent u FULL OUTER JOIN returned r ON u.o_orderkey = r.l_orderkey
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT 'ro:' || c.c_mktsegment AS grp,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(u.o_orderkey) AS n_matched,
+      |  CAST(SUM(COALESCE(u.tp, 0)) AS DOUBLE) AS amt
+      |FROM urgent u RIGHT JOIN customer c ON u.o_custkey = c.c_custkey
+      |GROUP BY 1
+      |ORDER BY grp""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q32_outer_join" -> (q32 _),
     "q31_grouping_sets" -> (q31 _),
     "q30_salted_agg" -> (q30 _),
     "q29_partition_prune" -> (q29 _),
@@ -1053,6 +1142,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q32_outer_join" -> q32Sql,
     "q31_grouping_sets" -> q31Sql,
     "q30_salted_agg" -> q30Sql,
     "q29_partition_prune" -> q29Sql,

@@ -30,7 +30,9 @@ class DeterminismSpec extends SparkSpec {
     "g14_workflow_run", "d16_manifest_admit", "s8_kmeans",
     "q29_partition_prune", "d17_bloom_admit", "s9_pq_recall",
     "st10_stream_bloom", "q30_salted_agg", "m6_perceptual_hash",
-    "t14_tfidf_top", "q31_grouping_sets")
+    "t14_tfidf_top", "q31_grouping_sets",
+    // round-11 additions
+    "q32_outer_join")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

@@ -269,6 +269,19 @@ class PlanShapeSpec extends SparkSpec {
       s"scan read $numFiles of $stagedFiles staged files — pruning not observed")
   }
 
+  test("q32 outer joins are shuffle equi-joins: no nested-loop, no broadcast fact") {
+    val p = plan("q32_outer_join")
+    // an equi full outer must never degrade to a nested-loop broadcast
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the full outer preserves both sides → sort-merge; the right
+    // outer's only broadcastable side is the filtered FACT (the OOM
+    // path at 100 TB) and the merge hint keeps it a shuffle join too
+    assert("SortMergeJoin.*FullOuter".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a fact side got broadcast — wrong at scale:\n$p")
+  }
+
   test("d17 bloom probe broadcasts only the bounded bitmap; no window, no cartesian") {
     val p = plan("d17_bloom_admit")
     assert(!p.contains("Window"), p)
