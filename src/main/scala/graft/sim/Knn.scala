@@ -852,9 +852,15 @@ object Knn {
     * are bounded broadcasts (8×16 rows), and the ADC aggregate sums
     * longs.
     */
-  private def s9(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+  /** The PQ machinery shared by s9 and s10: 8×8-dim subvectors, the
+    * seed codebook (cell = vec_id % 16), EXACTLY ONE Lloyd round, the
+    * per-vector 4-bit codes, and the per-query ADC lookup table (one
+    * exact-nano partial dot per (query, sub, cell) — 8×16 rows per
+    * query, broadcast). Returns (codes, lut). Design rationale in s9's
+    * scaladoc; [[pqCtes]] is the verbatim SQL mirror both oracles
+    * share, so the two queries necessarily pin the same codebook.
+    */
+  private def pqParts(e: DataFrame): (DataFrame, DataFrame) = {
     // subvectors: (vec_id, sub 0..7, svec = dims [sub*8+1 .. sub*8+8])
     val subv = e.select(col("vec_id"), posexplode(expr(
       "transform(sequence(0, 7), su -> slice(embedding, su * 8 + 1, 8))"))
@@ -896,6 +902,28 @@ object Knn {
       .select(col("q_id"), col("sub"), col("cell"), expr(
         """cast(round(aggregate(zip_with(qs, carr, (a, b) -> cast(a as double) * b),
           |  cast(0 as double), (acc, x) -> acc + x) * 1e9) as long)""".stripMargin).as("pdot"))
+    (codes, lut)
+  }
+
+  /** Exact-cosine re-rank of a bounded (q_id, vec_id) candidate set to
+    * top-`k` — the shared tail of the two-stage PQ pipelines (s9/s10):
+    * candidates are ≤ 20 per query, so both joins are tiny, and the
+    * ranking reuses [[rankTopK]]'s heap machinery. */
+  private def exactRerank(e: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    val en = e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+      .filter(col("norm_e") > 0)
+    val q = en.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm_e").as("norm_q"))
+    val rescored = cand.join(en, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
+    rankTopK(rescored, k, Seq.empty).select(col("q_id"), col("vec_id"))
+  }
+
+  private def s9(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val (codes, lut) = pqParts(e)
     val adc = codes
       .join(broadcast(lut), codes("sub") === lut("sub") && col("code") === lut("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -904,14 +932,67 @@ object Knn {
     val cand = TopK.perKey(adc, Seq("q_id"), "score", "vec_id", 20)
       .select(col("q_id"), col("vec_id"))
     // exact re-rank of the ≤ 20 ADC survivors (s1's cosine + guards)
-    val en = e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
-      .filter(col("norm_e") > 0)
-    val q = en.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm_e").as("norm_q"))
-    val rescored = cand.join(en, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
-    val ann = rankTopK(rescored, 3, Seq.empty).select(col("q_id"), col("vec_id"))
+    val ann = exactRerank(e, cand, 3)
+    recallVs(
+      s1(s, d).filter(col("rank") <= 3).select(col("q_id"), col("vec_id")),
+      ann)
+  }
+
+  /** s10: the COMPOSED IVF+PQ index — the production FAISS shape
+    * (VERDICT r10 #3). s4 prunes cells and s9 compresses bytes; a real
+    * deployment does BOTH: the query probes its nprobe=2 nearest IVF
+    * cells, ADC-scores (s9's codebooks) ONLY the vectors assigned to
+    * those cells, and exact-reranks the top-20 ADC survivors to top-3.
+    * Recall@3 vs s1's brute-force truth is the whole-pipeline quality
+    * contract — the go/no-go number a production index ships against.
+    *
+    * Scale story, multiplied: IVF probing bounds the SCAN FRACTION
+    * (~nprobe/ncells of the corpus per query) and PQ bounds the BYTES
+    * PER CANDIDATE (codes, 32× smaller than float32) — at 100 TB the
+    * ADC pass reads ~nprobe/ncells × 3 TB instead of 100 TB. The cell
+    * restriction is an equi-join on (assigned_cell = probe_cell) —
+    * candidates flow FROM the cell index INTO the code join, so
+    * vectors outside probed cells are never ADC-scored (the oracle
+    * pins this: scoring extra cells would change the ADC top-20 and
+    * the recall values). All broadcasts are bounded (centroids,
+    * probe pairs, 8×16-row LUTs); the corpus-sized sides only ever
+    * equi-join, and the codebook trains on a sample at scale (s8's
+    * split — only the linear encode pass touches the full corpus).
+    */
+  private def s10(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val centArr = centroidArrays(e)
+    // the cell index: vec_id → assigned cell (no embedding payload —
+    // the ADC path reads CODES, never the float corpus)
+    val cells = assign(e, centArr, Seq.empty)
+      .select(col("vec_id"), col("cell").as("assigned_cell"))
+    // query probes: the 2 nearest cells by centroid L2 (s4's rule)
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cell"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centArr))
+      .select(col("q_id"), col("cell"), VectorFunctions.l2sq("qe", "carr").as("qdist"))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= 2)
+      .select(col("q_id"), col("cell").as("probe_cell"))
+    // candidate set = the cell semi-join: only vectors in probed cells
+    val cand0 = cells
+      .join(broadcast(probes),
+        col("assigned_cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val (codes, lut) = pqParts(e)
+    val lutR = lut.select(col("q_id").as("l_qid"), col("sub").as("l_sub"),
+      col("cell").as("l_cell"), col("pdot"))
+    val adc = cand0.join(codes, Seq("vec_id"))
+      .join(broadcast(lutR),
+        col("q_id") === col("l_qid") && col("sub") === col("l_sub") &&
+          col("code") === col("l_cell"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("score"))
+    val cand = TopK.perKey(adc, Seq("q_id"), "score", "vec_id", 20)
+      .select(col("q_id"), col("vec_id"))
+    val ann = exactRerank(e, cand, 3)
     recallVs(
       s1(s, d).filter(col("rank") <= 3).select(col("q_id"), col("vec_id")),
       ann)
@@ -922,13 +1003,15 @@ object Knn {
     * (`embedding[a:b]`); every mean uses the nano-unit sum, every fold
     * is a sequential list_reduce, and the ADC score is an exact BIGINT
     * sum — the whole PQ arithmetic is pinned, not just the recall. */
-  private val s9Sql: String = {
+  /** The PQ CTE chain (sub → seeds → one Lloyd round → codes → lut) —
+    * the verbatim SQL mirror of [[pqParts]], shared by the s9 and s10
+    * oracles so both pin the same codebook arithmetic. */
+  private val pqCtes: String = {
     def subL2(v: String, c: String) =
       s"""list_reduce(list_transform(generate_series(1, 8),
          |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
          |      (acc, x) -> acc + x)""".stripMargin
-    s"""WITH ${truTopSql(3)},
-       |sub AS (
+    s"""sub AS (
        |  SELECT vec_id, g.sub, embedding[g.sub * 8 + 1 : g.sub * 8 + 8] AS svec
        |  FROM embeddings, generate_series(0, 7) AS g(sub)),
        |sd AS (
@@ -966,7 +1049,25 @@ object Knn {
        |  SELECT q.vec_id AS q_id, c.sub, c.cell,
        |    CAST(round(list_reduce(list_transform(generate_series(1, 8),
        |      i -> CAST(q.svec[i] AS DOUBLE) * c.carr[i]), (acc, x) -> acc + x) * 1e9) AS BIGINT) AS pdot
-       |  FROM sub q JOIN c1 c ON c.sub = q.sub WHERE q.vec_id < 5),
+       |  FROM sub q JOIN c1 c ON c.sub = q.sub WHERE q.vec_id < 5)""".stripMargin
+  }
+
+  /** The shared exact-rerank tail (cand → ann): ≤ 20 survivors per
+    * query re-ranked by exact cosine to top-3 — [[exactRerank]]'s
+    * mirror, used by both PQ oracles. */
+  private val pqRerankAnnSql: String =
+    s"""ann AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT c.q_id, c.vec_id, ${duckCos("qq.embedding", "e.embedding")} AS cos
+       |    FROM cand c
+       |    JOIN embeddings e ON e.vec_id = c.vec_id
+       |    JOIN embeddings qq ON qq.vec_id = c.q_id)
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 3)""".stripMargin
+
+  private val s9Sql: String =
+    s"""WITH ${truTopSql(3)},
+       |$pqCtes,
        |adc AS (
        |  SELECT l.q_id, k.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS score
        |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cell = k.code
@@ -975,18 +1076,35 @@ object Knn {
        |cand AS (
        |  SELECT q_id, vec_id FROM adc
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= 20),
-       |ann AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT c.q_id, c.vec_id, ${duckCos("qq.embedding", "e.embedding")} AS cos
-       |    FROM cand c
-       |    JOIN embeddings e ON e.vec_id = c.vec_id
-       |    JOIN embeddings qq ON qq.vec_id = c.q_id)
-       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 3),
+       |$pqRerankAnnSql,
        |$recallTailSql""".stripMargin
-  }
+
+  /** s10 oracle: the identical IVF cell chain ([[ivfCtes]] — corpus
+    * assignment + query probes) composed with the identical PQ chain
+    * ([[pqCtes]]); the cell restriction is the cand0 join, so a query
+    * implementation that ADC-scored vectors OUTSIDE its probed cells
+    * would change the top-20 and fail the driver compare. */
+  private val s10Sql: String =
+    s"""WITH ${truTopSql(3)},
+       |$ivfCtes,
+       |$pqCtes,
+       |cand0 AS (
+       |  SELECT p.q_id, c.vec_id FROM probes p JOIN corpus c
+       |    ON c.assigned_cell = p.probe_cell AND c.vec_id <> p.q_id),
+       |adc AS (
+       |  SELECT c0.q_id, c0.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS score
+       |  FROM cand0 c0
+       |  JOIN codes k ON k.vec_id = c0.vec_id
+       |  JOIN lut l ON l.q_id = c0.q_id AND l.sub = k.sub AND l.cell = k.code
+       |  GROUP BY c0.q_id, c0.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM adc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= 20),
+       |$pqRerankAnnSql,
+       |$recallTailSql""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "s10_ivfpq_recall" -> (s10 _),
     "s9_pq_recall" -> (s9 _),
     "s8_kmeans" -> (s8 _),
     "s7_sq8_recall" -> (s7 _),
@@ -998,6 +1116,7 @@ object Knn {
     "s6_ivf_recall" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    "s10_ivfpq_recall" -> s10Sql,
     "s9_pq_recall" -> s9Sql,
     "s8_kmeans" -> s8Sql,
     "s7_sq8_recall" -> s7Sql,

@@ -426,6 +426,23 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("s10 IVF+PQ composes the cell restriction before ADC — probed cells only") {
+    val p = plan("s10_ivfpq_recall")
+    // the candidate set is generated by the cell equi-join
+    // (assigned_cell = probe_cell) and flows INTO the code/LUT joins —
+    // vectors outside probed cells are never ADC-scored. The join is
+    // visible in the plan; the ORACLE pins the semantics (scoring
+    // unprobed cells would change the ADC top-20 and fail the compare).
+    val cellJoin = p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("probe_cell") && l.contains("assigned_cell"))
+    assert(cellJoin, s"no (assigned_cell = probe_cell) join in:\n$p")
+    // ranking through heaps; the only Window is the tiny query-side
+    // probe-cell rank (5 query rows × ncells, the s4/s6 pin)
+    assert(p.contains("TopKPerKey"), p)
+    assert("Window \\[".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s6 IVF recall ranks through heaps; only the probe-cell window survives") {
     val p = plan("s6_ivf_recall")
     // both s1 (truth) and s4 (IVF) rank candidates through TopKPerKey;
