@@ -46,8 +46,21 @@ object GenAI {
       |    CASE WHEN doc_id % 53 = 0 THEN 'Internal server error' ELSE NULL END AS error_message
       |  FROM reqs)""".stripMargin
 
+  /** Deterministic layout for CORPUS-SIZED per-document outputs
+    * (VERDICT r10 #8): `sortWithinPartitions`, NOT `orderBy`. A global
+    * sort over a result proportional to the corpus pays a full range
+    * exchange at 100 TB purely for presentation; within-partition
+    * order plus the shuffle's deterministic hash partitioning keeps
+    * run-to-run byte-identical output (DeterminismSpec), and the
+    * driver's oracle compare row-sorts both sides anyway (tools/
+    * parity.py `canon`), so ordering is a consumer concern — a bounded
+    * reader merges sorted partitions, never re-sorting globally.
+    * Bounded outputs (aggregates, top-k) keep their cheap orderBy. */
+  private def byDoc(df: DataFrame): DataFrame =
+    df.sortWithinPartitions(col("doc_id"))
+
   private def g1(s: SparkSession, d: String): DataFrame =
-    reqs(s, d).orderBy(col("doc_id"))
+    byDoc(reqs(s, d))
 
   private val g1Sql = ReqsCte +
     """
@@ -87,8 +100,7 @@ object GenAI {
       |FROM reqs GROUP BY 1 ORDER BY shard_id""".stripMargin
 
   private def g4(s: SparkSession, d: String): DataFrame =
-    Responses.parse(Simulator.respond(reqs(s, d)))
-      .orderBy(col("doc_id"))
+    byDoc(Responses.parse(Simulator.respond(reqs(s, d))))
 
   private val g4Sql = ParsedCte +
     """
@@ -98,10 +110,10 @@ object GenAI {
 
   private def g5(s: SparkSession, d: String): DataFrame = {
     val parsed = Responses.results(Responses.parse(Simulator.respond(reqs(s, d))))
-    parsed.join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+    byDoc(parsed
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("custom_id"), col("lang"), col("source"),
-        col("content").as("label"), col("prompt_tokens"))
-      .orderBy(col("doc_id"))
+        col("content").as("label"), col("prompt_tokens")))
   }
 
   private val g5Sql = ParsedCte +
@@ -201,11 +213,10 @@ object GenAI {
       // strip to the canonical unchunked form.
       concat(lit("data:image/png;base64,"),
         regexp_replace(base64(col("text").cast("binary")), "\r\n", "")).as("data_url"))
-    Requests.visualRequests(items)
+    byDoc(Requests.visualRequests(items)
       .select(col("custom_id"), col("doc_id"), col("prompt_text"),
         col("data_url"), col("max_completion_tokens"), col("temperature"),
-        col("response_format_type"))
-      .orderBy(col("doc_id"))
+        col("response_format_type")))
   }
 
   private val g9Sql =
@@ -219,8 +230,7 @@ object GenAI {
 
   /** Vertex-backend request records (the reference's second engine). */
   private def g10(s: SparkSession, d: String): DataFrame =
-    VertexRequests.generateContentRequests(Tables.documents(s, d))
-      .orderBy(col("doc_id"))
+    byDoc(VertexRequests.generateContentRequests(Tables.documents(s, d)))
 
   private val g10Sql =
     """SELECT doc_id,
@@ -412,7 +422,7 @@ object GenAI {
       .select(col("doc_id"), col("phase"), col("disposition"), col("content"),
         col("error_message"), col("prompt_tokens"), col("completion_tokens"),
         col("run_status"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id")) // corpus-sized: see byDoc
   }
 
   /** Oracle: the workflow end state recomputed relationally — phase
@@ -472,10 +482,9 @@ object GenAI {
     val r = reqs(s, d)
     val failed = Responses.errors(Responses.parse(Simulator.respond(r)))
       .select(col("doc_id"))
-    r.join(failed, Seq("doc_id"))
+    byDoc(r.join(failed, Seq("doc_id"))
       .withColumn("custom_id", concat(lit("retry-1-"), col("doc_id").cast("string")))
-      .withColumn("attempt", lit(2L))
-      .orderBy(col("doc_id"))
+      .withColumn("attempt", lit(2L)))
   }
 
   private val g12Sql = ParsedCte +

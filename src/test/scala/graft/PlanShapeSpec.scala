@@ -269,6 +269,18 @@ class PlanShapeSpec extends SparkSpec {
       s"scan read $numFiles of $stagedFiles staged files — pruning not observed")
   }
 
+  test("corpus-sized per-doc outputs carry no global Sort (g5/g14)") {
+    // VERDICT r10 #8: the deterministic-compare ordering on outputs
+    // proportional to the corpus is sortWithinPartitions — a global
+    // Sort there is a full range exchange paid for presentation. The
+    // local sort prints as "Sort [...], false" (global=false).
+    for (q <- Seq("g5_result_join", "g14_workflow_run")) {
+      val p = plan(q)
+      val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
+      assert(globalSorts == 0, s"$q has $globalSorts global Sort node(s):\n$p")
+    }
+  }
+
   test("q32 outer joins are shuffle equi-joins: no nested-loop, no broadcast fact") {
     val p = plan("q32_outer_join")
     // an equi full outer must never degrade to a nested-loop broadcast
