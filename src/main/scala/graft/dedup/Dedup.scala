@@ -164,7 +164,8 @@ object Dedup {
     // bucket-size cap via groupBy+join, NOT count().over(Window): a
     // window partition is a whole band bucket buffered in one task —
     // exactly the adversarial case the cap exists for. The aggregate
-    // does map-side partials and the join back is AQE-skew-splittable.
+    // does map-side partials; a hot bucket in the (AQE-skew-exempt,
+    // SkewSpec) fused join-back is already bounded by the cap itself.
     val okBuckets = flong.groupBy(col("band_id"), col("bkey"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= MaxBandBucket)
@@ -337,9 +338,11 @@ object Dedup {
     * count().over(Window.partitionBy(simhash)): a window partition is a
     * whole identical-signature dup family buffered in ONE task (a
     * templated corpus at 100× has million-doc families), while the
-    * aggregate does map-side partials and the join back on simhash is
-    * AQE-skew-splittable. Both branches shuffle the same sigs subtree
-    * by simhash, so exchange reuse covers the second reference.
+    * aggregate does map-side partials; the fused join-back is
+    * AQE-skew-exempt (SkewSpec), so a million-doc hot signature is
+    * [[graft.operators.Salted.lookupJoin]]'s case. Both branches
+    * shuffle the same sigs subtree by simhash, so exchange reuse
+    * covers the second reference.
     */
   private def d3(s: SparkSession, d: String): DataFrame = {
     val sigs = simhashSigs(s, d)

@@ -42,6 +42,42 @@ object Salted {
       .agg(sum(col("__partial")).as(resultName))
   }
 
+  /** Skew-proof dictionary lookup: inner equi-join of a corpus-sized
+    * `fact` against a `dict` whose keys are UNIQUE, where one fact key
+    * may be hot (a stopword token, a boilerplate n-gram).
+    *
+    * Why not AQE: OptimizeSkewedJoin's pattern requires BOTH join
+    * inputs to be bare shuffle stages; when the dictionary is an
+    * aggregate whose `hashpartitioning(key)` feeds the join directly —
+    * the df join-back shape in t12/t14/d14 — the rule never matches
+    * and the hot partition is NOT split (observed in SkewSpec: a
+    * constructed stopword corpus leaves the fused join unsplit while
+    * the same data in a scan-level join splits fine). Forcing an
+    * extra ENSURE_REQUIREMENTS exchange on the dictionary would
+    * re-enable AQE, but for a corpus-sized dictionary (d14's gram df)
+    * that exchange costs a second near-fact-scale shuffle on EVERY
+    * run to cover the occasional hot key.
+    *
+    * This is the deterministic alternative: replicate each dictionary
+    * row across `salt` sub-keys and shuffle the fact on (key, salt) —
+    * the hot key's probe rows spread over `salt` reducers while the
+    * dictionary side grows by the bounded factor `salt`. The salt is
+    * derived from a deterministic fact expression (not rand()), so
+    * results are reproducible and retries safe. Inner-join-equivalent
+    * to `fact.join(dict, key)` whenever dict keys are unique (each
+    * fact row meets exactly one (key, salt) dictionary copy).
+    */
+  def lookupJoin(fact: DataFrame, dict: DataFrame, key: String,
+      saltBy: Column, salt: Int = 16): DataFrame = {
+    requireAbsent(fact, Seq("__salt"))
+    requireAbsent(dict, Seq("__salt"))
+    val replicated = dict.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    fact.withColumn("__salt", pmod(hash(saltBy), lit(salt)))
+      .join(replicated, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
   /** [[sumByKey]] generalized to a row count plus several summed
     * measures at once (same two-phase shape, one salted shuffle for
     * all of them). Counts re-sum and sums re-sum, so any measure whose

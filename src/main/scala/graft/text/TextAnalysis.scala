@@ -157,8 +157,10 @@ object TextAnalysis {
     * .partitionBy(fp)) — a window partition is a whole identical-text
     * dup family buffered in ONE task (a templated corpus at 100× has
     * million-doc families), while the aggregate does map-side partials
-    * and the join back on fp is AQE-skew-splittable (the same d3
-    * de-windowing, applied to the exact-dup counter).
+    * (the same d3 de-windowing, applied to the exact-dup counter).
+    * NOTE the agg-fused join-back is structurally exempt from AQE's
+    * skew split (SkewSpec); a million-doc hot fp family is
+    * [[graft.operators.Salted.lookupJoin]]'s case.
     */
   private def t4(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(
@@ -501,8 +503,10 @@ object TextAnalysis {
     * shuffle carries vocabulary-sized partial counts, the final
     * shuffle document-sized rows); the join-back is a shuffle
     * equi-join on the token key — NOT a broadcast of the DF table,
-    * which at web scale is billions of distinct tokens — and hot
-    * ubiquitous tokens are exactly the AQE skew-join case. The only
+    * which at web scale is billions of distinct tokens. A hot
+    * ubiquitous token is NOT covered by AQE here (the fused df-agg
+    * join-back is exempt from OptimizeSkewedJoin — SkewSpec); the
+    * mitigation is [[graft.operators.Salted.lookupJoin]]. The only
     * broadcast is the one-row corpus count (same scalar pattern as
     * d12/d13's max-id). Everything stays integer until the final
     * per-row division, so the oracle compare is exact (no cross-row
@@ -567,8 +571,9 @@ object TextAnalysis {
     *
     * Scale shape: tf and df are map-side-partial aggregates; the
     * df join-back is the t12/d14 shuffle equi-join on the token key
-    * (never a vocabulary broadcast; hot stopword tokens are the AQE
-    * skew case); the corpus count is the one-row scalar broadcast;
+    * (never a vocabulary broadcast; a hot stopword token needs
+    * [[graft.operators.Salted.lookupJoin]] — the fused join-back is
+    * AQE-skew-exempt, see SkewSpec); the scalar corpus count broadcasts;
     * and per-doc top-5 runs on TopKPerKey's partial+final bounded
     * heaps — no window ever sees a document's full vocabulary.
     * Ties (same score) break by token ascending in both engines.
