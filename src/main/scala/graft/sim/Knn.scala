@@ -505,6 +505,20 @@ object Knn {
     * unrolled oracle stays cheap at the sf0.01 gate. */
   private val KmeansMaxRounds = 40
 
+  /** Deterministic k-means TRAINING-SAMPLE bound: the Lloyd loop
+    * trains on `vec_id < KmeansTrainCap` and only the final
+    * [[argminCell]] projection touches the full corpus — the sampling
+    * split s8's scaladoc always argued for, now implemented rather
+    * than deferred to "at 100 TB". At oracle scale (sf ≤ 0.1 has
+    * vec_id < 2000) the filter is the identity, so the oracle's
+    * values are unchanged; at sf1 (10×) the un-sampled loop needed
+    * 190 rounds to reach the exact fixpoint (near-boundary membership
+    * churn grows with corpus density) — unbounded rounds-to-fixpoint
+    * is exactly what a bounded train sample exists to prevent, and a
+    * fixed-size sample keeps the round count (and the oracle's
+    * fixed-depth unrolling) scale-independent. */
+  private[graft] val KmeansTrainCap = 2000L
+
   /** k-means seeds: the per-label nano-mean centroids
     * ([[centroidArrays]] — exactly s3/s4's index cells), so s8 IS the
     * refinement step a real IVF build runs on top of its initial
@@ -649,12 +663,15 @@ object Knn {
     // scan + repartition through a fresh lineage measured ~2x the whole
     // loop's cost; rounds read the checkpointed partitions instead
     val eMat = e.localCheckpoint()
+    // seeds + train loop run on the bounded deterministic sample
+    // (see KmeansTrainCap); only finalAssign touches the full corpus
+    val eTrain = eMat.filter(col("vec_id") < KmeansTrainCap)
     // the train-loop view: primitive float arrays, persisted so each
     // round is one cache-read aggregate (see lloydRound)
-    val vecs = eMat.select(col("embedding")).rdd
+    val vecs = eTrain.select(col("embedding")).rdd
       .map(_.getSeq[Float](0).toArray)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cent = collectCent(kmeansSeeds(eMat))
+    var cent = collectCent(kmeansSeeds(eTrain))
     var converged = false
     var iter = 0
     while (!converged && iter < KmeansMaxRounds) {
@@ -730,18 +747,23 @@ object Knn {
     // c/a CTEs are MATERIALIZED too: c{r} is referenced twice (by
     // c{r+1} and a{r}), so default inlining doubles the expression
     // tree per round — 2^25 blowup, the planner never returns.
+    // tr = the bounded deterministic train sample (identity at oracle
+    // scale — see KmeansTrainCap); every training CTE reads tr, and
+    // only the final full-corpus assignment afin reads emb
     sb.append(
       s"""WITH emb AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings),
+         |tr AS MATERIALIZED (SELECT vec_id, embedding, label FROM emb
+         |  WHERE vec_id < $KmeansTrainCap),
          |c0 AS (
          |  SELECT cell, list(c ORDER BY i) AS carr FROM (
          |    SELECT CAST(label AS BIGINT) AS cell, g.i,
          |      CAST(SUM(CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
          |        / (1e9 * COUNT(*)) AS c
-         |    FROM emb, generate_series(1, 64) AS g(i) GROUP BY label, g.i)
+         |    FROM tr, generate_series(1, 64) AS g(i) GROUP BY label, g.i)
          |  GROUP BY cell),
          |a0 AS (
          |  SELECT e.vec_id, c.cell, ${dist("c.carr")} AS dist
-         |  FROM emb e CROSS JOIN c0 c
+         |  FROM tr e CROSS JOIN c0 c
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cell) = 1)""".stripMargin)
     for (r <- 1 to KmeansMaxRounds) {
       sb.append(
@@ -750,7 +772,7 @@ object Knn {
            |  SELECT a.cell, g.i,
            |    CAST(SUM(CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
            |      / (1e9 * COUNT(*)) AS c
-           |  FROM a${r - 1} a JOIN emb e ON e.vec_id = a.vec_id,
+           |  FROM a${r - 1} a JOIN tr e ON e.vec_id = a.vec_id,
            |       generate_series(1, 64) AS g(i)
            |  GROUP BY a.cell, g.i),
            |c$r AS MATERIALIZED (
@@ -760,14 +782,18 @@ object Knn {
            |    ON n.cell = p.cell),
            |a$r AS MATERIALIZED (
            |  SELECT e.vec_id, c.cell, ${dist("c.carr")} AS dist
-           |  FROM emb e CROSS JOIN c$r c
+           |  FROM tr e CROSS JOIN c$r c
            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cell) = 1)""".stripMargin)
     }
     sb.append(
-      s"""
+      s""",
+         |afin AS (
+         |  SELECT e.vec_id, c.cell, ${dist("c.carr")} AS dist
+         |  FROM emb e CROSS JOIN c$KmeansMaxRounds c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cell) = 1)
          |SELECT cell, COUNT(*) AS n_members, MIN(vec_id) AS min_vec_id,
          |  CAST(SUM(CAST(round(dist * 1e9) AS BIGINT)) AS BIGINT) AS sum_dist_nano
-         |FROM a$KmeansMaxRounds GROUP BY cell ORDER BY cell""".stripMargin)
+         |FROM afin GROUP BY cell ORDER BY cell""".stripMargin)
     sb.toString
   }
 
