@@ -38,7 +38,7 @@ object Analytics {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
       |  COUNT(*) AS count_order
@@ -1105,7 +1105,49 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY grp""".stripMargin
 
+  /** q33: UNPIVOT (wide→long melt) — the inverse of q19's pivot and
+    * the last relational reshaping verb in the surface: four measure
+    * columns melt into (measure, value) rows, then aggregate per
+    * (returnflag, measure). Uses `Dataset.unpivot` — ONE Expand node
+    * over ONE scan of the fact (plan-pinned), where the naive
+    * formulation (what the oracle SQL spells) re-scans the table once
+    * per measure: at 100 TB that is a 4× scan-cost difference for an
+    * identical result. Sums go through [[Exact.dsum2]] (all four
+    * measures are 2-dp-exact doubles) and the mean is the exact sum
+    * divided by the exact count — both engines divide identical
+    * operands, so the doubles compare bit-identically.
+    */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+    li.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum2(col("value")).as("sum_value"),
+        max(col("value")).as("max_value"))
+      .withColumn("avg_value", col("sum_value") / col("n"))
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  private val q33Sql =
+    """WITH u AS (
+      |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      |SELECT l_returnflag, measure, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  MAX(value) AS max_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM u GROUP BY 1, 2
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q33_unpivot" -> (q33 _),
     "q32_outer_join" -> (q32 _),
     "q31_grouping_sets" -> (q31 _),
     "q30_salted_agg" -> (q30 _),
@@ -1142,6 +1184,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q33_unpivot" -> q33Sql,
     "q32_outer_join" -> q32Sql,
     "q31_grouping_sets" -> q31Sql,
     "q30_salted_agg" -> q30Sql,

@@ -245,7 +245,17 @@ object TextAnalysis {
     * already-graded plan of its source query; the join keys are unique
     * so AQE picks shuffle or broadcast by actual size.
     */
-  private def t7(s: SparkSession, d: String): DataFrame = {
+  private def t7(s: SparkSession, d: String): DataFrame =
+    keepVerdict(s, d)
+      .select(col("doc_id"), (col("drop_reason") === "").as("keep"), col("drop_reason"))
+      .orderBy(col("doc_id"))
+
+  /** t7's verdict relation WITHOUT the presentation projection/sort:
+    * one row per document with its first-failing drop reason (`""` =
+    * keep). Factored out so t15's composed pipeline consumes the
+    * SAME verdict the t7 oracle checks — one rule set, two consumers.
+    */
+  private[graft] def keepVerdict(s: SparkSession, d: String): DataFrame = {
     val quality = t2(s, d).select(col("doc_id"), col("quality_bucket"))
     val rep = t6(s, d).select(col("doc_id"), col("repetitive"))
     val fps = Tables.documents(s, d)
@@ -259,8 +269,6 @@ object TextAnalysis {
           .when(col("quality_bucket") === "low", lit("low_quality"))
           .when(col("repetitive"), lit("repetitive"))
           .otherwise(lit("")))
-      .select(col("doc_id"), (col("drop_reason") === "").as("keep"), col("drop_reason"))
-      .orderBy(col("doc_id"))
   }
 
   private val t7Sql =
@@ -613,6 +621,135 @@ object TextAnalysis {
       |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) <= 5
       |ORDER BY doc_id, score DESC, tok""".stripMargin
 
+  /** t15: the composed corpus-curation pipeline — the end-to-end DAG a
+    * training-data team actually ships, as ONE oracle-checked query:
+    * t7's keep/drop verdict (exact-dup keeper + quality gate +
+    * repetition gate) → t9's deterministic mixture sampling → t8's
+    * stable train/val/test split → t10's sequence packing, run
+    * per-split over the surviving documents. Output: every document
+    * that makes it into the training corpus, with its split, its
+    * global token offset WITHIN that split and the training-sequence
+    * id it lands in. Each stage is the already-oracle-checked rule of
+    * its source query (keepVerdict is shared with t7 verbatim; the
+    * mixture/split hash rules are t9/t8's expressions; the packing is
+    * t10's two-level prefix sum with `split` prepended to both
+    * partition keys), so this query pins the COMPOSITION — stage
+    * wiring, filter ordering, per-split offset isolation — not new
+    * per-stage semantics.
+    *
+    * Scale shape: one corpus scan feeds the verdict's three signal
+    * pipelines (equi-joined on unique doc_id), the sampling/split
+    * gates are per-row hash predicates fused into the scan projection,
+    * and the per-split prefix sum stays two-level bucketed — the
+    * bucket-offset window reads |splits|·√n metadata rows and every
+    * within-bucket cumsum partition holds ≤ √n docs (t10's argument,
+    * per split). No stage widens: the pipeline's cost is the sum of
+    * its stages', all of which are individually plan-graded.
+    */
+  private def t15(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val kept0 = keepVerdict(s, d).filter(col("drop_reason") === "").select("doc_id")
+    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    val weight = (lit(1) + srcNum % 4).cast("double") / 4.0
+    val thresh = when(col("mix_weight") === 0.25, lit("4000"))
+      .when(col("mix_weight") === 0.5, lit("8000"))
+      .when(col("mix_weight") === 0.75, lit("c000"))
+      .otherwise(lit("g")) // > any hex digit: keep-all
+    val sampled = docs
+      .select(col("doc_id"), col("source"), weight.as("mix_weight"),
+        tokenCount(col("text")).as("n_tokens"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2).as("h2"))
+      .filter(substring(md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 4) < thresh)
+      .join(kept0, Seq("doc_id"))
+      .withColumn("split",
+        when(col("h2") < "cd", lit("train"))
+          .when(col("h2") < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
+    // t10's two-level prefix sum with `split` prepended to both stages'
+    // keys: offsets are per-split, buckets stay ~√n by doc_id range
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val packBucket = derivePackBucket(maxId)
+    val base = sampled.withColumn("pbucket", expr(s"doc_id div $packBucket"))
+    val bsums = base.groupBy(col("split"), col("pbucket")).agg(sum(col("n_tokens")).as("btok"))
+    val boffsets = bsums.withColumn("boffset", coalesce(
+        sum(col("btok")).over(Window.partitionBy(col("split")).orderBy(col("pbucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("split"), col("pbucket"), col("boffset"))
+    val local = Window.partitionBy(col("split"), col("pbucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(boffsets), Seq("split", "pbucket"))
+      .withColumn("tok_offset", col("boffset") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .withColumn("seq_id", expr(s"tok_offset div $PackTokens"))
+      .select(col("doc_id"), col("source"), col("split"), col("n_tokens"),
+        col("tok_offset"), col("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t15Sql =
+    s"""WITH m AS (SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_extract_all(text, '\\b(the|a|an|of|and|in|to)\\b')) AS BIGINT) AS n_stop,
+      |    CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+      |    CAST(length(regexp_extract_all(text, '[.,;:!?'']')) AS BIGINT) AS n_punct
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |    CASE WHEN (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 + (CAST(n_alpha AS DOUBLE) / n_chars) * 0.3
+      |              - (CAST(n_punct AS DOUBLE) / n_chars) * 0.2 >= 0.35 THEN 'high'
+      |         WHEN (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 + (CAST(n_alpha AS DOUBLE) / n_chars) * 0.3
+      |              - (CAST(n_punct AS DOUBLE) / n_chars) * 0.2 >= 0.3 THEN 'medium'
+      |         ELSE 'low' END AS quality_bucket
+      |  FROM m),
+      |toks AS (
+      |  SELECT doc_id, t.tok FROM documents,
+      |    unnest(regexp_extract_all(text, '\\S+')) AS t(tok)),
+      |pertok AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+      |rep AS (
+      |  SELECT doc_id,
+      |    (CAST(COUNT(*) AS DOUBLE) / SUM(c) < 0.5
+      |      OR CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.2) AS repetitive
+      |  FROM pertok GROUP BY doc_id),
+      |dup AS (
+      |  SELECT doc_id,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM documents),
+      |verdict AS (
+      |  SELECT q.doc_id,
+      |    CASE WHEN NOT keeper THEN 'exact_dup'
+      |         WHEN quality_bucket = 'low' THEN 'low_quality'
+      |         WHEN repetitive THEN 'repetitive'
+      |         ELSE '' END AS drop_reason
+      |  FROM q JOIN rep ON q.doc_id = rep.doc_id JOIN dup ON q.doc_id = dup.doc_id),
+      |w AS (SELECT doc_id, source,
+      |    (1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4) / CAST(4 AS DOUBLE) AS mix_weight,
+      |    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+      |  FROM documents),
+      |kept AS (
+      |  SELECT w.doc_id, w.source,
+      |    CASE WHEN h2 < 'cd' THEN 'train'
+      |         WHEN h2 < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    w.n_tokens
+      |  FROM w JOIN verdict v ON v.doc_id = w.doc_id
+      |  WHERE v.drop_reason = ''
+      |    AND substring(md5(w.source || ':' || w.doc_id), 1, 4) <
+      |      CASE WHEN mix_weight = 0.25 THEN '4000'
+      |           WHEN mix_weight = 0.5 THEN '8000'
+      |           WHEN mix_weight = 0.75 THEN 'c000'
+      |           ELSE 'g' END),
+      |o AS (SELECT doc_id, source, split, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      |  FROM kept)
+      |SELECT doc_id, source, split, n_tokens, tok_offset,
+      |  tok_offset // $PackTokens AS seq_id
+      |FROM o ORDER BY doc_id""".stripMargin
+
   /** BPE-ish tokenizer regex: GPT-2's pre-tokenizer shape (contraction
     * suffixes, space-prefixed letter/digit runs, punctuation runs)
     * with letter runs capped at 4 chars and digit runs at 3 — the
@@ -653,6 +790,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, QFn] = Map(
+    "t15_curate_pipeline" -> (t15 _),
     "t13_bpe_tokens" -> (t13 _),
     "t12_doc_frequency" -> (t12 _),
     "t14_tfidf_top" -> (t14 _),
@@ -669,6 +807,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t15_curate_pipeline" -> t15Sql,
     "t13_bpe_tokens" -> t13Sql,
     "t12_doc_frequency" -> t12Sql,
     "t14_tfidf_top" -> t14Sql,

@@ -9,7 +9,11 @@ class BudgetsSpec extends AnyFunSuite {
 
   private lazy val mdRows: Map[String, Double] = {
     val src = scala.io.Source.fromFile("BASELINE.md", "UTF-8")
+    // the budget table ends where the sf1 scaling-sweep section starts
+    // — that section's per-query table has the same row shape but its
+    // last column is a ratio, not a budget
     try src.getLines()
+      .takeWhile(!_.startsWith("## sf1"))
       .filter(l => l.startsWith("| ") && !l.startsWith("| query") && !l.startsWith("|--"))
       .map(_.split("\\|").map(_.trim))
       .collect { case cols if cols.length >= 5 => cols(1) -> cols(4).toDouble }

@@ -32,7 +32,7 @@ class DeterminismSpec extends SparkSpec {
     "st10_stream_bloom", "q30_salted_agg", "m6_perceptual_hash",
     "t14_tfidf_top", "q31_grouping_sets",
     // round-11 additions
-    "q32_outer_join", "s10_ivfpq_recall")
+    "q32_outer_join", "s10_ivfpq_recall", "t15_curate_pipeline")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

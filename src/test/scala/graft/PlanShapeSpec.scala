@@ -463,4 +463,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p)
     assert("Window \\[".r.findAllIn(p).size <= 1, p)
   }
+
+  test("q33 unpivot melts through one Expand over one scan — not a 4x union re-scan") {
+    val p = plan("q33_unpivot")
+    // Dataset.unpivot plans an Expand (one scan, rows multiplied
+    // in-operator); the union-of-projections formulation the oracle
+    // SQL spells would scan the fact once per measure — 4x the scan
+    // cost at 100 TB for an identical result
+    assert(p.contains("Expand"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Union"), p)
+    // the aggregate on top keeps map-side partials
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
+  test("t15 pipeline packs per split through bucketed windows, bucket offsets broadcast") {
+    val p = plan("t15_curate_pipeline")
+    // the per-split prefix sum must stay two-level: every Window that
+    // orders by doc_id has pbucket in its partition spec (a flat
+    // PARTITION BY split ORDER BY doc_id window would put a whole
+    // split — most of the corpus — into one task), and the only other
+    // window is the metadata-sized bucket-offset scan (split, pbucket)
+    val wspecs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(wspecs.nonEmpty, p)
+    for (w <- wspecs if w.contains("doc_id#"))
+      assert(w.contains("pbucket#"), s"corpus-wide ordered window:\n$w\n$p")
+    // the bucket-offset relation is metadata-sized and must broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the verdict joins stay equi-joins on doc_id (t7's pin holds
+    // through the composition)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
