@@ -422,4 +422,29 @@ class DedupPlanSpec extends SparkSpec {
       assert(st10 == d17, s"st10 diverged from d17 after a width change: $st10 vs $d17")
     } finally spark.conf.unset("graft.bloom.bits")
   }
+
+  test("d18 semantic dedup: planted near-dups dominated by their source, blocked join, no window") {
+    val df = SparkEntry.queries("d18_semdedup")(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0),
+      r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val (planted, orig) = rows.partition(_._1 >= 1000000L)
+    assert(orig.length == 500 && planted.length == 50,
+      s"expected 500 originals + 50 planted copies, got ${orig.length}/${planted.length}")
+    // no original is ever flagged: dominance points planted -> source
+    assert(orig.forall(!_._2), "an original was flagged as a semantic dup")
+    // every FLAGGED planted copy names its exact source as dominator
+    // (the corpus's natural pairwise cosine tops out far below tau)
+    planted.filter(_._2).foreach { case (id, _, dupOf) =>
+      assert(dupOf == id - 1000000L, s"planted $id dominated by $dupOf, not its source")
+    }
+    // LSH recall: a plant is missed ONLY when the perturbation flips a
+    // sign-bucket bit; most survive (measured 45/50 at sf0.01)
+    val found = planted.count(_._2)
+    assert(found >= 40, s"semantic-dup recall collapsed: only $found/50 planted copies found")
+    // plan: blocked shuffle join (never a corpus broadcast), no Window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected the bucket-blocked shuffle join:\n$plan")
+    assert(!plan.contains("Window"), s"dominance must be an aggregate, not a window:\n$plan")
+  }
 }

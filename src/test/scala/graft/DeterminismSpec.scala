@@ -32,7 +32,8 @@ class DeterminismSpec extends SparkSpec {
     "st10_stream_bloom", "q30_salted_agg", "m6_perceptual_hash",
     "t14_tfidf_top", "q31_grouping_sets",
     // round-11 additions
-    "q32_outer_join", "s10_ivfpq_recall", "t15_curate_pipeline")
+    "q32_outer_join", "s10_ivfpq_recall", "t15_curate_pipeline",
+    "d18_semdedup")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {
