@@ -477,6 +477,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial"), p)
   }
 
+  test("q34 compaction is a map-side-combining aggregate — no window, no per-key sort") {
+    val p = plan("q34_compact_latest")
+    // the row_number-over-key formulation the oracle spells would
+    // shuffle every change row and sort each key's history; the
+    // max(struct) aggregate must keep partial (map-side) stages and
+    // plan zero Window/Sort-by-key operators
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial"), p)
+    // exactly one exchange: the final per-key merge
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("t15 pipeline packs per split through bucketed windows, bucket offsets broadcast") {
     val p = plan("t15_curate_pipeline")
     // the per-split prefix sum must stay two-level: every Window that
