@@ -669,7 +669,87 @@ object StreamingOps {
 
   private val st10Sql = graft.dedup.Dedup.oracles("d17_bloom_admit")
 
+  /** st11: streaming CDC compaction — q34's latest-record-per-key
+    * rule maintained as a foreachBatch-materialized view over the
+    * REAL multi-batch regime (4 staged files, maxFilesPerTrigger=1).
+    * Each micro-batch is first compacted DOWN to one candidate row per
+    * key (q34's map-side-combining `max(struct)` aggregate — the
+    * exchange never moves the changelog), then merged with the
+    * previous store version by the same aggregate; `n_events` merges
+    * by sum. Because latest-wins is associative and commutative, the
+    * final store is batching-invariant — the spec pins st11 == q34
+    * row-for-row — and the oracle is q34's window-formulation SQL
+    * verbatim (the st9 ↔ d12 lockstep pattern).
+    *
+    * Exactly-once across restarts WITHOUT driver state: batch b always
+    * merges `store/v(b-1)` (derived from the checkpoint's batch id,
+    * not from in-memory bookkeeping) and overwrites its own
+    * `store/v(b)` — a replayed batch rewrites its own version from the
+    * same inputs, the IdempotentSink discipline applied to a
+    * read-modify-write view.
+    *
+    * Scale: the per-batch merge rewrites the whole store — the honest
+    * cost of a parquet-only materialized view. The production levers
+    * are (a) partition/bucket the store by the key (q27's layout) so a
+    * batch rewrites only buckets containing changed keys, or (b) a
+    * merge-on-read table format; the per-batch aggregate itself is
+    * already the scale-correct shape (one candidate row per key per
+    * input partition reaches the merge).
+    */
+  private def st11(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val stream = eventsStreamMulti(s, d, 4)
+    val store = Files.createTempDirectory("graft_st11_store_")
+    val ckpt = Files.createTempDirectory("graft_st11_ckpt_")
+    def compactBatch(df: DataFrame): DataFrame =
+      df.select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_id"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("tus"), col("event_id"), col("event_type"), col("value")))
+            .as("last"),
+          count(lit(1)).as("n_events"))
+    s.streams.active.filter(_.name == "graft_st11").foreach(_.stop())
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamPartitions(s))
+    try {
+      val q = stream.writeStream.queryName("graft_st11")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val agg = compactBatch(batch)
+          val prevV = store.resolve(s"v${batchId - 1}")
+          val merged =
+            if (Files.exists(prevV))
+              agg.unionByName(batch.sparkSession.read.parquet(prevV.toString))
+                .groupBy(col("user_id"))
+                .agg(max(col("last")).as("last"), sum(col("n_events")).as("n_events"))
+            else agg
+          merged.write.mode("overwrite").parquet(store.resolve(s"v$batchId").toString)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val lastV = {
+      val l = Files.list(store)
+      try l.filter(p => p.getFileName.toString.startsWith("v"))
+        .max(java.util.Comparator.comparingLong(p =>
+          p.getFileName.toString.drop(1).toLong))
+        .orElseThrow(() => new IllegalStateException("st11 store is empty"))
+      finally l.close()
+    }
+    s.read.parquet(lastV.toString)
+      .select(col("user_id"), col("last.tus").as("last_tus"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"), col("n_events"))
+      .sortWithinPartitions(col("user_id"))
+  }
+
+  private val st11Sql = graft.analytics.Analytics.oracles("q34_compact_latest")
+
   val queries: Map[String, QFn] = Map(
+    "st11_stream_compact" -> (st11 _),
     "st10_stream_bloom" -> (st10 _),
     "st9_stream_admit" -> (st9 _),
     "st8_stream_multibatch" -> (st8 _),
@@ -682,6 +762,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st11_stream_compact" -> st11Sql,
     "st10_stream_bloom" -> st10Sql,
     "st9_stream_admit" -> st9Sql,
     "st8_stream_multibatch" -> st8Sql,

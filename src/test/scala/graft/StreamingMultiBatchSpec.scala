@@ -90,4 +90,16 @@ class StreamingMultiBatchSpec extends SparkSpec {
     assert(batches.count(_ > 0) >= 3,
       s"expected >= 3 data micro-batches, got input-row trace $batches")
   }
+
+  test("st11 incremental compaction over 4 micro-batches equals the one-shot q34 compaction") {
+    // latest-wins is associative+commutative, so the foreachBatch
+    // merge must land on exactly the batch answer whatever the
+    // file/trigger split — the materialized-view correctness claim
+    val st11 = SparkEntry.queries("st11_stream_compact")(spark, sf)
+      .orderBy("user_id").collect().toSeq
+    val q34 = SparkEntry.queries("q34_compact_latest")(spark, sf)
+      .orderBy("user_id").collect().toSeq
+    assert(st11 == q34, "st11 incremental merge diverged from the one-shot compaction")
+    assert(st11.nonEmpty)
+  }
 }
