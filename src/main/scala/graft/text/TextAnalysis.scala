@@ -789,7 +789,101 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** PII patterns shared verbatim by the Spark query and the DuckDB
+    * oracle. Deliberately RE2-safe (no lookaround, no backreferences)
+    * and ambiguity-free under both leftmost-FIRST (Java) and
+    * leftmost-LONGEST (RE2) matching: every quantifier's extent is
+    * forced by the surrounding literals, so the two engines find the
+    * same spans — which is what lets the oracle check the real
+    * redaction output, not a proxy.
+    */
+  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private[graft] val Ipv4Pat =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val SsnPat = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** t16: PII detection + redaction — the scrub every training corpus
+    * runs before anything else sees the text (emails, phone numbers,
+    * IPv4 addresses, SSN-shaped ids → typed placeholders, plus per-doc
+    * match counts for the audit trail). The synthetic corpus carries
+    * no natural PII, so the query PLANTS a deterministic tail derived
+    * from doc_id (one of each PII kind — the d12/d18 injection
+    * pattern) and then detects/redacts it with the generic patterns;
+    * the oracle builds the identical tail in SQL, so the compare
+    * checks the real regex machinery end-to-end (counts AND the
+    * redacted text itself).
+    *
+    * Redaction order is fixed (email → phone → IP → SSN) and safe by
+    * construction: placeholders contain no digits, so no earlier
+    * replacement can create or destroy a later pattern's match.
+    *
+    * Scale: pure per-row projection — zero shuffle, zero joins, all
+    * regexp work codegen'd inside one WholeStageCodegen over the scan
+    * (plan-pinned: no Exchange). At 100 TB this runs at scan speed and
+    * is embarrassingly parallel; the audit counts aggregate map-side
+    * if rolled up downstream.
+    */
+  private def t16(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    def pad(m: Int, w: Int) = lpad((id % m).cast("string"), w, "0")
+    val tail = concat(
+      lit(" contact user"), id.cast("string"),
+      lit("@example.com or call +1-555-"), pad(10000, 4),
+      lit(" from 10."), (id % 256).cast("string"),
+      lit("."), (expr("doc_id div 256") % 256).cast("string"),
+      lit(".7 ssn "), pad(1000, 3), lit("-"), pad(100, 2), lit("-"), pad(10000, 4))
+    val raw = concat(col("text"), tail)
+    Tables.documents(s, d)
+      .select(
+        id,
+        regexp_count(raw, lit(EmailPat)).cast("long").as("n_emails"),
+        regexp_count(raw, lit(PhonePat)).cast("long").as("n_phones"),
+        regexp_count(raw, lit(Ipv4Pat)).cast("long").as("n_ips"),
+        regexp_count(raw, lit(SsnPat)).cast("long").as("n_ssns"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(raw, EmailPat, "<EMAIL>"),
+              PhonePat, "<PHONE>"),
+            Ipv4Pat, "<IP>"),
+          SsnPat, "<ID>").as("redacted"))
+      .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ips") + col("n_ssns"))
+      .sortWithinPartitions(id)
+  }
+
+  private val t16Sql =
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com or call +1-555-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |      || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+       |      || '.7 ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |      || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+       |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(regexp_extract_all(t, '$EmailPat')) AS BIGINT) AS n_emails,
+       |  CAST(length(regexp_extract_all(t, '$PhonePat')) AS BIGINT) AS n_phones,
+       |  CAST(length(regexp_extract_all(t, '$Ipv4Pat')) AS BIGINT) AS n_ips,
+       |  CAST(length(regexp_extract_all(t, '$SsnPat')) AS BIGINT) AS n_ssns,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(t, '$EmailPat', '<EMAIL>', 'g'),
+       |        '$PhonePat', '<PHONE>', 'g'),
+       |      '$Ipv4Pat', '<IP>', 'g'),
+       |    '$SsnPat', '<ID>', 'g') AS redacted,
+       |  CAST(length(regexp_extract_all(t, '$EmailPat'))
+       |    + length(regexp_extract_all(t, '$PhonePat'))
+       |    + length(regexp_extract_all(t, '$Ipv4Pat'))
+       |    + length(regexp_extract_all(t, '$SsnPat')) AS BIGINT) AS n_pii
+       |FROM raw""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t16_pii_redact" -> (t16 _),
     "t15_curate_pipeline" -> (t15 _),
     "t13_bpe_tokens" -> (t13 _),
     "t12_doc_frequency" -> (t12 _),
@@ -807,6 +901,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t16_pii_redact" -> t16Sql,
     "t15_curate_pipeline" -> t15Sql,
     "t13_bpe_tokens" -> t13Sql,
     "t12_doc_frequency" -> t12Sql,

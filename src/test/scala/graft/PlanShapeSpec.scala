@@ -489,6 +489,31 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("t16 PII redaction is one shuffle-free codegen'd projection over the scan") {
+    val p = plan("t16_pii_redact")
+    // per-row scrub: any Exchange/join/aggregate here would mean the
+    // scan-speed claim is false at 100 TB
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(hasCodegen(p), p)
+  }
+
+  test("t16 redacted text carries no live PII span") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t16_pii_redact")(spark, sf)
+    val leaked = out.filter(
+      col("redacted").rlike(text.TextAnalysis.EmailPat) ||
+      col("redacted").rlike(text.TextAnalysis.PhonePat) ||
+      col("redacted").rlike(text.TextAnalysis.Ipv4Pat) ||
+      col("redacted").rlike(text.TextAnalysis.SsnPat)).count()
+    assert(leaked == 0L)
+    // every doc got exactly one planted instance of each kind
+    val bad = out.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1 ||
+      col("n_ips") =!= 1 || col("n_ssns") =!= 1 || col("n_pii") =!= 4).count()
+    assert(bad == 0L)
+  }
+
   test("t15 pipeline packs per split through bucketed windows, bucket offsets broadcast") {
     val p = plan("t15_curate_pipeline")
     // the per-split prefix sum must stay two-level: every Window that
