@@ -1146,6 +1146,71 @@ object Analytics {
       |FROM u GROUP BY 1, 2
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  /** q35: cohort retention — the canonical product-analytics matrix
+    * (cohort = month of a customer's FIRST order; for each cohort ×
+    * months-since-first, how many customers are still ordering, and
+    * what fraction of the cohort that is). Three shapes composed the
+    * way they should be at 100 TB:
+    *
+    *   1. first-order month: a map-side-partial `min` hash aggregate
+    *      on the customer key — never a window over order history;
+    *   2. cohort assignment: the fact re-joined to that per-customer
+    *      min. BOTH sides are corpus-proportional, so this is a
+    *      shuffle equi-join on the customer key, pinned by hint —
+    *      AQE would (correctly) broadcast only at toy scale, and the
+    *      plan asserted here is the one a 100 TB fact needs;
+    *   3. the retention matrix: count-distinct per (cohort, offset) —
+    *      bounded by months²; cohort size comes from `first` itself
+    *      (every customer is active at offset 0), so the fact is
+    *      scanned once and the size join-back broadcasts a
+    *      months-bounded relation (plan-pinned).
+    *
+    * Month arithmetic is integer-exact in both engines: months are
+    * compared as `year*12 + month` indexes (no float date math, no
+    * interval semantics to disagree on), and retention is a division
+    * of two exact longs — bit-identical doubles.
+    */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("mi")).as("cmi"))
+    // the per-customer table is corpus-proportional: the hint pins the
+    // shuffle join AQE would (correctly) broadcast only at toy scale
+    val act = o.join(first.hint("shuffle_hash"), Seq("o_custkey"))
+      .withColumn("months_since", (col("mi") - col("cmi")).cast("long"))
+      .groupBy(col("cmi"), col("months_since"))
+      .agg(countDistinct(col("o_custkey")).as("active_customers"))
+    // cohort size = customers whose first month IS the cohort (every
+    // customer is active at offset 0) — derived from `first` directly,
+    // so the fact is never re-scanned and `first`'s exchange is reused
+    val size = first.groupBy(col("cmi")).agg(count(lit(1)).as("cohort_size"))
+    act.join(broadcast(size), Seq("cmi"))
+      .select(
+        concat(lpad(expr("(cmi - 1) div 12").cast("string"), 4, "0"), lit("-"),
+          lpad((expr("(cmi - 1) % 12") + 1).cast("string"), 2, "0")).as("cohort_month"),
+        col("months_since"), col("active_customers"), col("cohort_size"),
+        (col("active_customers").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_month"), col("months_since"))
+  }
+
+  private val q35Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS mi
+      |  FROM orders),
+      |f AS (SELECT o_custkey, MIN(mi) AS cmi FROM o GROUP BY o_custkey),
+      |a AS (
+      |  SELECT cmi, CAST(mi - cmi AS BIGINT) AS months_since,
+      |    COUNT(DISTINCT o_custkey) AS active_customers
+      |  FROM o JOIN f USING (o_custkey)
+      |  GROUP BY 1, 2),
+      |c0 AS (SELECT cmi, COUNT(*) AS cohort_size FROM f GROUP BY cmi)
+      |SELECT lpad(CAST((a.cmi - 1) // 12 AS VARCHAR), 4, '0') || '-' ||
+      |    lpad(CAST((a.cmi - 1) % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+      |  a.months_since, a.active_customers, c0.cohort_size,
+      |  CAST(a.active_customers AS DOUBLE) / c0.cohort_size AS retention
+      |FROM a JOIN c0 USING (cmi)
+      |ORDER BY cohort_month, months_since""".stripMargin
+
   /** q34: CDC log compaction — the latest record per key, as an
     * AGGREGATE, never a window. The standard changelog shape
     * (`row_number() OVER (PARTITION BY key ORDER BY ts DESC) = 1`)
@@ -1193,6 +1258,7 @@ object Analytics {
       |FROM e WHERE rn = 1""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "q35_cohort_retention" -> (q35 _),
     "q34_compact_latest" -> (q34 _),
     "q33_unpivot" -> (q33 _),
     "q32_outer_join" -> (q32 _),
@@ -1231,6 +1297,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q35_cohort_retention" -> q35Sql,
     "q34_compact_latest" -> q34Sql,
     "q33_unpivot" -> q33Sql,
     "q32_outer_join" -> q32Sql,

@@ -489,6 +489,24 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q35 cohort join shuffles the corpus-sized side, broadcasts only the matrix") {
+    val p = plan("q35_cohort_retention")
+    // the per-customer first-order table is corpus-proportional: it
+    // must meet the fact in a shuffle equi-join, never a broadcast
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\\n]*".r
+      .findAllIn(p).toSeq
+    val custJoins = joins.filter(_.contains("o_custkey#"))
+    assert(custJoins.nonEmpty, p)
+    // pinned by hint: the hinted shuffle join must survive AQE even at
+    // toy scale, where an unhinted plan would broadcast
+    assert(custJoins.forall(_.startsWith("ShuffledHashJoin")), custJoins.mkString("\n"))
+    // the cohort-size join-back is months²-bounded → must broadcast
+    assert(joins.exists(j => j.startsWith("BroadcastHashJoin") && j.contains("cmi#")), p)
+    // first-order month is a map-side-partial min aggregate, no window
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("t16 PII redaction is one shuffle-free codegen'd projection over the scan") {
     val p = plan("t16_pii_redact")
     // per-row scrub: any Exchange/join/aggregate here would mean the
