@@ -882,7 +882,96 @@ object TextAnalysis {
        |    + length(regexp_extract_all(t, '$SsnPat')) AS BIGINT) AS n_pii
        |FROM raw""".stripMargin
 
+  /** t17: line-level boilerplate removal — the CCNet/RefinedWeb
+    * paragraph-dedup pass: a LINE that appears in more than 2% of
+    * documents is boilerplate (headers, footers, cookie banners) and
+    * is stripped from every document, with per-doc audit counts and
+    * the cleaned text reassembled in original line order.
+    *
+    * The synthetic corpus is single-line, so the query PLANTS the
+    * boilerplate (the d12/d18 injection pattern): every doc keeps its
+    * own text as line 0, every 3rd doc gains a newsletter line, every
+    * 4th a copyright line, every 50th a low-frequency footer variant —
+    * so the threshold must drop exactly the two high-DF lines and keep
+    * both unique text and rare-but-repeated footers (and exact-dup doc
+    * families, whose shared line 0 sits far below 2%).
+    *
+    * The 2% threshold is evaluated as `df * 50 > total_docs` — pure
+    * integer comparison, no float boundary for the engines to disagree
+    * on; `total_docs` arrives as a broadcast one-row scalar (the
+    * d12/q28 pattern).
+    *
+    * Scale: line DF is a map-side-partial count-distinct on the line
+    * HASH (md5 — the shuffle carries 16-byte keys, never line text);
+    * the DF join-back is a hint-pinned shuffle equi-join on that hash
+    * (both sides corpus-proportional — the t12/t14 IDF join-back
+    * shape, and boilerplate hashes are exactly the AQE-skew/
+    * Salted.lookupJoin case); reassembly is ONE aggregate per doc
+    * (sort_array over collected (pos, line) structs — no window, no
+    * second pass over the corpus).
+    */
+  private def t17(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit("\nsubscribe to our newsletter for weekly updates")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 1,
+        lit("\nall rights reserved unauthorized reproduction prohibited")).otherwise(lit("")),
+      when(col("doc_id") % 50 === 2,
+        concat(lit("\nregional footer variant "), (col("doc_id") % 5).cast("string")))
+        .otherwise(lit("")))
+    val docs = Tables.documents(s, d).select(col("doc_id"), raw.as("raw"))
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("raw"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val lineDf = lines.groupBy(col("lh")).agg(countDistinct(col("doc_id")).as("df"))
+    val total = docs.agg(count(lit(1)).as("total_docs"))
+    lines
+      .join(lineDf.hint("shuffle_hash"), Seq("lh"))
+      .crossJoin(broadcast(total))
+      .withColumn("keep", col("df") * 50 <= col("total_docs"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            filter(sort_array(collect_list(struct(col("pos"), col("keep"), col("line")))),
+              x => x.getField("keep")),
+            x => x.getField("line")),
+          "\n").as("cleaned"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val t17Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    text
+      |      || CASE WHEN doc_id % 3 = 0
+      |           THEN chr(10) || 'subscribe to our newsletter for weekly updates'
+      |           ELSE '' END
+      |      || CASE WHEN doc_id % 4 = 1
+      |           THEN chr(10) || 'all rights reserved unauthorized reproduction prohibited'
+      |           ELSE '' END
+      |      || CASE WHEN doc_id % 50 = 2
+      |           THEN chr(10) || 'regional footer variant ' || CAST(doc_id % 5 AS VARCHAR)
+      |           ELSE '' END AS raw
+      |  FROM documents),
+      |parts AS (SELECT doc_id, string_split(raw, chr(10)) AS ps FROM raw),
+      |lines AS (
+      |  SELECT doc_id, g.i - 1 AS pos, ps[g.i] AS line, md5(ps[g.i]) AS lh
+      |  FROM parts, unnest(generate_series(1, len(ps))) AS g(i)),
+      |linedf AS (SELECT lh, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY lh),
+      |total AS (SELECT COUNT(*) AS total_docs FROM documents),
+      |tagged AS (
+      |  SELECT l.doc_id, l.pos, l.line, (d.df * 50 <= t.total_docs) AS keep
+      |  FROM lines l JOIN linedf d USING (lh) CROSS JOIN total t)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep) AS cleaned
+      |FROM tagged GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t17_line_dedup" -> (t17 _),
     "t16_pii_redact" -> (t16 _),
     "t15_curate_pipeline" -> (t15 _),
     "t13_bpe_tokens" -> (t13 _),
@@ -901,6 +990,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t17_line_dedup" -> t17Sql,
     "t16_pii_redact" -> t16Sql,
     "t15_curate_pipeline" -> t15Sql,
     "t13_bpe_tokens" -> t13Sql,

@@ -507,6 +507,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("t17 line-DF join-back shuffles on the line hash, reassembly is window-free") {
+    val p = plan("t17_line_dedup")
+    // the DF join-back: both sides corpus-proportional → hint-pinned
+    // shuffle equi-join on the 16-byte hash, never a broadcast
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\\n]*".r
+      .findAllIn(p).toSeq
+    val lhJoins = joins.filter(_.contains("lh#"))
+    assert(lhJoins.nonEmpty, p)
+    assert(lhJoins.forall(_.startsWith("ShuffledHashJoin")), lhJoins.mkString("\n"))
+    // reassembly is ONE aggregate per doc — no window, no range sort
+    assert(!p.contains("Window"), p)
+    // the total_docs scalar rides a broadcast, never a shuffled cross
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t17 drops exactly the planted high-DF boilerplate lines") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t17_line_dedup")(spark, sf)
+    val expectedDrops =
+      when(col("doc_id") % 3 === 0, 1).otherwise(0) +
+      when(col("doc_id") % 4 === 1, 1).otherwise(0)
+    assert(out.filter(col("n_lines") - col("n_kept") =!= expectedDrops).count() == 0L)
+    // unique text and the rare footer survive: every doc keeps >= 1 line
+    assert(out.filter(col("n_kept") < 1).count() == 0L)
+    // cleaned text never contains a boilerplate line
+    assert(out.filter(col("cleaned").contains("subscribe to our newsletter")).count() == 0L)
+  }
+
   test("t16 PII redaction is one shuffle-free codegen'd projection over the scan") {
     val p = plan("t16_pii_redact")
     // per-row scrub: any Exchange/join/aggregate here would mean the
