@@ -1211,6 +1211,90 @@ object Analytics {
       |FROM a JOIN c0 USING (cmi)
       |ORDER BY cohort_month, months_since""".stripMargin
 
+  /** q36: Z-ORDER clustering + file-level min/max skipping — the
+    * multi-dimensional data-skipping lever (Delta/Iceberg `OPTIMIZE
+    * ZORDER BY`, here built from Spark primitives so the mechanism is
+    * visible and testable):
+    *
+    *   1. WRITE-time: each row gets a z-value interleaving the bits of
+    *      its two skip dimensions (ship-month index, partkey bucket);
+    *      `repartitionByRange` on that z-value clusters the fact into
+    *      files whose (month × bucket) bounding boxes are TIGHT — the
+    *      property one-dimensional sorting cannot give both dims at
+    *      once.
+    *   2. STATS: one pass collects per-file min/max of both dims —
+    *      the manifest a table format keeps in its transaction log,
+    *      here a files×4 relation (metadata-sized).
+    *   3. READ-time: a 2-d predicate (one month × 8 part buckets)
+    *      prunes the manifest to the files whose boxes overlap it; the
+    *      driver collects that FILE LIST (metadata-sized — the same
+    *      listing a format's planner materializes) and scans only
+    *      those files, re-applying the row-level predicate.
+    *
+    * The oracle is the plain filtered aggregate over the raw table —
+    * the compare proves skipping loses no rows; PlanShapeSpec pins the
+    * executed scan's numFiles strictly below the staged population
+    * (skipping OBSERVED, q29's discipline). Z-order math is
+    * Spark-side-only layout (the oracle never sees it), so the
+    * interleave needs no cross-engine twin. Stage cost (write + stats
+    * pass) is priced in-query, idempotent via overwrite — the q27/q29
+    * discipline. At 100 TB the win multiplies with partition pruning:
+    * q29 prunes the calendar, z-order prunes WITHIN each month across
+    * a second dimension partitioning can't reach.
+    */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_zorder_" + Integer.toHexString(d.hashCode))
+    val mi = year(col("l_shipdate")) * 12 + month(col("l_shipdate"))
+    val pb = pmod(col("l_partkey"), lit(128))
+    // 8-bit month index (clamped base-23900 window — layout-only: the
+    // manifest stores the TRUE min/max, so clamping can cost skipping
+    // quality, never correctness) interleaved with the 7-bit bucket
+    val mi8 = greatest(least(col("mi") - lit(23900), lit(255)), lit(0))
+    val zval = (0 until 8).map(i => shiftleft(mi8.bitwiseAND(lit(1 << i)), i))
+      .reduce(_ + _)
+      .plus((0 until 7).map(i => shiftleft(col("pb").bitwiseAND(lit(1 << i)), i + 1))
+        .reduce(_ + _))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+      .withColumn("mi", mi).withColumn("pb", pb)
+      .withColumn("zval", zval)
+      .repartitionByRange(64, col("zval"))
+      .write.mode("overwrite").parquet(stage.toString)
+    val staged = s.read.parquet(stage.toString)
+    val manifest = staged
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("mi")).as("mi_lo"), max(col("mi")).as("mi_hi"),
+        min(col("pb")).as("pb_lo"), max(col("pb")).as("pb_hi"))
+    val (m, bLo, bHi) = (23967, 40, 47) // 1997-03 × buckets 40..47
+    // metadata-sized collect: the pruned file list, exactly what a
+    // table format's planner hands the scan
+    val files = manifest
+      .filter(col("mi_lo") <= m && col("mi_hi") >= m &&
+        col("pb_lo") <= bHi && col("pb_hi") >= bLo)
+      .select(col("f")).collect().map(_.getString(0))
+    require(files.nonEmpty, "z-order manifest pruned every file — predicate mismatch")
+    s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("mi") === m && col("pb").between(bLo, bHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.dsum2(col("l_quantity")).as("sum_qty"),
+        Exact.dsum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q36Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE year(l_shipdate) * 12 + month(l_shipdate) = 23967
+      |  AND l_partkey % 128 BETWEEN 40 AND 47
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** q34: CDC log compaction — the latest record per key, as an
     * AGGREGATE, never a window. The standard changelog shape
     * (`row_number() OVER (PARTITION BY key ORDER BY ts DESC) = 1`)
@@ -1258,6 +1342,7 @@ object Analytics {
       |FROM e WHERE rn = 1""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "q36_zorder_skip" -> (q36 _),
     "q35_cohort_retention" -> (q35 _),
     "q34_compact_latest" -> (q34 _),
     "q33_unpivot" -> (q33 _),
@@ -1297,6 +1382,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q36_zorder_skip" -> q36Sql,
     "q35_cohort_retention" -> q35Sql,
     "q34_compact_latest" -> q34Sql,
     "q33_unpivot" -> q33Sql,

@@ -489,6 +489,32 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q36 z-order manifest skipping is observed at the executed scan") {
+    val df = SparkEntry.queries("q36_zorder_skip")(spark, sf)
+    df.collect()
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_zorder_" + Integer.toHexString(sf.hashCode))
+    val stagedFiles = {
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.filter(x => x.getFileName.toString.endsWith(".parquet")).count()
+      finally walk.close()
+    }
+    // the z-clustered layout must give the 2-d predicate something to
+    // skip: the final scan reads strictly fewer files than were staged
+    // (numFiles counts what the pruned listing handed the scan)
+    val scans = collectInPlan(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val numFiles = scans.map(_.metrics("numFiles").value).sum
+    assert(numFiles >= 1 && numFiles < stagedFiles,
+      s"scan read $numFiles of $stagedFiles staged files — skipping not observed")
+    // and the clustering is doing real work: a single month × 8 of 128
+    // buckets must not touch more than half the corpus's files
+    assert(numFiles * 2 <= stagedFiles,
+      s"z-order boxes too loose: $numFiles of $stagedFiles files overlap a 2-d point-range predicate")
+  }
+
   test("q35 cohort join shuffles the corpus-sized side, broadcasts only the matrix") {
     val p = plan("q35_cohort_retention")
     // the per-customer first-order table is corpus-proportional: it
