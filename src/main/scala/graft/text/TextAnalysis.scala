@@ -970,7 +970,72 @@ object TextAnalysis {
       |  string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep) AS cleaned
       |FROM tagged GROUP BY doc_id""".stripMargin
 
+  /** t18: model-based quality scoring — the fastText-classifier stage
+    * of a curation pipeline (score every doc with a trained quality
+    * model, keep what clears a per-language bar), distilled to the
+    * form that runs at scan speed on 100 TB: a LINEAR model with
+    * INTEGER weights over integer count features. The weights stand in
+    * for a trained model's (the plumbing, thresholds, and filter
+    * semantics are what this query pins); integer weights are the
+    * production trick that keeps scoring exact and portable — no libm,
+    * no float-summation order, both engines bit-identical by
+    * construction. Length-normalization is integer too:
+    * `score*1000 div n_chars` (score is provably positive — the
+    * alpha term alone outweighs the length penalty — so trunc-vs-
+    * floor division cannot diverge; spec-asserted).
+    *
+    * Per-language calibrated thresholds ride a BROADCAST of the
+    * 5-row calibration table (the dictionary-join shape at its
+    * correct extreme: metadata-sized dim → broadcast, never a
+    * shuffle). Feature extraction is the same codegen'd regexp
+    * counting as t1/t2 — no UDFs, one pass.
+    */
+  private def t18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val thr = Seq(("de", 2510L), ("en", 2530L), ("es", 2500L),
+      ("fr", 2520L), ("zh", 2515L)).toDF("lang", "thr")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"),
+        regexp_count(col("text"), lit("\\b(the|a|an|of|and|in|to)\\b"))
+          .cast("long").as("n_stop"),
+        regexp_count(col("text"), lit("[a-zA-Z]")).cast("long").as("n_alpha"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("score",
+        lit(5L) * col("n_stop") + lit(2L) * col("n_alpha") +
+          lit(10L) * col("n_tokens") - col("n_chars"))
+      .withColumn("score_per_kchar", expr("(score * 1000) div n_chars"))
+      .join(broadcast(thr), Seq("lang"))
+      .withColumn("margin", col("score_per_kchar") - col("thr"))
+      .withColumn("label", when(col("margin") >= 0, lit("keep")).otherwise(lit("drop")))
+      .select(col("doc_id"), col("lang"), col("score"), col("score_per_kchar"),
+        col("thr"), col("margin"), col("label"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val t18Sql =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_extract_all(text, '\b(the|a|an|of|and|in|to)\b')) AS BIGINT) AS n_stop,
+      |    CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+      |    CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    5 * n_stop + 2 * n_alpha + 10 * n_tokens - n_chars AS score, n_chars
+      |  FROM f),
+      |cal(lang, thr) AS (VALUES
+      |  ('de', CAST(2510 AS BIGINT)), ('en', 2530), ('es', 2500),
+      |  ('fr', 2520), ('zh', 2515))
+      |SELECT doc_id, sc.lang, score,
+      |  (score * 1000) // n_chars AS score_per_kchar, thr,
+      |  (score * 1000) // n_chars - thr AS margin,
+      |  CASE WHEN (score * 1000) // n_chars - thr >= 0
+      |       THEN 'keep' ELSE 'drop' END AS label
+      |FROM sc JOIN cal ON sc.lang = cal.lang""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t18_model_score" -> (t18 _),
     "t17_line_dedup" -> (t17 _),
     "t16_pii_redact" -> (t16 _),
     "t15_curate_pipeline" -> (t15 _),
@@ -990,6 +1055,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t18_model_score" -> t18Sql,
     "t17_line_dedup" -> t17Sql,
     "t16_pii_redact" -> t16Sql,
     "t15_curate_pipeline" -> t15Sql,

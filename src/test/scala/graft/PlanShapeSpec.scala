@@ -561,6 +561,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.filter(col("cleaned").contains("subscribe to our newsletter")).count() == 0L)
   }
 
+  test("t18 model scoring broadcasts the calibration dim and stays shuffle-free") {
+    val p = plan("t18_model_score")
+    // the 5-row calibration table must broadcast; any Exchange means
+    // the corpus moved to meet a dictionary
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(hasCodegen(p), p)
+  }
+
+  test("t18 scores are positive (trunc-vs-floor division cannot diverge) and split") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t18_model_score")(spark, sf)
+    assert(out.filter(col("score") <= 0).count() == 0L)
+    // every doc scored (no lang fell out of the calibration join)
+    assert(out.count() == Tables.documents(spark, sf).count())
+    // the thresholds genuinely split the corpus
+    val labels = out.select(countDistinct(col("label"))).head.getLong(0)
+    assert(labels == 2L, s"expected both keep and drop, got $labels label(s)")
+  }
+
   test("t16 PII redaction is one shuffle-free codegen'd projection over the scan") {
     val p = plan("t16_pii_redact")
     // per-row scrub: any Exchange/join/aggregate here would mean the
