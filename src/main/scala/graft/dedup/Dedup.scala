@@ -184,7 +184,7 @@ object Dedup {
         (coalesce(col("ext"), lit(0L)) + col("fsize") - 1).as("n_candidates")): _*)
     bands.join(famCands, Seq("b0", "b1", "b2", "b3"))
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"), col("n_candidates"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** DuckDB mirror of [[shinglesDistinct]]: distinct char-5-gram
@@ -352,7 +352,7 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         length(regexp_replace(col("simhash"), "0", "")).cast("long").as("n_ones"),
         col("sig_count"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** Shared oracle CTE ending in sigs(doc_id, simhash) — the DuckDB
@@ -607,7 +607,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= 10)
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val d6Sql =
@@ -792,7 +792,7 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** Shared oracle CTE chain ending in clusters(doc_id, cluster_id):
@@ -861,7 +861,7 @@ object Dedup {
     joined.join(perCluster, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("quality_score"), (rankKey === col("best_key")).as("keep"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   // TEXT-COUPLING WARNING: tools/parity.py (d7_oracle/d10_oracle)
@@ -1005,7 +1005,7 @@ object Dedup {
         when(col("fp_hit").isNotNull, "exact_dup")
           .when(col("sig_hit").isNotNull, "near_dup")
           .otherwise("admitted").as("reason"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
 
   private val d12Sql = SimhashCte +
     """,
@@ -1276,7 +1276,7 @@ object Dedup {
       .select(col("doc_id"), col("fp"), col("bloom_maybe"),
         col("fp_hit").isNotNull.as("exact_dup"),
         (col("bloom_maybe") && col("fp_hit").isNull).as("false_positive"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** d17 oracle: same bitmap, DuckDB-side. Hex slices decode via strpos
@@ -1535,7 +1535,7 @@ object Dedup {
         sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).as("n_repeated"))
       .select(col("doc_id"), col("n_grams"), col("n_repeated"),
         (col("n_repeated").cast("double") / col("n_grams")).as("repeat_ratio"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val d14Sql = {

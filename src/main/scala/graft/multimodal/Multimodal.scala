@@ -31,7 +31,7 @@ object Multimodal {
         when(octet_length(col("payload")) % 3 === 0, lit("png"))
           .when(octet_length(col("payload")) % 3 === 1, lit("jpeg"))
           .otherwise(lit("webp")).as("format"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
 
   private val m1Sql =
     """SELECT doc_id,
@@ -101,7 +101,7 @@ object Multimodal {
       .withColumn("frame_idx", col("off") + row_number().over(local).cast("long"))
       .filter((col("frame_idx") % 10) === 1)
       .select(col("user_id"), col("frame_idx"), col("event_id"), col("tus"))
-      .orderBy(col("user_id"), col("frame_idx"))
+      .sortWithinPartitions(col("user_id"), col("frame_idx"))
   }
 
   private val m2Sql =
@@ -127,7 +127,7 @@ object Multimodal {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         length(col("chunk")).cast("long").as("chunk_len"),
         md5(col("chunk").cast("binary")).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+      .sortWithinPartitions(col("doc_id"), col("chunk_idx"))
 
   private val m3Sql =
     """SELECT doc_id, i // 64 AS chunk_idx,
@@ -155,7 +155,7 @@ object Multimodal {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc_id"))
       .filter(col("n_docs") >= 2)
-      .orderBy(col("chunk_md5"))
+      .sortWithinPartitions(col("chunk_md5"))
 
   private val m4Sql =
     """WITH c AS (
@@ -229,7 +229,7 @@ object Multimodal {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc_id"))
       .filter(col("n_docs") >= 2)
-      .orderBy(col("chunk_md5"))
+      .sortWithinPartitions(col("chunk_md5"))
   }
 
   private val m5Sql = {
@@ -326,7 +326,7 @@ object Multimodal {
       .select(col("doc_id"), col("phash"),
         length(regexp_replace(col("phash"), "0", "")).cast("long").as("n_ones"),
         col("phash_count"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val m6Sql =

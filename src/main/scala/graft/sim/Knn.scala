@@ -212,7 +212,7 @@ object Knn {
       .repartition(s.sessionState.conf.numShufflePartitions)
     assign(e, centroidArrays(e), Seq.empty)
       .select(col("vec_id"), col("label"), col("cell").as("assigned_cell"), col("dist"))
-      .orderBy(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
   }
 
   private val s3Sql =

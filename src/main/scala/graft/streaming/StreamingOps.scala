@@ -128,6 +128,62 @@ object StreamingOps {
   private val docsStreamSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
+  /** The FULL document corpus staged as `nFiles` landing files (split
+    * by `doc_id % nFiles`, strictly increasing mtimes) and read with
+    * `maxFilesPerTrigger=1` — the document-side twin of
+    * [[eventsStreamMulti]], for stateless ingest-time transforms
+    * (st12) whose oracle is the batch query over the whole table.
+    * Same `_src_meta` freshness discipline as every stager here.
+    */
+  private def docsStreamMulti(s: SparkSession, d: String, nFiles: Int): DataFrame = {
+    val src = java.nio.file.Paths.get(d, "documents.parquet")
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_alldocs_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve("_src_meta")
+    val meta = s"${java.nio.file.Files.size(src)}:" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet")))
+    if (!fresh) {
+      val listing = java.nio.file.Files.list(dir)
+      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally listing.close()
+      val work = dir.resolve("_work")
+      val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
+      for (k <- 0 until nFiles) {
+        graft.Tables.documents(s, d)
+          .filter(col("doc_id") % nFiles === k)
+          .select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(work.toString)
+        val partFile = {
+          val l = java.nio.file.Files.list(work)
+          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally l.close()
+        }
+        val dst = dir.resolve(s"b$k.parquet")
+        java.nio.file.Files.move(partFile, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 1000L))
+      }
+      if (java.nio.file.Files.exists(work)) {
+        val l = java.nio.file.Files.list(work)
+        try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally l.close()
+        java.nio.file.Files.deleteIfExists(work)
+      }
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
+    s.readStream.schema(docsStreamSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(dir.toString)
+  }
+
   /** st9's staged inputs: the "today's ingest" document stream (the
     * newest ~20% by id — d12's split rule — as ONE parquet file in a
     * landing directory) plus the two dedup manifests PERSISTED to
@@ -418,7 +474,7 @@ object StreamingOps {
     runToMemory(s, out, "graft_st4", mode = "append")
       .select(col("user_id"), col("session_start_us"), col("session_end_us"),
         col("n_events"), col("sum_value"))
-      .orderBy(col("user_id"), col("session_start_us"))
+      .sortWithinPartitions(col("user_id"), col("session_start_us"))
   }
 
   // sum_value replicates the operator's left-fold double accumulation
@@ -564,7 +620,7 @@ object StreamingOps {
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         unix_micros(col("cts")).as("click_us"), unix_micros(col("pts")).as("purchase_us"))
     runToMemory(s, joined, "graft_st6", mode = "append")
-      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      .sortWithinPartitions(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
   private val st6Sql =
@@ -610,7 +666,7 @@ object StreamingOps {
           .when(col("sig_hit").isNotNull, "near_dup")
           .otherwise("admitted").as("reason"))
     runToMemory(s, dec, name, mode = "append")
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private def st9(s: SparkSession, d: String): DataFrame =
@@ -664,7 +720,7 @@ object StreamingOps {
         col("fp_hit").isNotNull.as("exact_dup"),
         (col("bloom_maybe") && col("fp_hit").isNull).as("false_positive"))
     runToMemory(s, dec, "graft_st10", mode = "append")
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val st10Sql = graft.dedup.Dedup.oracles("d17_bloom_admit")
@@ -748,7 +804,27 @@ object StreamingOps {
 
   private val st11Sql = graft.analytics.Analytics.oracles("q34_compact_latest")
 
+  /** st12: ingest-time PII scrubbing — t16's detect+redact projection
+    * ([[graft.text.TextAnalysis.piiScrub]], the SAME column
+    * expressions) run on the continuous document stream under the real
+    * multi-batch regime (4 landing files, maxFilesPerTrigger=1). The
+    * scrub is a stateless per-row map: no state store, no watermark,
+    * batching-invariant by construction — which is the compliance
+    * story (scrub AT ingest produces byte-identical output to the
+    * nightly batch scrub, so PII never lands unredacted downstream
+    * whichever path a document takes). Oracle: t16's SQL VERBATIM; the
+    * spec pins st12 == t16 row-for-row.
+    */
+  private def st12(s: SparkSession, d: String): DataFrame = {
+    val scrub = graft.text.TextAnalysis.piiScrub(docsStreamMulti(s, d, 4))
+    runToMemory(s, scrub, "graft_st12", mode = "append")
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val st12Sql = graft.text.TextAnalysis.oracles("t16_pii_redact")
+
   val queries: Map[String, QFn] = Map(
+    "st12_stream_pii" -> (st12 _),
     "st11_stream_compact" -> (st11 _),
     "st10_stream_bloom" -> (st10 _),
     "st9_stream_admit" -> (st9 _),
@@ -762,6 +838,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st12_stream_pii" -> st12Sql,
     "st11_stream_compact" -> st11Sql,
     "st10_stream_bloom" -> st10Sql,
     "st9_stream_admit" -> st9Sql,

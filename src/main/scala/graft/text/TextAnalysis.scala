@@ -25,7 +25,7 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars"),
       tokenCount(col("text")).as("n_tokens"),
       regexp_count(col("text"), lit("\\s")).cast("long").as("n_whitespace"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
 
   private val t1Sql =
     """SELECT doc_id,
@@ -64,7 +64,7 @@ object TextAnalysis {
         when(col("quality_score") >= 0.35, lit("high"))
           .when(col("quality_score") >= 0.3, lit("medium"))
           .otherwise(lit("low")))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
 
   private val t2Sql =
     """WITH m AS (SELECT doc_id,
@@ -128,7 +128,7 @@ object TextAnalysis {
           .when(col("es_score") > col("en_score"), lit("es"))
           .otherwise(lit("en")))
       .withColumn("is_match", col("predicted") === col("lang"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val t3Sql =
@@ -170,7 +170,7 @@ object TextAnalysis {
     val counts = base.groupBy(col("fp")).agg(count(lit(1)).as("dup_count"))
     base.join(counts, Seq("fp"))
       .select(col("doc_id"), col("fp"), col("n_chars"), col("dup_count"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val t4Sql =
@@ -214,7 +214,7 @@ object TextAnalysis {
         (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
         (col("top_count").cast("double") / col("n_tokens")).as("top_share"))
       .withColumn("repetitive", col("ttr") < 0.5 || col("top_share") > 0.2)
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val t6Sql =
@@ -248,7 +248,7 @@ object TextAnalysis {
   private def t7(s: SparkSession, d: String): DataFrame =
     keepVerdict(s, d)
       .select(col("doc_id"), (col("drop_reason") === "").as("keep"), col("drop_reason"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
 
   /** t7's verdict relation WITHOUT the presentation projection/sort:
     * one row per document with its first-failing drop reason (`""` =
@@ -325,7 +325,7 @@ object TextAnalysis {
         when(col("h2") < "cd", lit("train"))
           .when(col("h2") < "e6", lit("val"))
           .otherwise(lit("test")))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
 
   private val t8Sql =
     """SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
@@ -354,7 +354,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), weight.as("mix_weight"))
       .filter(substring(md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))
         .cast("binary")), 1, 4) < thresh)
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val t9Sql =
@@ -443,7 +443,7 @@ object TextAnalysis {
           .otherwise(lit(false)))
       .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
         col("seq_id"), col("crosses_boundary"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val t10Sql =
@@ -546,7 +546,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_distinct"), col("min_df"), col("max_df"),
         col("n_niche"),
         (col("n_niche").cast("double") / col("n_distinct")).as("niche_ratio"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val t12Sql =
@@ -686,7 +686,7 @@ object TextAnalysis {
       .withColumn("seq_id", expr(s"tok_offset div $PackTokens"))
       .select(col("doc_id"), col("source"), col("split"), col("n_tokens"),
         col("tok_offset"), col("seq_id"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val t15Sql =
@@ -777,7 +777,7 @@ object TextAnalysis {
       regexp_count(col("text"), lit(BpeishPattern)).cast("long").as("n_tokens_bpe"))
       .withColumn("fertility",
         col("n_tokens_bpe").cast("double") / col("n_tokens_ws"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
 
   private val t13Sql = {
     val pat = BpeishPattern.replace("'", "''")
@@ -824,7 +824,11 @@ object TextAnalysis {
     * is embarrassingly parallel; the audit counts aggregate map-side
     * if rolled up downstream.
     */
-  private def t16(s: SparkSession, d: String): DataFrame = {
+  /** The t16 scrub as a reusable per-row projection over any relation
+    * with (doc_id, text) — st12 runs the SAME column expressions on
+    * the ingest stream (stateless, so the streaming result is
+    * batching-invariant and oracle-locked to t16 verbatim). */
+  private[graft] def piiScrub(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     def pad(m: Int, w: Int) = lpad((id % m).cast("string"), w, "0")
     val tail = concat(
@@ -834,8 +838,7 @@ object TextAnalysis {
       lit("."), (expr("doc_id div 256") % 256).cast("string"),
       lit(".7 ssn "), pad(1000, 3), lit("-"), pad(100, 2), lit("-"), pad(10000, 4))
     val raw = concat(col("text"), tail)
-    Tables.documents(s, d)
-      .select(
+    docs.select(
         id,
         regexp_count(raw, lit(EmailPat)).cast("long").as("n_emails"),
         regexp_count(raw, lit(PhonePat)).cast("long").as("n_phones"),
@@ -849,8 +852,10 @@ object TextAnalysis {
             Ipv4Pat, "<IP>"),
           SsnPat, "<ID>").as("redacted"))
       .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ips") + col("n_ssns"))
-      .sortWithinPartitions(id)
   }
+
+  private def t16(s: SparkSession, d: String): DataFrame =
+    piiScrub(Tables.documents(s, d)).sortWithinPartitions(col("doc_id"))
 
   private val t16Sql =
     s"""WITH raw AS (

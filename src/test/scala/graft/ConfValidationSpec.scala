@@ -24,9 +24,11 @@ class ConfValidationSpec extends SparkSpec {
   }
 
   test("graft.pack.bucket override does not change t10's output (bucketing-invariant offsets)") {
-    val default = SparkEntry.queries("t10_pack")(spark, sf).collect().toSeq
+    val default = SparkEntry.queries("t10_pack")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
     withConf("graft.pack.bucket", "17") {
-      val overridden = SparkEntry.queries("t10_pack")(spark, sf).collect().toSeq
+      val overridden = SparkEntry.queries("t10_pack")(spark, sf)
+        .orderBy("doc_id").collect().toSeq
       assert(overridden === default)
     }
   }
@@ -80,9 +82,11 @@ class ConfValidationSpec extends SparkSpec {
   }
 
   test("graft.frame.bucket override does not change m2's output (bucketing-invariant ranks)") {
-    val default = SparkEntry.queries("m2_frame_sample")(spark, sf).collect().toSeq
+    val default = SparkEntry.queries("m2_frame_sample")(spark, sf)
+      .orderBy("user_id", "frame_idx").collect().toSeq
     withConf("graft.frame.bucket", "1000003") {
-      assert(SparkEntry.queries("m2_frame_sample")(spark, sf).collect().toSeq === default)
+      assert(SparkEntry.queries("m2_frame_sample")(spark, sf)
+        .orderBy("user_id", "frame_idx").collect().toSeq === default)
     }
   }
 

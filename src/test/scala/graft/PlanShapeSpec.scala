@@ -274,7 +274,24 @@ class PlanShapeSpec extends SparkSpec {
     // proportional to the corpus is sortWithinPartitions — a global
     // Sort there is a full range exchange paid for presentation. The
     // local sort prints as "Sort [...], false" (global=false).
-    for (q <- Seq("g5_result_join", "g14_workflow_run")) {
+    // round-11 extension: EVERY query whose output is proportional to
+    // the corpus (per-doc / per-vector / per-chunk / per-event rows)
+    // now follows the convention — the bounded-output orderBys
+    // (aggregates, top-k, recall summaries) keep their cheap sort
+    val corpusSized = Seq(
+      "g5_result_join", "g14_workflow_run",
+      "d2_minhash_lsh", "d3_simhash", "d6_contamination", "d7_cluster",
+      "d10_cluster_keep", "d12_incremental_dedup", "d17_bloom_admit",
+      "d14_repeated_ngrams", "d18_semdedup",
+      "t1_tokens", "t2_quality", "t3_langid", "t4_fingerprint",
+      "t6_repetition", "t7_keep_drop", "t8_split_assign", "t9_mix_sample",
+      "t10_pack", "t12_doc_frequency", "t13_bpe_tokens",
+      "t15_curate_pipeline", "t16_pii_redact", "t17_line_dedup",
+      "t18_model_score",
+      "m1_binary_meta", "m2_frame_sample", "m3_chunking",
+      "m4_chunk_dedup", "m5_cdc_chunks", "m6_perceptual_hash",
+      "s3_ivf_cells", "q34_compact_latest")
+    for (q <- corpusSized) {
       val p = plan(q)
       val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
       assert(globalSorts == 0, s"$q has $globalSorts global Sort node(s):\n$p")

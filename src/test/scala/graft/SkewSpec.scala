@@ -139,9 +139,13 @@ class SkewSpec extends SparkSpec {
     // the optimization must be plan-only: same corpus, thresholds on
     // vs off, byte-identical output (the d14 ratios catch any
     // duplicated or dropped build-side rows from the partition split)
-    val plain = SparkEntry.queries("d14_repeated_ngrams")(spark, skewDir).collect().toSeq
+    // row-sorted compare: skew-split vs unsplit are different physical
+    // plans, so collect order is not part of the contract
+    val plain = SparkEntry.queries("d14_repeated_ngrams")(spark, skewDir)
+      .orderBy("doc_id").collect().toSeq
     val split = withSkewConfs {
-      SparkEntry.queries("d14_repeated_ngrams")(spark, skewDir).collect().toSeq }
+      SparkEntry.queries("d14_repeated_ngrams")(spark, skewDir)
+        .orderBy("doc_id").collect().toSeq }
     assert(split == plain)
     assert(plain.size == 10003)
     // a boilerplate doc: 60 tokens → 56 spans, all the corpus-repeated

@@ -83,12 +83,28 @@ class StreamingMultiBatchSpec extends SparkSpec {
   test("st9 is batching-invariant: 3-file maxFilesPerTrigger=1 run equals the single-batch run") {
     // st9's scaladoc claims the stateless stream gives the same answer
     // under ANY file/trigger split — prove it with real micro-batches
-    val single = SparkEntry.queries("st9_stream_admit")(spark, sf).collect().toSeq
-    val multi = streaming.StreamingOps.st9Multi(spark, sf, 3).collect().toSeq
+    // row-sorted compare: the two regimes partition the memory sink
+    // differently, so collect order is not part of the contract
+    val single = SparkEntry.queries("st9_stream_admit")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    val multi = streaming.StreamingOps.st9Multi(spark, sf, 3)
+      .orderBy("doc_id").collect().toSeq
     assert(multi == single, "st9 diverged under a multi-batch split")
     val batches = streaming.StreamingOps.lastRunBatches("graft_st9multi")
     assert(batches.count(_ > 0) >= 3,
       s"expected >= 3 data micro-batches, got input-row trace $batches")
+  }
+
+  test("st12 ingest-time PII scrub equals the batch scrub row-for-row") {
+    // stateless per-row scrub: whatever the file/trigger split, the
+    // streamed output must be byte-identical to t16 over the table —
+    // the compliance claim (no path leaves PII unredacted)
+    val st12 = SparkEntry.queries("st12_stream_pii")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    val t16 = SparkEntry.queries("t16_pii_redact")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    assert(st12 == t16, "streamed scrub diverged from the batch scrub")
+    assert(st12.nonEmpty)
   }
 
   test("st11 incremental compaction over 4 micro-batches equals the one-shot q34 compaction") {
