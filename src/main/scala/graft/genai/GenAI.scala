@@ -495,7 +495,83 @@ object GenAI {
       |FROM reqs r JOIN parsed p ON r.doc_id = p.doc_id AND p.status_code <> 200
       |ORDER BY r.doc_id""".stripMargin
 
+  /** g15: corrupt-record quarantine — the tolerance layer a real
+    * retrieval step needs that the reference's parser assumes away:
+    * a results JSONL that arrives truncated mid-object or with empty
+    * lines must not kill the job OR silently drop rows. Every line
+    * gets a verdict (`ok` / `empty` / `malformed`), valid lines parse
+    * their fields, quarantined lines keep their raw bytes for the
+    * audit trail (the badRecordsPath pattern, as a query).
+    *
+    * Corruption is PLANTED deterministically (the t16/d18 injection
+    * discipline): every 13th-mod-5 line arrives empty, every
+    * 7th-mod-3 truncated 4 bytes early — so the oracle checks the
+    * REAL malformed-JSON behavior of both engines (Spark's
+    * `get_json_object` → NULL on invalid input; DuckDB guarded by
+    * `json_valid`, lazily — same verdict by construction).
+    *
+    * Scale: per-row projection, zero shuffle (plan-pinned, like t16).
+    * JSON validity is decided per line, so corrupt records quarantine
+    * locally in whatever partition they land — no coordination, no
+    * job restart, and the quarantine relation is itself queryable
+    * (feed it to g12's retry rebuild).
+    */
+  private def g15(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    Tables.documents(s, d)
+      .select(id, concat(
+        lit("{\"custom_id\":\"req-"), id.cast("string"),
+        lit("\",\"doc_id\":"), id.cast("string"),
+        lit(",\"content\":\"label-"), (id % 4).cast("string"),
+        lit("\",\"tokens\":"), (lit(50) + id % 100).cast("string"),
+        lit("}")).as("line0"))
+      .withColumn("line",
+        when(id % 13 === 5, lit(""))
+          .when(id % 7 === 3, expr("substring(line0, 1, length(line0) - 4)"))
+          .otherwise(col("line0")))
+      .withColumn("parsed_custom_id", get_json_object(col("line"), "$.custom_id"))
+      .withColumn("ok", col("parsed_custom_id").isNotNull)
+      .select(id,
+        col("ok"),
+        when(col("line") === "", "empty")
+          .when(!col("ok"), "malformed")
+          .otherwise("ok").as("reason"),
+        col("parsed_custom_id"),
+        get_json_object(col("line"), "$.tokens").cast("long").as("parsed_tokens"),
+        when(!col("ok"), col("line")).as("raw_quarantine"))
+      .sortWithinPartitions(id)
+  }
+
+  private val g15Sql =
+    """WITH lines AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 5 THEN ''
+      |         WHEN doc_id % 7 = 3 THEN substring(l0, 1, length(l0) - 4)
+      |         ELSE l0 END AS line
+      |  FROM (SELECT doc_id,
+      |      '{"custom_id":"req-' || CAST(doc_id AS VARCHAR)
+      |        || '","doc_id":' || CAST(doc_id AS VARCHAR)
+      |        || ',"content":"label-' || CAST(doc_id % 4 AS VARCHAR)
+      |        || '","tokens":' || CAST(50 + doc_id % 100 AS VARCHAR)
+      |        || '}' AS l0
+      |    FROM documents)),
+      |v AS (
+      |  SELECT doc_id, line, json_valid(line) AS jv,
+      |    CASE WHEN json_valid(line)
+      |         THEN json_extract_string(line, '$.custom_id') END AS parsed_custom_id,
+      |    CASE WHEN json_valid(line)
+      |         THEN CAST(json_extract_string(line, '$.tokens') AS BIGINT) END AS parsed_tokens
+      |  FROM lines)
+      |SELECT doc_id, parsed_custom_id IS NOT NULL AS ok,
+      |  CASE WHEN line = '' THEN 'empty'
+      |       WHEN parsed_custom_id IS NULL THEN 'malformed'
+      |       ELSE 'ok' END AS reason,
+      |  parsed_custom_id, parsed_tokens,
+      |  CASE WHEN parsed_custom_id IS NULL THEN line END AS raw_quarantine
+      |FROM v""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "g15_corrupt_quarantine" -> (g15 _),
     "g14_workflow_run" -> (g14 _),
     "g13_visual_exam" -> (g13 _),
     "g12_retry_failed" -> (g12 _),
@@ -512,6 +588,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g15_corrupt_quarantine" -> g15Sql,
     "g14_workflow_run" -> g14Sql,
     "g13_visual_exam" -> g13Sql,
     "g12_retry_failed" -> g12Sql,

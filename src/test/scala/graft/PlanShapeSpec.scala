@@ -578,6 +578,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.filter(col("cleaned").contains("subscribe to our newsletter")).count() == 0L)
   }
 
+  test("g15 corrupt quarantine is a shuffle-free per-line verdict") {
+    val p = plan("g15_corrupt_quarantine")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    val out = SparkEntry.queries("g15_corrupt_quarantine")(spark, sf)
+    import org.apache.spark.sql.functions._
+    // the verdict matches the planted corruption rule exactly
+    val wrong = out.filter(
+      (col("doc_id") % 13 === 5 && col("reason") =!= "empty") ||
+      (col("doc_id") % 13 =!= 5 && col("doc_id") % 7 === 3 && col("reason") =!= "malformed") ||
+      (col("doc_id") % 13 =!= 5 && col("doc_id") % 7 =!= 3 && col("reason") =!= "ok")).count()
+    assert(wrong == 0L)
+    // ok rows parse; quarantined rows keep their raw bytes (empty lines
+    // quarantine with an empty raw — present, zero-length)
+    assert(out.filter(col("ok") && col("parsed_tokens").isNull).count() == 0L)
+    assert(out.filter(col("reason") === "malformed" && col("raw_quarantine").isNull).count() == 0L)
+  }
+
   test("t18 model scoring broadcasts the calibration dim and stays shuffle-free") {
     val p = plan("t18_model_score")
     // the 5-row calibration table must broadcast; any Exchange means
