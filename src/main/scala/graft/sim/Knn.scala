@@ -1129,7 +1129,96 @@ object Knn {
        |$pqRerankAnnSql,
        |$recallTailSql""".stripMargin
 
+  /** Index-logic version: bump when the persisted layout or the
+    * centroid/assignment rule changes, so stale staged indexes can
+    * never serve a newer search path (the d16/st9 freshness rule). */
+  private val IvfIndexVersion = "ivf1"
+
+  /** s11: the PERSISTED IVF index — the offline-build / online-search
+    * split every production ANN system has and s3–s10 (which rebuild
+    * per query) do not: a nightly job writes the index ONCE, and
+    * every search after that touches only index files.
+    *
+    *   - BUILD (staged, freshness-markered like d16's manifests):
+    *     centroid arrays to `centroids/`, and the corpus as INVERTED
+    *     LISTS — (vec_id, embedding, norm) PARTITIONED BY assigned
+    *     cell. The inverted-list file layout IS Hive partitioning:
+    *     q29's directory-pruning lever applied to vector search.
+    *   - SEARCH: queries meet the broadcast centroids for their 2
+    *     nearest cells; the probed cell set (a ≤ nq·2-row
+    *     metadata-sized driver list, like q36's file list) prunes the
+    *     inverted-list scan at the DIRECTORY level (PartitionFilters,
+    *     plan-pinned), and scoring runs s4's exact rule over only the
+    *     probed lists.
+    *
+    * Search results are byte-identical to s4 (same centroid rule,
+    * same probe rule, same ranking) — the oracle is s4's SQL VERBATIM
+    * and a spec pins s11 == s4 row-for-row, so persistence provably
+    * changes WHERE the index lives, never what search returns. At
+    * 100 TB the build is one pass; each search reads
+    * nprobe/ncells of the corpus bytes, and the cell directories
+    * bound that I/O physically, not just logically.
+    */
+  private def s11(s: SparkSession, d: String): DataFrame = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ivfindex_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve("_src_meta")
+    val meta = s"${java.nio.file.Files.size(src)}:" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis + ":" + IvfIndexVersion
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      java.nio.file.Files.exists(dir.resolve("centroids")) &&
+      java.nio.file.Files.exists(dir.resolve("lists"))
+    if (!fresh) {
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val centArr = centroidArrays(e)
+      centArr.write.mode("overwrite").parquet(dir.resolve("centroids").toString)
+      assign(e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+          .filter(col("norm_e") > 0), // ANSI zero-norm guard (see s1)
+          centArr, Seq("embedding", "norm_e"))
+        .select(col("vec_id"), col("embedding"), col("norm_e"),
+          col("cell").as("assigned_cell"))
+        .write.mode("overwrite").partitionBy("assigned_cell")
+        .parquet(dir.resolve("lists").toString)
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
+    val centArr = s.read.parquet(dir.resolve("centroids").toString)
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cell"))
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centArr))
+      .select(col("q_id"), col("qe"), col("cell"),
+        VectorFunctions.l2sq("qe", "carr").as("qdist"))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= 2)
+      .select(col("q_id"), col("qe"), col("cell").as("probe_cell"))
+      .withColumn("norm_q", sqrt(VectorFunctions.dot("qe", "qe")))
+      .filter(col("norm_q") > 0)
+    // the probed cell set: metadata-sized (≤ nq·nprobe rows) — the
+    // same class of driver-held listing as q36's pruned file list
+    val probedCells = probes.select(col("probe_cell")).distinct()
+      .collect().map(_.get(0))
+    val lists = s.read.parquet(dir.resolve("lists").toString)
+      // partition-column inference must land on the table's cell type
+      // (int32), not leave it to directory-name parsing luck
+      .withColumn("assigned_cell", col("assigned_cell").cast("int"))
+      .filter(col("assigned_cell").isin(probedCells.toIndexedSeq: _*))
+    val scored = broadcast(probes)
+      .join(lists, col("probe_cell") === col("assigned_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("assigned_cell"),
+        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
+    rankTopK(scored, 5, Seq("assigned_cell"))
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("assigned_cell"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "s11_ivf_persist" -> (s11 _),
     "s10_ivfpq_recall" -> (s10 _),
     "s9_pq_recall" -> (s9 _),
     "s8_kmeans" -> (s8 _),
@@ -1150,6 +1239,7 @@ object Knn {
     "s2_ann_lsh" -> s2Sql,
     "s3_ivf_cells" -> s3Sql,
     "s4_ivf_probe" -> s4Sql,
+    "s11_ivf_persist" -> s4Sql,
     "s5_ann_recall" -> s5Sql,
     "s6_ivf_recall" -> s6Sql)
 }

@@ -506,6 +506,34 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("s11 persisted-index probe prunes inverted-list directories, equals s4") {
+    val df = SparkEntry.queries("s11_ivf_persist")(spark, sf)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the probe's cell filter must resolve against the inverted-list
+    // DIRECTORY layout, not rows
+    assert("PartitionFilters: \\[[^\\]]*assigned_cell".r.findFirstIn(p).isDefined, p)
+    // pruning observed: the lists scan reads fewer files than staged
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ivfindex_" + Integer.toHexString(sf.hashCode)).resolve("lists")
+    val stagedFiles = {
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.filter(x => x.getFileName.toString.endsWith(".parquet")).count()
+      finally walk.close()
+    }
+    val scans = collectInPlan(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("graft_ivfindex")) => f }
+    assert(scans.nonEmpty, p)
+    val numFiles = scans.map(_.metrics("numFiles").value).sum
+    assert(numFiles >= 1 && numFiles < stagedFiles,
+      s"lists scan read $numFiles of $stagedFiles staged files — directory pruning not observed")
+    // persistence must not change search semantics: s11 == s4
+    val s4rows = SparkEntry.queries("s4_ivf_probe")(spark, sf).collect()
+    assert(rows.toSeq == s4rows.toSeq, "persisted-index search diverged from s4")
+  }
+
   test("q36 z-order manifest skipping is observed at the executed scan") {
     val df = SparkEntry.queries("q36_zorder_skip")(spark, sf)
     df.collect()
