@@ -352,7 +352,67 @@ object Multimodal {
       |  COUNT(*) OVER (PARTITION BY phash) AS phash_count
       |FROM ph ORDER BY doc_id""".stripMargin
 
+  /** m7: training-shard packing manifest — the WebDataset/tar-shard
+    * layout-planning step: binary payloads pack into ~16 KiB shards by
+    * BYTE offset in doc_id order, and the query emits the per-shard
+    * manifest (doc count, byte mass, id range) a shard-writer consumes.
+    * This is t10's two-level distributed prefix sum (bucket partials →
+    * ~√n-row broadcast bucket offsets → bucket-local windows; no
+    * corpus-wide ordered window anywhere) applied to BYTES: the same
+    * machinery plans text sequences and media shards, which is the
+    * point — one prefix-sum idiom, two modalities.
+    *
+    * Byte counts are `octet_length`, not char counts, on both engines
+    * (a UTF-8 corpus would split them apart); the shard id is integer
+    * `div` on exact longs. Output is one row per ~16 KiB of corpus —
+    * corpus-proportional → sortWithinPartitions.
+    */
+  private def m7(s: SparkSession, d: String): DataFrame = {
+    val ShardBytes = 16384L
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val bucket = graft.text.TextAnalysis.derivePackBucket(maxId)
+    val base = docs
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("pbucket", expr(s"doc_id div $bucket"))
+    val boffsets = base.groupBy(col("pbucket"))
+      .agg(sum(col("n_bytes")).as("bbytes"))
+      .withColumn("boffset", coalesce(
+        sum(col("bbytes")).over(
+          Window.orderBy(col("pbucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("pbucket"), col("boffset"))
+    val local = Window.partitionBy(col("pbucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(boffsets), Seq("pbucket"))
+      .withColumn("byte_offset",
+        col("boffset") + coalesce(sum(col("n_bytes")).over(local), lit(0L)))
+      .withColumn("shard_id", expr(s"byte_offset div $ShardBytes"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .sortWithinPartitions(col("shard_id"))
+  }
+
+  private val m7Sql =
+    """WITH b AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |o AS (
+      |  SELECT doc_id, n_bytes,
+      |    CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_offset
+      |  FROM b)
+      |SELECT byte_offset // 16384 AS shard_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM o GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "m7_shard_pack" -> (m7 _),
     "m1_binary_meta" -> (m1 _),
     "m2_frame_sample" -> (m2 _),
     "m3_chunking" -> (m3 _),
@@ -361,6 +421,7 @@ object Multimodal {
     "m6_perceptual_hash" -> (m6 _))
 
   val oracles: Map[String, String] = Map(
+    "m7_shard_pack" -> m7Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m3_chunking" -> m3Sql,

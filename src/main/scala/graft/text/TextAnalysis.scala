@@ -1039,7 +1039,64 @@ object TextAnalysis {
       |       THEN 'keep' ELSE 'drop' END AS label
       |FROM sc JOIN cal ON sc.lang = cal.lang""".stripMargin
 
+  /** t19: temperature-based source reweighting — the multilingual-LM
+    * sampling rule (weight ∝ size^α, α = 0.5: upsample small sources,
+    * damp the head) computed as a corpus statistic: per-source token
+    * mass → temperature weight → normalized sampling probability →
+    * integer token allocation against a fixed training budget →
+    * oversample factor (>1 means the source repeats epochs).
+    *
+    * Cross-engine exactness by construction: `sqrt` is IEEE
+    * correctly-rounded in BOTH engines, the weight is then frozen to
+    * integer MILLI-units (`round(sqrt·1000)` — a .5 tie would need a
+    * rational sqrt, i.e. a perfect square, whose product with 1000 is
+    * integral: ties cannot occur), the normalizing sum is an exact
+    * long, and the allocation is integer `div`. The only doubles in
+    * the output are divisions of identical exact operands.
+    *
+    * Scale: per-source token mass is a map-side-partial sum on the
+    * source key (bounded keys); everything after is a bounded
+    * ~|sources|-row relation — the normalizing scalar broadcasts
+    * (the d12/q28 pattern) and the bounded output may sort.
+    */
+  private def t19(s: SparkSession, d: String): DataFrame = {
+    val TokenBudget = 1000000L
+    val sizes = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("w_milli", round(sqrt(col("n_tokens")) * 1000).cast("long"))
+    val total = sizes.agg(sum(col("w_milli")).as("w_total"),
+      sum(col("n_tokens")).as("corpus_tokens"))
+    sizes.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_milli"),
+        (col("w_milli").cast("double") / col("w_total")).as("p_sample"),
+        expr(s"($TokenBudget * w_milli) div w_total").as("alloc_tokens"),
+        (col("n_tokens").cast("double") / col("corpus_tokens")).as("p_natural"))
+      .withColumn("oversample",
+        col("alloc_tokens").cast("double") / col("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val t19Sql =
+    """WITH sizes AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs, n_tokens,
+      |    CAST(round(sqrt(n_tokens) * 1000) AS BIGINT) AS w_milli
+      |  FROM sizes),
+      |t AS (SELECT SUM(w_milli) AS w_total, SUM(n_tokens) AS corpus_tokens FROM w)
+      |SELECT source, n_docs, n_tokens, w_milli,
+      |  CAST(w_milli AS DOUBLE) / w_total AS p_sample,
+      |  CAST((1000000 * w_milli) // w_total AS BIGINT) AS alloc_tokens,
+      |  CAST(n_tokens AS DOUBLE) / corpus_tokens AS p_natural,
+      |  CAST((1000000 * w_milli) // w_total AS DOUBLE) / n_tokens AS oversample
+      |FROM w, t
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t19_temperature_mix" -> (t19 _),
     "t18_model_score" -> (t18 _),
     "t17_line_dedup" -> (t17 _),
     "t16_pii_redact" -> (t16 _),
@@ -1060,6 +1117,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t19_temperature_mix" -> t19Sql,
     "t18_model_score" -> t18Sql,
     "t17_line_dedup" -> t17Sql,
     "t16_pii_redact" -> t16Sql,

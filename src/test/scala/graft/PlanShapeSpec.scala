@@ -624,6 +624,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.filter(col("reason") === "malformed" && col("raw_quarantine").isNull).count() == 0L)
   }
 
+  test("m7 shard packing keeps the prefix sum two-level and bucket-scoped") {
+    val p = plan("m7_shard_pack")
+    // every doc_id-ordered window is bucket-partitioned (the t10/t15
+    // pin: a flat ORDER BY doc_id window would put the corpus into one
+    // task); the only other window is the √n-row bucket-offset scan
+    val wspecs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(wspecs.nonEmpty, p)
+    for (w <- wspecs if w.contains("doc_id#"))
+      assert(w.contains("pbucket#"), s"corpus-wide ordered window:\n$w\n$p")
+    // bucket offsets are metadata-sized and broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("m7_shard_pack")(spark, sf)
+    // shards partition the corpus: byte mass conserved, ids disjoint
+    val tot = out.agg(sum("shard_bytes"), sum("n_docs")).head
+    val docs = Tables.documents(spark, sf)
+    assert(tot.getLong(1) == docs.count())
+    assert(tot.getLong(0) == docs.agg(sum(octet_length(col("text")).cast("long"))).head.getLong(0))
+  }
+
+  test("t19 temperature weights flatten the source distribution, scalar broadcast") {
+    val p = plan("t19_temperature_mix")
+    // per-source mass combines map-side; the normalizer is a broadcast
+    // one-row scalar, never a shuffled cross
+    assert(p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t19_temperature_mix")(spark, sf).collect()
+    // α=0.5 flattens: the sampling boost p_sample/p_natural must be
+    // strictly decreasing in source size (upsample tail, damp head)
+    val bySize = out.sortBy(_.getAs[Long]("n_tokens"))
+    val boosts = bySize.map(r => r.getAs[Double]("p_sample") / r.getAs[Double]("p_natural"))
+    for (i <- 1 until boosts.length if bySize(i).getAs[Long]("n_tokens") > bySize(i - 1).getAs[Long]("n_tokens"))
+      assert(boosts(i) < boosts(i - 1),
+        s"boost not decreasing at ${bySize(i).getAs[String]("source")}")
+    // probabilities normalize (integer milli-weights: exact to 1e-9)
+    val psum = out.map(_.getAs[Double]("p_sample")).sum
+    assert(math.abs(psum - 1.0) < 1e-9, s"p_sample sums to $psum")
+  }
+
   test("t18 model scoring broadcasts the calibration dim and stays shuffle-free") {
     val p = plan("t18_model_score")
     // the 5-row calibration table must broadcast; any Exchange means
