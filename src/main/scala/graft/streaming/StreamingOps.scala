@@ -752,11 +752,15 @@ object StreamingOps {
     * already the scale-correct shape (one candidate row per key per
     * input partition reaches the merge).
     */
-  private def st11(s: SparkSession, d: String): DataFrame = {
+  /** st11's compaction loop over an arbitrary event stream and fixed
+    * (store, ckpt) directories — parameterized so the restart spec can
+    * stop it mid-input and resume from the SAME checkpoint+store
+    * (StreamingRecoverySpec: the replay-idempotence claim observed,
+    * not argued). Processes everything currently available, then
+    * stops. */
+  private[graft] def st11Compact(s: SparkSession, stream: DataFrame,
+      store: java.nio.file.Path, ckpt: java.nio.file.Path, name: String): Unit = {
     import java.nio.file.Files
-    val stream = eventsStreamMulti(s, d, 4)
-    val store = Files.createTempDirectory("graft_st11_store_")
-    val ckpt = Files.createTempDirectory("graft_st11_ckpt_")
     def compactBatch(df: DataFrame): DataFrame =
       df.select(col("user_id"), expr("ts div 1000").as("tus"),
           col("event_id"), col("event_type"), col("value"))
@@ -764,11 +768,11 @@ object StreamingOps {
         .agg(max(struct(col("tus"), col("event_id"), col("event_type"), col("value")))
             .as("last"),
           count(lit(1)).as("n_events"))
-    s.streams.active.filter(_.name == "graft_st11").foreach(_.stop())
+    s.streams.active.filter(_.name == name).foreach(_.stop())
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", streamPartitions(s))
     try {
-      val q = stream.writeStream.queryName("graft_st11")
+      val q = stream.writeStream.queryName(name)
         .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -786,6 +790,11 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Read the newest store version back as q34's output shape. */
+  private[graft] def st11StoreRead(s: SparkSession, store: java.nio.file.Path): DataFrame = {
+    import java.nio.file.Files
     val lastV = {
       val l = Files.list(store)
       try l.filter(p => p.getFileName.toString.startsWith("v"))
@@ -800,6 +809,14 @@ object StreamingOps {
         col("last.event_type").as("last_event_type"),
         col("last.value").as("last_value"), col("n_events"))
       .sortWithinPartitions(col("user_id"))
+  }
+
+  private def st11(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("graft_st11_store_")
+    val ckpt = Files.createTempDirectory("graft_st11_ckpt_")
+    st11Compact(s, eventsStreamMulti(s, d, 4), store, ckpt, "graft_st11")
+    st11StoreRead(s, store)
   }
 
   private val st11Sql = graft.analytics.Analytics.oracles("q34_compact_latest")

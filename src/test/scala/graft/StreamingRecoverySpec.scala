@@ -149,4 +149,66 @@ class StreamingRecoverySpec extends SparkSpec {
     }
     assert(nBatches == nRef, s"replay created a new batch dir: $nBatches vs $nRef")
   }
+
+  /** st11's raw-event splits: the full events table cut by
+    * `event_id % 4`, all columns st11Compact consumes. */
+  private def stageEventSplit(srcDir: String, ks: Seq[Int]): Unit = {
+    val dir = java.nio.file.Paths.get(srcDir)
+    java.nio.file.Files.createDirectories(dir)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    for (k <- ks) {
+      val work = java.nio.file.Paths.get(s"$srcDir/_work")
+      ev.filter(col("event_id") % 4 === k)
+        .coalesce(1).write.mode("overwrite").parquet(work.toString)
+      val part = {
+        val l = java.nio.file.Files.list(work)
+        try l.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally l.close()
+      }
+      val dst = dir.resolve(f"b$k%02d.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 1000L))
+      val l = java.nio.file.Files.list(work)
+      try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally l.close()
+      java.nio.file.Files.deleteIfExists(work)
+    }
+  }
+
+  test("st11 compaction restarted from its checkpoint converges on the one-shot answer") {
+    // the read-modify-write view's recovery claim, observed: stop the
+    // compactor after 2 of 4 batches (clean checkpoint, store at v1),
+    // stage the rest, resume the SAME checkpoint+store — the final
+    // version must equal q34's one-shot compaction over the whole
+    // table, with no duplicated n_events (the merge-by-sum would
+    // double-count any replayed changelog row)
+    val src = s"$base/st11_src"
+    stageEventSplit(src, 0 to 1)
+    val store = java.nio.file.Paths.get(s"$base/st11_store")
+    val ckpt = java.nio.file.Paths.get(s"$base/st11_ckpt")
+    java.nio.file.Files.createDirectories(store)
+    def stream = {
+      val schema = spark.read.parquet(src).schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "b*.parquet")
+        .parquet(src)
+    }
+    streaming.StreamingOps.st11Compact(spark, stream, store, ckpt, "rec_st11a")
+    val atStop = streaming.StreamingOps.st11StoreRead(spark, store)
+    val full = SparkEntry.queries("q34_compact_latest")(spark, sf)
+      .orderBy("user_id").collect().toSeq
+    assert(atStop.agg(sum(col("n_events"))).head.getLong(0) <
+      full.map(_.getAs[Long]("n_events")).sum,
+      "stop point already saw every event — nothing left to recover")
+    stageEventSplit(src, 2 to 3)
+    streaming.StreamingOps.st11Compact(spark, stream, store, ckpt, "rec_st11b")
+    val resumed = streaming.StreamingOps.st11StoreRead(spark, store)
+      .orderBy("user_id").collect().toSeq
+    assert(resumed == full,
+      "restarted compaction diverged from the one-shot answer")
+  }
 }
