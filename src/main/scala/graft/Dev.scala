@@ -31,6 +31,32 @@ object Dev {
         // drop/emit mismatch against st8Sql's per-batch model
         val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
         streaming.StreamingOps.st8Diag(spark, sfDir).foreach(println)
+      case Some("q37diag") =>
+        // rule-on vs rule-off timing for LatestRewrite (q37's honesty
+        // check: is the rewrite actually faster than Spark's own
+        // WindowGroupLimit path on this host/scale?)
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.{Window => W}
+        val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        def windowForm = Tables.events(spark, sfDir)
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_id"), col("event_type"), col("value"))
+          .withColumn("rn", row_number().over(
+            W.partitionBy(col("user_id")).orderBy(col("tus").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("tus"), col("event_id"), col("event_type"), col("value"))
+        def time(tag: String): Unit = {
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            windowForm.write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$tag%s best=${ts.min}%.3f s (${ts.map(t => f"$t%.2f").mkString(",")})")
+        }
+        time("rule_off")
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ plans.LatestRewrite
+        time("rule_on")
       case _ =>
         println(s"entry rows=${SparkEntry.entry(spark).count()}")
     }

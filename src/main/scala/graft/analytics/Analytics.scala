@@ -1295,6 +1295,51 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q37: the `row_number() = 1` anti-pattern, auto-rewritten — this
+    * query is WRITTEN as the window formulation every analyst reaches
+    * for (rank the history per key, keep rank 1) and EXECUTED as
+    * q34's aggregate, because [[graft.plans.LatestRewrite]] — a
+    * registered Catalyst `Rule[LogicalPlan]` — rewrites the
+    * Filter(rn = 1)-over-Window shape into per-column `max_by` with
+    * map-side partials. Plan-pinned: the executed plan has NO Window
+    * node and keeps partial aggregation; the oracle is the window
+    * formulation in SQL, so the compare proves the rewrite is
+    * semantics-preserving on real data. Honest framing (measured —
+    * see [[graft.plans.LatestRewrite]]'s Scaladoc): Spark 4's own
+    * WindowGroupLimit already bounds the shuffle, so the rewrite's
+    * win is eliminating the remaining per-partition and per-key SORTS
+    * — a wash at sf0.1, ~15% at sf1, growing with history depth. The
+    * durable point: the engine, not code review, converges the naive
+    * window and the hand-written q34 onto one sort-free shape.
+    */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    if (!s.experimental.extraOptimizations.contains(graft.plans.LatestRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.LatestRewrite
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"), col("value"))
+    ev.withColumn("rn", row_number().over(
+        W.partitionBy(col("user_id")).orderBy(col("tus").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("tus").as("last_tus"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"))
+      .sortWithinPartitions(col("user_id"))
+  }
+
+  private val q37Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, tus AS last_tus, event_id AS last_event_id,
+      |  event_type AS last_event_type, value AS last_value
+      |FROM e WHERE rn = 1""".stripMargin
+
   /** q34: CDC log compaction — the latest record per key, as an
     * AGGREGATE, never a window. The standard changelog shape
     * (`row_number() OVER (PARTITION BY key ORDER BY ts DESC) = 1`)
@@ -1342,6 +1387,7 @@ object Analytics {
       |FROM e WHERE rn = 1""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "q37_latest_rewrite" -> (q37 _),
     "q36_zorder_skip" -> (q36 _),
     "q35_cohort_retention" -> (q35 _),
     "q34_compact_latest" -> (q34 _),
@@ -1382,6 +1428,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q37_latest_rewrite" -> q37Sql,
     "q36_zorder_skip" -> q36Sql,
     "q35_cohort_retention" -> q35Sql,
     "q34_compact_latest" -> q34Sql,

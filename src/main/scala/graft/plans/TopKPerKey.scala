@@ -211,6 +211,8 @@ object TopK {
 
 /** SparkSessionExtensions hook for spark.sql.extensions deployments. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => LatestRewrite)
+  }
 }

@@ -534,6 +534,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(rows.toSeq == s4rows.toSeq, "persisted-index search diverged from s4")
   }
 
+  test("q37 row_number()=1 is rewritten to a map-side max_by aggregate") {
+    val p = plan("q37_latest_rewrite")
+    // the query is WRITTEN as a window; the registered LatestRewrite
+    // rule must have replaced it wholesale
+    assert(!p.contains("Window"), p)
+    assert(p.contains("max_by"), p)
+    assert(p.contains("partial"), p)
+    // exactly one exchange: the final per-key merge (q34's shape)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // and the rewrite is semantics-preserving against the un-rewritten
+    // plan: q34's struct-max compaction computes the same latest rows
+    import org.apache.spark.sql.functions._
+    val q37 = SparkEntry.queries("q37_latest_rewrite")(spark, sf)
+      .orderBy("user_id").collect().toSeq
+    val q34 = SparkEntry.queries("q34_compact_latest")(spark, sf)
+      .select(col("user_id"), col("last_tus"), col("last_event_id"),
+        col("last_event_type"), col("last_value"))
+      .orderBy("user_id").collect().toSeq
+    assert(q37 == q34, "rewritten window diverged from the aggregate formulation")
+  }
+
   test("q36 z-order manifest skipping is observed at the executed scan") {
     val df = SparkEntry.queries("q36_zorder_skip")(spark, sf)
     df.collect()
