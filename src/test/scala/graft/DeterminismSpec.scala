@@ -33,7 +33,14 @@ class DeterminismSpec extends SparkSpec {
     "t14_tfidf_top", "q31_grouping_sets",
     // round-11 additions
     "q32_outer_join", "s10_ivfpq_recall", "t15_curate_pipeline",
-    "d18_semdedup")
+    "d18_semdedup",
+    // round-11 continued: planted-PII scrub, line-DF removal, the
+    // staged z-order/IVF layouts, the optimizer-rewritten window,
+    // shard packing, corrupt quarantine
+    "t16_pii_redact", "t17_line_dedup", "t18_model_score",
+    "t19_temperature_mix", "q35_cohort_retention", "q36_zorder_skip",
+    "q37_latest_rewrite", "g15_corrupt_quarantine", "s11_ivf_persist",
+    "m7_shard_pack")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {
