@@ -540,7 +540,7 @@ object Knn {
     * structs is lexicographic, so (dist, cell) is the same
     * deterministic total order the oracle's ORDER BY dist, cell uses. */
   private def argminCell(cent: Array[(Long, Array[Double])]): Column =
-    least(cent.map { case (cell, arr) =>
+    least(cent.toIndexedSeq.map { case (cell, arr) =>
       struct(
         VectorFunctions.l2sq(col("embedding"), typedlit(arr.toSeq)).as("dist"),
         lit(cell).as("cell"))

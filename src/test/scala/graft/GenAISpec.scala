@@ -78,7 +78,7 @@ class GenAISpec extends SparkSpec {
     assert(row.getAs[String]("endpoint") == "/v1/chat/completions")
     assert(row.getAs[String]("completion_window") == "24h")
     assert(row.getAs[String]("metadata") == "{}")
-    assert(manifest.agg(org.apache.spark.sql.functions.sum(col("n_requests"))).head.getLong(0) == 96)
+    assert(manifest.agg(org.apache.spark.sql.functions.sum(col("n_requests"))).head().getLong(0) == 96)
   }
 
   test("resume processes only documents without a saved result or error") {
@@ -89,7 +89,7 @@ class GenAISpec extends SparkSpec {
     val r = BatchWorkflow.resume(docs.filter(col("doc_id").between(1, 96)), base)
     assert(r.results.count() + r.errors.count() == 46)
     assert(spark.read.json(s"$base/resume/input").count() == 46)
-    assert(r.results.agg(org.apache.spark.sql.functions.min(col("doc_id"))).head.getLong(0) >= 51)
+    assert(r.results.agg(org.apache.spark.sql.functions.min(col("doc_id"))).head().getLong(0) >= 51)
     // resuming again is a no-op
     val again = BatchWorkflow.resume(docs.filter(col("doc_id").between(1, 50)), base)
     assert(again.results.count() + again.errors.count() == 0)
@@ -403,10 +403,10 @@ class GenAISpec extends SparkSpec {
     val raw = """has "quote" and \slash"""
     BatchWorkflow.run(docs.filter(col("doc_id").between(1, 5)), dir,
       metadata = Map("description" -> raw, "job" -> "exam"))
-    val metaStr = Jsonl.read(spark, s"$dir/batches").select("metadata").head.getString(0)
+    val metaStr = Jsonl.read(spark, s"$dir/batches").select("metadata").head().getString(0)
     val back = spark.range(1)
       .select(get_json_object(lit(metaStr), "$.description").as("d"),
-        get_json_object(lit(metaStr), "$.job").as("j")).head
+        get_json_object(lit(metaStr), "$.job").as("j")).head()
     assert(back.getString(0) == raw, s"metadata JSON mangled: $metaStr")
     assert(back.getString(1) == "exam")
   }

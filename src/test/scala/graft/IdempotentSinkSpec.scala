@@ -23,8 +23,8 @@ class IdempotentSinkSpec extends SparkSpec {
 
     val landed = spark.read.parquet(s"$base/out")
     assert(landed.count() == events.count())
-    assert(landed.agg(sum(col("event_id"))).head.getLong(0) ==
-      events.agg(sum(col("event_id"))).head.getLong(0))
+    assert(landed.agg(sum(col("event_id"))).head().getLong(0) ==
+      events.agg(sum(col("event_id"))).head().getLong(0))
 
     // replay batch 0 (what a restart after a lost commit does): the
     // overwrite of batch_id=0 must leave the table unchanged

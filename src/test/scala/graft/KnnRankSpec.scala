@@ -86,9 +86,9 @@ class KnnRankSpec extends SparkSpec {
     // must beat the per-label average centroids s3/s4 started from —
     // the quantitative case for LEARNING the IVF cells
     val learned = SparkEntry.queries("s8_kmeans")(spark, sf)
-      .agg(sum(col("sum_dist_nano"))).head.getLong(0)
+      .agg(sum(col("sum_dist_nano"))).head().getLong(0)
     val perLabel = SparkEntry.queries("s3_ivf_cells")(spark, sf)
-      .agg(sum(round(col("dist") * 1e9).cast("long"))).head.getLong(0)
+      .agg(sum(round(col("dist") * 1e9).cast("long"))).head().getLong(0)
     assert(learned < perLabel,
       s"learned objective $learned did not improve on per-label $perLabel")
   }
@@ -103,9 +103,9 @@ class KnnRankSpec extends SparkSpec {
     // most of the corpus; balanced learned cells make the probe budget
     // mean what IVF intends.)
     val learned = sim.Knn.learnedProbeRecall(spark, sf)
-      .agg(avg(col("recall"))).head.getDouble(0)
+      .agg(avg(col("recall"))).head().getDouble(0)
     val perLabel = SparkEntry.queries("s6_ivf_recall")(spark, sf)
-      .agg(avg(col("recall"))).head.getDouble(0)
+      .agg(avg(col("recall"))).head().getDouble(0)
     assert(learned > perLabel,
       f"learned cells no longer beat per-label at equal nprobe: $learned%.4f vs $perLabel%.4f")
     assert(learned >= 0.39, f"learned-cell probe recall degraded: $learned%.4f")

@@ -534,6 +534,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(rows.toSeq == s4rows.toSeq, "persisted-index search diverged from s4")
   }
 
+  test("s11 re-stages its persisted index when the logic version changes") {
+    // the d16/st9 freshness rule: a staged artifact must encode the
+    // logic version that built it, so an index laid out by an older
+    // rule can never serve a newer search path. Simulate the stale
+    // case by rewriting the marker with a foreign version token — the
+    // next run must rebuild and restore the current meta.
+    SparkEntry.queries("s11_ivf_persist")(spark, sf).collect() // ensure staged
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ivfindex_" + Integer.toHexString(sf.hashCode))
+    val marker = dir.resolve("_src_meta")
+    val current = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(current.endsWith(":ivf1"), s"marker must encode the index version: $current")
+    val stale = current.dropRight(4) + "ivf0"
+    java.nio.file.Files.write(marker, stale.getBytes("UTF-8"))
+    val listsBefore = java.nio.file.Files.getLastModifiedTime(dir.resolve("lists")).toMillis
+    val rows = SparkEntry.queries("s11_ivf_persist")(spark, sf).collect()
+    val after = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(after == current, s"version mismatch must force a re-stage: $after")
+    assert(rows.nonEmpty)
+  }
+
   test("q37 row_number()=1 is rewritten to a map-side max_by aggregate") {
     val p = plan("q37_latest_rewrite")
     // the query is WRITTEN as a window; the registered LatestRewrite
@@ -660,10 +682,10 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("m7_shard_pack")(spark, sf)
     // shards partition the corpus: byte mass conserved, ids disjoint
-    val tot = out.agg(sum("shard_bytes"), sum("n_docs")).head
+    val tot = out.agg(sum("shard_bytes"), sum("n_docs")).head()
     val docs = Tables.documents(spark, sf)
     assert(tot.getLong(1) == docs.count())
-    assert(tot.getLong(0) == docs.agg(sum(octet_length(col("text")).cast("long"))).head.getLong(0))
+    assert(tot.getLong(0) == docs.agg(sum(octet_length(col("text")).cast("long"))).head().getLong(0))
   }
 
   test("t19 temperature weights flatten the source distribution, scalar broadcast") {
@@ -703,7 +725,7 @@ class PlanShapeSpec extends SparkSpec {
     // every doc scored (no lang fell out of the calibration join)
     assert(out.count() == Tables.documents(spark, sf).count())
     // the thresholds genuinely split the corpus
-    val labels = out.select(countDistinct(col("label"))).head.getLong(0)
+    val labels = out.select(countDistinct(col("label"))).head().getLong(0)
     assert(labels == 2L, s"expected both keep and drop, got $labels label(s)")
   }
 

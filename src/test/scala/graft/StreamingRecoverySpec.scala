@@ -201,7 +201,7 @@ class StreamingRecoverySpec extends SparkSpec {
     val atStop = streaming.StreamingOps.st11StoreRead(spark, store)
     val full = SparkEntry.queries("q34_compact_latest")(spark, sf)
       .orderBy("user_id").collect().toSeq
-    assert(atStop.agg(sum(col("n_events"))).head.getLong(0) <
+    assert(atStop.agg(sum(col("n_events"))).head().getLong(0) <
       full.map(_.getAs[Long]("n_events")).sum,
       "stop point already saw every event — nothing left to recover")
     stageEventSplit(src, 2 to 3)

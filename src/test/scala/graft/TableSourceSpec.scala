@@ -12,8 +12,8 @@ class TableSourceSpec extends SparkSpec {
       TableSource.write(docs, s"$base/$fmt", fmt)
       val back = TableSource.read(spark, s"$base/$fmt", fmt)
       assert(back.count() == docs.count(), fmt)
-      assert(back.agg(sum("n_chars")).head.getLong(0) ==
-        docs.agg(sum("n_chars")).head.getLong(0), fmt)
+      assert(back.agg(sum("n_chars")).head().getLong(0) ==
+        docs.agg(sum("n_chars")).head().getLong(0), fmt)
     }
   }
 
