@@ -53,9 +53,11 @@ object Dev {
           }
           println(f"$tag%s best=${ts.min}%.3f s (${ts.map(t => f"$t%.2f").mkString(",")})")
         }
+        // the rule is session-registered (GraftExtensions); rule_off
+        // disables it by name via the standard exclusion conf
+        spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.LatestRewrite")
         time("rule_off")
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ plans.LatestRewrite
+        spark.conf.unset("spark.sql.optimizer.excludedRules")
         time("rule_on")
       case _ =>
         println(s"entry rows=${SparkEntry.entry(spark).count()}")

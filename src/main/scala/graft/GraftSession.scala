@@ -19,6 +19,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // graft's Catalyst hooks (TopKStrategy, LatestRewrite) are
+      // registered at SESSION CONSTRUCTION, never mutated by a query:
+      // plan shape must not depend on which query ran first
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // catalog tables (bucketed-join path) land outside the repo
       .config("spark.sql.warehouse.dir",
         System.getProperty("java.io.tmpdir") + "/graft_warehouse")

@@ -1314,9 +1314,10 @@ object Analytics {
     */
   private def q37(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
-    if (!s.experimental.extraOptimizations.contains(graft.plans.LatestRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.LatestRewrite
+    // LatestRewrite arrives with the session (GraftExtensions via
+    // spark.sql.extensions — GraftSession/Verify/Bench all set it), so
+    // running q37 mutates NO session state and plan shape is
+    // independent of query execution order (r11 advice).
     val ev = Tables.events(s, d)
       .select(col("user_id"), expr("ts div 1000").as("tus"),
         col("event_id"), col("event_type"), col("value"))

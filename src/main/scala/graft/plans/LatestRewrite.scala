@@ -1,13 +1,14 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule: rewrite the `row_number() = 1` latest-record
-  * anti-pattern into a max_by/min_by HASH AGGREGATE — the q34 trade,
-  * applied automatically by Catalyst instead of by hand.
+  * anti-pattern into a single ATOMIC struct-extremum HASH AGGREGATE —
+  * the q34 trade, applied automatically by Catalyst instead of by
+  * hand.
   *
   * The window formulation
   * {{{
@@ -19,32 +20,46 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * carries ~|keys|·partitions rows, not the changelog. What the
   * native path still pays is SORT work — a per-partition sort in the
   * partial limit, a final per-key sort under the Window — all to keep
-  * one row. The aggregate form (`max_by(col, struct(o1, o2))` per
-  * payload column) does the same candidate thinning with hash/compare
-  * semantics and no sort anywhere. MEASURED (Dev q37diag, noop sink,
-  * best-of-3): a wash at sf0.1 (0.49 s both), ~15% at sf1 (1.30 →
-  * 1.11 s) — the gap is the sort cost, so it grows with per-key
-  * history depth; at changelog scale (long histories per key) the
-  * sorts are the dominant term.
+  * one row. The aggregate form does the same candidate thinning with
+  * hash/compare semantics and no sort anywhere. MEASURED (Dev q37diag,
+  * noop sink, best-of-3): a wash at sf0.1 (0.49 s both), ~15% at sf1
+  * (1.30 → 1.11 s) — the gap is the sort cost, so it grows with
+  * per-key history depth; at changelog scale (long histories per key)
+  * the sorts are the dominant term.
+  *
+  * The chosen aggregate is ONE `max(struct(o1, o2, payload...))` (or
+  * `min` for ASC) whose fields are projected back out — NOT an
+  * independent max_by per payload column. The distinction matters
+  * when the order key ties within a partition key: per-column max_by
+  * calls may each resolve the tie to a DIFFERENT row, assembling a
+  * "chimera" row that never existed in the input, while the window
+  * form always surfaces one real row. The single struct extremum
+  * keeps the chosen row atomic — struct comparison is lexicographic,
+  * so (o1, o2) dominate and any tie breaks deterministically on the
+  * payload fields themselves; the output is always one REAL input
+  * row, including in groups whose every ordering value is NULL
+  * (struct comparison falls through to the payload). The only
+  * remaining delta vs the window is WHICH tied row wins: the window
+  * picks an arbitrary one, the aggregate a deterministic one — a
+  * strict improvement for a rewrite rule.
   *
   * The match is deliberately narrow — it fires only when ALL hold:
   *   - the Window computes exactly one expression, a bare
   *     `row_number()`;
   *   - the Filter right above it keeps exactly `rn = 1`;
   *   - partition and order expressions are plain attributes;
-  *   - order directions are uniform (all DESC → max_by, all ASC →
-  *     min_by) with default null ordering.
+  *   - order directions are uniform (all DESC → max, all ASC → min)
+  *     with default null ordering;
+  *   - every non-grouping column is of an orderable type (a MapType
+  *     payload cannot ride a struct extremum — left untouched).
   * Anything else (rank/dense_rank, rn <= k, computed keys, mixed
   * directions) is left untouched — those have their own operators
   * (TopKPerKey for rn <= k).
   *
-  * Caveat, documented not hidden: in a group whose EVERY ordering
-  * value is NULL, the window form still surfaces one (arbitrary) row,
-  * while max_by yields NULL payloads. The rule is registered
-  * explicitly ([[graft.plans.GraftExtensions]] /
-  * `spark.experimental.extraOptimizations`), an opt-in for pipelines
-  * whose version keys are non-null — which a CDC changelog's are by
-  * construction.
+  * Registered session-wide via [[graft.plans.GraftExtensions]]
+  * (`spark.sql.extensions`) so plan shape never depends on which
+  * query ran first; `Dev q37diag` disables it per-run through
+  * `spark.sql.optimizer.excludedRules` for the honesty measurement.
   *
   * Output attributes keep their original `exprId`s (aliases pin
   * them), so parent operators resolve unchanged; the `rn` output is
@@ -85,23 +100,32 @@ object LatestRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     val partSet = AttributeSet(partAttrs)
-    val sortKey = CreateStruct(orderAttrs)
-    def pick(value: Expression): Expression = (dirs.head match {
-      case Descending => MaxBy(value, sortKey)
-      case Ascending => MinBy(value, sortKey)
-    }).toAggregateExpression()
     // InferWindowGroupLimit may already have slid a WindowGroupLimit
     // under the Window (Spark's own rn<=k mitigation — it pre-limits
-    // each partition through a per-partition SORT). The max_by
+    // each partition through a per-partition SORT). The struct-max
     // partials subsume that work without the sort, so strip it.
     val input = w.child match {
       case wgl: WindowGroupLimit => wgl.child
       case c => c
     }
-    val aggExprs: Seq[NamedExpression] = input.output.map { a =>
+    val payloadAttrs = input.output.filterNot(partSet.contains)
+    // one atomic row: order keys first (they dominate the
+    // lexicographic struct order), then every non-grouping column
+    val rowFields = orderAttrs ++ payloadAttrs.filterNot(orderAttrs.contains)
+    if (!rowFields.forall(a => RowOrdering.isOrderable(a.dataType))) return None
+    val fieldIndex = rowFields.zipWithIndex.toMap
+    val best = dirs.head match {
+      case Descending => Max(CreateStruct(rowFields))
+      case Ascending => Min(CreateStruct(rowFields))
+    }
+    val bestAlias = Alias(best.toAggregateExpression(), "_graft_latest")()
+    val agg = Aggregate(partAttrs, partAttrs :+ bestAlias, input)
+    val bestAttr = bestAlias.toAttribute
+    val projList: Seq[NamedExpression] = input.output.map { a =>
       if (partSet.contains(a)) a
-      else Alias(pick(a), a.name)(exprId = a.exprId)
+      else Alias(GetStructField(bestAttr, fieldIndex(a), Some(a.name)),
+        a.name)(exprId = a.exprId)
     } :+ Alias(Literal(1), rnAlias.name)(exprId = rnAlias.exprId)
-    Some(Aggregate(partAttrs, aggExprs, input))
+    Some(Project(projList, agg))
   }
 }

@@ -922,7 +922,11 @@ object TextAnalysis {
       when(col("doc_id") % 4 === 1,
         lit("\nall rights reserved unauthorized reproduction prohibited")).otherwise(lit("")),
       when(col("doc_id") % 50 === 2,
-        concat(lit("\nregional footer variant "), (col("doc_id") % 5).cast("string")))
+        // variant keyed on a modulus COPRIME to the 50-period (r11
+        // advice: %5 divided 50, so only variant 2 ever occurred and
+        // its DF sat knife-edge on the threshold); %7 yields 7 live
+        // variants, each with DF ~ total/350 ~ 0.29% — clearly kept
+        concat(lit("\nregional footer variant "), (col("doc_id") % 7).cast("string")))
         .otherwise(lit("")))
     val docs = Tables.documents(s, d).select(col("doc_id"), raw.as("raw"))
     val lines = docs
@@ -958,7 +962,7 @@ object TextAnalysis {
       |           THEN chr(10) || 'all rights reserved unauthorized reproduction prohibited'
       |           ELSE '' END
       |      || CASE WHEN doc_id % 50 = 2
-      |           THEN chr(10) || 'regional footer variant ' || CAST(doc_id % 5 AS VARCHAR)
+      |           THEN chr(10) || 'regional footer variant ' || CAST(doc_id % 7 AS VARCHAR)
       |           ELSE '' END AS raw
       |  FROM documents),
       |parts AS (SELECT doc_id, string_split(raw, chr(10)) AS ps FROM raw),
@@ -972,7 +976,7 @@ object TextAnalysis {
       |  FROM lines l JOIN linedf d USING (lh) CROSS JOIN total t)
       |SELECT doc_id, COUNT(*) AS n_lines,
       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep) AS cleaned
+      |  COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS cleaned
       |FROM tagged GROUP BY doc_id""".stripMargin
 
   /** t18: model-based quality scoring — the fastText-classifier stage

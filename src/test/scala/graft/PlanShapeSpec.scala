@@ -553,15 +553,25 @@ class PlanShapeSpec extends SparkSpec {
     val rows = SparkEntry.queries("s11_ivf_persist")(spark, sf).collect()
     val after = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
     assert(after == current, s"version mismatch must force a re-stage: $after")
+    // the marker alone could be restored without re-staging — prove the
+    // index itself was rebuilt (r11 advice: assert on the lists dir)
+    val listsAfter = java.nio.file.Files
+      .getLastModifiedTime(dir.resolve("lists")).toMillis
+    assert(listsAfter > listsBefore,
+      s"stale marker must trigger an actual index rebuild " +
+        s"(lists mtime $listsBefore -> $listsAfter)")
     assert(rows.nonEmpty)
   }
 
-  test("q37 row_number()=1 is rewritten to a map-side max_by aggregate") {
+  test("q37 row_number()=1 is rewritten to a map-side struct-max aggregate") {
     val p = plan("q37_latest_rewrite")
-    // the query is WRITTEN as a window; the registered LatestRewrite
-    // rule must have replaced it wholesale
+    // the query is WRITTEN as a window; the session-registered
+    // LatestRewrite rule must have replaced it wholesale — with ONE
+    // atomic max(struct(...)) (tie-safe: never per-column max_by,
+    // which could assemble a chimera row from tied inputs)
     assert(!p.contains("Window"), p)
-    assert(p.contains("max_by"), p)
+    assert(p.contains("max(named_struct"), p)
+    assert(!p.contains("max_by"), p)
     assert(p.contains("partial"), p)
     // exactly one exchange: the final per-key merge (q34's shape)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
@@ -647,6 +657,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.filter(col("n_kept") < 1).count() == 0L)
     // cleaned text never contains a boilerplate line
     assert(out.filter(col("cleaned").contains("subscribe to our newsletter")).count() == 0L)
+    // the %7 variant key is live (r11 advice: the old %5 key made only
+    // variant 2 reachable): several DISTINCT footer variants survive,
+    // each with DF ~ total/350, comfortably under the 2% threshold
+    val nVariants = out
+      .filter(col("cleaned").contains("regional footer variant"))
+      .select(regexp_extract(col("cleaned"), "regional footer variant (\\d)", 1).as("v"))
+      .distinct().count()
+    assert(nVariants >= 2, s"expected multiple live footer variants, got $nVariants")
   }
 
   test("g15 corrupt quarantine is a shuffle-free per-line verdict") {
