@@ -1672,7 +1672,136 @@ object Dedup {
        |  ON d.vb = k.vec_id""".stripMargin
   }
 
+  /** d19: exact-substring REMOVAL — d14's repeated-ngram substrate
+    * turned into the transform production corpora actually ship (Lee
+    * et al. 2022, arXiv:2107.06499: excise substrings repeated across
+    * documents, keeping one canonical occurrence). d14 *measures*
+    * repeated-gram coverage; d19 *cuts* it:
+    *
+    *   1. every token position `p` opens a [[SpanGramK]]-gram, hashed
+    *      (md5 over the space-joined slice — the shuffle carries
+    *      16-byte keys, never text);
+    *   2. per gram: document frequency + OWNER = min doc_id containing
+    *      it (one map-side-partial aggregate);
+    *   3. a position is MARKED iff its gram is corpus-repeated
+    *      (df ≥ 2) and this doc is not the owner — the lower-priority
+    *      occurrence loses, the canonical one survives;
+    *   4. marked positions expand to their k covered token indexes;
+    *      adjacent marked positions coalesce automatically into
+    *      maximal spans ≥ k tokens (a single marked gram already
+    *      covers k tokens);
+    *   5. covered tokens are cut (left-anti join on (doc_id, idx)),
+    *      survivors reassemble in original order — ONE aggregate per
+    *      doc, t17's sort_array shape, no window anywhere.
+    *
+    * Within-doc repeats never trigger (df counts DISTINCT docs) —
+    * self-repetition is d14/t6's business, not cross-doc dedup. A doc
+    * that is a verbatim copy of a lower-id doc degenerates correctly
+    * to the empty string (full-document dedup as the limit case); the
+    * COALESCE-to-'' contract matches both engines by construction
+    * (t17's r11 guard, applied from day one here). Output text is
+    * whitespace-normalized (single-space joined tokens) — the standard
+    * token-level-dedup contract; byte preservation of untouched docs
+    * modulo whitespace is spec-asserted.
+    *
+    * The corpus has few natural cross-doc 5-grams, so the query PLANTS
+    * the Lee-et-al scenario (d12/d18 injection pattern): every 20th
+    * doc appends the same 12-token boilerplate paragraph. Grams fully
+    * inside the paragraph are shared by all planting docs (owner = the
+    * smallest), grams straddling the unique-text boundary have df = 1
+    * — so the paragraph is excised EXACTLY in every non-owner doc and
+    * unique text survives untouched (spec-pinned).
+    *
+    * Scale: gram stats are a hash-key aggregate (df + min in one
+    * pass); join-back is a hint-pinned shuffle equi-join on the hash
+    * (t17's shape — boilerplate hashes are the AQE-skew case); the
+    * covered-index expansion is ≤ k× the marked positions; token
+    * cut + reassembly shuffle on (doc_id, idx)/doc_id — everything
+    * corpus-proportional, nothing pairwise, no driver state. The
+    * reference relation: suffix-array ES dedup is the sequential
+    * optimum, this is its bounded-gram distributed relaxation (spans
+    * shorter than k survive — granularity, not a bug).
+    */
+  private def d19(s: SparkSession, d: String): DataFrame = {
+    val k = SpanGramK
+    val boiler = "this content is provided as is without warranty of " +
+      "any kind either express or implied"
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 20 === 7, lit(" " + boiler)).otherwise(lit("")))
+          .as("raw"))
+    val toks = docs.select(col("doc_id"),
+      expr("filter(split(raw, '\\\\s+'), t -> t != '')").as("ts"))
+    val occ = toks.filter(size(col("ts")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(ts) - $k),
+           |  p -> struct(p, md5(concat_ws(' ', slice(ts, p + 1, $k))) AS g))""".stripMargin))
+        .as("o"))
+      .select(col("doc_id"), col("o.p").as("p"), col("o.g").as("g"))
+    val stats = occ.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("owner"))
+    val covered = occ.join(stats.hint("shuffle_hash"), Seq("g"))
+      .filter(col("df") >= 2 && col("owner") =!= col("doc_id"))
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${k - 1})")).as("i"))
+      .distinct()
+    val tokens = toks
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("i", "tok")))
+    val kept = tokens.join(covered.hint("shuffle_hash"), Seq("doc_id", "i"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("i"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("cleaned"))
+    toks.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val d19Sql = {
+    val k = SpanGramK
+    val boiler = "this content is provided as is without warranty of " +
+      "any kind either express or implied"
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 20 = 7 THEN ' $boiler' ELSE '' END AS raw
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |toks AS (SELECT doc_id, regexp_extract_all(raw, '\\S+') AS ts FROM raw),
+       |occ AS (
+       |  SELECT doc_id, p, md5(array_to_string(ts[p + 1 : p + $k], ' ')) AS g
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - $k)) AS p
+       |        FROM toks WHERE len(ts) >= $k)),
+       |stats AS (
+       |  SELECT g, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS owner
+       |  FROM occ GROUP BY g),
+       |covered AS (
+       |  SELECT DISTINCT o.doc_id, u.i
+       |  FROM occ o JOIN stats s USING (g),
+       |       unnest(generate_series(o.p, o.p + ${k - 1})) AS u(i)
+       |  WHERE s.df >= 2 AND s.owner <> o.doc_id),
+       |tokens AS (
+       |  SELECT doc_id, g.i - 1 AS i, ts[g.i] AS tok
+       |  FROM toks, unnest(generate_series(1, len(ts))) AS g(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.i, t.tok FROM tokens t
+       |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+       |                    WHERE c.doc_id = t.doc_id AND c.i = t.i)),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY i) AS cleaned
+       |  FROM kept GROUP BY doc_id)
+       |SELECT n.doc_id, CAST(len(n.ts) AS BIGINT) AS n_tokens,
+       |  CAST(len(n.ts) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(a.cleaned, '') AS cleaned
+       |FROM toks n LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "d19_substring_remove" -> (d19 _),
     "d18_semdedup" -> (d18 _),
     "d15_minhash_accuracy" -> (d15 _),
     "d14_repeated_ngrams" -> (d14 _),
@@ -1693,6 +1822,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d19_substring_remove" -> d19Sql,
     "d18_semdedup" -> d18Sql,
     "d15_minhash_accuracy" -> d15Sql,
     "d14_repeated_ngrams" -> d14Sql,

@@ -6,6 +6,41 @@ package graft
   */
 class DedupPlanSpec extends SparkSpec {
 
+  test("d19 excises the planted copied paragraph, keeps one canonical copy, preserves unique text") {
+    import org.apache.spark.sql.functions._
+    val boiler = "this content is provided as is without warranty of " +
+      "any kind either express or implied" // 15 tokens, >= SpanGramK
+    val out = SparkEntry.queries("d19_substring_remove")(spark, sf)
+    // the plan stays pairwise-free and window-free (t17's discipline)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // every planting doc except the owner (min doc_id = 7) loses the
+    // paragraph — exactly: at least its 15 tokens, and the text is gone
+    val planted = rows.filter(_._1 % 20 == 7)
+    assert(planted.size > 1, "need owner + non-owners to exercise priority")
+    val owner = planted.minBy(_._1)
+    assert(owner._4.contains(boiler), s"owner must KEEP the canonical copy: $owner")
+    planted.filterNot(_ == owner).foreach { case (id, _, nRemoved, cleaned) =>
+      assert(!cleaned.contains(boiler), s"doc $id kept the copied paragraph")
+      assert(nRemoved >= 15, s"doc $id removed only $nRemoved tokens")
+    }
+    // unique text survives byte-for-byte (modulo the documented
+    // whitespace normalization): untouched docs reproduce their tokens
+    val untouched = rows.filter(r => r._3 == 0)
+    assert(untouched.nonEmpty, "corpus should contain docs with no cross-doc repeats")
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        concat_ws(" ", expr("filter(split(text, '\\\\s+'), t -> t != '')")).as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    untouched.filter(_._1 % 20 != 7).foreach { case (id, nTok, _, cleaned) =>
+      assert(cleaned == raw(id), s"doc $id text mutated without removals")
+    }
+  }
+
   test("d5 joins embeddings by shuffle, not broadcast") {
     val df = SparkEntry.queries("d5_embedding_neardup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
