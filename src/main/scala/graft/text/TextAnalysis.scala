@@ -1099,7 +1099,176 @@ object TextAnalysis {
       |FROM w, t
       |ORDER BY source""".stripMargin
 
+  /** t20 training knobs. 8 merges keeps the oracle's unrolled SQL and
+    * the training loop small while exercising every mechanism a
+    * 50k-merge production run uses (the vocabulary size is a constant,
+    * not a structural parameter). The sample is a doc_id modulus — at
+    * 100 TB an absolute row cap (`LIMIT` after the modulus, the s8
+    * bounded-sample rule) bounds training input regardless of corpus
+    * size; the learned table is metadata-sized either way. */
+  private[graft] val BpeMerges = 8
+  private[graft] val BpeSampleMod = 5
+
+  /** The word → spaced-symbol-string rendering both engines share:
+    * `"hello"` → `" h e l l o </w> "`. Symbols never contain spaces,
+    * so the literal double-replace of `" a b "` with `" ab "` is
+    * unambiguous; the corpus is `[a-z0-9 .]` so the `</w>` marker
+    * cannot collide with any character symbol. */
+  private def spacedWordExpr(w: String): String =
+    s"concat(' ', concat_ws(' ', transform(sequence(1, length($w)), i -> substring($w, i, 1))), ' </w> ')"
+
+  /** t20's trainer: learn [[BpeMerges]] merge rules from the sampled
+    * corpus by the exact BPE recurrence — per round, count ADJACENT
+    * symbol pairs across all sample words (integer counts, overlaps
+    * counted naively — the subword-nmt convention), take the most
+    * frequent pair with lexicographic (a, b) tie-break, rewrite the
+    * sample, repeat. The s8 loud-loop discipline: a fixed round count,
+    * a hard failure if a round finds no pairs (cannot happen on a
+    * non-degenerate corpus), and per-round driver state of exactly ONE
+    * row (the argmax pair — metadata-sized, like s8's centroids).
+    *
+    * Merge application — here and everywhere — is the double literal
+    * replace of `" a b "` → `" ab "`: one `replace` pass is greedy
+    * left-to-right but consumes the shared delimiter space, missing
+    * every second occurrence of a chain; the second pass catches
+    * exactly those (replacement text cannot create new matches — a
+    * merged symbol contains no internal space). The result equals the
+    * sequential greedy fold (spec-proven against a reference fold on
+    * real corpus words), and both engines share `replace`'s literal
+    * leftmost semantics — no regex, no lookaround, RE2-safe by
+    * absence.
+    *
+    * Scale: each round is one map-side-partial pair-count aggregate
+    * over the bounded sample + a one-row TakeOrdered — the lineage
+    * deepens by two codegen'd `replace` calls per round (M² sample
+    * scans worst case; at production merge counts the sample would be
+    * localCheckpoint'ed every ~32 rounds, the d7 discipline).
+    */
+  private[graft] def bpeTrain(s: SparkSession, d: String): Seq[(String, String)] = {
+    var cur = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .filter(col("doc_id") % BpeSampleMod === 0)
+      .select(explode(expr("filter(split(text, '\\\\s+'), t -> t != '')")).as("w"))
+      .select(expr(spacedWordExpr("w")).as("sp"))
+    val merges = Seq.newBuilder[(String, String)]
+    for (round <- 1 to BpeMerges) {
+      val top = cur
+        .select(expr("filter(split(sp, ' '), x -> x != '')").as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ss) - 1), i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) throw new IllegalStateException(
+        s"BPE training round $round found no adjacent pairs — sample degenerate " +
+          s"(mod=$BpeSampleMod over $d); refusing to emit a short merge table")
+      val (a, b) = (top(0).getString(0), top(0).getString(1))
+      merges += ((a, b))
+      val (pat, rep) = (lit(s" $a $b "), lit(s" $a$b "))
+      cur = cur.select(replace(replace(col("sp"), pat, rep), pat, rep).as("sp"))
+    }
+    merges.result()
+  }
+
+  /** t20: REAL byte-pair encoding with a LEARNED merge table — t13's
+    * regex proxy upgraded to the actual algorithm (Sennrich et al.
+    * 2016, arXiv:1508.07909). Training ([[bpeTrain]]) runs in-query
+    * (priced like q36's staged write); application renders each doc
+    * as ONE concatenated spaced-symbol string and folds the learned
+    * merges over it as a chain of codegen'd literal `replace` calls —
+    * a pure per-row projection, zero shuffle, t13/t16's scan-speed
+    * shape, because the merge table is driver-known after training
+    * (8 rules ≈ a broadcast of constants folded into the plan).
+    *
+    * Whole-doc application is sound because no learned rule can fire
+    * across a word boundary: a rule's LEFT side never contains `</w>`
+    * (training pairs only ever have the marker, or a marker-merged
+    * symbol, on the right — it is word-final by construction), while
+    * the symbol before each boundary always ends with `</w>` — so the
+    * cross-word adjacency can never match. Spec-pinned against the
+    * per-word reference fold.
+    *
+    * Output is the t13 comparison the packing stages consume:
+    * whitespace words, learned-BPE tokens, t13's regex-proxy tokens,
+    * and both fertilities — the learned fertility is the conversion
+    * rate t10/t15's budgets would use once a real tokenizer exists.
+    * Oracle: the full recurrence — training unrolled stage by stage
+    * (8 argmax CTEs with identical tie-breaks) and the same replace
+    * fold — in DuckDB SQL; the compare proves the LEARNED TABLE
+    * itself, not just the counts.
+    */
+  private def t20(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeTrain(s, d)
+    val spacedDoc = expr(
+      """concat(' ', array_join(transform(filter(split(text, '\\s+'), t -> t != ''),
+        |  w -> concat(concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1))), ' </w>')), ' '), ' ')""".stripMargin)
+    val applied = merges.foldLeft(spacedDoc: Column) { case (c, (a, b)) =>
+      val (pat, rep) = (lit(s" $a $b "), lit(s" $a$b "))
+      replace(replace(c, pat, rep), pat, rep)
+    }
+    Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens_ws"),
+        regexp_count(col("text"), lit(BpeishPattern)).cast("long").as("n_tokens_bpeish"),
+        size(filter(split(applied, " "), x => x =!= "")).cast("long").as("n_tokens_learned"))
+      .withColumn("fertility_learned",
+        col("n_tokens_learned").cast("double") / col("n_tokens_ws"))
+      .withColumn("fertility_bpeish",
+        col("n_tokens_bpeish").cast("double") / col("n_tokens_ws"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val t20Sql = {
+    val pat = BpeishPattern.replace("'", "''")
+    def dblReplace(src: String) =
+      s"""replace(replace($src, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
+         |      ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+       |sw0 AS (
+       |  SELECT ' ' || array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), ' ') || ' </w> ' AS sp
+       |  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+       |        FROM docs WHERE doc_id % $BpeSampleMod = 0))""".stripMargin
+    for (r <- 1 to BpeMerges) {
+      sb ++= s""",
+       |m$r AS (
+       |  SELECT a, b FROM (
+       |    SELECT ss[i] AS a, ss[i + 1] AS b
+       |    FROM (SELECT ss FROM (SELECT list_filter(string_split(sp, ' '), x -> x <> '') AS ss
+       |                          FROM sw${r - 1}) WHERE len(ss) >= 2),
+       |         unnest(generate_series(1, len(ss) - 1)) AS u(i))
+       |  GROUP BY a, b ORDER BY COUNT(*) DESC, a, b LIMIT 1),
+       |sw$r AS (
+       |  SELECT ${dblReplace("sp")} AS sp
+       |  FROM sw${r - 1} CROSS JOIN m$r m)""".stripMargin
+    }
+    sb ++= s""",
+       |ap0 AS (
+       |  SELECT doc_id,
+       |    ' ' || array_to_string(list_transform(regexp_extract_all(text, '\\S+'),
+       |        w -> array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), ' ') || ' </w>'), ' ') || ' ' AS sp
+       |  FROM docs)""".stripMargin
+    for (r <- 1 to BpeMerges) {
+      sb ++= s""",
+       |ap$r AS (SELECT doc_id, ${dblReplace("sp")} AS sp FROM ap${r - 1} CROSS JOIN m$r m)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT d.doc_id,
+       |  CAST(length(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens_ws,
+       |  CAST(length(regexp_extract_all(d.text, '$pat')) AS BIGINT) AS n_tokens_bpeish,
+       |  CAST(len(list_filter(string_split(a.sp, ' '), x -> x <> '')) AS BIGINT) AS n_tokens_learned,
+       |  CAST(len(list_filter(string_split(a.sp, ' '), x -> x <> '')) AS DOUBLE)
+       |    / length(regexp_extract_all(d.text, '\\S+')) AS fertility_learned,
+       |  CAST(length(regexp_extract_all(d.text, '$pat')) AS DOUBLE)
+       |    / length(regexp_extract_all(d.text, '\\S+')) AS fertility_bpeish
+       |FROM docs d JOIN ap$BpeMerges a USING (doc_id)""".stripMargin
+    sb.result()
+  }
+
   val queries: Map[String, QFn] = Map(
+    "t20_bpe_learned" -> (t20 _),
     "t19_temperature_mix" -> (t19 _),
     "t18_model_score" -> (t18 _),
     "t17_line_dedup" -> (t17 _),
@@ -1121,6 +1290,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t20_bpe_learned" -> t20Sql,
     "t19_temperature_mix" -> t19Sql,
     "t18_model_score" -> t18Sql,
     "t17_line_dedup" -> t17Sql,

@@ -132,6 +132,60 @@ class PropertySpec extends SparkSpec {
     assert(fps == 3L, s"expected 3 distinct md5s, got $fps")
   }
 
+  test("t20 learned BPE: double-replace equals the sequential greedy fold on real corpus words") {
+    import org.apache.spark.sql.functions._
+    // the reference: textbook greedy left-to-right merge application,
+    // one rule at a time over the symbol list
+    def greedyApply(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms: Seq[String] = word.map(_.toString) :+ "</w>"
+      for ((a, b) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        for (s0 <- syms) {
+          if (out.nonEmpty && out.last == a && s0 == b) out(out.size - 1) = a + b
+          else out += s0
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val merges = text.TextAnalysis.bpeTrain(spark, sf)
+    assert(merges.size == text.TextAnalysis.BpeMerges)
+    // training is deterministic: integer counts, lexicographic tie-break
+    assert(text.TextAnalysis.bpeTrain(spark, sf) == merges, "merge table not deterministic")
+    // adjacent-chain edge cases + real corpus words
+    val corpus = Tables.documents(spark, sf).select(col("text")).limit(40)
+      .collect().flatMap(_.getString(0).split("\\s+")).filter(_.nonEmpty).distinct
+    val words = corpus ++ Seq("aaaa", "abababab", "a", "merge", "batchbatch")
+    val expected = words.map(w => greedyApply(w, merges).size.toLong).sum
+    // the engine's formulation: whole-doc spaced string + double replace
+    import spark.implicits._
+    val df = words.toSeq.toDF("text")
+    val spacedDoc = expr(
+      """concat(' ', array_join(transform(filter(split(text, '\\s+'), t -> t != ''),
+        |  w -> concat(concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1))), ' </w>')), ' '), ' ')""".stripMargin)
+    val applied = merges.foldLeft(spacedDoc: org.apache.spark.sql.Column) {
+      case (c, (a, b)) =>
+        val (pat, rep) = (lit(s" $a $b "), lit(s" $a$b "))
+        replace(replace(c, pat, rep), pat, rep)
+    }
+    val actual = df.select(size(filter(split(applied, " "), x => x =!= "")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(actual == expected,
+      s"double-replace diverged from the greedy fold: $actual vs $expected")
+    // merges actually compress: learned tokens < raw symbol count
+    val out = SparkEntry.queries("t20_bpe_learned")(spark, sf).collect()
+    val rawSyms = Tables.documents(spark, sf)
+      .select(sum(length(regexp_replace(col("text"), "\\s+", "")) +
+        text.TextAnalysis.tokenCount(col("text")))).head.getLong(0)
+    val learned = out.map(_.getAs[Long]("n_tokens_learned")).sum
+    assert(learned < rawSyms, s"8 merges must compress: $learned !< $rawSyms")
+    // fertility comparison columns present and finite
+    out.foreach { r =>
+      assert(!r.getAs[Double]("fertility_learned").isNaN)
+      assert(!r.getAs[Double]("fertility_bpeish").isNaN)
+    }
+  }
+
   test("BPE-ish tokenizer splits contractions, long words and punctuation as designed") {
     import graft.text.TextAnalysis
     val cases = Seq(
