@@ -1267,7 +1267,159 @@ object TextAnalysis {
     sb.result()
   }
 
+  /** t21's fixed-point parameters: probabilities are scored in integer
+    * MILLI-BITS (-log2 scaled by 1000) with a 2^20 mantissa and 10
+    * fractional bits — every operation is BIGINT multiply/divide/
+    * compare, identical in any engine, so "log" carries no libm and no
+    * rounding-mode ambiguity (the t14/t19 discipline, extended from
+    * sqrt to log). Overflow bound: den·2^20 needs den < 2^43 — the
+    * reference corpus can hold ~8·10^12 occurrences of one word
+    * before the shift must drop a bit. */
+  private[graft] val PplShift = 20
+  private[graft] val PplSteps = 10
+
+  /** -log2(num/den) in integer milli-bits, 0 < num <= den, as a SQL
+    * expression over columns `num`/`den` — the textbook shift-and-
+    * square binary logarithm: integer part e = bitlen(den div num)-1,
+    * mantissa m0 = den·2^20 / (num·2^e) ∈ [2^20, 2^21), then 10
+    * square-and-normalize steps each yielding one fractional bit.
+    * Truncation at each step is PART OF THE DEFINITION — both engines
+    * run the same integer recurrence, so results are equal by
+    * construction, not by rounding luck. Max error ~2^-10 ≈ 1 milli-
+    * bit, irrelevant to a keep/drop gate with integer thresholds. */
+  private[graft] def surpMilliSpark: String = {
+    val m2 = 1L << PplShift; val top = 2L << PplShift
+    s"""(length(bin(den div num)) - 1) * 1000 +
+       |  (aggregate(sequence(1, $PplSteps),
+       |     struct((den * $m2) div (num * shiftleft(CAST(1 AS BIGINT), length(bin(den div num)) - 1)) AS m,
+       |            CAST(0 AS BIGINT) AS f),
+       |     (acc, i) -> CASE WHEN (acc.m * acc.m) div $m2 >= $top
+       |       THEN struct(((acc.m * acc.m) div $m2) div 2 AS m, acc.f * 2 + 1 AS f)
+       |       ELSE struct((acc.m * acc.m) div $m2 AS m, acc.f * 2 AS f) END,
+       |     acc -> acc.f) * 1000) div 1024""".stripMargin
+  }
+
+  /** Per-language perplexity gates in milli-bits. Integer compares on
+    * integer scores: no value can sit "near" a float boundary, so the
+    * thresholds are arbitrary constants chosen to split the corpus
+    * meaningfully (measured at sf0.001/0.01: both verdicts populated
+    * for every language). */
+  private[graft] val PplThresholds =
+    Seq(("de", 5100L), ("en", 5060L), ("es", 5120L), ("fr", 5080L), ("zh", 5140L))
+
+  /** t21: n-gram LM perplexity filtering — the KenLM-style quality
+    * gate (Wenzek et al. 2020, CCNet, arXiv:1911.00359: score every
+    * document against a language model trained on trusted text; keep
+    * what reads "normal"), with the LM itself trained in-query:
+    *
+    *   - REFERENCE corpus = every 4th doc (the trusted subset a real
+    *     pipeline would hold out); unigram counts c(a), bigram counts
+    *     c(a,b), vocabulary V = |distinct ref words| + 1 (UNK slot);
+    *   - add-one smoothing: P(b|a) = (c(a,b)+1) / (c(a)+V) — integer
+    *     numerator/denominator, no float anywhere;
+    *   - per-doc score: mean surprisal over adjacent word pairs in
+    *     integer milli-bits ([[surpMilliSpark]]), truncating division
+    *     (part of the contract);
+    *   - keep iff ppl_milli <= the language's gate ([[PplThresholds]]
+    *     — a broadcast 5-row dim, t18's calibration-table shape).
+    *
+    * Scale: LM counts are map-side-partial hash aggregates over the
+    * bounded reference; the scoring join is hint-pinned shuffle
+    * equi-joins on (a,b)/(a) — NEVER a broadcast of the bigram table,
+    * whose size is observed-bigram-proportional at production vocab
+    * (AQE may still inline a small side at runtime, which is its
+    * job); surprisal math is codegen'd BIGINT arithmetic fused into
+    * the join projection; the per-doc rollup is one aggregate. A doc
+    * with no pairs (sub-2-word) keeps by contract (no evidence), with
+    * NULL perplexity — both engines spell the same COALESCE.
+    */
+  private def t21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val toks = docs.select(col("doc_id"),
+      expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ts"))
+    def pairsOf(t: DataFrame): DataFrame = t.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS a, element_at(ts, i + 1) AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val ref = toks.filter(col("doc_id") % 4 === 0)
+    val refW = ref.select(explode(col("ts")).as("w"))
+    val uni = refW.groupBy(col("w").as("a")).agg(count(lit(1)).as("ca"))
+    val bigr = pairsOf(ref).groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val vrow = refW.agg((countDistinct(col("w")) + 1L).as("v"))
+    val scored = pairsOf(toks)
+      .join(bigr.hint("shuffle_hash"), Seq("a", "b"), "left")
+      .join(uni.hint("shuffle_hash"), Seq("a"), "left")
+      .crossJoin(broadcast(vrow))
+      .select(col("doc_id"),
+        (coalesce(col("cab"), lit(0L)) + 1L).as("num"),
+        (coalesce(col("ca"), lit(0L)) + col("v")).as("den"))
+      .select(col("doc_id"), expr(surpMilliSpark).as("sur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sur")).as("tot"))
+    val thr = broadcast(PplThresholds.toDF("lang", "thr"))
+    docs.join(scored, Seq("doc_id"), "left")
+      .join(thr, Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        expr("tot div n_pairs").as("ppl_milli"),
+        coalesce(expr("tot div n_pairs") <= col("thr"), lit(true)).as("keep"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val t21Sql = {
+    val m2 = 1L << PplShift; val top = 2L << PplShift
+    val thrVals = PplThresholds.map { case (l, t) => s"('$l', ${t}::BIGINT)" }.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"""WITH docs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id IS NOT NULL),
+       |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM docs),
+       |refw AS (SELECT unnest(ts) AS w FROM toks WHERE doc_id % 4 = 0),
+       |uni AS (SELECT w AS a, COUNT(*) AS ca FROM refw GROUP BY w),
+       |vb AS (SELECT COUNT(DISTINCT w) + 1 AS v FROM refw),
+       |rpairs AS (
+       |  SELECT ts[i] AS a, ts[i + 1] AS b
+       |  FROM (SELECT ts FROM toks WHERE doc_id % 4 = 0 AND len(ts) >= 2),
+       |       unnest(generate_series(1, len(ts) - 1)) AS u(i)),
+       |bigr AS (SELECT a, b, COUNT(*) AS cab FROM rpairs GROUP BY a, b),
+       |pairs AS (
+       |  SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+       |  FROM (SELECT doc_id, ts FROM toks WHERE len(ts) >= 2),
+       |       unnest(generate_series(1, len(ts) - 1)) AS u(i)),
+       |joined AS (
+       |  SELECT p.doc_id, COALESCE(bg.cab, 0) + 1 AS num, COALESCE(u.ca, 0) + v.v AS den
+       |  FROM pairs p LEFT JOIN bigr bg ON bg.a = p.a AND bg.b = p.b
+       |    LEFT JOIN uni u ON u.a = p.a CROSS JOIN vb v),
+       |st0 AS (
+       |  SELECT doc_id, length(bin(den // num)) - 1 AS e,
+       |    (den * $m2) // (num * (1::BIGINT << (length(bin(den // num)) - 1))) AS m,
+       |    0::BIGINT AS f
+       |  FROM joined)""".stripMargin
+    for (r <- 1 to PplSteps) {
+      sb ++= s""",
+       |st$r AS (SELECT doc_id, e,
+       |  CASE WHEN (m * m) // $m2 >= $top THEN ((m * m) // $m2) // 2
+       |       ELSE (m * m) // $m2 END AS m,
+       |  f * 2 + CASE WHEN (m * m) // $m2 >= $top THEN 1 ELSE 0 END AS f
+       |  FROM st${r - 1})""".stripMargin
+    }
+    sb ++= s""",
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_pairs,
+       |    SUM(e * 1000 + (f * 1000) // 1024) AS tot
+       |  FROM st$PplSteps GROUP BY doc_id),
+       |thr(lang, thr) AS (VALUES $thrVals)
+       |SELECT d.doc_id, d.lang, COALESCE(a.n_pairs, 0) AS n_pairs,
+       |  CAST(a.tot AS BIGINT) // a.n_pairs AS ppl_milli,
+       |  COALESCE(CAST(a.tot AS BIGINT) // a.n_pairs <= t.thr, TRUE) AS keep
+       |FROM docs d LEFT JOIN agg a USING (doc_id)
+       |JOIN thr t ON t.lang = d.lang""".stripMargin
+    sb.result()
+  }
+
   val queries: Map[String, QFn] = Map(
+    "t21_perplexity_filter" -> (t21 _),
     "t20_bpe_learned" -> (t20 _),
     "t19_temperature_mix" -> (t19 _),
     "t18_model_score" -> (t18 _),
@@ -1290,6 +1442,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t21_perplexity_filter" -> t21Sql,
     "t20_bpe_learned" -> t20Sql,
     "t19_temperature_mix" -> t19Sql,
     "t18_model_score" -> t18Sql,

@@ -132,6 +132,39 @@ class PropertySpec extends SparkSpec {
     assert(fps == 3L, s"expected 3 distinct md5s, got $fps")
   }
 
+  test("t21 integer milli-bit log matches IEEE -log2 within quantization error") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // exhaustive-ish probe: prime-ish nums/dens, powers of two (exact
+    // cases), and near-1 ratios where the integer part is 0
+    val cases = Seq((1L, 2L), (1L, 1024L), (1L, 3L), (3L, 7L), (999L, 1000L),
+      (1L, 1000000L), (17L, 53L), (1023L, 1024L), (1L, 1L), (500L, 501L),
+      (123L, 456789L), (7L, 7L))
+    val got = cases.toDF("num", "den")
+      .select(expr(text.TextAnalysis.surpMilliSpark).as("s")).as[Long].collect()
+    cases.zip(got).foreach { case ((num, den), s) =>
+      val exact = -math.log(num.toDouble / den) / math.log(2.0) * 1000
+      assert(math.abs(s - exact) <= 2,
+        s"-log2($num/$den): got $s milli-bits, exact $exact")
+    }
+    // both verdicts populated for every language at this scale, and the
+    // gate is the integer compare it claims to be
+    val out = SparkEntry.queries("t21_perplexity_filter")(spark, sf).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    assert(byLang.size == 5)
+    byLang.foreach { case (lang, rows) =>
+      val kept = rows.count(_.getAs[Boolean]("keep"))
+      assert(kept > 0 && kept < rows.size,
+        s"$lang: gate must split the corpus (kept $kept of ${rows.size})")
+    }
+    val thrMap = text.TextAnalysis.PplThresholds.toMap
+    out.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      val ppl = r.getAs[Long]("ppl_milli")
+      assert(keep == (ppl <= thrMap(r.getAs[String]("lang"))))
+    }
+  }
+
   test("t20 learned BPE: double-replace equals the sequential greedy fold on real corpus words") {
     import org.apache.spark.sql.functions._
     // the reference: textbook greedy left-to-right merge application,
