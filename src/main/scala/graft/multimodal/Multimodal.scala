@@ -376,13 +376,12 @@ object Multimodal {
     val base = docs
       .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"))
       .withColumn("pbucket", expr(s"doc_id div $bucket"))
-    val boffsets = base.groupBy(col("pbucket"))
-      .agg(sum(col("n_bytes")).as("bbytes"))
-      .withColumn("boffset", coalesce(
-        sum(col("bbytes")).over(
-          Window.orderBy(col("pbucket")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("pbucket"), col("boffset"))
+    // bucket offsets via the fully-partitioned three-level scheme —
+    // no unpartitioned window (r11 verdict #4), values identical
+    val boffsets = graft.operators.PrefixOffsets.bucketOffsets(
+      base.groupBy(col("pbucket")).agg(sum(col("n_bytes")).as("bbytes")),
+      Nil, "bbytes",
+      graft.operators.PrefixOffsets.superBucket(maxId / bucket))
     val local = Window.partitionBy(col("pbucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base.join(broadcast(boffsets), Seq("pbucket"))

@@ -425,11 +425,11 @@ object TextAnalysis {
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
       .withColumn("pbucket", expr(s"doc_id div $packBucket"))
     val bsums = base.groupBy(col("pbucket")).agg(sum(col("n_tokens")).as("btok"))
-    val boffsets = bsums.withColumn("boffset", coalesce(
-      sum(col("btok")).over(
-        Window.orderBy(col("pbucket")).rowsBetween(Window.unboundedPreceding, -1)),
-      lit(0L)))
-      .select(col("pbucket"), col("boffset"))
+    // bucket offsets via the fully-partitioned three-level scheme —
+    // no unpartitioned window (r11 verdict #4); values identical to
+    // the old global cumulative, so the oracle is untouched
+    val boffsets = graft.operators.PrefixOffsets.bucketOffsets(bsums, Nil, "btok",
+      graft.operators.PrefixOffsets.superBucket(maxId / packBucket))
     val local = Window.partitionBy(col("pbucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base
@@ -674,11 +674,12 @@ object TextAnalysis {
     val packBucket = derivePackBucket(maxId)
     val base = sampled.withColumn("pbucket", expr(s"doc_id div $packBucket"))
     val bsums = base.groupBy(col("split"), col("pbucket")).agg(sum(col("n_tokens")).as("btok"))
-    val boffsets = bsums.withColumn("boffset", coalesce(
-        sum(col("btok")).over(Window.partitionBy(col("split")).orderBy(col("pbucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("split"), col("pbucket"), col("boffset"))
+    // per-split bucket offsets via the fully-partitioned three-level
+    // scheme (r11 verdict #4) — the old per-split window put a whole
+    // split's √n bucket vector in one task; values are identical
+    val boffsets = graft.operators.PrefixOffsets.bucketOffsets(bsums,
+      Seq("split"), "btok",
+      graft.operators.PrefixOffsets.superBucket(maxId / packBucket))
     val local = Window.partitionBy(col("split"), col("pbucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base.join(broadcast(boffsets), Seq("split", "pbucket"))

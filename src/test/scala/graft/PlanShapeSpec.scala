@@ -563,6 +563,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("packing prefix sums plan NO unpartitioned window (t10/t15/m7, r11 verdict #4)") {
+    for (q <- Seq("t10_pack", "t15_curate_pipeline", "m7_shard_pack")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val bad = collectInPlan(df.queryExecution.executedPlan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w.simpleStringWithNodeId()
+      }
+      assert(bad.isEmpty,
+        s"$q plans an unpartitioned Window (the serial √n point): ${bad.mkString("; ")}")
+    }
+  }
+
   test("q37 row_number()=1 is rewritten to a map-side struct-max aggregate") {
     val p = plan("q37_latest_rewrite")
     // the query is WRITTEN as a window; the session-registered
