@@ -723,13 +723,32 @@ object Dedup {
       m("d7_star_candidates") = rooted.count()
       m("d7_verified_edges") = edges.count() / 2
     }
-    // Seed with the one-hop minimum: with initial labels = doc_id the
-    // first propagation round needs no labels join at all — it is just
-    // min(src) per dst — so the loop starts one round ahead.
+    val labels = propagateMinLabels(
+      docs.filter(col("doc_id").isNotNull).select(col("doc_id")), edges, stats)
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Iterative min-label propagation to fixpoint — d7's converged-
+    * components loop, factored out so d20's condensed incremental
+    * graph reuses the exact machinery. `nodes` has one `doc_id` row
+    * per vertex; `edges` is the BOTH-DIRECTIONS (src, dst) relation,
+    * already checkpointed by the caller. Returns (doc_id, label) with
+    * label = component-min vertex id.
+    *
+    * Seeded with the one-hop minimum: with initial labels = doc_id the
+    * first propagation round needs no labels join at all — it is just
+    * min(src) per dst — so the loop starts one round ahead. Each round
+    * is one shuffle join + partial-agg over the EDGE set, labels are
+    * localCheckpoint-ed per round to truncate lineage, and the label
+    * sum (strictly decreasing until fixpoint) detects convergence with
+    * one scalar agg per round. Near-dup components are shallow
+    * (diameter ≪ 50); a component whose min-label eccentricity exceeds
+    * the loud cap would silently get WRONG cluster ids, so fail
+    * instead of emitting them. */
+  private[graft] def propagateMinLabels(nodes: DataFrame, edges: DataFrame,
+      stats: Option[scala.collection.mutable.Map[String, Long]] = None): DataFrame = {
     val seed = edges.groupBy(col("dst")).agg(min(col("src")).as("nlabel"))
-    var labels = docs
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"))
+    var labels = nodes
       .join(seed.select(col("dst").as("doc_id"), col("nlabel")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("nlabel"), col("doc_id"))).as("label"))
@@ -752,15 +771,12 @@ object Dedup {
       labels = next
       iter += 1
     }
-    // Near-dup components are shallow (diameter ≪ 50); a component
-    // whose min-label eccentricity exceeds the cap would silently get
-    // WRONG cluster ids, so fail loudly instead of emitting them.
     if (!converged)
       throw new IllegalStateException(
-        s"d7 label propagation did not converge within $iter iterations — " +
+        s"label propagation did not converge within $iter iterations — " +
           "component diameter exceeds the cap; raise it or pre-split the graph")
     stats.foreach(_.update("d7_iterations", iter.toLong))
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    labels
   }
 
   /** d7 regression diagnosis, the [[d8Diag]] sibling: runs the
@@ -1800,7 +1816,126 @@ object Dedup {
        |FROM toks n LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** Version token baked into d20's persisted-label store (the
+    * s11/st9 freshness rule): labels laid out by an older clustering
+    * rule can never serve a newer incremental path. */
+  private[graft] val CbcVersion = "cbc1"
+
+  /** d20: cross-batch INCREMENTAL cluster maintenance — the gap d12/
+    * d13/d16 leave open: they admit a new batch against keeper
+    * manifests, but an admitted near-dup never JOINS the cluster
+    * graph. d20 maintains d7's connected components across a batch
+    * boundary without re-clustering the corpus:
+    *
+    *   - SWEEP (priced in-query on first run, then version-gated like
+    *     s11): cluster the historical ~80% with d7's exact machinery,
+    *     persist (doc_id, label) to parquet beside a `_src_meta`
+    *     marker (source size+mtime+[[CbcVersion]]);
+    *   - INCREMENT: compute ONLY the new edges — star-contraction
+    *     edges incident to a batch doc (batch ids are strictly above
+    *     the historical max, so bucket roots and hence the historical
+    *     edge set are UNCHANGED by the batch; the union's edge set is
+    *     exactly persisted-edges ∪ new-edges), Jaccard-verified like
+    *     every d7 edge;
+    *   - CONDENSE: map old endpoints to their persisted labels; the
+    *     condensed graph's vertices are touched labels + batch docs —
+    *     batch-proportional, corpus-independent;
+    *   - PROPAGATE [[propagateMinLabels]] over the condensed graph
+    *     (this also MERGES old components bridged by a new doc), then
+    *     remap: batch docs read their condensed label, historical
+    *     docs re-label through the old-label → condensed-root map
+    *     (untouched labels pass through a left join unchanged).
+    *
+    * Incremental == from-scratch, by construction: labels are
+    * component minima, ids are monotone across batches, and the
+    * condensed min equals the union-component min. The spec asserts
+    * label-for-label equality against [[clusterAssignmentsOf]] on the
+    * full corpus; the oracle is d7's closure over the union + the
+    * d12 batch flag, so the driver compare proves the same equality
+    * at sf0.01.
+    *
+    * Scale: the sweep is d7 (already graded); the incremental path
+    * touches the batch's bands, the persisted label table (equi-join),
+    * and a condensed graph proportional to the batch's collision
+    * neighborhood — at 100 TB with a daily batch, that is the
+    * difference between re-clustering 100 TB nightly and propagating
+    * over the day's edges. */
+  private def d20(s: SparkSession, d: String): DataFrame = {
+    val src = java.nio.file.Paths.get(d, "documents.parquet")
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_cbc_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve("_src_meta")
+    val meta = s"${java.nio.file.Files.size(src)}:" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis + ":" + CbcVersion
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val isNewCol = col("doc_id") > col("mx") - expr("mx div 5")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      java.nio.file.Files.exists(dir.resolve("labels"))
+    if (!fresh) {
+      val hist = docs.crossJoin(broadcast(mx)).filter(!isNewCol)
+        .select(docs.columns.map(col): _*)
+      clusterAssignmentsOf(hist)
+        .select(col("doc_id"), col("cluster_id").as("label"))
+        .write.mode("overwrite").parquet(dir.resolve("labels").toString)
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
+    val oldLabels = s.read.parquet(dir.resolve("labels").toString)
+    // new edges only: the union's star edges incident to a batch doc
+    val long = bandLong(minhashBandsFrom(shinglesDistinct(docs)))
+    val roots = long.groupBy(col("band_id"), col("bkey"))
+      .agg(min(col("doc_id")).as("root"))
+    val newRooted = long.join(roots, Seq("band_id", "bkey"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root"), col("doc_id")).distinct()
+      .crossJoin(broadcast(mx))
+      .filter(col("doc_id") > col("mx") - expr("mx div 5") ||
+        col("root") > col("mx") - expr("mx div 5"))
+      .select(col("root"), col("doc_id"))
+    val verified = verifyEdges(newRooted, docShingleSets(docs))
+    // condense: old endpoints → persisted labels; new endpoints stay
+    val lu = oldLabels.select(col("doc_id").as("u"), col("label").as("lu"))
+    val lv = oldLabels.select(col("doc_id").as("v"), col("label").as("lv"))
+    val cond = verified.select(col("root").as("u"), col("doc_id").as("v"))
+      .join(lu.hint("shuffle_hash"), Seq("u"), "left")
+      .join(lv.hint("shuffle_hash"), Seq("v"), "left")
+      .select(coalesce(col("lu"), col("u")).as("src"),
+        coalesce(col("lv"), col("v")).as("dst"))
+    val condEdges = cond
+      .unionAll(cond.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = condEdges.select(col("src").as("doc_id"))
+      .unionByName(docs.crossJoin(broadcast(mx)).filter(isNewCol).select(col("doc_id")))
+      .distinct()
+    val condLabels = propagateMinLabels(nodes, condEdges)
+    val newFinal = docs.crossJoin(broadcast(mx)).filter(isNewCol).select(col("doc_id"))
+      .join(condLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        lit(true).as("is_new"))
+    val remap = condLabels
+      .select(col("doc_id").as("label"), col("label").as("nlabel"))
+    val oldFinal = oldLabels.join(remap.hint("shuffle_hash"), Seq("label"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nlabel"), col("label")).as("cluster_id"),
+        lit(false).as("is_new"))
+    newFinal.unionByName(oldFinal).sortWithinPartitions(col("doc_id"))
+  }
+
+  // NOTE: like d7/d10, tools/parity.py swaps this closure for iterative
+  // propagation locally; the driver runs it verbatim at sf0.01.
+  private val d20Sql = "WITH RECURSIVE " + ClusterCteBody +
+    """,
+      |mx AS (SELECT MAX(doc_id) AS mx FROM documents)
+      |SELECT c.doc_id, c.cluster_id,
+      |  c.doc_id > m.mx - m.mx // 5 AS is_new
+      |FROM clusters c CROSS JOIN mx m ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d20_cross_batch_cluster" -> (d20 _),
     "d19_substring_remove" -> (d19 _),
     "d18_semdedup" -> (d18 _),
     "d15_minhash_accuracy" -> (d15 _),
@@ -1822,6 +1957,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d20_cross_batch_cluster" -> d20Sql,
     "d19_substring_remove" -> d19Sql,
     "d18_semdedup" -> d18Sql,
     "d15_minhash_accuracy" -> d15Sql,

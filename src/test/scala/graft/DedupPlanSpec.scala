@@ -6,6 +6,43 @@ package graft
   */
 class DedupPlanSpec extends SparkSpec {
 
+  test("d20 incremental labels equal from-scratch d7 on the unioned corpus") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("d20_cross_batch_cluster")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val inc = out.map(t => t._1 -> t._2).toMap
+    val scratch = SparkEntry.queries("d7_cluster")(spark, sf)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == scratch,
+      "incremental maintenance diverged from re-clustering the union: " +
+        inc.toSeq.filter { case (k, v) => scratch(k) != v }.take(5).mkString(", "))
+    // the batch flag is d12's integer rule, and the increment actually
+    // crosses the boundary: some batch doc joins an old doc's cluster
+    val mx = out.map(_._1).max
+    out.foreach { case (id, _, isNew) => assert(isNew == (id > mx - mx / 5)) }
+    val histMax = mx - mx / 5
+    assert(out.exists { case (id, c, isNew) => isNew && c <= histMax },
+      "no batch doc joined a historical cluster — the increment is untested")
+    // version gate (the s11 freshness rule): a stale marker forces an
+    // actual re-stage of the persisted label store
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_cbc_" + Integer.toHexString(sf.hashCode))
+    val marker = dir.resolve("_src_meta")
+    val current = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(current.endsWith(":" + dedup.Dedup.CbcVersion), current)
+    java.nio.file.Files.write(marker, (current.dropRight(1) + "0").getBytes("UTF-8"))
+    val before = java.nio.file.Files
+      .getLastModifiedTime(dir.resolve("labels")).toMillis
+    SparkEntry.queries("d20_cross_batch_cluster")(spark, sf).collect()
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == current,
+      "stale marker must force a re-stage that restores the current meta")
+    val after = java.nio.file.Files
+      .getLastModifiedTime(dir.resolve("labels")).toMillis
+    assert(after > before, "stale marker must rebuild the label store itself")
+  }
+
   test("d19 excises the planted copied paragraph, keeps one canonical copy, preserves unique text") {
     import org.apache.spark.sql.functions._
     val boiler = "this content is provided as is without warranty of " +

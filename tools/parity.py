@@ -65,6 +65,17 @@ def _d7_labels(con, sql: str) -> None:
         raise RuntimeError("d7 oracle label propagation did not converge")
 
 
+def d20_oracle(con, sql: str) -> pd.DataFrame:
+    """d20 via the same iterative propagation as d7_oracle — the
+    registered oracle is d7's closure over the union plus the batch
+    flag, so the swap is identical."""
+    _d7_labels(con, sql)
+    return con.execute("""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents)
+        SELECT l.doc_id, l.label AS cluster_id,
+          l.doc_id > m.mx - m.mx // 5 AS is_new
+        FROM __labels l CROSS JOIN mx m ORDER BY l.doc_id""").df()
+
+
 def d10_oracle(con, sql: str) -> pd.DataFrame:
     """d10 via the same iterative propagation as d7_oracle, plus the
     quality CTE lifted verbatim from the registered oracle SQL."""
@@ -109,6 +120,8 @@ def main():
                 exp = canon(d7_oracle(con, oracle[name]))
             elif name == "d10_cluster_keep":
                 exp = canon(d10_oracle(con, oracle[name]))
+            elif name == "d20_cross_batch_cluster":
+                exp = canon(d20_oracle(con, oracle[name]))
             else:
                 exp = canon(con.execute(oracle[name]).df())
         except Exception as e:
