@@ -410,7 +410,76 @@ object Multimodal {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM o GROUP BY 1""".stripMargin
 
+  /** Bytes of binary payload that cost one vision token — the
+    * patch-embedding rate (a real ViT front-end spends one token per
+    * 14×14×3-ish patch; the constant is the contract, not the codec). */
+  private[graft] val PatchBytes = 256L
+
+  /** m8: INTERLEAVED multimodal sequence packing — m7 ∘ t10: documents
+    * and their binary payloads pack into the same fixed token budgets,
+    * where text costs its token count (t10's rule) and an image costs
+    * `ceil(bytes / [[PatchBytes]])` vision tokens — the
+    * interleaved-training-data layout (image patches and text share
+    * one sequence budget). Every 3rd doc carries a payload (m1's
+    * text-bytes stand-in; the d12 injection pattern), the rest are
+    * text-only — so sequences genuinely interleave modalities.
+    *
+    * The offsets machinery is t10's verbatim: per-doc combined cost →
+    * bucketed prefix sum with [[graft.operators.PrefixOffsets]] (no
+    * unpartitioned window anywhere) → `seq_id = offset div 512`.
+    * Conservation is spec-pinned: token mass (text + vision) is
+    * preserved through packing — last offset + last cost == Σ costs —
+    * and vision-token mass equals the byte mass priced at the patch
+    * rate, so no byte and no token is lost or double-counted between
+    * the modality split and the sequence layout.
+    */
+  private def m8(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val bucket = graft.text.TextAnalysis.derivePackBucket(maxId)
+    val base = docs.select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).as("n_text_tokens"),
+        when(col("doc_id") % 3 === 0,
+          expr(s"(octet_length(cast(text AS binary)) + ${PatchBytes - 1}) div $PatchBytes"))
+          .otherwise(lit(0L)).as("n_image_tokens"))
+      .withColumn("n_tokens", col("n_text_tokens") + col("n_image_tokens"))
+      .withColumn("pbucket", expr(s"doc_id div $bucket"))
+    val boffsets = graft.operators.PrefixOffsets.bucketOffsets(
+      base.groupBy(col("pbucket")).agg(sum(col("n_tokens")).as("btok")),
+      Nil, "btok",
+      graft.operators.PrefixOffsets.superBucket(maxId / bucket))
+    val local = Window.partitionBy(col("pbucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(boffsets), Seq("pbucket"))
+      .withColumn("tok_offset",
+        col("boffset") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .withColumn("seq_id", expr(s"tok_offset div ${graft.text.TextAnalysis.PackTokens}"))
+      .select(col("doc_id"), col("n_text_tokens"), col("n_image_tokens"),
+        col("n_tokens"), col("tok_offset"), col("seq_id"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val m8Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_text_tokens,
+      |    CAST(CASE WHEN doc_id % 3 = 0
+      |         THEN (octet_length(encode(text)) + ${PatchBytes - 1}) // $PatchBytes
+      |         ELSE 0 END AS BIGINT) AS n_image_tokens
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |o AS (
+      |  SELECT doc_id, n_text_tokens, n_image_tokens,
+      |    n_text_tokens + n_image_tokens AS n_tokens,
+      |    CAST(COALESCE(SUM(n_text_tokens + n_image_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      |  FROM t)
+      |SELECT doc_id, n_text_tokens, n_image_tokens, n_tokens, tok_offset,
+      |  tok_offset // ${graft.text.TextAnalysis.PackTokens} AS seq_id
+      |FROM o ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "m8_interleaved_pack" -> (m8 _),
     "m7_shard_pack" -> (m7 _),
     "m1_binary_meta" -> (m1 _),
     "m2_frame_sample" -> (m2 _),
@@ -420,6 +489,7 @@ object Multimodal {
     "m6_perceptual_hash" -> (m6 _))
 
   val oracles: Map[String, String] = Map(
+    "m8_interleaved_pack" -> m8Sql,
     "m7_shard_pack" -> m7Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,

@@ -132,6 +132,42 @@ class PropertySpec extends SparkSpec {
     assert(fps == 3L, s"expected 3 distinct md5s, got $fps")
   }
 
+  test("m8 interleaved packing conserves byte and token mass") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("m8_interleaved_pack")(spark, sf)
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toList
+    // token mass conserved through packing: offsets are EXACTLY the
+    // running sums — no token lost, none double-counted
+    out.sliding(2).foreach {
+      case List((_, _, _, n1, o1, _), (_, _, _, _, o2, _)) =>
+        assert(o2 == o1 + n1, "offset gap/overlap between adjacent docs")
+      case _ =>
+    }
+    assert(out.head._5 == 0L)
+    assert(out.last._5 + out.last._4 == out.map(_._4).sum)
+    // per-doc: combined cost is the sum of its modality costs
+    out.foreach { case (_, t, i, n, _, _) => assert(n == t + i) }
+    // vision-token mass == byte mass priced at the patch rate
+    val bytes = Tables.documents(spark, sf)
+      .filter(col("doc_id").isNotNull && col("doc_id") % 3 === 0)
+      .agg(sum(expr("(octet_length(cast(text AS binary)) + 255) div 256")))
+      .head.getLong(0)
+    assert(out.map(_._3).sum == bytes, "vision-token mass diverged from byte mass")
+    // sequences genuinely interleave modalities
+    val bySeq = out.groupBy(_._6)
+    assert(bySeq.exists { case (_, ds) => ds.exists(_._3 > 0) && ds.exists(_._3 == 0) },
+      "no sequence mixes image-bearing and text-only docs")
+    // inherits t10's window discipline: nothing unpartitioned
+    val bad = collectInPlan(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty)
+  }
+
   test("t21 integer milli-bit log matches IEEE -log2 within quantization error") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
