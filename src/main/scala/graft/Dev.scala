@@ -31,6 +31,42 @@ object Dev {
         // drop/emit mismatch against st8Sql's per-batch model
         val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
         streaming.StreamingOps.st8Diag(spark, sfDir).foreach(println)
+      case Some("streambench") =>
+        // Sustained streaming throughput at 2 vs 32 state partitions —
+        // the quantitative check of the §5 state-floor sizing rule
+        // (BASELINE.md "Streaming throughput"). Drives N landing files
+        // (maxFilesPerTrigger=1 → N real micro-batches) through the
+        // stateless admit path (st9), the Bloom prefilter (st10), and
+        // the stateful foreachBatch compaction (st11); prints
+        // rows/s = stream input rows / wall seconds, best of 2.
+        val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val nFiles = args.lift(2).map(_.toInt).getOrElse(8)
+        val docRows = Tables.documents(spark, sfDir).count()
+        val batchRows = docRows / 5 // st9/st10 stream the newest ~20%
+        val eventRows = Tables.events(spark, sfDir).count()
+        def time(rows: Long)(body: => Unit): Double = {
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            body
+            (System.nanoTime() - t0) / 1e9
+          }
+          rows / ts.min
+        }
+        for (p <- Seq(2, 32)) {
+          spark.conf.set("graft.stream.partitions", p.toString)
+          val st9r = time(batchRows) {
+            streaming.StreamingOps.st9Multi(spark, sfDir, nFiles).collect() }
+          val st10r = time(batchRows) {
+            streaming.StreamingOps.st10Multi(spark, sfDir, nFiles).collect() }
+          val st11r = time(eventRows) {
+            streaming.StreamingOps.st11Multi(spark, sfDir, nFiles).collect() }
+          val st8r = time(eventRows) {
+            streaming.StreamingOps.st8Files(spark, sfDir, nFiles).collect() }
+          println(f"streambench partitions=$p%2d files=$nFiles " +
+            f"st9=${st9r}%.0f rows/s st10=${st10r}%.0f rows/s " +
+            f"st11=${st11r}%.0f rows/s st8=${st8r}%.0f rows/s")
+        }
+        spark.conf.unset("graft.stream.partitions")
       case Some("q37diag") =>
         // rule-on vs rule-off timing for LatestRewrite (q37's honesty
         // check: is the rewrite actually faster than Spark's own

@@ -561,8 +561,15 @@ object StreamingOps {
     * On an unbounded production feed this IS the operating regime —
     * st8 pins those semantics with a hash-checked oracle.
     */
-  private def st8(s: SparkSession, d: String): DataFrame = {
-    val agg = eventsStreamMulti(s, d, 4)
+  private def st8(s: SparkSession, d: String): DataFrame = st8Files(s, d, 4)
+
+  /** st8 with a caller-chosen landing-file count — 4 is the registered
+    * query; [[graft.Dev]] streambench drives more files through the
+    * SAME stateful windowed aggregate to measure the per-micro-batch
+    * state-commit floor (it is the only suite query with a true state
+    * store per shuffle partition on the multi-batch path). */
+  private[graft] def st8Files(s: SparkSession, d: String, nFiles: Int): DataFrame = {
+    val agg = eventsStreamMulti(s, d, nFiles)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", "10 minutes")
       .groupBy(window(col("ets"), "1 hour"), col("event_type"))
@@ -699,8 +706,18 @@ object StreamingOps {
     * SQL verbatim (the st9 ↔ d12 lockstep pattern), and a spec asserts
     * st10 == d17 row-for-row.
     */
-  private def st10(s: SparkSession, d: String): DataFrame = {
-    val (stream, fpManifest, _, bloom) = stagedAdmitInputs(s, d)
+  private def st10(s: SparkSession, d: String): DataFrame =
+    bloomPipeline(s, stagedAdmitInputs(s, d), "graft_st10")
+
+  /** st10 under the multi-batch regime (st9Multi's sibling) — same
+    * semantics, nFiles landing files with maxFilesPerTrigger=1. Spec/
+    * bench surface only, not a registered query. */
+  private[graft] def st10Multi(s: SparkSession, d: String, nFiles: Int): DataFrame =
+    bloomPipeline(s, stagedAdmitInputs(s, d, nFiles), "graft_st10multi")
+
+  private def bloomPipeline(s: SparkSession,
+      staged: (DataFrame, DataFrame, DataFrame, DataFrame), name: String): DataFrame = {
+    val (stream, fpManifest, _, bloom) = staged
     val m = graft.dedup.Dedup.bloomM(s)
     var probe = stream.withColumn("fp", md5(col("text").cast("binary")))
     val hits = (0 until 4).map { i =>
@@ -719,8 +736,19 @@ object StreamingOps {
       .select(col("doc_id"), col("fp"), col("bloom_maybe"),
         col("fp_hit").isNotNull.as("exact_dup"),
         (col("bloom_maybe") && col("fp_hit").isNull).as("false_positive"))
-    runToMemory(s, dec, "graft_st10", mode = "append")
+    runToMemory(s, dec, name, mode = "append")
       .sortWithinPartitions(col("doc_id"))
+  }
+
+  /** st11 under an nFiles multi-batch regime into fresh temp dirs —
+    * the streambench surface ([[graft.Dev]]): returns the final store
+    * view after the full compaction run. */
+  private[graft] def st11Multi(s: SparkSession, d: String, nFiles: Int): DataFrame = {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("graft_st11b_store_")
+    val ckpt = Files.createTempDirectory("graft_st11b_ckpt_")
+    st11Compact(s, eventsStreamMulti(s, d, nFiles), store, ckpt, "graft_st11multi")
+    st11StoreRead(s, store)
   }
 
   private val st10Sql = graft.dedup.Dedup.oracles("d17_bloom_admit")
