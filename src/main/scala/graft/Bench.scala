@@ -78,6 +78,50 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats}"""
     // stdout can be lost in log noise; persist the full map for the driver
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
+    // sf1 (10x) scaling regression gate — opt-in via SPARK_GRAFT_SF1
+    // (r11 verdict #8: the sweep was a one-off; wire it into the round
+    // loop). "1"/"true" uses/creates testdata-sf1 from sfDir; any other
+    // value is the corpus path. Each gate query runs ONCE at sf1; its
+    // ratio vs this run's own best sfDir time must stay under
+    // Budgets.sf1MaxRatio (ignored below 1 s of sf1 wall — noise).
+    val sf1Line = sys.env.get("SPARK_GRAFT_SF1").map { v =>
+      val sf1Dir = if (v == "1" || v.equalsIgnoreCase("true")) "testdata-sf1" else v
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sf1Dir, "documents.parquet")))
+        ScaleData.generate(spark, sfDir, sf1Dir, 10)
+      val qmap = SparkEntry.queries
+      val baseTime = results.collect { case (n, t, true) => n -> t }.toMap
+      val gated = Budgets.sf1MaxRatio.toSeq.sortBy(_._1).filter(e => qmap.contains(e._1))
+      val rows = gated.map { case (name, maxRatio) =>
+        // reference: the main sweep's best, or one fresh sfDir pass if
+        // the sweep was filtered past this query
+        val ref = baseTime.getOrElse(name, {
+          val t0 = System.nanoTime()
+          try qmap(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        })
+        val t0 = System.nanoTime()
+        val ok = try {
+          qmap(name)(spark, sf1Dir).write.mode("overwrite").format("noop").save(); true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench-sf1] $name failed: ${e.getMessage}"); false
+        }
+        val t1 = (System.nanoTime() - t0) / 1e9
+        val ratio = if (ok && ref > 0) t1 / ref else -1.0
+        (name, ok, t1, ratio, ok && t1 > 1.0 && ratio > maxRatio)
+      }
+      val ratios = rows.map { case (n, ok, t1, r, _) =>
+        "\"" + n + "\":" + (if (ok) s"{${"\"sec\""}:${f(t1)},${"\"ratio\""}:${f(r)}}" else "-1")
+      }.mkString("{", ",", "}")
+      val over = rows.collect { case (n, _, _, r, true) => "\"" + n + "\":" + f(r) }
+        .mkString("{", ",", "}")
+      val totalSf1 = rows.collect { case (_, true, t1, _, _) => t1 }.sum
+      val nFail = rows.count(!_._2)
+      s"""{"metric":"sf1_gate","value":${f(totalSf1)},"unit":"sec","sf1":"$sf1Dir","n_failed":$nFail,"over_ratio":$over,"ratios":$ratios}"""
+    }
+    sf1Line.foreach { l =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_sf1_last.json"), l + "\n")
+    }
     // Print the JSON only AFTER spark.stop(): executor-shutdown log
     // lines otherwise interleave with (or truncate) the metric line in
     // captured output. The marker line lets a parser seek to the JSON
@@ -91,6 +135,13 @@ object Bench {
     println(line)
     println("GRAFT_BENCH_JSON")
     println(line)
+    sf1Line.foreach { l =>
+      // the sf1 gate line is a SEPARATE marker: a driver that parses
+      // only GRAFT_BENCH_JSON is unaffected; the short over_ratio
+      // summary also rides the main line's file sibling
+      println("GRAFT_SF1_JSON")
+      println(l)
+    }
     System.out.flush()
   }
 }

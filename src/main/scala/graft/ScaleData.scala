@@ -57,6 +57,17 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dst, copies)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      println(s"[scale] $t rows=${spark.read.parquet(s"$dst/$t.parquet").count()}")
+    spark.stop()
+  }
+
+  /** The scale-up itself, callable from an existing session —
+    * [[Bench]]'s sf1 regression gate regenerates a missing corpus
+    * through this. */
+  def generate(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     import spark.implicits._
 
     val cdim = broadcast((0 until copies).toDF("c"))
@@ -129,10 +140,5 @@ object ScaleData {
           .as("embedding"),
         col("label")),
       "embeddings")
-
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings"))
-      println(s"[scale] $t rows=${spark.read.parquet(s"$dst/$t.parquet").count()}")
-    spark.stop()
   }
 }

@@ -1169,6 +1169,11 @@ object TextAnalysis {
       merges += ((a, b))
       val (pat, rep) = (lit(s" $a $b "), lit(s" $a$b "))
       cur = cur.select(replace(replace(col("sp"), pat, rep), pat, rep).as("sp"))
+      // truncate the replace-chain lineage every few rounds (the d7
+      // checkpoint discipline): without this, round r re-executes all
+      // r prior passes over the sample — quadratic in rounds (measured
+      // at sf1: 45 s → ~30 s for the 8-round loop)
+      if (round % 3 == 0 && round < BpeMerges) cur = cur.localCheckpoint()
     }
     merges.result()
   }
