@@ -40,7 +40,12 @@ class DeterminismSpec extends SparkSpec {
     "t16_pii_redact", "t17_line_dedup", "t18_model_score",
     "t19_temperature_mix", "q35_cohort_retention", "q36_zorder_skip",
     "q37_latest_rewrite", "g15_corrupt_quarantine", "s11_ivf_persist",
-    "m7_shard_pack")
+    "m7_shard_pack",
+    // round-12 additions: span removal, learned BPE (in-query trained
+    // merge table), integer-log perplexity, incremental clustering
+    // over the persisted store, interleaved packing
+    "d19_substring_remove", "t20_bpe_learned", "t21_perplexity_filter",
+    "d20_cross_batch_cluster", "m8_interleaved_pack")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

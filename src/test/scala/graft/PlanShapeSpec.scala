@@ -290,7 +290,10 @@ class PlanShapeSpec extends SparkSpec {
       "t18_model_score",
       "m1_binary_meta", "m2_frame_sample", "m3_chunking",
       "m4_chunk_dedup", "m5_cdc_chunks", "m6_perceptual_hash",
-      "s3_ivf_cells", "q34_compact_latest")
+      "s3_ivf_cells", "q34_compact_latest",
+      // round-12 per-doc outputs
+      "d19_substring_remove", "d20_cross_batch_cluster",
+      "t20_bpe_learned", "t21_perplexity_filter", "m8_interleaved_pack")
     for (q <- corpusSized) {
       val p = plan(q)
       val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
