@@ -1300,17 +1300,19 @@ object Analytics {
     * for (rank the history per key, keep rank 1) and EXECUTED as
     * q34's aggregate, because [[graft.plans.LatestRewrite]] — a
     * registered Catalyst `Rule[LogicalPlan]` — rewrites the
-    * Filter(rn = 1)-over-Window shape into per-column `max_by` with
-    * map-side partials. Plan-pinned: the executed plan has NO Window
-    * node and keeps partial aggregation; the oracle is the window
-    * formulation in SQL, so the compare proves the rewrite is
-    * semantics-preserving on real data. Honest framing (measured —
-    * see [[graft.plans.LatestRewrite]]'s Scaladoc): Spark 4's own
-    * WindowGroupLimit already bounds the shuffle, so the rewrite's
-    * win is eliminating the remaining per-partition and per-key SORTS
-    * — a wash at sf0.1, ~15% at sf1, growing with history depth. The
-    * durable point: the engine, not code review, converges the naive
-    * window and the hand-written q34 onto one sort-free shape.
+    * Filter(rn = 1)-over-Window shape into ONE atomic
+    * `max(struct(order ++ payload))` with map-side partials (tie-safe
+    * by construction — never per-column max_by). Plan-pinned: the
+    * executed plan has NO Window node and keeps partial aggregation;
+    * the oracle is the window formulation in SQL, so the compare
+    * proves the rewrite is semantics-preserving on real data. Honest
+    * framing (measured — see [[graft.plans.LatestRewrite]]'s
+    * Scaladoc): Spark 4's own WindowGroupLimit already bounds the
+    * shuffle, so the rewrite's win is eliminating the remaining
+    * per-partition and per-key SORTS — ~27% at sf0.1 AND sf1 with the
+    * struct-max form, growing with history depth. The durable point:
+    * the engine, not code review, converges the naive window and the
+    * hand-written q34 onto one sort-free shape.
     */
   private def q37(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}

@@ -21,11 +21,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * native path still pays is SORT work — a per-partition sort in the
   * partial limit, a final per-key sort under the Window — all to keep
   * one row. The aggregate form does the same candidate thinning with
-  * hash/compare semantics and no sort anywhere. MEASURED (Dev q37diag,
-  * noop sink, best-of-3): a wash at sf0.1 (0.49 s both), ~15% at sf1
-  * (1.30 → 1.11 s) — the gap is the sort cost, so it grows with
-  * per-key history depth; at changelog scale (long histories per key)
-  * the sorts are the dominant term.
+  * compare semantics and no per-key ordering work. MEASURED (Dev
+  * q37diag, noop sink, best-of-3, r12 struct-max form): 0.56 → 0.41 s
+  * at sf0.1 and 1.09 → 0.79 s at sf1 — ~27% over the native window
+  * path at both scales (the single struct buffer also beats the old
+  * per-column max_by form, which measured a wash at sf0.1); the gap
+  * is the eliminated sort work, so it grows with per-key history
+  * depth — at changelog scale (long histories per key) the sorts are
+  * the dominant term.
   *
   * The chosen aggregate is ONE `max(struct(o1, o2, payload...))` (or
   * `min` for ASC) whose fields are projected back out — NOT an
