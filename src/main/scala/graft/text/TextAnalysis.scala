@@ -1355,14 +1355,31 @@ object TextAnalysis {
     val uni = refW.groupBy(col("w").as("a")).agg(count(lit(1)).as("ca"))
     val bigr = pairsOf(ref).groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
     val vrow = refW.agg((countDistinct(col("w")) + 1L).as("v"))
-    val scored = pairsOf(toks)
+    // the 10 square-and-normalize steps run as CHAINED PROJECTIONS
+    // (the oracle's unrolled CTEs, mirrored) — whole-stage codegen
+    // fuses them into straight-line BIGINT locals, where the aggregate
+    // HOF form pays interpreted lambda dispatch per step (the m6
+    // explode-vs-HOF lesson); values are bit-identical to
+    // [[surpMilliSpark]] (PropertySpec pins the fold == the chain)
+    val m2c = 1L << PplShift; val topc = 2L << PplShift
+    val init = pairsOf(toks)
       .join(bigr.hint("shuffle_hash"), Seq("a", "b"), "left")
       .join(uni.hint("shuffle_hash"), Seq("a"), "left")
       .crossJoin(broadcast(vrow))
       .select(col("doc_id"),
         (coalesce(col("cab"), lit(0L)) + 1L).as("num"),
         (coalesce(col("ca"), lit(0L)) + col("v")).as("den"))
-      .select(col("doc_id"), expr(surpMilliSpark).as("sur"))
+      .withColumn("e", expr("length(bin(den div num)) - 1"))
+      .withColumn("m", expr(s"(den * $m2c) div (num * shiftleft(CAST(1 AS BIGINT), e))"))
+      .withColumn("f", lit(0L))
+    val stepped = (1 to PplSteps).foldLeft(init) { (df, _) =>
+      df.withColumn("msq", expr(s"(m * m) div $m2c"))
+        .withColumn("f", expr(s"f * 2 + CASE WHEN msq >= $topc THEN 1 ELSE 0 END"))
+        .withColumn("m", expr(s"CASE WHEN msq >= $topc THEN msq div 2 ELSE msq END"))
+        .drop("msq")
+    }
+    val scored = stepped
+      .select(col("doc_id"), expr("e * 1000 + (f * 1000) div 1024").as("sur"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("sur")).as("tot"))
     val thr = broadcast(PplThresholds.toDF("lang", "thr"))

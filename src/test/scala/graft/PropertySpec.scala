@@ -183,6 +183,24 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(s - exact) <= 2,
         s"-log2($num/$den): got $s milli-bits, exact $exact")
     }
+    // the query's codegen'd CHAINED-PROJECTION form computes the same
+    // integers as the reference fold (surpMilliSpark)
+    val chain = {
+      val m2c = 1L << text.TextAnalysis.PplShift
+      val topc = 2L << text.TextAnalysis.PplShift
+      var df = cases.toDF("num", "den")
+        .withColumn("e", expr("length(bin(den div num)) - 1"))
+        .withColumn("m",
+          expr(s"(den * $m2c) div (num * shiftleft(CAST(1 AS BIGINT), e))"))
+        .withColumn("f", lit(0L))
+      for (_ <- 1 to text.TextAnalysis.PplSteps)
+        df = df.withColumn("msq", expr(s"(m * m) div $m2c"))
+          .withColumn("f", expr(s"f * 2 + CASE WHEN msq >= $topc THEN 1 ELSE 0 END"))
+          .withColumn("m", expr(s"CASE WHEN msq >= $topc THEN msq div 2 ELSE msq END"))
+          .drop("msq")
+      df.select(expr("e * 1000 + (f * 1000) div 1024").as("s")).as[Long].collect()
+    }
+    assert(chain.toSeq == got.toSeq, "chained projections diverged from the fold")
     // both verdicts populated for every language at this scale, and the
     // gate is the integer compare it claims to be
     val out = SparkEntry.queries("t21_perplexity_filter")(spark, sf).collect()
