@@ -1146,10 +1146,13 @@ object TextAnalysis {
     * localCheckpoint'ed every ~32 rounds, the d7 discipline).
     */
   private[graft] def bpeTrain(s: SparkSession, d: String): Seq[(String, String)] = {
+    // materialize the spaced sample once — every round re-reads the
+    // checkpoint instead of re-running scan+explode+render
     var cur = Tables.documents(s, d).filter(col("doc_id").isNotNull)
       .filter(col("doc_id") % BpeSampleMod === 0)
       .select(explode(expr("filter(split(text, '\\\\s+'), t -> t != '')")).as("w"))
       .select(expr(spacedWordExpr("w")).as("sp"))
+      .localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
     for (round <- 1 to BpeMerges) {
       val top = cur
