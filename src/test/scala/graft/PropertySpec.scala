@@ -132,6 +132,41 @@ class PropertySpec extends SparkSpec {
     assert(fps == 3L, s"expected 3 distinct md5s, got $fps")
   }
 
+  test("PrefixOffsets equals the flat cumulative window for arbitrary grouped data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // sparse buckets, multiple parts groups, values incl. zero, and a
+    // superbucket width that splits the domain unevenly
+    val rnd = new scala.util.Random(7)
+    val data = for {
+      g <- Seq("x", "y", "z")
+      pb <- 0L to 40L if rnd.nextInt(3) > 0
+    } yield (g, pb, rnd.nextInt(100).toLong)
+    val df = data.toDF("g", "pbucket", "v")
+    val expected = df
+      .withColumn("boffset", coalesce(sum(col("v")).over(
+        Window.partitionBy(col("g")).orderBy(col("pbucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("g"), col("pbucket"), col("boffset"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (b2 <- Seq(1L, 4L, 7L, 1000L)) {
+      val got = operators.PrefixOffsets.bucketOffsets(df, Seq("g"), "v", b2)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected, s"b2=$b2 diverged from the flat window")
+    }
+    // and the no-parts form
+    val flat = df.filter(col("g") === "x").drop("g")
+    val expFlat = flat.withColumn("boffset", coalesce(sum(col("v")).over(
+        Window.orderBy(col("pbucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("pbucket"), col("boffset"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotFlat = operators.PrefixOffsets.bucketOffsets(flat, Nil, "v", 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFlat == expFlat)
+  }
+
   test("m8 interleaved packing conserves byte and token mass") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("m8_interleaved_pack")(spark, sf)
