@@ -76,6 +76,22 @@ class DedupPlanSpec extends SparkSpec {
     untouched.filter(_._1 % 20 != 7).foreach { case (id, nTok, _, cleaned) =>
       assert(cleaned == raw(id), s"doc $id text mutated without removals")
     }
+    // full-document dedup as the limit case: a doc whose EVERY gram
+    // position is corpus-repeated under another owner degenerates to
+    // the empty string — both engines' COALESCE contract, observed on
+    // real data (the sf0.01 corpus has such docs; sf0.001 does not)
+    val big = SparkEntry.queries("d19_substring_remove")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val emptied = big.filter(r => r._3 == r._2)
+    assert(emptied.nonEmpty, "expected fully-covered docs at sf0.01")
+    emptied.foreach { case (id, _, _, cleaned) =>
+      assert(cleaned == "", s"doc $id lost every token but cleaned != ''")
+    }
+    // and the count columns stay consistent everywhere
+    big.foreach { case (id, nTok, nRem, cleaned) =>
+      assert(nRem >= 0 && nRem <= nTok, s"doc $id removal counts inconsistent")
+      assert((cleaned == "") == (nRem == nTok), s"doc $id empty/cleaned mismatch")
+    }
   }
 
   test("d5 joins embeddings by shuffle, not broadcast") {
