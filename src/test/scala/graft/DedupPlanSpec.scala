@@ -43,6 +43,31 @@ class DedupPlanSpec extends SparkSpec {
     assert(after > before, "stale marker must rebuild the label store itself")
   }
 
+  test("d20's condensed propagation merges two old components bridged by one new doc") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // persisted state: components {1,2} (label 1) and {5,6} (label 5);
+    // new doc 9 collides with old docs 2 and 6 → the condensed graph is
+    // 1–9–5 and EVERYTHING must converge to label 1, including old docs
+    // re-labeled through the old-label → condensed-root map
+    val condEdges = Seq((1L, 9L), (9L, 1L), (5L, 9L), (9L, 5L))
+      .toDF("src", "dst").localCheckpoint()
+    val nodes = Seq(1L, 5L, 9L).toDF("doc_id")
+    val labels = dedup.Dedup.propagateMinLabels(nodes, condEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 5L -> 1L, 9L -> 1L),
+      s"bridge must merge both old components: $labels")
+    // a chain of bridges (old labels 10,20,30 linked through new docs
+    // 41,42) needs >1 propagation round and still converges to the min
+    val chain = Seq((10L, 41L), (41L, 10L), (41L, 20L), (20L, 41L),
+      (20L, 42L), (42L, 20L), (42L, 30L), (30L, 42L))
+      .toDF("src", "dst").localCheckpoint()
+    val chainNodes = Seq(10L, 20L, 30L, 41L, 42L).toDF("doc_id")
+    val chainLabels = dedup.Dedup.propagateMinLabels(chainNodes, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainLabels.values.toSet == Set(10L), s"chain did not converge: $chainLabels")
+  }
+
   test("d19 excises the planted copied paragraph, keeps one canonical copy, preserves unique text") {
     import org.apache.spark.sql.functions._
     val boiler = "this content is provided as is without warranty of " +
