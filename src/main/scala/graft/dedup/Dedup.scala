@@ -1738,7 +1738,12 @@ object Dedup {
     * optimum, this is its bounded-gram distributed relaxation (spans
     * shorter than k survive — granularity, not a bug).
     */
-  private def d19(s: SparkSession, d: String): DataFrame = {
+  private def d19(s: SparkSession, d: String): DataFrame =
+    d19Cleaned(s, d).sortWithinPartitions(col("doc_id"))
+
+  /** d19's per-doc output without the final partition sort — d21
+    * consumes it mid-pipeline. */
+  private def d19Cleaned(s: SparkSession, d: String): DataFrame = {
     val k = SpanGramK
     val boiler = "this content is provided as is without warranty of " +
       "any kind either express or implied"
@@ -1775,10 +1780,68 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /** d21: the dedup → pack COMPOSITION — d19's span removal feeding
+    * t10's sequence packing, the adjacent stages every production
+    * pipeline wires together (deduplicate, then lay the SURVIVING
+    * tokens into training sequences). Fully-covered docs (n_clean = 0
+    * — d19's full-document-dedup limit case) drop out before packing;
+    * every other doc packs its CLEANED token count, so the sequence
+    * budget prices exactly the text a model would see. Offsets via
+    * [[graft.operators.PrefixOffsets]] (no unpartitioned window);
+    * `seq_id = offset div 512` (t10's constant). The oracle reuses
+    * [[D19Body]] VERBATIM + the flat cumulative — the compare pins the
+    * composition, not a re-spelling of either stage.
+    *
+    * Scale: d19's stages (all graded there) + one bounded prefix-sum —
+    * no stage widens; the filter between them is a per-row predicate
+    * on an already-computed count.
+    */
+  private def d21(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val bucket = graft.text.TextAnalysis.derivePackBucket(maxId)
+    val base = d19Cleaned(s, d)
+      .select(col("doc_id"), (col("n_tokens") - col("n_removed")).as("n_clean_tokens"))
+      .filter(col("n_clean_tokens") > 0)
+      .withColumn("pbucket", expr(s"doc_id div $bucket"))
+    val boffsets = graft.operators.PrefixOffsets.bucketOffsets(
+      base.groupBy(col("pbucket")).agg(sum(col("n_clean_tokens")).as("btok")),
+      Nil, "btok",
+      graft.operators.PrefixOffsets.superBucket(maxId / bucket))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pbucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.join(broadcast(boffsets), Seq("pbucket"))
+      .withColumn("tok_offset",
+        col("boffset") + coalesce(sum(col("n_clean_tokens")).over(local), lit(0L)))
+      .withColumn("seq_id",
+        expr(s"tok_offset div ${graft.text.TextAnalysis.PackTokens}"))
+      .select(col("doc_id"), col("n_clean_tokens"), col("tok_offset"), col("seq_id"))
       .sortWithinPartitions(col("doc_id"))
   }
 
-  private val d19Sql = {
+  private lazy val d21Sql = D19Body +
+    s""",
+      |cleann AS (
+      |  SELECT n.doc_id, CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_clean_tokens
+      |  FROM toks n LEFT JOIN agg a USING (doc_id)),
+      |keptdocs AS (SELECT * FROM cleann WHERE n_clean_tokens > 0),
+      |o AS (
+      |  SELECT doc_id, n_clean_tokens,
+      |    CAST(COALESCE(SUM(n_clean_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      |  FROM keptdocs)
+      |SELECT doc_id, n_clean_tokens, tok_offset,
+      |  tok_offset // ${graft.text.TextAnalysis.PackTokens} AS seq_id
+      |FROM o""".stripMargin
+
+  /** The d19 CTE chain up to per-doc kept counts + cleaned text —
+    * shared verbatim by d19's oracle and d21's (the composition must
+    * pin the SAME span rule, not a re-spelling). */
+  private val D19Body = {
     val k = SpanGramK
     val boiler = "this content is provided as is without warranty of " +
       "any kind either express or implied"
@@ -1809,12 +1872,15 @@ object Dedup {
        |agg AS (
        |  SELECT doc_id, COUNT(*) AS n_kept,
        |    string_agg(tok, ' ' ORDER BY i) AS cleaned
-       |  FROM kept GROUP BY doc_id)
-       |SELECT n.doc_id, CAST(len(n.ts) AS BIGINT) AS n_tokens,
-       |  CAST(len(n.ts) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
-       |  COALESCE(a.cleaned, '') AS cleaned
-       |FROM toks n LEFT JOIN agg a USING (doc_id)""".stripMargin
+       |  FROM kept GROUP BY doc_id)""".stripMargin
   }
+
+  private val d19Sql = D19Body +
+    """
+      |SELECT n.doc_id, CAST(len(n.ts) AS BIGINT) AS n_tokens,
+      |  CAST(len(n.ts) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(a.cleaned, '') AS cleaned
+      |FROM toks n LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** Version token baked into d20's persisted-label store (the
     * s11/st9 freshness rule): labels laid out by an older clustering
@@ -1935,6 +2001,7 @@ object Dedup {
       |FROM clusters c CROSS JOIN mx m ORDER BY c.doc_id""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d21_dedup_pack" -> (d21 _),
     "d20_cross_batch_cluster" -> (d20 _),
     "d19_substring_remove" -> (d19 _),
     "d18_semdedup" -> (d18 _),
@@ -1957,6 +2024,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d21_dedup_pack" -> d21Sql,
     "d20_cross_batch_cluster" -> d20Sql,
     "d19_substring_remove" -> d19Sql,
     "d18_semdedup" -> d18Sql,

@@ -43,6 +43,31 @@ class DedupPlanSpec extends SparkSpec {
     assert(after > before, "stale marker must rebuild the label store itself")
   }
 
+  test("d21 packs exactly the tokens d19 keeps, in order, mass-conserving") {
+    import org.apache.spark.sql.functions._
+    val d19r = SparkEntry.queries("d19_substring_remove")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1) - r.getLong(2))).toMap // doc -> surviving
+    val df = SparkEntry.queries("d21_dedup_pack")(spark, sf)
+    val d21r = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    // membership: exactly the docs with surviving tokens
+    assert(d21r.map(_._1).toSet == d19r.filter(_._2 > 0).keySet)
+    // per-doc counts are d19's survivors; offsets the exact running sums
+    d21r.foreach { case (id, n, _, _) => assert(n == d19r(id)) }
+    d21r.sliding(2).foreach {
+      case List((_, n1, o1, _), (_, _, o2, _)) => assert(o2 == o1 + n1)
+      case _ =>
+    }
+    assert(d21r.headOption.forall(_._3 == 0L))
+    // inherits the packing window discipline
+    val bad = collectInPlan(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty)
+  }
+
   test("d20's condensed propagation merges two old components bridged by one new doc") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -293,7 +293,8 @@ class PlanShapeSpec extends SparkSpec {
       "s3_ivf_cells", "q34_compact_latest",
       // round-12 per-doc outputs
       "d19_substring_remove", "d20_cross_batch_cluster",
-      "t20_bpe_learned", "t21_perplexity_filter", "m8_interleaved_pack")
+      "t20_bpe_learned", "t21_perplexity_filter", "m8_interleaved_pack",
+      "d21_dedup_pack")
     for (q <- corpusSized) {
       val p = plan(q)
       val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size

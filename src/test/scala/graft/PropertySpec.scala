@@ -208,9 +208,15 @@ class PropertySpec extends SparkSpec {
     import spark.implicits._
     // exhaustive-ish probe: prime-ish nums/dens, powers of two (exact
     // cases), and near-1 ratios where the integer part is 0
+    val rnd = new scala.util.Random(21)
+    val randomCases = Seq.fill(200) {
+      val den = 1L + rnd.nextInt(1 << 24)
+      val num = 1L + (rnd.nextLong().abs % den)
+      (num, den)
+    }
     val cases = Seq((1L, 2L), (1L, 1024L), (1L, 3L), (3L, 7L), (999L, 1000L),
       (1L, 1000000L), (17L, 53L), (1023L, 1024L), (1L, 1L), (500L, 501L),
-      (123L, 456789L), (7L, 7L))
+      (123L, 456789L), (7L, 7L)) ++ randomCases
     val got = cases.toDF("num", "den")
       .select(expr(text.TextAnalysis.surpMilliSpark).as("s")).as[Long].collect()
     cases.zip(got).foreach { case ((num, den), s) =>
