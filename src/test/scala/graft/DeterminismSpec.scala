@@ -45,7 +45,8 @@ class DeterminismSpec extends SparkSpec {
     // merge table), integer-log perplexity, incremental clustering
     // over the persisted store, interleaved packing
     "d19_substring_remove", "t20_bpe_learned", "t21_perplexity_filter",
-    "d20_cross_batch_cluster", "m8_interleaved_pack", "d21_dedup_pack")
+    "d20_cross_batch_cluster", "m8_interleaved_pack", "d21_dedup_pack",
+    "t22_learned_pack")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

@@ -167,6 +167,40 @@ class PropertySpec extends SparkSpec {
     assert(gotFlat == expFlat)
   }
 
+  test("t22 packs t20's learned counts; the staged merge table is version-gated") {
+    import org.apache.spark.sql.functions._
+    val t20n = SparkEntry.queries("t20_bpe_learned")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens_learned")).toMap
+    val out = SparkEntry.queries("t22_learned_pack")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    // the packed counts ARE the learned tokenizer's, doc for doc
+    assert(out.size == t20n.size)
+    out.foreach { case (id, n, _, _) => assert(n == t20n(id)) }
+    // offsets are the exact running sums
+    out.sliding(2).foreach {
+      case List((_, n1, o1, _), (_, _, o2, _)) => assert(o2 == o1 + n1)
+      case _ =>
+    }
+    // one training run serves both queries: the staged table is
+    // version-gated (s11's rule) and a stale marker forces a retrain
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_bpe_" + Integer.toHexString(sf.hashCode))
+    val marker = dir.resolve("_src_meta")
+    val current = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(current.endsWith(":" + text.TextAnalysis.BpeVersion), current)
+    java.nio.file.Files.write(marker, (current.dropRight(1) + "0").getBytes("UTF-8"))
+    val before = java.nio.file.Files
+      .getLastModifiedTime(dir.resolve("merges.tsv")).toMillis
+    val again = text.TextAnalysis.mergesFor(spark, sf)
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == current)
+    val after = java.nio.file.Files
+      .getLastModifiedTime(dir.resolve("merges.tsv")).toMillis
+    assert(after > before, "stale marker must retrain the merge table")
+    assert(again.size == text.TextAnalysis.BpeMerges)
+  }
+
   test("m8 interleaved packing conserves byte and token mass") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("m8_interleaved_pack")(spark, sf)
