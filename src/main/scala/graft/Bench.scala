@@ -100,13 +100,19 @@ object Bench {
           catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
         })
-        val t0 = System.nanoTime()
-        val ok = try {
-          qmap(name)(spark, sf1Dir).write.mode("overwrite").format("noop").save(); true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench-sf1] $name failed: ${e.getMessage}"); false
-        }
-        val t1 = (System.nanoTime() - t0) / 1e9
+        // best-of-2 at sf1: the main sweep's reference is a warm
+        // best-of-N, so the sf1 side must not charge one-time staging
+        // (index/tokenizer builds) to the ratio — the first pass
+        // stages, the second measures steady state
+        var ok = true
+        val t1 = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try qmap(name)(spark, sf1Dir).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench-sf1] $name failed: ${e.getMessage}"); ok = false
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.min
         val ratio = if (ok && ref > 0) t1 / ref else -1.0
         (name, ok, t1, ratio, ok && t1 > 1.0 && ratio > maxRatio)
       }
