@@ -93,6 +93,25 @@ class DedupPlanSpec extends SparkSpec {
     assert(chainLabels.values.toSet == Set(10L), s"chain did not converge: $chainLabels")
   }
 
+  test("propagation pointer-jumps deep chains: a 24-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    // a pure path 0-1-2-...-23: plain one-hop propagation would need
+    // ~23 rounds to pull the tail's label to 0; with path halving
+    // engaged from round 3 the label distance halves per round
+    val n = 24
+    val edges = (0 until n - 1).flatMap(i =>
+        Seq((i.toLong, (i + 1).toLong), ((i + 1).toLong, i.toLong)))
+      .toDF("src", "dst").localCheckpoint()
+    val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val labels = dedup.Dedup.propagateMinLabels(nodes, edges, Some(stats))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(0L), s"path did not converge: $labels")
+    val rounds = stats("d7_iterations")
+    assert(rounds <= 10,
+      s"deep chain took $rounds rounds — pointer jumping not engaged (O(n) regression)")
+  }
+
   test("d19 excises the planted copied paragraph, keeps one canonical copy, preserves unique text") {
     import org.apache.spark.sql.functions._
     val boiler = "this content is provided as is without warranty of " +
