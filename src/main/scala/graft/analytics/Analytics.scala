@@ -837,7 +837,7 @@ object Analytics {
   private def q27(s: SparkSession, d: String): DataFrame = {
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_bucketed_" + Integer.toHexString(d.hashCode))
+      "graft_bucketed_" + graft.StagePath.corpusToken(d))
     val nBuckets = bucketCount(s)
     def writeBucketed(df: DataFrame, table: String, key: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $table")
@@ -951,7 +951,7 @@ object Analytics {
   private def q29(s: SparkSession, d: String): DataFrame = {
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_partitioned_" + Integer.toHexString(d.hashCode))
+      "graft_partitioned_" + graft.StagePath.corpusToken(d))
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
         col("l_extendedprice"),
@@ -1245,7 +1245,7 @@ object Analytics {
   private def q36(s: SparkSession, d: String): DataFrame = {
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_zorder_" + Integer.toHexString(d.hashCode))
+      "graft_zorder_" + graft.StagePath.corpusToken(d))
     val mi = year(col("l_shipdate")) * 12 + month(col("l_shipdate"))
     val pb = pmod(col("l_partkey"), lit(128))
     // 8-bit month index (clamped base-23900 window — layout-only: the

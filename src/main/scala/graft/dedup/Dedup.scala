@@ -1186,7 +1186,7 @@ object Dedup {
   private def d16(s: SparkSession, d: String): DataFrame = {
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_d16_" + Integer.toHexString(d.hashCode))
+      "graft_d16_" + graft.StagePath.corpusToken(d))
     val all = Tables.documents(s, d).filter(col("doc_id").isNotNull)
     val mx = all.agg(max(col("doc_id")).as("mx"))
     val flagged = all.crossJoin(broadcast(mx))
@@ -1744,7 +1744,7 @@ object Dedup {
     *
     * The corpus has few natural cross-doc 5-grams, so the query PLANTS
     * the Lee-et-al scenario (d12/d18 injection pattern): every 20th
-    * doc appends the same 12-token boilerplate paragraph. Grams fully
+    * doc appends the same 15-token boilerplate paragraph. Grams fully
     * inside the paragraph are shared by all planting docs (owner = the
     * smallest), grams straddling the unique-text boundary have df = 1
     * — so the paragraph is excised EXACTLY in every non-owner doc and
@@ -1952,11 +1952,10 @@ object Dedup {
     val src = java.nio.file.Paths.get(d, "documents.parquet")
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_cbc_" + Integer.toHexString(d.hashCode))
+      "graft_cbc_" + graft.StagePath.corpusToken(d))
     java.nio.file.Files.createDirectories(dir)
     val marker = dir.resolve("_src_meta")
-    val meta = s"${java.nio.file.Files.size(src)}:" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis + ":" + CbcVersion
+    val meta = graft.StagePath.srcMeta(d, src, CbcVersion)
     val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
     val mx = docs.agg(max(col("doc_id")).as("mx"))
     val isNewCol = col("doc_id") > col("mx") - expr("mx div 5")

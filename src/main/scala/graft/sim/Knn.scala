@@ -1163,11 +1163,10 @@ object Knn {
     val src = java.nio.file.Paths.get(d, "embeddings.parquet")
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_ivfindex_" + Integer.toHexString(d.hashCode))
+      "graft_ivfindex_" + graft.StagePath.corpusToken(d))
     java.nio.file.Files.createDirectories(dir)
     val marker = dir.resolve("_src_meta")
-    val meta = s"${java.nio.file.Files.size(src)}:" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis + ":" + IvfIndexVersion
+    val meta = graft.StagePath.srcMeta(d, src, IvfIndexVersion)
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
       java.nio.file.Files.exists(dir.resolve("centroids")) &&

@@ -1196,12 +1196,11 @@ object TextAnalysis {
     val src = java.nio.file.Paths.get(d, "documents.parquet")
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_bpe_" + Integer.toHexString(d.hashCode))
+      "graft_bpe_" + graft.StagePath.corpusToken(d))
     Files.createDirectories(dir)
     val marker = dir.resolve("_src_meta")
     val table = dir.resolve("merges.tsv")
-    val meta = s"${Files.size(src)}:" +
-      Files.getLastModifiedTime(src).toMillis + ":" + BpeVersion
+    val meta = graft.StagePath.srcMeta(d, src, BpeVersion)
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == meta &&
       Files.exists(table)
@@ -1424,7 +1423,13 @@ object TextAnalysis {
     *     integer milli-bits ([[surpMilliSpark]]), truncating division
     *     (part of the contract);
     *   - keep iff ppl_milli <= the language's gate ([[PplThresholds]]
-    *     — a broadcast 5-row dim, t18's calibration-table shape).
+    *     — a broadcast 5-row dim, t18's calibration-table shape). The
+    *     dim join is a LEFT join with default-keep (r12 advice): a doc
+    *     whose lang is missing from the calibration table (or NULL)
+    *     must surface with keep = true — the no-evidence contract —
+    *     rather than silently vanish from the output, which an inner
+    *     join would do identically in both engines (unfalsifiable by
+    *     parity).
     *
     * Scale: LM counts are map-side-partial hash aggregates over the
     * bounded reference; the scoring join is hint-pinned shuffle
@@ -1481,7 +1486,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_pairs"), sum(col("sur")).as("tot"))
     val thr = broadcast(PplThresholds.toDF("lang", "thr"))
     docs.join(scored, Seq("doc_id"), "left")
-      .join(thr, Seq("lang"))
+      .join(thr, Seq("lang"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         expr("tot div n_pairs").as("ppl_milli"),
@@ -1534,7 +1539,7 @@ object TextAnalysis {
        |  CAST(a.tot AS BIGINT) // a.n_pairs AS ppl_milli,
        |  COALESCE(CAST(a.tot AS BIGINT) // a.n_pairs <= t.thr, TRUE) AS keep
        |FROM docs d LEFT JOIN agg a USING (doc_id)
-       |JOIN thr t ON t.lang = d.lang""".stripMargin
+       |LEFT JOIN thr t ON t.lang = d.lang""".stripMargin
     sb.result()
   }
 

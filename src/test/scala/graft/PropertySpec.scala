@@ -294,6 +294,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t21 gate default-keeps docs whose lang is missing from the calibration table") {
+    // r12 advice: an inner join against the 5-row threshold dim made a
+    // doc with an uncalibrated (or NULL) lang vanish identically in
+    // both engines — unfalsifiable by parity. The contract is now a
+    // LEFT join with default keep: no calibration = no evidence = keep.
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "xx"),
+      (2L, "una frase corta para el corpus de referencia y sus pares", null.asInstanceOf[String]),
+      (3L, "short", "en"))
+    val dir = java.nio.file.Files.createTempDirectory("t21lang").toString
+    corpus.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t21_perplexity_filter")(spark, dir).collect()
+    assert(out.length == corpus.length,
+      s"every doc must surface regardless of lang coverage, got ${out.length}")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"), "uncalibrated lang must default to keep")
+    assert(byId(2L).getAs[Boolean]("keep"), "NULL lang must default to keep")
+    assert(byId(3L).getAs[Boolean]("keep"), "sub-2-word doc keeps by the no-evidence contract")
+    // calibrated docs still take the real verdict path (ppl populated)
+    assert(!byId(0L).isNullAt(byId(0L).fieldIndex("ppl_milli")))
+  }
+
   test("t20 learned BPE: double-replace equals the sequential greedy fold on real corpus words") {
     import org.apache.spark.sql.functions._
     // the reference: textbook greedy left-to-right merge application,
