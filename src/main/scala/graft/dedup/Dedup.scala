@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QFn, Tables}
+import graft.operators.Salted
 
 /** Deduplication suite d1–d6 (SURVEY.md §2).
   *
@@ -1538,8 +1539,12 @@ object Dedup {
     * ReusedExchange covers the second branch (a raw-grams probe would
     * instead re-run the scan+explode). df over the collapsed rows is
     * exactly the DISTINCT-doc count, position counts are preserved in
-    * the multiplicities, and the join-back on the 16-byte gram key is
-    * AQE-skew-splittable — hot boilerplate grams ARE the skew case.
+    * the multiplicities, and the join-back on the 16-byte gram key
+    * runs through [[graft.operators.Salted.dfJoinBack]] — hot
+    * boilerplate grams ARE the skew case, and the fused aggregate
+    * shape is AQE-skew-exempt (SkewSpec), so grams in ≥5% of docs are
+    * salted over 16 reducers while the cold gram tail (the vast
+    * majority) pays no replication.
     * The final per-doc aggregate is integer-only with one terminal
     * division (exact oracle compare, the t12 discipline at gram
     * granularity). Documents shorter than [[SpanGramK]] tokens open no
@@ -1567,7 +1572,9 @@ object Dedup {
     // survives optimization; it filters nothing at runtime.
     val gdf = gcnt.filter(col("cnt") > 0)
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
-    gcnt.join(gdf, Seq("g"))
+    val n = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+    Salted.dfJoinBack(gcnt, gdf, "g", "df", n, "n_docs", saltBy = col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_grams"),
         sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).as("n_repeated"))

@@ -372,7 +372,7 @@ object GenAI {
   private def g14(s: SparkSession, d: String): DataFrame = {
     val prefix = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_g14_" + Integer.toHexString(d.hashCode))
+      "graft_g14_" + graft.StagePath.corpusToken(d))
     // clean slate: resume's anti-join must see exactly the initial
     // run's outputs, never files from an older logic version
     if (java.nio.file.Files.exists(prefix)) {

@@ -66,6 +66,11 @@ object Salted {
     * results are reproducible and retries safe. Inner-join-equivalent
     * to `fact.join(dict, key)` whenever dict keys are unique (each
     * fact row meets exactly one (key, salt) dictionary copy).
+    *
+    * Blanket replication suits metadata-to-moderate dictionaries; for
+    * the CORPUS-sized df dictionaries of the t12/t14/t17/d14 join-
+    * backs the production form is [[hotLookupJoin]], which pays the
+    * `salt`-way copy only for the keys that are actually hot.
     */
   def lookupJoin(fact: DataFrame, dict: DataFrame, key: String,
       saltBy: Column, salt: Int = 16): DataFrame = {
@@ -76,6 +81,78 @@ object Salted {
     fact.withColumn("__salt", pmod(hash(saltBy), lit(salt)))
       .join(replicated, Seq(key, "__salt"))
       .drop("__salt")
+  }
+
+  /** [[lookupJoin]] with the replication bill paid ONLY for hot keys —
+    * the production form for the df join-back shape (t12/t14/t17/d14),
+    * where the dictionary is itself corpus-sized (a token/gram/line
+    * document-frequency table) and blanket `salt`-way replication
+    * would multiply a near-fact-scale relation by 16 on every run.
+    *
+    * The trick: in this shape the dictionary's VALUE column is (or
+    * tightly bounds) the fact-side row count per key — df(token) IS
+    * how many probe rows that token has (t12's distinct per doc,
+    * t14's tf groups, d14's per-doc gram groups; t17's line-df bounds
+    * occurrences for the boilerplate lines that matter). So the
+    * dictionary itself identifies its hot keys, with a RELATIVE
+    * threshold: a key is hot iff `df * hotInv >= total` (default ≥5%
+    * of documents — scale-invariant, no absolute knob to re-tune as
+    * the corpus grows). Then:
+    *
+    *   - hot keys (≤ hotInv · avg-keys-per-doc of them, a counting
+    *     bound — broadcast-sized by construction) are replicated
+    *     across `salt` sub-keys, exactly [[lookupJoin]];
+    *   - cold keys keep ONE copy with sub-key 0;
+    *   - the fact learns each row's temperature from a BROADCAST of
+    *     the hot-key set (a map-side tag join — no shuffle), salting
+    *     hot rows by a deterministic expression and cold rows to 0.
+    *
+    * One equi-join on (key, __salt), one fact pass, dictionary growth
+    * bounded by `salt · |hot|` instead of `salt · |dict|`. Inner-join-
+    * equivalent to `fact.join(dict, key)` for unique-keyed
+    * dictionaries: every fact row meets exactly one dictionary copy
+    * (its key's own salt slice if hot, slice 0 if cold), and both
+    * sides decide hotness from the same predicate on the same
+    * dictionary. `total` is a one-row scalar relation (the corpus
+    * count the callers already broadcast).
+    */
+  def hotLookupJoin(fact: DataFrame, dict: DataFrame, key: String, dfCol: String,
+      total: DataFrame, totalCol: String, saltBy: Column,
+      hotInv: Int = 20, salt: Int = 16): DataFrame = {
+    requireAbsent(fact, Seq("__salt", "__hot", totalCol))
+    requireAbsent(dict, Seq("__salt", "__hot", totalCol))
+    require(hotInv >= 1 && salt >= 1, s"hotInv/salt must be >= 1, got $hotInv/$salt")
+    val isHot = col(dfCol) * hotInv >= col(totalCol)
+    val hot = dict.crossJoin(broadcast(total))
+      .filter(isHot).select(col(key), lit(true).as("__hot"))
+    val factS = fact.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot"), pmod(hash(saltBy), lit(salt))).otherwise(lit(0)))
+      .drop("__hot")
+    val dictS = dict.crossJoin(broadcast(total))
+      .withColumn("__salt", explode(
+        when(isHot, sequence(lit(0), lit(salt - 1))).otherwise(array(lit(0)))))
+      .drop(totalCol)
+    factS.join(dictS, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** The conf-gated df join-back: [[hotLookupJoin]] when
+    * `graft.skew.salted` is unset or true (the default — the skew
+    * exposure is structural, see [[lookupJoin]]'s AQE note), the plain
+    * equi-join when explicitly false (for A/B measurement; results are
+    * identical either way, which SkewSpec pins on a constructed
+    * stopword corpus). */
+  def dfJoinBack(fact: DataFrame, dict: DataFrame, key: String, dfCol: String,
+      total: DataFrame, totalCol: String, saltBy: Column): DataFrame = {
+    val enabled = fact.sparkSession.conf.getOption("graft.skew.salted")
+      .forall {
+        case v if v.equalsIgnoreCase("true") => true
+        case v if v.equalsIgnoreCase("false") => false
+        case v => throw new IllegalArgumentException(
+          s"graft.skew.salted must be true or false, got '$v'")
+      }
+    if (enabled) hotLookupJoin(fact, dict, key, dfCol, total, totalCol, saltBy)
+    else fact.join(dict, Seq(key))
   }
 
   /** [[sumByKey]] generalized to a row count plus several summed

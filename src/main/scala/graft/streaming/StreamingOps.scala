@@ -44,7 +44,7 @@ object StreamingOps {
     val src = java.nio.file.Paths.get(d, "events.parquet")
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      prefix + Integer.toHexString(d.hashCode))
+      prefix + graft.StagePath.corpusToken(d))
     java.nio.file.Files.createDirectories(dir)
     val marker = dir.resolve("_src_meta")
     val meta = s"${java.nio.file.Files.size(src)}:" +
@@ -139,7 +139,7 @@ object StreamingOps {
     val src = java.nio.file.Paths.get(d, "documents.parquet")
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_alldocs_" + Integer.toHexString(d.hashCode))
+      "graft_stream_alldocs_" + graft.StagePath.corpusToken(d))
     java.nio.file.Files.createDirectories(dir)
     val marker = dir.resolve("_src_meta")
     val meta = s"${java.nio.file.Files.size(src)}:" +
@@ -204,7 +204,7 @@ object StreamingOps {
       nFiles: Int = 1): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val src = java.nio.file.Paths.get(d, "documents.parquet")
     val base = System.getProperty("java.io.tmpdir")
-    val tag = Integer.toHexString(d.hashCode) + (if (nFiles > 1) s"_n$nFiles" else "")
+    val tag = graft.StagePath.corpusToken(d) + (if (nFiles > 1) s"_n$nFiles" else "")
     val dir = java.nio.file.Paths.get(base, "graft_stream_docs_" + tag)
     val mdir = java.nio.file.Paths.get(base, "graft_stream_docs_" + tag + "_manifests")
     java.nio.file.Files.createDirectories(dir)

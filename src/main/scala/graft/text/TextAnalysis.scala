@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QFn, Tables}
+import graft.operators.Salted
 
 /** Text-analysis operators t1–t6 (SURVEY.md §2) over `documents`:
   * token counting, quality scoring, language-ID heuristic, content
@@ -513,8 +514,12 @@ object TextAnalysis {
     * equi-join on the token key — NOT a broadcast of the DF table,
     * which at web scale is billions of distinct tokens. A hot
     * ubiquitous token is NOT covered by AQE here (the fused df-agg
-    * join-back is exempt from OptimizeSkewedJoin — SkewSpec); the
-    * mitigation is [[graft.operators.Salted.lookupJoin]]. The only
+    * join-back is exempt from OptimizeSkewedJoin — SkewSpec), so the
+    * join-back RUNS through [[graft.operators.Salted.dfJoinBack]]:
+    * stopword-grade keys (df ≥ 5% of docs) get their probe rows
+    * salted over 16 reducers with dictionary copies to match, cold
+    * keys pay nothing (conf `graft.skew.salted`; SkewSpec pins
+    * on/off equality and the reducer spread). The only
     * broadcast is the one-row corpus count (same scalar pattern as
     * d12/d13's max-id). Everything stays integer until the final
     * per-row division, so the oracle compare is exact (no cross-row
@@ -536,7 +541,7 @@ object TextAnalysis {
       .select(col("doc_id"), lower(col("tok")).as("tok"))
       .distinct()
     val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    toks.join(df, Seq("tok"))
+    Salted.dfJoinBack(toks, df, "tok", "df", n, "n_docs", saltBy = col("doc_id"))
       .crossJoin(broadcast(n))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_distinct"),
@@ -579,9 +584,10 @@ object TextAnalysis {
     *
     * Scale shape: tf and df are map-side-partial aggregates; the
     * df join-back is the t12/d14 shuffle equi-join on the token key
-    * (never a vocabulary broadcast; a hot stopword token needs
-    * [[graft.operators.Salted.lookupJoin]] — the fused join-back is
-    * AQE-skew-exempt, see SkewSpec); the scalar corpus count broadcasts;
+    * (never a vocabulary broadcast), routed through
+    * [[graft.operators.Salted.dfJoinBack]] because the fused form is
+    * AQE-skew-exempt (SkewSpec) — hot stopword tokens are salted,
+    * cold vocabulary is not; the scalar corpus count broadcasts;
     * and per-doc top-5 runs on TopKPerKey's partial+final bounded
     * heaps — no window ever sees a document's full vocabulary.
     * Ties (same score) break by token ascending in both engines.
@@ -595,7 +601,8 @@ object TextAnalysis {
       .select(col("doc_id"), lower(col("tok")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, Seq("tok"))
+    val scored = Salted.dfJoinBack(tf, dfreq, "tok", "df", n, "n_docs",
+        saltBy = col("doc_id"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         ((col("tf").cast("double") * col("n_docs")) / col("df")).as("score"))
@@ -909,10 +916,14 @@ object TextAnalysis {
     *
     * Scale: line DF is a map-side-partial count-distinct on the line
     * HASH (md5 — the shuffle carries 16-byte keys, never line text);
-    * the DF join-back is a hint-pinned shuffle equi-join on that hash
-    * (both sides corpus-proportional — the t12/t14 IDF join-back
-    * shape, and boilerplate hashes are exactly the AQE-skew/
-    * Salted.lookupJoin case); reassembly is ONE aggregate per doc
+    * the DF join-back is a shuffle equi-join on that hash (both sides
+    * corpus-proportional — the t12/t14 IDF join-back shape) routed
+    * through [[graft.operators.Salted.dfJoinBack]], because
+    * boilerplate hashes are exactly the AQE-exempt hot-key case: a
+    * line in every 3rd document otherwise lands its whole probe set
+    * on one reducer (line df counts DISTINCT docs, a lower bound on
+    * probe rows — exact for the boilerplate lines that matter, which
+    * appear once per doc); reassembly is ONE aggregate per doc
     * (sort_array over collected (pos, line) structs — no window, no
     * second pass over the corpus).
     */
@@ -935,8 +946,8 @@ object TextAnalysis {
       .withColumn("lh", md5(col("line")))
     val lineDf = lines.groupBy(col("lh")).agg(countDistinct(col("doc_id")).as("df"))
     val total = docs.agg(count(lit(1)).as("total_docs"))
-    lines
-      .join(lineDf.hint("shuffle_hash"), Seq("lh"))
+    Salted.dfJoinBack(lines, lineDf, "lh", "df", total, "total_docs",
+        saltBy = col("doc_id"))
       .crossJoin(broadcast(total))
       .withColumn("keep", col("df") * 50 <= col("total_docs"))
       .groupBy(col("doc_id"))

@@ -28,11 +28,12 @@ class DedupPlanSpec extends SparkSpec {
     // actual re-stage of the persisted label store
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_cbc_" + Integer.toHexString(sf.hashCode))
+      "graft_cbc_" + StagePath.corpusToken(sf))
     val marker = dir.resolve("_src_meta")
     val current = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
-    assert(current.endsWith(":" + dedup.Dedup.CbcVersion), current)
-    java.nio.file.Files.write(marker, (current.dropRight(1) + "0").getBytes("UTF-8"))
+    assert(current.contains(":" + dedup.Dedup.CbcVersion + ":"), current)
+    java.nio.file.Files.write(marker, current
+      .replace(":" + dedup.Dedup.CbcVersion + ":", ":stale0:").getBytes("UTF-8"))
     val before = java.nio.file.Files
       .getLastModifiedTime(dir.resolve("labels")).toMillis
     SparkEntry.queries("d20_cross_batch_cluster")(spark, sf).collect()
@@ -565,7 +566,7 @@ class DedupPlanSpec extends SparkSpec {
           ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
     val marker = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_docs_" + Integer.toHexString(dir.hashCode) + "_manifests", "_src_meta")
+      "graft_stream_docs_" + StagePath.corpusToken(dir) + "_manifests", "_src_meta")
     def meta(): String = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
     runBloom("st10_stream_bloom") // stage under the default width
     assert(meta().endsWith(":b14"), s"marker must encode the default width: ${meta()}")

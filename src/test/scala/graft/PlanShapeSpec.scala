@@ -201,16 +201,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
-  test("t14 tf-idf ranks on bounded heaps; only the corpus count is broadcast-hinted") {
+  test("t14 tf-idf ranks on bounded heaps; only bounded relations are broadcast-hinted") {
     val df = SparkEntry.queries("t14_tfidf_top")(spark, sf)
     // the df table must NOT be broadcast-HINTED (web-scale vocabulary —
     // AQE may still convert at runtime when the actual size is tiny,
-    // which is correct and scale-dependent; the t12 rule); the only
-    // declared hint is the one-row corpus count
+    // which is correct and scale-dependent; the t12 rule); the
+    // declared hints are the one-row corpus count (one direct use +
+    // dfJoinBack's two temperature predicates) and dfJoinBack's
+    // bounded hot-key set — every one is metadata-sized by construction
     val hints = df.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
-    assert(hints.size == 1, s"expected only the scalar broadcast hint, got ${hints.size}")
+    assert(hints.size == 4, s"expected 3 scalar + 1 hot-set broadcast hints, got ${hints.size}")
     val p = plan("t14_tfidf_top")
     assert(p.contains("TopKPerKey"), p)
     assert(!p.contains("Window"), p)
@@ -247,7 +249,7 @@ class PlanShapeSpec extends SparkSpec {
     // and the pruned layout genuinely has many partitions to skip
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_partitioned_" + Integer.toHexString(sf.hashCode))
+      "graft_partitioned_" + StagePath.corpusToken(sf))
     val listing = java.nio.file.Files.list(stage)
     val months =
       try listing.filter(x => x.getFileName.toString.startsWith("ship_month=")).count()
@@ -344,7 +346,15 @@ class PlanShapeSpec extends SparkSpec {
   test("d14 gram coverage joins by shuffle on the gram key — no window, no nested loop") {
     val p = plan("d14_repeated_ngrams")
     assert(!"Window \\[".r.findAllIn(p).hasNext, p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop shape is dfJoinBack's one-row scalar cross
+    // (IdentityBroadcastMode — the t12/q28 pattern, ≤1 distinct build);
+    // no corpus-sized relation ever rides a nested loop
+    val identityBuilds = p.linesIterator.count(l =>
+      l.contains("BroadcastExchange IdentityBroadcastMode") && !l.contains("ReusedExchange"))
+    assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(_.contains("Cross")), s"non-scalar nested loop:\n$p")
     // both the gram-df aggregate and the per-doc aggregate keep
     // map-side partials
     assert(p.contains("partial_count") && p.contains("partial_sum"), p)
@@ -378,16 +388,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
   }
 
-  test("t12 DF join-back shuffles on the token key — no window, one scalar broadcast") {
+  test("t12 DF join-back shuffles on the token key — no window, bounded broadcasts only") {
     val df = SparkEntry.queries("t12_doc_frequency")(spark, sf)
     // the DF table must NOT be broadcast-HINTED (web-scale vocabulary
     // — AQE may still convert at runtime when the actual size is tiny,
-    // which is correct and scale-dependent); the only declared hint is
-    // the one-row corpus count
+    // which is correct and scale-dependent); the declared hints are
+    // the one-row corpus count (direct + dfJoinBack's two temperature
+    // predicates) and dfJoinBack's bounded hot-key set
     val hints = df.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
-    assert(hints.size == 1, s"expected only the scalar broadcast hint, got ${hints.size}")
+    assert(hints.size == 4, s"expected 3 scalar + 1 hot-set broadcast hints, got ${hints.size}")
     val p = plan("t12_doc_frequency")
     assert(!p.contains("Window"), p)
     val identityBuilds = p.linesIterator.count(l =>
@@ -520,7 +531,7 @@ class PlanShapeSpec extends SparkSpec {
     // pruning observed: the lists scan reads fewer files than staged
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_ivfindex_" + Integer.toHexString(sf.hashCode)).resolve("lists")
+      "graft_ivfindex_" + StagePath.corpusToken(sf)).resolve("lists")
     val stagedFiles = {
       val walk = java.nio.file.Files.walk(stage)
       try walk.filter(x => x.getFileName.toString.endsWith(".parquet")).count()
@@ -547,11 +558,11 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries("s11_ivf_persist")(spark, sf).collect() // ensure staged
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_ivfindex_" + Integer.toHexString(sf.hashCode))
+      "graft_ivfindex_" + StagePath.corpusToken(sf))
     val marker = dir.resolve("_src_meta")
     val current = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
-    assert(current.endsWith(":ivf1"), s"marker must encode the index version: $current")
-    val stale = current.dropRight(4) + "ivf0"
+    assert(current.contains(":ivf1:"), s"marker must encode the index version: $current")
+    val stale = current.replace(":ivf1:", ":ivf0:")
     java.nio.file.Files.write(marker, stale.getBytes("UTF-8"))
     val listsBefore = java.nio.file.Files.getLastModifiedTime(dir.resolve("lists")).toMillis
     val rows = SparkEntry.queries("s11_ivf_persist")(spark, sf).collect()
@@ -609,7 +620,7 @@ class PlanShapeSpec extends SparkSpec {
     df.collect()
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_zorder_" + Integer.toHexString(sf.hashCode))
+      "graft_zorder_" + StagePath.corpusToken(sf))
     val stagedFiles = {
       val walk = java.nio.file.Files.walk(stage)
       try walk.filter(x => x.getFileName.toString.endsWith(".parquet")).count()
@@ -648,15 +659,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
-  test("t17 line-DF join-back shuffles on the line hash, reassembly is window-free") {
+  test("t17 line-DF join-back is salted on the line hash, reassembly is window-free") {
     val p = plan("t17_line_dedup")
-    // the DF join-back: both sides corpus-proportional → hint-pinned
-    // shuffle equi-join on the 16-byte hash, never a broadcast
+    // the DF join-back: both sides corpus-proportional, routed through
+    // Salted.dfJoinBack — the executed equi-join runs on
+    // (lh, __salt), so a boilerplate line hash cannot own a reducer.
+    // The dict side carries no broadcast HINT (AQE may still convert
+    // at runtime when the actual size is tiny — the t12/t14 rule; the
+    // declared broadcasts are the scalar count and the hot-key set).
     val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\\n]*".r
       .findAllIn(p).toSeq
     val lhJoins = joins.filter(_.contains("lh#"))
     assert(lhJoins.nonEmpty, p)
-    assert(lhJoins.forall(_.startsWith("ShuffledHashJoin")), lhJoins.mkString("\n"))
+    assert(lhJoins.exists(_.contains("__salt")),
+      "join-back lost the salt sub-key:\n" + lhJoins.mkString("\n"))
     // reassembly is ONE aggregate per doc — no window, no range sort
     assert(!p.contains("Window"), p)
     // the total_docs scalar rides a broadcast, never a shuffled cross

@@ -186,11 +186,12 @@ class PropertySpec extends SparkSpec {
     // version-gated (s11's rule) and a stale marker forces a retrain
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_bpe_" + Integer.toHexString(sf.hashCode))
+      "graft_bpe_" + StagePath.corpusToken(sf))
     val marker = dir.resolve("_src_meta")
     val current = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
-    assert(current.endsWith(":" + text.TextAnalysis.BpeVersion), current)
-    java.nio.file.Files.write(marker, (current.dropRight(1) + "0").getBytes("UTF-8"))
+    assert(current.contains(":" + text.TextAnalysis.BpeVersion + ":"), current)
+    java.nio.file.Files.write(marker, current
+      .replace(":" + text.TextAnalysis.BpeVersion + ":", ":stale0:").getBytes("UTF-8"))
     val before = java.nio.file.Files
       .getLastModifiedTime(dir.resolve("merges.tsv")).toMillis
     val again = text.TextAnalysis.mergesFor(spark, sf)

@@ -135,6 +135,80 @@ class SkewSpec extends SparkSpec {
     assert(spread == 8, s"hot key spread over $spread of 8 salts")
   }
 
+  test("Salted.hotLookupJoin equals the plain join, salts ONLY the hot key, and spreads it") {
+    import spark.implicits._
+    val fact = spark.read.parquet(s"$stagedDir/tf")
+    val dict = spark.read.parquet(s"$stagedDir/dfreq")
+    val total = fact.select(countDistinct(col("doc_id")).as("n_docs"))
+    val plain = fact.join(dict, Seq("tok"))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"))
+      .collect().toSet
+    val salted = Salted.hotLookupJoin(fact, dict, "tok", "df",
+      total, "n_docs", saltBy = col("doc_id"), hotInv = 20, salt = 8)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"))
+    assert(salted.collect().toSet == plain)
+    // selectivity: "the" (df=10000 of 10003 docs) is the ONLY hot key
+    // — the 18 unique-token cold keys keep exactly one dictionary copy
+    val nDict = dict.count()
+    val hotKeys = 1L
+    val dictS = dict.crossJoin(broadcast(total))
+      .withColumn("__salt", explode(
+        when(col("df") * 20 >= col("n_docs"), sequence(lit(0), lit(7)))
+          .otherwise(array(lit(0)))))
+    assert(dictS.count() == nDict + hotKeys * 7,
+      "cold keys must not pay the replication bill")
+    // reducer spread, measured: max rows landing on one post-join
+    // partition drops by ~the salt factor once the hot key's probe
+    // rows hash over (tok, salt) instead of (tok)
+    withSkewConfs {
+      def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(spark_partition_id().as("p")).count()
+          .agg(max("count")).as[Long].head()
+      val maxPlain = maxPartRows(fact.join(dict, Seq("tok")))
+      val maxSalted = maxPartRows(Salted.hotLookupJoin(fact, dict, "tok", "df",
+        total, "n_docs", saltBy = col("doc_id"), hotInv = 20, salt = 8))
+      assert(maxSalted * 2 <= maxPlain,
+        s"salting did not spread the hot reducer: plain max=$maxPlain salted max=$maxSalted")
+    }
+  }
+
+  test("the wired df join-backs: salted on vs off is row-identical on the skew corpus") {
+    // t12/t14/t17/d14 ROUTE through Salted.dfJoinBack (r12 verdict #1)
+    // — the conf flip is a plan change only. On the stopword corpus
+    // every tf/df/gram row rides the hot key, so this exercises the
+    // salted path for real (hot key df = 10000 of 10003 docs >= 5%).
+    val wired = Seq("t12_doc_frequency", "t14_tfidf_top",
+      "t17_line_dedup", "d14_repeated_ngrams")
+    for (q <- wired) {
+      // set compare: every query's rows are key-unique, and the two
+      // conf settings are different physical plans with no shared
+      // collect order
+      val on = SparkEntry.queries(q)(spark, skewDir).collect().toSet
+      val off = try {
+        spark.conf.set("graft.skew.salted", "false")
+        SparkEntry.queries(q)(spark, skewDir).collect().toSet
+      } finally spark.conf.unset("graft.skew.salted")
+      assert(on == off, s"$q: salted join-back changed the result")
+      assert(on.size >= 10003 || q == "t14_tfidf_top", s"$q returned ${on.size} rows")
+      // and the default path really is the salted one
+      val p = SparkEntry.queries(q)(spark, skewDir).queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), s"$q default plan is not salted:\n$p")
+    }
+  }
+
+  test("dfJoinBack rejects a non-boolean graft.skew.salted loudly") {
+    val fact = spark.read.parquet(s"$stagedDir/tf")
+    val dict = spark.read.parquet(s"$stagedDir/dfreq")
+    val total = fact.select(countDistinct(col("doc_id")).as("n_docs"))
+    try {
+      spark.conf.set("graft.skew.salted", "maybe")
+      val e = intercept[IllegalArgumentException] {
+        Salted.dfJoinBack(fact, dict, "tok", "df", total, "n_docs", col("doc_id"))
+      }
+      assert(e.getMessage.contains("graft.skew.salted"))
+    } finally spark.conf.unset("graft.skew.salted")
+  }
+
   test("skew-split results equal the unsplit plan's results") {
     // the optimization must be plan-only: same corpus, thresholds on
     // vs off, byte-identical output (the d14 ratios catch any
