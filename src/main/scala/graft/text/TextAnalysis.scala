@@ -1114,12 +1114,31 @@ object TextAnalysis {
   /** t20 training knobs. 8 merges keeps the oracle's unrolled SQL and
     * the training loop small while exercising every mechanism a
     * 50k-merge production run uses (the vocabulary size is a constant,
-    * not a structural parameter). The sample is a doc_id modulus — at
-    * 100 TB an absolute row cap (`LIMIT` after the modulus, the s8
-    * bounded-sample rule) bounds training input regardless of corpus
-    * size; the learned table is metadata-sized either way. */
+    * not a structural parameter). The sample is a doc_id modulus
+    * FOLLOWED by an absolute document cap ([[BpeTrainCap]] — the s8
+    * `KmeansTrainCap` rule, r12 verdict #2): the modulus alone grows
+    * linearly with the corpus, and training is [[BpeMerges]]
+    * SEQUENTIAL passes over the sample, so an uncapped sample pays
+    * O(merges · corpus/mod) serial work for a metadata-sized merge
+    * table. The cap picks the [[BpeTrainCap]] documents with the
+    * smallest `md5(doc_id)` — a deterministic hash order both engines
+    * spell identically (no id-prefix bias, no rand()), executed as a
+    * distributed TakeOrdered whose per-task heap holds ≤ cap docs.
+    * At sf ≤ 0.1 the modulus yields ≤ 1000 docs, so the cap is the
+    * identity there and every existing oracle value is unchanged; at
+    * sf1+ it binds, making training cost scale-INDEPENDENT. */
   private[graft] val BpeMerges = 8
   private[graft] val BpeSampleMod = 5
+  private[graft] val BpeTrainCap = 2000
+
+  /** The capped training sample — the doc set both [[bpeTrain]] and
+    * the unrolled DuckDB oracle derive their pair statistics from. */
+  private[graft] def bpeSampleDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .filter(col("doc_id") % BpeSampleMod === 0)
+      .select(col("doc_id"), col("text"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(BpeTrainCap)
 
   /** The word → spaced-symbol-string rendering both engines share:
     * `"hello"` → `" h e l l o </w> "`. Symbols never contain spaces,
@@ -1159,8 +1178,7 @@ object TextAnalysis {
   private[graft] def bpeTrain(s: SparkSession, d: String): Seq[(String, String)] = {
     // materialize the spaced sample once — every round re-reads the
     // checkpoint instead of re-running scan+explode+render
-    var cur = Tables.documents(s, d).filter(col("doc_id").isNotNull)
-      .filter(col("doc_id") % BpeSampleMod === 0)
+    var cur = bpeSampleDocs(s, d)
       .select(explode(expr("filter(split(text, '\\\\s+'), t -> t != '')")).as("w"))
       .select(expr(spacedWordExpr("w")).as("sp"))
       .localCheckpoint()
@@ -1193,7 +1211,7 @@ object TextAnalysis {
   }
 
   /** Version token for the staged merge table (s11's freshness rule). */
-  private[graft] val BpeVersion = "bpe1"
+  private[graft] val BpeVersion = "bpe2" // bpe1 -> bpe2: BpeTrainCap added
 
   /** The learned merge table for a corpus, staged once: a production
     * tokenizer is trained once and REUSED by every consumer, so t20
@@ -1290,7 +1308,8 @@ object TextAnalysis {
        |sw0 AS (
        |  SELECT ' ' || array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), ' ') || ' </w> ' AS sp
        |  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
-       |        FROM docs WHERE doc_id % $BpeSampleMod = 0))""".stripMargin
+       |        FROM (SELECT text FROM docs WHERE doc_id % $BpeSampleMod = 0
+       |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $BpeTrainCap)))""".stripMargin
     for (r <- 1 to BpeMerges) {
       sb ++= s""",
        |m$r AS (

@@ -320,6 +320,39 @@ class PropertySpec extends SparkSpec {
     assert(!byId(0L).isNullAt(byId(0L).fieldIndex("ppl_milli")))
   }
 
+  test("BPE training sample is hard-capped when the modulus alone would exceed the cap") {
+    // r12 verdict #2: the modulus sample grows linearly with the
+    // corpus; the absolute cap (s8's KmeansTrainCap rule) must bound
+    // it. 12005 docs -> 2401 pass the %5 modulus > BpeTrainCap.
+    import text.TextAnalysis.{BpeSampleMod, BpeTrainCap}
+    val dir = java.nio.file.Files.createTempDirectory("bpecap").toString
+    spark.range(0, 12005).toDF("doc_id")
+      .withColumn("text", concat(lit("aa bb ab"), lit(" w"), col("doc_id") % 17))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sample = text.TextAnalysis.bpeSampleDocs(spark, dir)
+    val ids = sample.select("doc_id").as[Long].collect()
+    assert(ids.length == BpeTrainCap, s"cap did not bind: ${ids.length}")
+    assert(ids.forall(_ % BpeSampleMod == 0), "cap must apply AFTER the modulus")
+    // the kept set is exactly the md5-smallest slice of the modulus
+    // rows — deterministic hash order, no id-prefix bias, and stable
+    // across physical plans (re-run with a different partitioning)
+    val md5Rank = spark.range(0, 12005).filter(col("id") % BpeSampleMod === 0)
+      .select(col("id"), md5(col("id").cast("string")).as("h"))
+      .orderBy(col("h"), col("id")).limit(BpeTrainCap)
+      .select("id").as[Long].collect().toSet
+    assert(ids.toSet == md5Rank, "sample is not the md5-smallest slice")
+    val again = text.TextAnalysis.bpeSampleDocs(spark, dir)
+      .repartition(7).select("doc_id").as[Long].collect().toSet
+    assert(again == ids.toSet, "capped sample changed across runs")
+    // and the trainer still converges on the capped sample: the
+    // planted pair dominates, so round 1 must merge ('a','a')-family
+    // pairs rather than fail on a degenerate sample
+    val merges = text.TextAnalysis.bpeTrain(spark, dir)
+    assert(merges.length == text.TextAnalysis.BpeMerges)
+  }
+
   test("t20 learned BPE: double-replace equals the sequential greedy fold on real corpus words") {
     import org.apache.spark.sql.functions._
     // the reference: textbook greedy left-to-right merge application,
