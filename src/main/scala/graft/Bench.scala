@@ -19,7 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the streaming queries emit several WARN lines
+    // per trigger (checkpoint/AQE notices) late in the alphabetical
+    // sweep, and BENCH_r12's 2 KB capture tail was ~85% WARN noise —
+    // crowding out the metric lines this main exists to deliver
+    spark.sparkContext.setLogLevel("ERROR")
     // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=d8_simhash_pairs,d2_minhash_lsh
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -73,11 +77,29 @@ object Bench {
     // The stdout metric line stays SHORT (~150 bytes): BENCH_r09 came
     // back parsed:null because the 92-entry per-query map grew the line
     // to ~2.9 KB and the driver's 2000-char capture tail sliced it
-    // mid-line. The full per-query map lives only in bench_last.json.
+    // mid-line. The full per-query map lives in bench_last.json, in the
+    // TRACKED BENCH_HISTORY.jsonl (so round-over-round per-query diffs
+    // survive in the repo — r12 verdict #3), and on stdout as the
+    // COMPACT queries line below (short keys + centiseconds, ~1.4 KB,
+    // printed BEFORE the metric line so a tail slice cuts it first).
+    val shortQs = results.map { case (k, v, ok) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + (if (ok) (v * 100).round.toString else "-1")
+    }.mkString("{", ",", "}")
+    val queriesLine =
+      s"""{"metric":"queries","unit":"centisec","sf":"$sfDir","queries":$shortQs}"""
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats}"""
     // stdout can be lost in log noise; persist the full map for the driver
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
+    // history only records FULL sweeps (filtered local-iteration runs
+    // would pollute the round-over-round diff), stamped for ordering
+    if (only.isEmpty) {
+      val stamped = full.dropRight(1) +
+        s""","ts":${System.currentTimeMillis / 1000}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        (stamped + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
     // sf1 (10x) scaling regression gate — opt-in via SPARK_GRAFT_SF1
     // (r11 verdict #8: the sweep was a one-off; wire it into the round
     // loop). "1"/"true" uses/creates testdata-sf1 from sfDir; any other
@@ -90,29 +112,42 @@ object Bench {
         ScaleData.generate(spark, sfDir, sf1Dir, 10)
       val qmap = SparkEntry.queries
       val baseTime = results.collect { case (n, t, true) => n -> t }.toMap
-      val gated = Budgets.sf1MaxRatio.toSeq.sortBy(_._1).filter(e => qmap.contains(e._1))
+      // the local-iteration filter narrows the gate too (full-gate
+      // runs are the driver's; a filtered run is someone measuring)
+      val gated = Budgets.sf1MaxRatio.toSeq.sortBy(_._1)
+        .filter(e => qmap.contains(e._1) && only.forall(_(e._1)))
+      // timed noop-sink pass; (seconds, succeeded) — a FAILED pass must
+      // never contribute its (near-zero) elapsed time as a measurement
+      // (ADVICE r12: a fast-failing fallback ref yielded a spurious
+      // huge ratio)
+      def timedPass(name: String, dir: String): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { qmap(name)(spark, dir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench-sf1] $name @ $dir failed: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
       val rows = gated.map { case (name, maxRatio) =>
-        // reference: the main sweep's best, or one fresh sfDir pass if
-        // the sweep was filtered past this query
-        val ref = baseTime.getOrElse(name, {
-          val t0 = System.nanoTime()
-          try qmap(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        })
+        // reference: the main sweep's best, or — when the sweep was
+        // filtered past this query — a best-of-2 sfDir fallback
+        // (mirroring the sf1 side: the first pass pays one-time
+        // staging, the second measures steady state), valid only if a
+        // pass succeeded
+        val (ref, refOk) = baseTime.get(name) match {
+          case Some(t) => (t, true)
+          case None =>
+            val ps = (1 to 2).map(_ => timedPass(name, sfDir)).filter(_._2)
+            if (ps.isEmpty) (-1.0, false) else (ps.map(_._1).min, true)
+        }
         // best-of-2 at sf1: the main sweep's reference is a warm
         // best-of-N, so the sf1 side must not charge one-time staging
         // (index/tokenizer builds) to the ratio — the first pass
         // stages, the second measures steady state
-        var ok = true
-        val t1 = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          try qmap(name)(spark, sf1Dir).write.mode("overwrite").format("noop").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench-sf1] $name failed: ${e.getMessage}"); ok = false
-          }
-          (System.nanoTime() - t0) / 1e9
-        }.min
+        val sf1Ps = (1 to 2).map(_ => timedPass(name, sf1Dir))
+        val ok = sf1Ps.forall(_._2) && refOk
+        val t1 = sf1Ps.filter(_._2).map(_._1).minOption.getOrElse(-1.0)
         val ratio = if (ok && ref > 0) t1 / ref else -1.0
         (name, ok, t1, ratio, ok && t1 > 1.0 && ratio > maxRatio)
       }
@@ -123,31 +158,43 @@ object Bench {
         .mkString("{", ",", "}")
       val totalSf1 = rows.collect { case (_, true, t1, _, _) => t1 }.sum
       val nFail = rows.count(!_._2)
-      s"""{"metric":"sf1_gate","value":${f(totalSf1)},"unit":"sec","sf1":"$sf1Dir","n_failed":$nFail,"over_ratio":$over,"ratios":$ratios}"""
+      val full =
+        s"""{"metric":"sf1_gate","value":${f(totalSf1)},"unit":"sec","sf1":"$sf1Dir","n_failed":$nFail,"over_ratio":$over,"ratios":$ratios}"""
+      // stdout carries the SHORT form (the ratios map would crowd the
+      // 2 KB capture tail the metric line must survive); the full map
+      // rides bench_sf1_last.json
+      val short =
+        s"""{"metric":"sf1_gate","value":${f(totalSf1)},"unit":"sec","sf1":"$sf1Dir","n_failed":$nFail,"over_ratio":$over}"""
+      (full, short)
     }
-    sf1Line.foreach { l =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_sf1_last.json"), l + "\n")
+    sf1Line.foreach { case (full, _) =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_sf1_last.json"), full + "\n")
     }
     // Print the JSON only AFTER spark.stop(): executor-shutdown log
     // lines otherwise interleave with (or truncate) the metric line in
     // captured output. The marker line lets a parser seek to the JSON
     // without regex-ing through sbt/log4j noise.
     spark.stop()
-    // emitted TWICE: a log collector that keeps only the tail of the
-    // output can slice through the first copy (BENCH_r04's driver parse
-    // lost the line's head exactly this way); the second, later copy
-    // then still carries a complete marker + line.
-    println("GRAFT_BENCH_JSON")
-    println(line)
-    println("GRAFT_BENCH_JSON")
-    println(line)
-    sf1Line.foreach { l =>
+    // ORDER MATTERS for a collector that keeps only a ~2 KB output
+    // tail: least-critical first. The compact per-query line leads (a
+    // slice cuts into it, not the gates), then the sf1 summary, then
+    // the main metric line — emitted TWICE because a slice can still
+    // land mid-first-copy (BENCH_r04 lost the line's head exactly that
+    // way); the second, later copy then carries a complete marker +
+    // line.
+    println("GRAFT_BENCH_QUERIES")
+    println(queriesLine)
+    sf1Line.foreach { case (_, short) =>
       // the sf1 gate line is a SEPARATE marker: a driver that parses
-      // only GRAFT_BENCH_JSON is unaffected; the short over_ratio
-      // summary also rides the main line's file sibling
+      // only GRAFT_BENCH_JSON is unaffected; the full ratios map rides
+      // bench_sf1_last.json
       println("GRAFT_SF1_JSON")
-      println(l)
+      println(short)
     }
+    println("GRAFT_BENCH_JSON")
+    println(line)
+    println("GRAFT_BENCH_JSON")
+    println(line)
     System.out.flush()
   }
 }
