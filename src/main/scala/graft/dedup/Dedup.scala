@@ -1173,43 +1173,65 @@ object Dedup {
     * streaming path; d16 is its batch sibling over the DEDUPED-corpus
     * state (VERDICT r9 #4).
     *
-    * The manifest write is priced in-query (the q27 pattern): the
-    * bench pays the sweep cost honestly, and re-runs stay idempotent
-    * (overwrite). At 100 TB the manifests are corpus-keyed aggregated
-    * relations — parquet keeps them columnar and equi-joinable with
-    * AQE skew splitting, never a broadcast.
+    * The sweep is staged behind a `_src_meta` freshness marker
+    * (source size+mtime+path+[[D16SweepVersion]] — the s11/d20/bpe
+    * discipline, r12 verdict #4): the nightly sweep runs ONCE per
+    * corpus state, and every subsequent admission prices exactly the
+    * three admit joins — previously d16 re-clustered and re-wrote its
+    * manifests on every execution, making it the suite's most
+    * expensive query for work its own Scaladoc called "nightly". A
+    * stale marker (corpus changed, sweep logic bumped) forces the
+    * full re-sweep (spec-pinned). At 100 TB the manifests are
+    * corpus-keyed aggregated relations — parquet keeps them columnar
+    * and equi-joinable with AQE skew splitting, never a broadcast.
     *
     * Oracle: d13's SQL verbatim — the driver compare pins
     * "admit against persisted manifests ≡ admit against in-plan
     * manifests" value-for-value, the same lockstep discipline st9
     * borrows from d12.
     */
+  /** Hand-bumped with any change to d16's sweep logic (clustering
+    * chain, keeper argmax, manifest schema/aggregation) — the
+    * [[CbcVersion]] discipline for the manifest store. */
+  private[graft] val D16SweepVersion = "d16s1"
+
   private def d16(s: SparkSession, d: String): DataFrame = {
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft_d16_" + graft.StagePath.corpusToken(d))
+    java.nio.file.Files.createDirectories(stage)
+    val marker = stage.resolve("_src_meta")
+    val meta = graft.StagePath.srcMeta(
+      d, java.nio.file.Paths.get(d, "documents.parquet"), D16SweepVersion)
     val all = Tables.documents(s, d).filter(col("doc_id").isNotNull)
     val mx = all.agg(max(col("doc_id")).as("mx"))
     val flagged = all.crossJoin(broadcast(mx))
-    val existing = flagged.filter(col("doc_id") <= col("mx") - expr("mx div 5"))
-      .select(col("doc_id"), col("text"))
     val newDocs = flagged.filter(col("doc_id") > col("mx") - expr("mx div 5"))
       .select(col("doc_id"), col("text"))
-    // sweep stage: cluster + keeper argmax ONCE, persist the deduped
-    // corpus (what a real sweep keeps anyway), then derive both
-    // manifests from the PERSISTED keepers — without the intermediate
-    // table the two manifest writes would each re-run the whole
-    // clustering chain (measured 2x the sweep cost)
-    val kept = existing.join(keeperIds(existing), Seq("doc_id"), "left_semi")
-    graft.sources.TableSource.write(kept, stage.resolve("kept_corpus").toString)
-    val keptT = graft.sources.TableSource.read(s, stage.resolve("kept_corpus").toString)
-    graft.sources.TableSource.write(
-      keptT.select(md5(col("text").cast("binary")).as("fp"))
-        .groupBy(col("fp")).agg(lit(1).as("fp_hit")),
-      stage.resolve("fp_manifest").toString)
-    graft.sources.TableSource.write(
-      simhashSigsOf(keptT).groupBy(col("simhash")).agg(lit(1).as("sig_hit")),
-      stage.resolve("sig_manifest").toString)
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      java.nio.file.Files.exists(stage.resolve("fp_manifest")) &&
+      java.nio.file.Files.exists(stage.resolve("sig_manifest"))
+    if (!fresh) {
+      val existing = flagged.filter(col("doc_id") <= col("mx") - expr("mx div 5"))
+        .select(col("doc_id"), col("text"))
+      // sweep stage: cluster + keeper argmax ONCE, persist the deduped
+      // corpus (what a real sweep keeps anyway), then derive both
+      // manifests from the PERSISTED keepers — without the intermediate
+      // table the two manifest writes would each re-run the whole
+      // clustering chain (measured 2x the sweep cost)
+      val kept = existing.join(keeperIds(existing), Seq("doc_id"), "left_semi")
+      graft.sources.TableSource.write(kept, stage.resolve("kept_corpus").toString)
+      val keptT = graft.sources.TableSource.read(s, stage.resolve("kept_corpus").toString)
+      graft.sources.TableSource.write(
+        keptT.select(md5(col("text").cast("binary")).as("fp"))
+          .groupBy(col("fp")).agg(lit(1).as("fp_hit")),
+        stage.resolve("fp_manifest").toString)
+      graft.sources.TableSource.write(
+        simhashSigsOf(keptT).groupBy(col("simhash")).agg(lit(1).as("sig_hit")),
+        stage.resolve("sig_manifest").toString)
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
     // admit stage: manifest sides are parquet scans — the only other
     // source in this plan is the new batch itself
     val kfp = graft.sources.TableSource.read(s, stage.resolve("fp_manifest").toString)
@@ -2028,7 +2050,141 @@ object Dedup {
       |  c.doc_id > m.mx - m.mx // 5 AS is_new
       |FROM clusters c CROSS JOIN mx m ORDER BY c.doc_id""".stripMargin
 
+  /** d22's word-gram width and per-benchmark hit floor. 8-word grams
+    * are the industry decontamination unit (verbatim-leak scale —
+    * natural cross-doc collision is ~nil where d6's 5-char shingles
+    * collide on every common substring; measured on this corpus: ONE
+    * genuine near-copy pair vs 485 universal shingle "hits").
+    * [[DecontamMinHits]] = 2: a single colliding gram (one templated
+    * phrase) can never drop a document; any real leak plants a run of
+    * consecutive grams. */
+  private[graft] val DecontamGramK = 8
+  private[graft] val DecontamMinHits = 2
+
+  /** d22: MULTI-benchmark decontamination with a keep/drop verdict —
+    * the composition the r12 verdict sketched (#8): real pipelines
+    * decontaminate against MANY held-out benchmarks at once and feed
+    * per-benchmark hit reports into a t7-style verdict, not d6's
+    * single-set contaminated-doc list. Three benchmarks are derived
+    * from table values only (docs 0–4, 5–9, 10–14 — the d12/d13
+    * batch-derivation pattern); the corpus (docs ≥ 15) gets PLANTED
+    * contamination (the d18/d19 injection discipline): every doc with
+    * `doc_id % 10 = 6` appends the first 12 words of benchmark
+    * `doc_id % 3`'s first document, i.e. ≥ 3 verbatim benchmark
+    * grams. Output, one row per corpus doc: per-benchmark distinct-
+    * gram overlap counts, the number of benchmarks hit, and t7's
+    * drop_reason contract ('' keeps; else the comma-joined benchmark
+    * list) — so the verdict is joinable straight into t7/t15's gate.
+    *
+    * The corpus also contains one NATURAL near-copy of a benchmark
+    * document (a dedup family member of docs 5–9, found by
+    * measurement, not planted) — d22 drops it on b1, which is exactly
+    * the leak class decontamination exists to catch.
+    *
+    * Scale shape: gram extraction is d14's linear explode-to-md5 (the
+    * shuffle carries 16-byte keys, never gram text, and the per-doc
+    * DISTINCT collapses multiplicity at the map side); the benchmark
+    * gram set is METADATA-sized by definition (benchmarks are small)
+    * and rides ONE tagged broadcast — never a shuffle side; the hit
+    * rollup is a map-side-partial conditional aggregate per doc; the
+    * verdict is a left join on unique doc_id. Adding a benchmark adds
+    * one tag value, zero new joins. Everything integer/string-exact —
+    * no float anywhere.
+    */
+  private def d22(s: SparkSession, d: String): DataFrame = {
+    val k = DecontamGramK
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val benchDocs = docs.filter(col("doc_id") < 15)
+    val plant = benchDocs.filter(col("doc_id") % 5 === 0)
+      .select(expr("doc_id div 5").as("bench_id"),
+        expr("array_join(slice(filter(split(lower(text), '\\\\s+'), t -> t != ''), 1, 12), ' ')")
+          .as("plant_text"))
+    val corpus = docs.filter(col("doc_id") >= 15)
+      .join(broadcast(plant),
+        col("doc_id") % 10 === 6 && col("bench_id") === col("doc_id") % 3, "left")
+      .select(col("doc_id"),
+        when(col("plant_text").isNotNull,
+          concat(col("text"), lit(" "), col("plant_text")))
+          .otherwise(col("text")).as("text"))
+    def gramsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ts) - $k), p -> md5(concat_ws(' ', slice(ts, p + 1, $k))))"))
+        .as("g"))
+      .distinct()
+    val bench = gramsOf(benchDocs)
+      .select(expr("doc_id div 5").as("bench_id"), col("g")).distinct()
+    val hits = gramsOf(corpus)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("bench_id") === 0, 1L).otherwise(0L)).as("h0"),
+        sum(when(col("bench_id") === 1, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("bench_id") === 2, 1L).otherwise(0L)).as("h2"))
+    val m = DecontamMinHits
+    corpus.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("h0"), lit(0L)).as("n_b0"),
+        coalesce(col("h1"), lit(0L)).as("n_b1"),
+        coalesce(col("h2"), lit(0L)).as("n_b2"))
+      .withColumn("n_hit",
+        (col("n_b0") >= m).cast("long") + (col("n_b1") >= m).cast("long") +
+          (col("n_b2") >= m).cast("long"))
+      .withColumn("drop_reason", concat_ws(",",
+        when(col("n_b0") >= m, lit("b0")),
+        when(col("n_b1") >= m, lit("b1")),
+        when(col("n_b2") >= m, lit("b2"))))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val d22Sql = {
+    val (k, m) = (DecontamGramK, DecontamMinHits)
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+       |plant AS (
+       |  SELECT doc_id // 5 AS bench_id,
+       |    array_to_string(regexp_extract_all(lower(text), '\\S+')[1:12], ' ') AS plant_text
+       |  FROM docs WHERE doc_id < 15 AND doc_id % 5 = 0),
+       |corpus AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN p.plant_text IS NOT NULL THEN d.text || ' ' || p.plant_text
+       |         ELSE d.text END AS text
+       |  FROM (SELECT doc_id, text FROM docs WHERE doc_id >= 15) d
+       |  LEFT JOIN plant p ON d.doc_id % 10 = 6 AND p.bench_id = d.doc_id % 3),
+       |bgrams AS (
+       |  SELECT DISTINCT doc_id // 5 AS bench_id, md5(array_to_string(ts[p + 1 : p + $k], ' ')) AS g
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - $k)) AS p
+       |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+       |              FROM docs WHERE doc_id < 15)
+       |        WHERE len(ts) >= $k)),
+       |cgrams AS (
+       |  SELECT DISTINCT doc_id, md5(array_to_string(ts[p + 1 : p + $k], ' ')) AS g
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - $k)) AS p
+       |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+       |              FROM corpus)
+       |        WHERE len(ts) >= $k)),
+       |hits AS (
+       |  SELECT c.doc_id,
+       |    CAST(SUM(CASE WHEN b.bench_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b0,
+       |    CAST(SUM(CASE WHEN b.bench_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
+       |    CAST(SUM(CASE WHEN b.bench_id = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b2
+       |  FROM cgrams c JOIN bgrams b USING (g) GROUP BY c.doc_id)
+       |SELECT c.doc_id,
+       |  COALESCE(h.n_b0, 0) AS n_b0, COALESCE(h.n_b1, 0) AS n_b1,
+       |  COALESCE(h.n_b2, 0) AS n_b2,
+       |  CAST(COALESCE(h.n_b0, 0) >= $m AS BIGINT) + CAST(COALESCE(h.n_b1, 0) >= $m AS BIGINT)
+       |    + CAST(COALESCE(h.n_b2, 0) >= $m AS BIGINT) AS n_hit,
+       |  concat_ws(',',
+       |    CASE WHEN COALESCE(h.n_b0, 0) >= $m THEN 'b0' END,
+       |    CASE WHEN COALESCE(h.n_b1, 0) >= $m THEN 'b1' END,
+       |    CASE WHEN COALESCE(h.n_b2, 0) >= $m THEN 'b2' END) AS drop_reason
+       |FROM (SELECT doc_id FROM corpus) c LEFT JOIN hits h USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "d22_multi_decontam" -> (d22 _),
     "d21_dedup_pack" -> (d21 _),
     "d20_cross_batch_cluster" -> (d20 _),
     "d19_substring_remove" -> (d19 _),
@@ -2052,6 +2208,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d22_multi_decontam" -> d22Sql,
     "d21_dedup_pack" -> d21Sql,
     "d20_cross_batch_cluster" -> d20Sql,
     "d19_substring_remove" -> d19Sql,

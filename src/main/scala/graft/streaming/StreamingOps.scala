@@ -201,7 +201,8 @@ object StreamingOps {
     * can never admit them as stream input.
     */
   private def stagedAdmitInputs(s: SparkSession, d: String,
-      nFiles: Int = 1): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      nFiles: Int = 1, filesPerTrigger: Int = 1)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val src = java.nio.file.Paths.get(d, "documents.parquet")
     val base = System.getProperty("java.io.tmpdir")
     val tag = graft.StagePath.corpusToken(d) + (if (nFiles > 1) s"_n$nFiles" else "")
@@ -268,7 +269,14 @@ object StreamingOps {
     }
     val reader = s.readStream.schema(docsStreamSchema)
       .option("pathGlobFilter", "new_docs_*.parquet")
-    val multi = if (nFiles > 1) reader.option("maxFilesPerTrigger", "1") else reader
+    // nFiles landing files drained filesPerTrigger at a time: the
+    // default (1) is the multi-batch regime; filesPerTrigger > 1 is
+    // the production landing shape — a trigger never sees exactly one
+    // file in a real landing dir (r12 verdict #7), and the stateless
+    // admission paths must be file-count-invariant per trigger too
+    val multi =
+      if (nFiles > 1) reader.option("maxFilesPerTrigger", filesPerTrigger.toString)
+      else reader
     (multi.parquet(dir.toString),
       s.read.parquet(mdir.resolve("fp_manifest").toString),
       s.read.parquet(mdir.resolve("sig_manifest").toString),
@@ -684,8 +692,9 @@ object StreamingOps {
     * batching-invariance claim: a stateless stream gives the same
     * answer under any file/trigger split. Not a registered query (the
     * semantics are st9's; only the batching differs). */
-  private[graft] def st9Multi(s: SparkSession, d: String, nFiles: Int): DataFrame =
-    admitPipeline(s, stagedAdmitInputs(s, d, nFiles), "graft_st9multi")
+  private[graft] def st9Multi(s: SparkSession, d: String, nFiles: Int,
+      filesPerTrigger: Int = 1): DataFrame =
+    admitPipeline(s, stagedAdmitInputs(s, d, nFiles, filesPerTrigger), "graft_st9multi")
 
   private val st9Sql = graft.dedup.Dedup.oracles("d12_incremental_dedup")
 
@@ -712,8 +721,9 @@ object StreamingOps {
   /** st10 under the multi-batch regime (st9Multi's sibling) — same
     * semantics, nFiles landing files with maxFilesPerTrigger=1. Spec/
     * bench surface only, not a registered query. */
-  private[graft] def st10Multi(s: SparkSession, d: String, nFiles: Int): DataFrame =
-    bloomPipeline(s, stagedAdmitInputs(s, d, nFiles), "graft_st10multi")
+  private[graft] def st10Multi(s: SparkSession, d: String, nFiles: Int,
+      filesPerTrigger: Int = 1): DataFrame =
+    bloomPipeline(s, stagedAdmitInputs(s, d, nFiles, filesPerTrigger), "graft_st10multi")
 
   private def bloomPipeline(s: SparkSession,
       staged: (DataFrame, DataFrame, DataFrame, DataFrame), name: String): DataFrame = {

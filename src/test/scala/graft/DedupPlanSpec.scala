@@ -354,6 +354,66 @@ class DedupPlanSpec extends SparkSpec {
     assert(scans <= 3, s"q18 should scan lineitem for counts, ranks and n only, got $scans")
   }
 
+  test("d22 drops exactly the planted benchmark leaks, names the right benchmark, keeps the rest") {
+    val df = SparkEntry.queries("d22_multi_decontam")(spark, sf)
+    // declared broadcasts only for the two bounded relations — the
+    // 3-row plant dim (referenced from both the gram side and the
+    // verdict spine, so it appears twice in the analyzed tree) and the
+    // benchmark gram set — never the corpus
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 3, s"expected 2x plant + 1x bench broadcasts, got ${hints.size}")
+    val rows = df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getLong(4), r.getString(5))).toMap
+    val nCorpus = SparkEntry.queries("d22_multi_decontam")(spark, sf).count()
+    assert(rows.size == nCorpus && rows.keys.forall(_ >= 15),
+      "one verdict row per corpus doc")
+    rows.foreach { case (id, (_, nHit, reason)) =>
+      // self-consistency: drop_reason lists exactly the n_hit benchmarks
+      val named = if (reason.isEmpty) 0 else reason.split(",").length
+      assert(named == nHit, s"doc $id: n_hit=$nHit but drop_reason='$reason'")
+      if (id % 10 == 6)
+        // planted: >= 3 verbatim grams from benchmark id%3 -> must drop
+        // on (at least) that benchmark
+        assert(reason.split(",").contains(s"b${id % 3}"),
+          s"planted doc $id missing b${id % 3} in '$reason'")
+    }
+    // the verdict must SPLIT: plants (1 in 10) drop, the bulk of the
+    // corpus keeps (word-8-grams don't collide naturally; d6's char
+    // shingles flagged every doc — that contrast is d22's point)
+    val kept = rows.values.count(_._3.isEmpty)
+    assert(kept * 5 >= rows.size * 4, s"kept only $kept of ${rows.size}")
+    assert(!"CartesianProduct".r.findAllIn(
+      df.queryExecution.executedPlan.toString).hasNext)
+  }
+
+  test("d16 sweep is staged: warm runs admit-only, a stale marker forces the re-sweep") {
+    val out1 = SparkEntry.queries("d16_manifest_admit")(spark, sf)
+      .collect().toSet // ensure staged
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_d16_" + StagePath.corpusToken(sf))
+    val marker = stage.resolve("_src_meta")
+    val current = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(current.contains(":" + dedup.Dedup.D16SweepVersion + ":"), current)
+    // sentinel: an overwrite re-sweep clears the manifest directory,
+    // a warm (admit-only) run leaves it untouched — no mtime races
+    val probe = stage.resolve("fp_manifest").resolve("_graft_probe")
+    java.nio.file.Files.write(probe, Array[Byte]())
+    val warm = SparkEntry.queries("d16_manifest_admit")(spark, sf).collect().toSet
+    assert(java.nio.file.Files.exists(probe), "warm run re-ran the sweep")
+    assert(warm == out1, "warm admit diverged from the staging run")
+    // a foreign sweep version must force the full re-sweep and restore
+    // the current marker
+    java.nio.file.Files.write(marker, current
+      .replace(":" + dedup.Dedup.D16SweepVersion + ":", ":stale0:").getBytes("UTF-8"))
+    val rebuilt = SparkEntry.queries("d16_manifest_admit")(spark, sf).collect().toSet
+    assert(!java.nio.file.Files.exists(probe), "stale marker did not force a re-sweep")
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == current)
+    assert(rebuilt == out1, "re-sweep changed the admit verdicts")
+  }
+
   test("d16 admit stage reads parquet manifests with zero re-clustering lineage") {
     val df = SparkEntry.queries("d16_manifest_admit")(spark, sf)
     df.collect() // finalize the adaptive plan

@@ -296,7 +296,9 @@ class PlanShapeSpec extends SparkSpec {
       // round-12 per-doc outputs
       "d19_substring_remove", "d20_cross_batch_cluster",
       "t20_bpe_learned", "t21_perplexity_filter", "m8_interleaved_pack",
-      "d21_dedup_pack", "t22_learned_pack")
+      "d21_dedup_pack", "t22_learned_pack",
+      // round-13 per-doc outputs
+      "d22_multi_decontam")
     for (q <- corpusSized) {
       val p = plan(q)
       val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size

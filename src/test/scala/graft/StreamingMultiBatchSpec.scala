@@ -95,6 +95,29 @@ class StreamingMultiBatchSpec extends SparkSpec {
       s"expected >= 3 data micro-batches, got input-row trace $batches")
   }
 
+  test("st9/st10 are file-count-invariant per trigger: 6 files drained 3 per batch") {
+    // r12 verdict #7: a production landing dir never hands a trigger
+    // exactly one file, so the stateless admission paths must also be
+    // invariant to MULTI-file triggers — 6 landing files,
+    // maxFilesPerTrigger=3 → 2 data micro-batches of 3 files each
+    val single9 = SparkEntry.queries("st9_stream_admit")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    val multi9 = streaming.StreamingOps.st9Multi(spark, sf, 6, filesPerTrigger = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(multi9 == single9, "st9 diverged under multi-file triggers")
+    val batches9 = streaming.StreamingOps.lastRunBatches("graft_st9multi")
+    assert(batches9.count(_ > 0) == 2,
+      s"expected exactly 2 multi-file data batches, got input-row trace $batches9")
+    val single10 = SparkEntry.queries("st10_stream_bloom")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    val multi10 = streaming.StreamingOps.st10Multi(spark, sf, 6, filesPerTrigger = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(multi10 == single10, "st10 diverged under multi-file triggers")
+    val batches10 = streaming.StreamingOps.lastRunBatches("graft_st10multi")
+    assert(batches10.count(_ > 0) == 2,
+      s"expected exactly 2 multi-file data batches, got input-row trace $batches10")
+  }
+
   test("st12 ingest-time PII scrub equals the batch scrub row-for-row") {
     // stateless per-row scrub: whatever the file/trigger split, the
     // streamed output must be byte-identical to t16 over the table —
