@@ -14,7 +14,7 @@ object Budgets {
     // r13: the d16 sweep went behind a freshness marker — warm runs
     // price the admit joins only (was 12.0 when every run re-swept)
     "d16_manifest_admit" -> 2.0,
-    "d22_multi_decontam" -> 1.5,
+    "d22_multi_decontam" -> 2.0,
     "d17_bloom_admit" -> 0.9,
     "d19_substring_remove" -> 2.6,
     "t20_bpe_learned" -> 5.5,
