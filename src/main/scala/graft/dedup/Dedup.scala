@@ -1780,8 +1780,10 @@ object Dedup {
     * unique text survives untouched (spec-pinned).
     *
     * Scale: gram stats are a hash-key aggregate (df + min in one
-    * pass); join-back is a hint-pinned shuffle equi-join on the hash
-    * (t17's shape — boilerplate hashes are the AQE-skew case); the
+    * pass); the join-back on the hash is t17's shape — boilerplate
+    * grams ARE the hot-key case and the fused form is AQE-skew-exempt
+    * (SkewSpec) — so it runs through
+    * [[graft.operators.Salted.dfJoinBack]] like its siblings; the
     * covered-index expansion is ≤ k× the marked positions; token
     * cut + reassembly shuffle on (doc_id, idx)/doc_id — everything
     * corpus-proportional, nothing pairwise, no driver state. The
@@ -1813,7 +1815,14 @@ object Dedup {
       .select(col("doc_id"), col("o.p").as("p"), col("o.g").as("g"))
     val stats = occ.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("owner"))
-    val covered = occ.join(stats.hint("shuffle_hash"), Seq("g"))
+    // the t12/t14/t17/d14 df join-back shape (fused aggregate feeding
+    // the join — AQE-skew-exempt, SkewSpec): a boilerplate gram's
+    // whole occurrence set otherwise lands on one reducer, so route
+    // through the selective hot-key salting; df (distinct docs per
+    // gram) bounds the per-gram probe rows up to within-doc repeats
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val covered = Salted.dfJoinBack(occ, stats, "g", "df", n, "n_docs",
+        saltBy = col("doc_id"))
       .filter(col("df") >= 2 && col("owner") =!= col("doc_id"))
       .select(col("doc_id"), explode(expr(s"sequence(p, p + ${k - 1})")).as("i"))
       .distinct()

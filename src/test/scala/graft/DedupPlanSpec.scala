@@ -118,13 +118,20 @@ class DedupPlanSpec extends SparkSpec {
     val boiler = "this content is provided as is without warranty of " +
       "any kind either express or implied" // 15 tokens, >= SpanGramK
     val out = SparkEntry.queries("d19_substring_remove")(spark, sf)
-    // the plan stays pairwise-free and window-free (t17's discipline)
-    val p = out.queryExecution.executedPlan.toString
-    assert(!p.contains("Window"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     val rows = out.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // the EXECUTED plan (post-collect, AQE-final so exchange reuse has
+    // happened) stays pairwise-free and window-free (t17's discipline)
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop shape is dfJoinBack's one-row scalar cross
+    // (the d14/t12 pattern, ≤1 distinct identity build)
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(_.contains("Cross")), s"non-scalar nested loop:\n$p")
+    val identityBuilds = p.linesIterator.count(l =>
+      l.contains("BroadcastExchange IdentityBroadcastMode") && !l.contains("ReusedExchange"))
+    assert(identityBuilds <= 1, s"$identityBuilds scalar broadcast builds:\n$p")
     // every planting doc except the owner (min doc_id = 7) loses the
     // paragraph — exactly: at least its 15 tokens, and the text is gone
     val planted = rows.filter(_._1 % 20 == 7)

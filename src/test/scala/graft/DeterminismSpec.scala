@@ -46,7 +46,9 @@ class DeterminismSpec extends SparkSpec {
     // over the persisted store, interleaved packing
     "d19_substring_remove", "t20_bpe_learned", "t21_perplexity_filter",
     "d20_cross_batch_cluster", "m8_interleaved_pack", "d21_dedup_pack",
-    "t22_learned_pack")
+    "t22_learned_pack",
+    // round-13 addition: multi-benchmark decontamination verdict
+    "d22_multi_decontam")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

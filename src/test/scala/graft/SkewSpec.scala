@@ -178,7 +178,7 @@ class SkewSpec extends SparkSpec {
     // every tf/df/gram row rides the hot key, so this exercises the
     // salted path for real (hot key df = 10000 of 10003 docs >= 5%).
     val wired = Seq("t12_doc_frequency", "t14_tfidf_top",
-      "t17_line_dedup", "d14_repeated_ngrams")
+      "t17_line_dedup", "d14_repeated_ngrams", "d19_substring_remove")
     for (q <- wired) {
       // set compare: every query's rows are key-unique, and the two
       // conf settings are different physical plans with no shared
