@@ -44,6 +44,38 @@ class SaltedSpec extends SparkSpec {
     assert(salted(1L) == plain(1L))
   }
 
+  test("hotLookupJoin equals the plain join on random skewed data (all salt/threshold corners)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def samples[T](g: Gen[T], seed: Long): Seq[T] =
+      Seq.tabulate(120)(i => g.apply(Gen.Parameters.default, Seed(seed * 1000 + i))).flatten
+    // fact keys Zipf-ish: key 1 dominates, a handful of cold keys, and
+    // key 99 appears only in the dict (never matched)
+    val keyGen = Gen.frequency((8, Gen.const(1L)), (3, Gen.chooseNum(2L, 9L)))
+    for (seed <- 0 until 3) {
+      val factRows = samples(Gen.zip(keyGen, Gen.chooseNum(0L, 500L)), seed)
+        .zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      val fact = factRows.toDF("k", "v", "rid").repartition(5, col("rid"))
+      // dict = per-key fact row count (the df join-back contract:
+      // unique keys, value = probe-side multiplicity) + an unmatched key
+      val dict = fact.groupBy(col("k")).agg(count(lit(1)).as("df"))
+        .unionByName(Seq((99L, 1L)).toDF("k", "df"))
+      val total = fact.agg(count(lit(1)).as("n"))
+      val plain = fact.join(dict, Seq("k"))
+        .select("k", "v", "rid", "df").collect().toSet
+      // corners: everything hot (hotInv huge), nothing hot (hotInv=1
+      // can only mark a key with df == total), mixed, salt = 1
+      for ((hotInv, salt) <- Seq((1000, 8), (1, 8), (4, 8), (4, 1))) {
+        val got = Salted.hotLookupJoin(fact, dict, "k", "df", total, "n",
+          saltBy = col("rid"), hotInv = hotInv, salt = salt)
+          .select("k", "v", "rid", "df").collect().toSet
+        assert(got == plain,
+          s"seed=$seed hotInv=$hotInv salt=$salt diverged from the plain join")
+      }
+    }
+  }
+
   test("reserved intermediate columns in the input are rejected loudly") {
     // ADVICE r10: an input already carrying __salt / __c / __p_<name>
     // would be silently clobbered or mis-grouped — reject instead
