@@ -16,12 +16,12 @@ object Budgets {
     "d16_manifest_admit" -> 2.0,
     "d22_multi_decontam" -> 2.0,
     "d17_bloom_admit" -> 0.9,
-    "d19_substring_remove" -> 2.6,
+    "d19_substring_remove" -> 4.7, // r13: +~1s selective-salting insurance on the gram join-back
     "t20_bpe_learned" -> 5.5,
     "t21_perplexity_filter" -> 1.8,
     "t22_learned_pack" -> 4.5,
     "d20_cross_batch_cluster" -> 5.0,
-    "d21_dedup_pack" -> 4.4,
+    "d21_dedup_pack" -> 5.5,
     "m8_interleaved_pack" -> 2.0,
     "d18_semdedup" -> 1.1,
     "d14_repeated_ngrams" -> 3.2,

