@@ -70,7 +70,7 @@ object Budgets {
     "m2_frame_sample" -> 1.3,
     "m3_chunking" -> 0.5,
     "m4_chunk_dedup" -> 0.6,
-    "m5_cdc_chunks" -> 4.7,
+    "m5_cdc_chunks" -> 0.6, // r13: native CdcChunks expression
     "m6_perceptual_hash" -> 5.2,
     "q10_setops" -> 1.0,
     "q11_corr_subquery" -> 1.0,
@@ -194,7 +194,7 @@ object Budgets {
     "d16_manifest_admit" -> 8.0,
     "d20_cross_batch_cluster" -> 8.0,
     "g14_workflow_run" -> 8.0,
-    "m5_cdc_chunks" -> 12.0, // rolling-hash char scan, measured 9.3x
+    "m5_cdc_chunks" -> 8.0, // native CdcChunks: measured 2.4x (was 9.3x as an HOF)
     "m6_perceptual_hash" -> 11.0, // per-span aHash scan, measured 8.2x
     "q27_bucketed_join" -> 11.0, // in-query bucketed staging WRITE, measured 8.6x
     "q29_partition_prune" -> 8.0,

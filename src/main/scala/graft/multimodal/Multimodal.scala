@@ -180,15 +180,22 @@ object Multimodal {
     * bounds; this keeps the bare rolling-hash rule (documented
     * simplification).
     *
-    * The whole boundary computation is per-row higher-order-function
-    * arithmetic over the byte codes — integer-only, no UDF, no
-    * shuffle; only the final m4-shaped fingerprint aggregate shuffles
-    * (16-byte keys, map-side partials). Cross-engine exactness: the
-    * DuckDB oracle list_reduce carries an explicit prepended 0 (its
-    * fold has no zero element, Spark's aggregate does), and the
-    * position range guards length < window (Spark's sequence(8, n)
-    * runs DESCENDING for n < 8 where DuckDB's generate_series is
-    * empty).
+    * The whole boundary computation runs in the native codegen'd
+    * [[graft.functions.CdcChunks]] expression (r13): ONE O(n)
+    * codepoint pass with a true rolling update — the earlier
+    * declarative HOF form built a per-character codes array via
+    * `ascii(substring(text, i, 1))`, which is O(n²) in document
+    * length on non-ASCII text (substring walks to the i-th codepoint)
+    * and paid [[CdcWindow]] interpreted lambda multiply-adds per
+    * position; measured 2.8 s → ~0.4 s at sf0.1, and the quadratic
+    * hazard on long production documents is gone. Integer-only, no
+    * UDF, no shuffle; only the final m4-shaped fingerprint aggregate
+    * shuffles (16-byte keys, map-side partials). Cross-engine
+    * exactness: the DuckDB oracle keeps the explicit flat polynomial
+    * Σ byte[i−j]·31^j mod M — congruence of the canonical residues
+    * makes the boundary decision identical (PropertySpec fuzzes the
+    * expression against the HOF form on random unicode; the driver
+    * parity compare is the cross-engine proof).
     */
   private[graft] val CdcWindow = 8
   private[graft] val CdcMask = 32
@@ -204,26 +211,43 @@ object Multimodal {
   private val CdcPows: Seq[Long] =
     Iterator.iterate(1L)(p => p * 31 % 1000003).take(CdcWindow).toSeq
 
-  private def m5(s: SparkSession, d: String): DataFrame = {
+  /** The HOF formulation of the chunking — kept as the reference
+    * implementation the native expression is fuzzed against
+    * (PropertySpec); production m5 runs [[cdcChunksCol]]. */
+  private[graft] def cdcChunksHof: org.apache.spark.sql.Column =
+    expr(
+      """filter(
+        |  transform(sequence(1, size(b) - 1),
+        |    k -> substring(text, element_at(b, k) + 1,
+        |           element_at(b, k + 1) - element_at(b, k))),
+        |  c -> c != '')""".stripMargin)
+
+  /** Boundary array feeding [[cdcChunksHof]] (split out so the spec
+    * can build the two-step reference pipeline). */
+  private[graft] def cdcBoundsHof: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val w = CdcWindow
     val terms = CdcPows.zipWithIndex
       .map { case (p, j) => s"element_at(codes, i - $j) * ${p}L" }.mkString(" + ")
-    val boundaries =
-      s"""CASE WHEN length(text) >= $w THEN
-         |  filter(sequence($w, length(text)), i ->
-         |    ($terms) % 1000003 % $CdcMask = 0)
-         |ELSE CAST(array() AS array<int>) END""".stripMargin
+    (expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"),
+      expr(
+        s"""concat(array(0),
+           |  CASE WHEN length(text) >= $w THEN
+           |    filter(sequence($w, length(text)), i ->
+           |      ($terms) % 1000003 % $CdcMask = 0)
+           |  ELSE CAST(array() AS array<int>) END,
+           |  array(length(text)))""".stripMargin))
+  }
+
+  /** The native chunking column ([[graft.functions.CdcChunks]]). */
+  private[graft] def cdcChunksCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.CdcChunks(
+      ColumnBridge.expression(c), CdcWindow, CdcMask))
+  }
+
+  private def m5(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .withColumn("codes",
-        expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
-      .withColumn("b",
-        expr(s"concat(array(0), $boundaries, array(length(text)))"))
-      .select(col("doc_id"), explode(expr(
-        """filter(transform(sequence(1, size(b) - 1),
-          |  k -> substring(text, element_at(b, k) + 1,
-          |         element_at(b, k + 1) - element_at(b, k))),
-          |  c -> c != '')""".stripMargin)).as("chunk"))
+      .select(col("doc_id"), explode(cdcChunksCol(col("text"))).as("chunk"))
       .groupBy(md5(col("chunk").cast("binary")).as("chunk_md5"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"),

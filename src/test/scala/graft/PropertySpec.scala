@@ -320,6 +320,42 @@ class PropertySpec extends SparkSpec {
     assert(!byId(0L).isNullAt(byId(0L).fieldIndex("ppl_milli")))
   }
 
+  test("native CdcChunks equals the declarative HOF chunking on random unicode") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // r13: m5's boundary detection moved from the O(n²)-on-non-ASCII
+    // HOF form into the codegen'd CdcChunks expression; the HOF form
+    // stays as the executable reference. Fuzz across the unicode
+    // corners where they could diverge: multi-byte BMP chars (substring
+    // walk), astral chars (codePointAt vs charAt), empty/short strings
+    // (below the window), and boundary-at-end.
+    val charGen: Gen[String] = Gen.frequency(
+      (20, Gen.alphaNumChar.map(_.toString)),
+      (4, Gen.const(" ")),
+      (2, Gen.oneOf("é", "€", "中", "ß")),
+      (1, Gen.const(new String(Character.toChars(0x1F600))))) // astral
+    def samples(seed: Long): Seq[String] =
+      Seq.tabulate(60) { i =>
+        Gen.listOfN(i * 7 % 200, charGen).apply(Gen.Parameters.default, Seed(seed * 100 + i))
+          .map(_.mkString).getOrElse("")
+      } ++ Seq("", "a", "abcdefg", "abcdefgh")
+    import spark.implicits._
+    for (seed <- 0 until 3) {
+      val df = samples(seed).toDF("text")
+      val (codesC, bC) = multimodal.Multimodal.cdcBoundsHof
+      val ref = df.withColumn("codes", codesC).withColumn("b", bC)
+        .select(col("text"), multimodal.Multimodal.cdcChunksHof.as("chunks"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val got = df.select(col("text"),
+          multimodal.Multimodal.cdcChunksCol(col("text")).as("chunks"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      assert(got == ref, s"seed=$seed: native chunking diverged from the HOF reference")
+      // chunks must reassemble to the exact input (no byte lost at a
+      // boundary) for every non-empty string
+      got.foreach { case (t, cs) => assert(cs.mkString == t, s"reassembly failed for '$t'") }
+    }
+  }
+
   test("BPE training sample is hard-capped when the modulus alone would exceed the cap") {
     // r12 verdict #2: the modulus sample grows linearly with the
     // corpus; the absolute cap (s8's KmeansTrainCap rule) must bound
