@@ -71,7 +71,7 @@ object Budgets {
     "m3_chunking" -> 0.5,
     "m4_chunk_dedup" -> 0.6,
     "m5_cdc_chunks" -> 0.6, // r13: native CdcChunks expression
-    "m6_perceptual_hash" -> 5.2,
+    "m6_perceptual_hash" -> 0.8, // r13: native AHash expression
     "q10_setops" -> 1.0,
     "q11_corr_subquery" -> 1.0,
     "q12_case_agg" -> 0.9,
@@ -195,7 +195,7 @@ object Budgets {
     "d20_cross_batch_cluster" -> 8.0,
     "g14_workflow_run" -> 8.0,
     "m5_cdc_chunks" -> 8.0, // native CdcChunks: measured 2.4x (was 9.3x as an HOF)
-    "m6_perceptual_hash" -> 11.0, // per-span aHash scan, measured 8.2x
+    "m6_perceptual_hash" -> 8.0, // native AHash: measured 2.1x (was 8.2x exploded)
     "q27_bucketed_join" -> 11.0, // in-query bucketed staging WRITE, measured 8.6x
     "q29_partition_prune" -> 8.0,
     "s9_pq_recall" -> 8.0,

@@ -211,6 +211,39 @@ object Multimodal {
   private val CdcPows: Seq[Long] =
     Iterator.iterate(1L)(p => p * 31 % 1000003).take(CdcWindow).toSeq
 
+  /** The native aHash column ([[graft.functions.AHash]]). */
+  private[graft] def aHashCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.AHash(ColumnBridge.expression(c)))
+  }
+
+  /** m6's original explode + two-level-aggregate phash pipeline over
+    * (doc_id, text) rows — the executable reference [[graft.functions.AHash]]
+    * is fuzzed against (PropertySpec). */
+  private[graft] def aHashExplode(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val segs = docs
+      .filter(col("doc_id").isNotNull && length(col("text")) >= 64)
+      // split-to-chars, then ascii per 1-char string: one O(n) pass.
+      // The sequence+substring form is O(n²) per row — UTF8String
+      // substring seeks from the start each call (measured 2.4× the
+      // whole query at sf0.1)
+      .select(col("doc_id"), length(col("text")).as("n"),
+        posexplode(expr("transform(split(text, ''), c -> ascii(c))"))
+          .as(Seq("pos0", "code")))
+      // pos0 is 0-based → seg ∈ 0..63 for every pos0 < n
+      .select(col("doc_id"), expr("pos0 * 64 div n").as("seg"),
+        col("code").cast("long").as("code"))
+    val per = segs.groupBy(col("doc_id"), col("seg"))
+      .agg(sum(col("code")).as("num"), count(lit(1)).as("len"))
+    per.groupBy(col("doc_id"))
+      .agg(sum(col("num")).as("tnum"), sum(col("len")).as("tlen"),
+        array_sort(collect_list(struct(col("seg"), col("num"), col("len")))).as("sl"))
+      .select(col("doc_id"), expr(
+        """concat_ws('', transform(sl,
+          |  t -> CASE WHEN t.num * tlen > tnum * t.len THEN '1' ELSE '0' END))""".stripMargin)
+        .as("phash"))
+  }
+
   /** The HOF formulation of the chunking — kept as the reference
     * implementation the native expression is fuzzed against
     * (PropertySpec); production m5 runs [[cdcChunksCol]]. */
@@ -309,42 +342,23 @@ object Multimodal {
     * machinery (64-bit signature → 4×16-bit block equi-join), already
     * oracle-checked there; the perceptual layer is what m6 adds.
     *
-    * Plan choice, MEASURED (VERDICT r10 #5): the advised array-local
-    * form — per-row `aggregate(slice(codes, …))` folds over the 64
-    * spans, no explode, zero pre-shuffle rows — was built, passed the
-    * oracle bit-for-bit, and benched 1.7× SLOWER at sf0.1 (7.9 s vs
-    * 4.8 s, best-of-3): Spark evaluates higher-order-function lambdas
-    * INTERPRETED per element, so the per-span folds plus 64 slice
-    * allocations per row cost more CPU than the codegen'd
-    * posexplode + hash-aggregate pipeline they replace, whose shuffle
-    * is already collapsed to 64 rows/doc by map-side partials. The
-    * explode form is kept deliberately: its per-character rows are a
-    * CPU-shaped cost inside one stage (never materialized across a
-    * shuffle), which scales linearly with corpus bytes — the same
-    * envelope as the interpreted fold, at a lower constant.
+    * Plan history, MEASURED: the advised array-local form — per-row
+    * `aggregate(slice(codes, …))` folds over the 64 spans — benched
+    * 1.7× SLOWER than the explode pipeline at sf0.1 (7.9 s vs 4.8 s,
+    * VERDICT r10 #5): higher-order-function lambdas run INTERPRETED
+    * per element. Round 13 removed the dilemma with the native
+    * codegen'd [[graft.functions.AHash]] expression — one compiled
+    * code-point pass per row, no per-character row stream through two
+    * hash aggregates, no interpreted lambda: measured 4.0 → ~0.6 s at
+    * sf0.1 and the sf1 honest ratio drops from 8.2× toward the
+    * sub-linear band. The explode pipeline stays below as the
+    * executable reference the expression is fuzzed against
+    * (PropertySpec), m5's CdcChunks discipline.
     */
   private def m6(s: SparkSession, d: String): DataFrame = {
-    val segs = Tables.documents(s, d)
+    val ph = Tables.documents(s, d)
       .filter(col("doc_id").isNotNull && length(col("text")) >= 64)
-      // split-to-chars, then ascii per 1-char string: one O(n) pass.
-      // The sequence+substring form is O(n²) per row — UTF8String
-      // substring seeks from the start each call (measured 2.4× the
-      // whole query at sf0.1)
-      .select(col("doc_id"), length(col("text")).as("n"),
-        posexplode(expr("transform(split(text, ''), c -> ascii(c))"))
-          .as(Seq("pos0", "code")))
-      // pos0 is 0-based → seg ∈ 0..63 for every pos0 < n
-      .select(col("doc_id"), expr("pos0 * 64 div n").as("seg"),
-        col("code").cast("long").as("code"))
-    val per = segs.groupBy(col("doc_id"), col("seg"))
-      .agg(sum(col("code")).as("num"), count(lit(1)).as("len"))
-    val ph = per.groupBy(col("doc_id"))
-      .agg(sum(col("num")).as("tnum"), sum(col("len")).as("tlen"),
-        array_sort(collect_list(struct(col("seg"), col("num"), col("len")))).as("sl"))
-      .select(col("doc_id"), expr(
-        """concat_ws('', transform(sl,
-          |  t -> CASE WHEN t.num * tlen > tnum * t.len THEN '1' ELSE '0' END))""".stripMargin)
-        .as("phash"))
+      .select(col("doc_id"), aHashCol(col("text")).as("phash"))
     val counts = ph.groupBy(col("phash")).agg(count(lit(1)).as("phash_count"))
     ph.join(counts, Seq("phash"))
       .select(col("doc_id"), col("phash"),

@@ -356,6 +356,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native AHash equals the explode + aggregate phash pipeline, unicode included") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // r13: m6's signature moved into the codegen'd AHash expression;
+    // the explode pipeline stays as the executable reference. Fuzz
+    // where they could diverge: span-boundary arithmetic (lengths 64,
+    // 65, 127, 128, non-multiples of 64), multi-byte code points, and
+    // the sub-64 exclusion contract. Plus the whole sf0.001 corpus.
+    val charGen: Gen[String] = Gen.frequency(
+      (20, Gen.alphaNumChar.map(_.toString)),
+      (3, Gen.const(" ")),
+      (2, Gen.oneOf("é", "€", "中")),
+      (1, Gen.const(new String(Character.toChars(0x1F600)))))
+    def str(len: Int, seed: Long): String =
+      Gen.listOfN(len, charGen).apply(Gen.Parameters.default, Seed(seed))
+        .map(_.mkString).getOrElse("")
+    val lens = Seq(63, 64, 65, 100, 127, 128, 129, 200, 500)
+    val docs = lens.zipWithIndex.flatMap { case (l, i) =>
+      (0 until 3).map(s => ((i * 10 + s).toLong, str(l, i * 31 + s)))
+    }
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val ref = multimodal.Multimodal.aHashExplode(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = df.filter(length(col("text")) >= 64)
+      .select(col("doc_id"), multimodal.Multimodal.aHashCol(col("text")).as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == ref, "native aHash diverged from the explode pipeline")
+    assert(ref.nonEmpty, "fuzz corpus produced no >= 64-code-point docs")
+    // and on the real corpus
+    val corpus = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val refC = multimodal.Multimodal.aHashExplode(corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gotC = corpus.filter(col("doc_id").isNotNull && length(col("text")) >= 64)
+      .select(col("doc_id"), multimodal.Multimodal.aHashCol(col("text")).as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotC == refC && gotC.nonEmpty)
+  }
+
   test("BPE training sample is hard-capped when the modulus alone would exceed the cap") {
     // r12 verdict #2: the modulus sample grows linearly with the
     // corpus; the absolute cap (s8's KmeansTrainCap rule) must bound
