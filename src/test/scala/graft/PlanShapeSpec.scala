@@ -472,6 +472,33 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q27 layout is staged: warm runs attach without rewriting, a conf change re-writes") {
+    val out1 = SparkEntry.queries("q27_bucketed_join")(spark, sf).collect().toSeq
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_bucketed_" + StagePath.corpusToken(sf))
+    // sentinel: a bucketed re-WRITE clears the table directory, a warm
+    // (attach-only) run leaves it — the d16 probe discipline
+    val probe = stage.resolve("graft_q27_lineitem").resolve("_graft_probe")
+    java.nio.file.Files.write(probe, Array[Byte]())
+    val warm = SparkEntry.queries("q27_bucketed_join")(spark, sf).collect().toSeq
+    assert(java.nio.file.Files.exists(probe), "warm run re-wrote the bucketed layout")
+    assert(warm == out1, "warm attach diverged from the staging run")
+    // a different bucket count is a DIFFERENT layout, not a stale one —
+    // the marker encodes it, so the run must re-write
+    spark.conf.set("graft.bucket.n", "4")
+    try {
+      val rebuilt = SparkEntry.queries("q27_bucketed_join")(spark, sf).collect().toSeq
+      assert(!java.nio.file.Files.exists(probe),
+        "bucket-count change did not force a layout re-write")
+      assert(rebuilt == out1, "bucket count changed the RESULT (layout must be semantics-free)")
+    } finally spark.conf.unset("graft.bucket.n")
+    // and the default-count run after it re-writes once more (marker
+    // now encodes n=4), converging back to the default layout
+    val back = SparkEntry.queries("q27_bucketed_join")(spark, sf).collect().toSeq
+    assert(back == out1)
+  }
+
   test("s10 IVF+PQ composes the cell restriction before ADC — probed cells only") {
     val p = plan("s10_ivfpq_recall")
     // the candidate set is generated by the cell equi-join
