@@ -1,6 +1,7 @@
 package graft.genai
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QFn, Tables}
 
@@ -570,7 +571,73 @@ object GenAI {
       |  CASE WHEN parsed_custom_id IS NULL THEN line END AS raw_quarantine
       |FROM v""".stripMargin
 
+  /** g16: byte-budget batch sharding — the scale generalization of
+    * the reference's single-file batch prep
+    * (openai_batch_processor.py:127 `_prepare_and_upload_file` writes
+    * ONE jsonl for the whole corpus): the Batch API caps an input
+    * file by request count AND bytes, so a large corpus must be
+    * packed into budget-bounded shards before submission. g3 is the
+    * count-based variant; this is the PAYLOAD-budget one:
+    * shard = payload-offset div budget over the deterministic doc_id
+    * order — the t10 packing idiom, reusing the same fully
+    * distributed two-level prefix sum (per-bucket partial sums →
+    * [[graft.operators.PrefixOffsets]] metadata fold → bounded
+    * within-bucket windows; no unpartitioned window anywhere, so the
+    * offset assignment scales to any corpus). Offset-bucket packing
+    * overshoots a shard's budget by at most its last request;
+    * `over_budget` reports exactly those shards so a submitter can
+    * price the headroom (budget minus max single payload keeps every
+    * shard under the hard API cap).
+    */
+  private[graft] val ShardBudgetChars = 64L * 1024
+
+  private def g16(s: SparkSession, d: String): DataFrame = {
+    val sized = reqs(s, d)
+      .select(col("doc_id"),
+        (length(col("system_content")) + length(col("user_content")))
+          .cast("long").as("payload_chars"))
+    // one metadata-sized scalar job to size the bucketing (see t10)
+    val maxRow = sized.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val packBucket = graft.text.TextAnalysis.derivePackBucket(maxId)
+    val base = sized.withColumn("pbucket", expr(s"doc_id div $packBucket"))
+    val bsums = base.groupBy(col("pbucket")).agg(sum(col("payload_chars")).as("bchars"))
+    val boffsets = graft.operators.PrefixOffsets.bucketOffsets(bsums, Nil, "bchars",
+      graft.operators.PrefixOffsets.superBucket(maxId / packBucket))
+    val local = Window.partitionBy(col("pbucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(boffsets), Seq("pbucket"))
+      .withColumn("off",
+        col("boffset") + coalesce(sum(col("payload_chars")).over(local), lit(0L)))
+      .withColumn("shard_id", expr(s"off div $ShardBudgetChars"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_requests"),
+        sum(col("payload_chars")).as("payload_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .withColumn("over_budget", col("payload_chars") > ShardBudgetChars)
+      .orderBy(col("shard_id"))
+  }
+
+  private val g16Sql = ReqsCte +
+    s"""
+      |, sized AS (
+      |  SELECT doc_id,
+      |    CAST(length(system_content) + length(user_content) AS BIGINT) AS payload_chars
+      |  FROM reqs),
+      |o AS (
+      |  SELECT doc_id, payload_chars,
+      |    CAST(COALESCE(SUM(payload_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM sized)
+      |SELECT off // $ShardBudgetChars AS shard_id, COUNT(*) AS n_requests,
+      |  CAST(SUM(payload_chars) AS BIGINT) AS payload_chars,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+      |  CAST(SUM(payload_chars) AS BIGINT) > $ShardBudgetChars AS over_budget
+      |FROM o GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "g16_budget_shard" -> (g16 _),
     "g15_corrupt_quarantine" -> (g15 _),
     "g14_workflow_run" -> (g14 _),
     "g13_visual_exam" -> (g13 _),
@@ -588,6 +655,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g16_budget_shard" -> g16Sql,
     "g15_corrupt_quarantine" -> g15Sql,
     "g14_workflow_run" -> g14Sql,
     "g13_visual_exam" -> g13Sql,

@@ -74,7 +74,15 @@ object Knn {
     * tiny and broadcast; the corpus never shuffles for scoring, and the
     * ranking runs through partial+final bounded heaps (see [[rankTopK]]).
     */
-  private def s1(s: SparkSession, d: String): DataFrame = {
+  private def s1(s: SparkSession, d: String): DataFrame =
+    rankTopK(bruteScored(s, d), 10, Seq.empty)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+
+  /** The brute-force scoring shared by s1 (top-k truth) and s13's
+    * range truth: broadcast query side, corpus never shuffles for
+    * scoring. */
+  private def bruteScored(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       // corpus norms once per vector; spread the scan before the
       // per-candidate dot loop
@@ -88,13 +96,10 @@ object Knn {
       .filter(col("norm_e") > 0)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm_e").as("norm_q"))
-    val scored = broadcast(q)
+    broadcast(q)
       .join(e, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
-    rankTopK(scored, 10, Seq.empty)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   private val s1Sql =
@@ -243,7 +248,15 @@ object Knn {
     * pass) and each query touches ~nprobe/ncells of it; queries, cells
     * and probe pairs all broadcast.
     */
-  private def s4(s: SparkSession, d: String): DataFrame = {
+  private def s4(s: SparkSession, d: String): DataFrame =
+    rankTopK(ivfScored(s, d), 5, Seq("assigned_cell"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("assigned_cell"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+
+  /** The IVF probe scoring shared by s4 (top-k), s6 (recall, via s4)
+    * and s12 (range search): assign the corpus to cells, probe the 2
+    * nearest cells per query, score cosine over probed cells only. */
+  private def ivfScored(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions)
     val centArr = centroidArrays(e)
@@ -262,13 +275,10 @@ object Knn {
       .select(col("q_id"), col("qe"), col("cell").as("probe_cell"))
       .withColumn("norm_q", sqrt(VectorFunctions.dot("qe", "qe")))
       .filter(col("norm_q") > 0) // ANSI zero-norm guard (see s1)
-    val scored = broadcast(probes)
+    broadcast(probes)
       .join(corpus, col("probe_cell") === col("assigned_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("assigned_cell"),
         (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
-    rankTopK(scored, 5, Seq("assigned_cell"))
-      .select(col("q_id"), col("rank"), col("vec_id"), col("assigned_cell"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** The IVF pipeline CTE chain ending in scored(q_id, vec_id,
@@ -405,6 +415,62 @@ object Knn {
        |  SELECT q_id, vec_id FROM scored
        |  WHERE cos IS NOT NULL AND NOT isnan(cos)
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5),
+       |$recallTailSql""".stripMargin
+
+  /** s12: range search — ALL neighbors with cosine ≥ τ, through the
+    * IVF probe. The other retrieval surface a production vector index
+    * serves (FAISS `range_search`): dedup and contamination sweeps ask
+    * "everything closer than τ", not "the top k" — the result set is
+    * density-bound, not k-bound, so it grows with the corpus while
+    * top-k saturates. Reuses [[ivfScored]] verbatim (same cells, same
+    * probes, same cosine arithmetic — the oracle shares s4/s6's CTE
+    * chain, so all three measure ONE index); the only new plan node is
+    * the threshold filter, which Catalyst pushes below the rank-free
+    * output (no window, no heap — range search is cheaper than top-k).
+    * τ is compared on bit-identical doubles in both engines (s4's
+    * hash-match pins the arithmetic), so the predicate is engine-exact.
+    */
+  private[graft] val RangeTau = 0.25
+
+  private def s12(s: SparkSession, d: String): DataFrame =
+    ivfScored(s, d)
+      .filter(col("cos").isNotNull && !isnan(col("cos")) && col("cos") >= RangeTau)
+      .select(col("q_id"), col("vec_id"), col("assigned_cell"), col("cos"))
+      .orderBy(col("q_id"), col("vec_id"))
+
+  private val s12Sql =
+    s"""WITH $ivfCtes
+       |SELECT q_id, vec_id, assigned_cell, cos FROM scored
+       |WHERE cos IS NOT NULL AND NOT isnan(cos) AND cos >= $RangeTau
+       |ORDER BY q_id, vec_id""".stripMargin
+
+  /** s13: range-search recall — s5/s6's quality contract for the
+    * range surface: per query, the fraction of ALL true τ-neighbors
+    * (brute-force thresholded scan, [[bruteScored]]) that the IVF
+    * range path (s12) returned. Range recall is the metric FAISS
+    * documents for `range_search` evaluation, and it stresses the
+    * index differently from recall@k: misses concentrate in the
+    * τ-boundary shell where neighbors sit in unprobed cells, so this
+    * measurement — not recall@k — is what justifies an nprobe setting
+    * before a dedup/contamination sweep trusts the index. */
+  private def s13(s: SparkSession, d: String): DataFrame = {
+    val tru = bruteScored(s, d)
+      .filter(col("cos").isNotNull && !isnan(col("cos")) && col("cos") >= RangeTau)
+      .select(col("q_id"), col("vec_id"))
+    recallVs(tru, s12(s, d).select(col("q_id"), col("vec_id")))
+  }
+
+  private val s13Sql =
+    s"""WITH tru AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS cos
+       |    FROM (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5) q
+       |    JOIN embeddings e ON e.vec_id <> q.q_id)
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos) AND cos >= $RangeTau),
+       |$ivfCtes,
+       |ann AS (
+       |  SELECT q_id, vec_id FROM scored
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos) AND cos >= $RangeTau),
        |$recallTailSql""".stripMargin
 
   /** s7: SQ8 (int8 scalar quantization) recall@3 — the memory-side ANN
@@ -1217,6 +1283,8 @@ object Knn {
   }
 
   val queries: Map[String, QFn] = Map(
+    "s12_range_search" -> (s12 _),
+    "s13_range_recall" -> (s13 _),
     "s11_ivf_persist" -> (s11 _),
     "s10_ivfpq_recall" -> (s10 _),
     "s9_pq_recall" -> (s9 _),
@@ -1230,6 +1298,8 @@ object Knn {
     "s6_ivf_recall" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    "s12_range_search" -> s12Sql,
+    "s13_range_recall" -> s13Sql,
     "s10_ivfpq_recall" -> s10Sql,
     "s9_pq_recall" -> s9Sql,
     "s8_kmeans" -> s8Sql,

@@ -410,4 +410,34 @@ class GenAISpec extends SparkSpec {
     assert(back.getString(0) == raw, s"metadata JSON mangled: $metaStr")
     assert(back.getString(1) == "exam")
   }
+
+  test("g16 budget shards partition the corpus in doc_id order with bounded overshoot") {
+    val shards = SparkEntry.queries("g16_budget_shard")(spark, sf).collect()
+    assert(shards.nonEmpty)
+    val budget = GenAI.ShardBudgetChars
+    // every request lands in exactly one shard
+    val total = shards.map(_.getAs[Long]("n_requests")).sum
+    assert(total == reqs.count(), "sharding dropped or duplicated requests")
+    // shards are contiguous, non-overlapping doc_id ranges in order
+    val ordered = shards.sortBy(_.getAs[Long]("shard_id"))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_doc_id") < b.getAs[Long]("min_doc_id"),
+          s"shards ${a.getAs[Long]("shard_id")}/${b.getAs[Long]("shard_id")} overlap in doc_id")
+      case _ => ()
+    }
+    // offset-bucket packing: a shard overshoots the budget by at most
+    // its largest single payload, and over_budget flags exactly the
+    // overshooting shards
+    val maxPayload = reqs
+      .select((length(col("system_content")) + length(col("user_content")))
+        .cast("long").as("p"))
+      .agg(max(col("p"))).head().getLong(0)
+    ordered.foreach { r =>
+      val chars = r.getAs[Long]("payload_chars")
+      assert(chars <= budget + maxPayload,
+        s"shard ${r.getAs[Long]("shard_id")} overshoots by more than one payload: $chars")
+      assert(r.getAs[Boolean]("over_budget") == (chars > budget))
+    }
+  }
 }

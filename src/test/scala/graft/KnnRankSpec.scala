@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
+import graft.sim.Knn
 
 /** rankTopK's degenerate-vector contract (ADVICE r7): a zero-norm
   * embedding scores NaN cosine and must be DROPPED before ranking —
@@ -109,5 +110,35 @@ class KnnRankSpec extends SparkSpec {
     assert(learned > perLabel,
       f"learned cells no longer beat per-label at equal nprobe: $learned%.4f vs $perLabel%.4f")
     assert(learned >= 0.39, f"learned-cell probe recall degraded: $learned%.4f")
+  }
+
+  test("s12 range hits are a subset of the brute τ-truth and s13 measures exactly that") {
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+      .filter(col("norm_e") > 0)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm_e").as("norm_q"))
+    val tru = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
+      .filter(!isnan(col("cos")) && col("cos") >= Knn.RangeTau)
+      .select(col("q_id"), col("vec_id"))
+    val hits = SparkEntry.queries("s12_range_search")(spark, sf)
+    // the IVF range path verifies candidates EXACTLY, so every hit is
+    // a true τ-neighbor (no false positives — only boundary-shell
+    // misses are possible); every returned cos clears the threshold
+    assert(hits.filter(col("cos") < Knn.RangeTau).isEmpty)
+    assert(hits.join(tru, Seq("q_id", "vec_id"), "left_anti").isEmpty,
+      "s12 returned a pair the brute τ-scan does not contain")
+    // s13's n_found therefore counts |s12| per query, and recall ≤ 1
+    val rec = SparkEntry.queries("s13_range_recall")(spark, sf).collect()
+    val perQ = hits.groupBy(col("q_id")).count().collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("count")).toMap
+    rec.foreach { r =>
+      val qid = r.getAs[Long]("q_id")
+      assert(r.getAs[Long]("n_found") == perQ.getOrElse(qid, 0L))
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+    }
   }
 }
