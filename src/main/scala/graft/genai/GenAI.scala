@@ -616,7 +616,9 @@ object GenAI {
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
       .withColumn("over_budget", col("payload_chars") > ShardBudgetChars)
-      .orderBy(col("shard_id"))
+      // shard count is corpus/budget-proportional — local sort only
+      // (the global-Sort convention for corpus-sized outputs)
+      .sortWithinPartitions(col("shard_id"))
   }
 
   private val g16Sql = ReqsCte +

@@ -436,7 +436,9 @@ object Knn {
     ivfScored(s, d)
       .filter(col("cos").isNotNull && !isnan(col("cos")) && col("cos") >= RangeTau)
       .select(col("q_id"), col("vec_id"), col("assigned_cell"), col("cos"))
-      .orderBy(col("q_id"), col("vec_id"))
+      // density-bound output grows with the corpus — local sort only
+      // (the global-Sort convention for corpus-sized outputs)
+      .sortWithinPartitions(col("q_id"), col("vec_id"))
 
   private val s12Sql =
     s"""WITH $ivfCtes

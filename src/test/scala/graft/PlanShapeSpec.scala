@@ -298,7 +298,7 @@ class PlanShapeSpec extends SparkSpec {
       "t20_bpe_learned", "t21_perplexity_filter", "m8_interleaved_pack",
       "d21_dedup_pack", "t22_learned_pack",
       // round-13 per-doc outputs
-      "d22_multi_decontam")
+      "d22_multi_decontam", "g16_budget_shard", "s12_range_search")
     for (q <- corpusSized) {
       val p = plan(q)
       val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
@@ -499,6 +499,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(back == out1)
   }
 
+  test("s12 range search is rank-free: no window, no top-k heap, broadcast probes") {
+    val df = SparkEntry.queries("s12_range_search")(spark, sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    // the whole point of the range surface: the τ filter replaces the
+    // per-query ranking machinery — nothing buffers a candidate set
+    val windows = collectInPlan(exec) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        // the probe-cell selection (2 cells per query over the tiny
+        // centroid relation) legitimately ranks per q_id; only a
+        // window over the corpus-sized scored output is a regression
+        if w.partitionSpec.isEmpty => w.simpleStringWithNodeId()
+    }
+    assert(windows.isEmpty, s"unpartitioned window in range plan: $windows")
+    val p = exec.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("TopKPerKey"), "range search must not pay the top-k heap")
+    assert(p.contains("BroadcastHashJoin"), "probe join lost its broadcast")
+  }
+
   test("s10 IVF+PQ composes the cell restriction before ADC — probed cells only") {
     val p = plan("s10_ivfpq_recall")
     // the candidate set is generated by the cell equi-join
@@ -608,7 +627,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("packing prefix sums plan NO unpartitioned window (t10/t15/m7, r11 verdict #4)") {
-    for (q <- Seq("t10_pack", "t15_curate_pipeline", "m7_shard_pack")) {
+    for (q <- Seq("t10_pack", "t15_curate_pipeline", "m7_shard_pack", "g16_budget_shard")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val bad = collectInPlan(df.queryExecution.executedPlan) {
