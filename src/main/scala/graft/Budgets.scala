@@ -19,6 +19,7 @@ object Budgets {
     "d19_substring_remove" -> 4.7, // r13: +~1s selective-salting insurance on the gram join-back
     "t20_bpe_learned" -> 5.5,
     "t21_perplexity_filter" -> 1.8,
+    "t23_ccnet_bucket" -> 2.2,
     "t22_learned_pack" -> 4.5,
     "d20_cross_batch_cluster" -> 5.0,
     "d21_dedup_pack" -> 5.5,

@@ -1473,6 +1473,24 @@ object TextAnalysis {
     */
   private def t21(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val perDoc = pplPerDoc(s, d)
+    val thr = broadcast(PplThresholds.toDF("lang", "thr"))
+    perDoc
+      .join(thr, Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        expr("tot div n_pairs").as("ppl_milli"),
+        coalesce(expr("tot div n_pairs") <= col("thr"), lit(true)).as("keep"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  /** The per-doc LM surprisal rollup shared by t21 (threshold gate)
+    * and t23 (CCNet tercile bucketing): every doc LEFT-joined to its
+    * bigram-LM surprisal aggregate — `(doc_id, lang, n_pairs, tot)`,
+    * n_pairs/tot NULL for sub-2-word docs (the no-evidence rows each
+    * consumer handles by its own contract). One LM, two gates: the
+    * oracle side shares [[pplCtes]] the same way. */
+  private def pplPerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("lang"), col("text"))
     val toks = docs.select(col("doc_id"),
@@ -1514,19 +1532,14 @@ object TextAnalysis {
       .select(col("doc_id"), expr("e * 1000 + (f * 1000) div 1024").as("sur"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("sur")).as("tot"))
-    val thr = broadcast(PplThresholds.toDF("lang", "thr"))
     docs.join(scored, Seq("doc_id"), "left")
-      .join(thr, Seq("lang"), "left")
-      .select(col("doc_id"), col("lang"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        expr("tot div n_pairs").as("ppl_milli"),
-        coalesce(expr("tot div n_pairs") <= col("thr"), lit(true)).as("keep"))
-      .sortWithinPartitions(col("doc_id"))
   }
 
-  private val t21Sql = {
+  /** The LM-scoring CTE chain through `agg(doc_id, n_pairs, tot)` —
+    * shared verbatim by the t21 and t23 oracles (one LM, two gates,
+    * mirroring [[pplPerDoc]] on the Spark side). */
+  private val pplCtes: String = {
     val m2 = 1L << PplShift; val top = 2L << PplShift
-    val thrVals = PplThresholds.map { case (l, t) => s"('$l', ${t}::BIGINT)" }.mkString(", ")
     val sb = new StringBuilder
     sb ++= s"""WITH docs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id IS NOT NULL),
        |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM docs),
@@ -1563,17 +1576,91 @@ object TextAnalysis {
        |agg AS (
        |  SELECT doc_id, COUNT(*) AS n_pairs,
        |    SUM(e * 1000 + (f * 1000) // 1024) AS tot
-       |  FROM st$PplSteps GROUP BY doc_id),
+       |  FROM st$PplSteps GROUP BY doc_id)""".stripMargin
+    sb.result()
+  }
+
+  private val t21Sql = {
+    val thrVals = PplThresholds.map { case (l, t) => s"('$l', ${t}::BIGINT)" }.mkString(", ")
+    pplCtes + s""",
        |thr(lang, thr) AS (VALUES $thrVals)
        |SELECT d.doc_id, d.lang, COALESCE(a.n_pairs, 0) AS n_pairs,
        |  CAST(a.tot AS BIGINT) // a.n_pairs AS ppl_milli,
        |  COALESCE(CAST(a.tot AS BIGINT) // a.n_pairs <= t.thr, TRUE) AS keep
        |FROM docs d LEFT JOIN agg a USING (doc_id)
        |LEFT JOIN thr t ON t.lang = d.lang""".stripMargin
-    sb.result()
   }
 
+  /** t23: CCNet head/middle/tail bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.4: split each language's corpus into
+    * perplexity terciles; train on "head", downweight or drop
+    * "tail") — the OTHER consumer of the t21 LM: t21 gates against a
+    * fixed calibration threshold, t23 ranks each doc against its own
+    * language's distribution, so the verdict adapts to the corpus.
+    *
+    * Exact terciles WITHOUT a corpus-sized per-lang window (5 langs ×
+    * corpus/5 rows under `Window.partitionBy(lang)` is the hot-key
+    * shape this repo rejects): ppl_milli is mean surprisal in
+    * milli-bits, bounded by the LM arithmetic (≈15k distinct values),
+    * NOT by the corpus — so a (lang, ppl_milli) VALUE-DOMAIN histogram
+    * is metadata-sized at ANY scale. Cumulate the histogram per lang
+    * (bounded window by construction), take thr_k = min ppl with
+    * cum ≥ ⌈k·n/3⌉ (the exact order statistic, tie-correct), broadcast
+    * the 5-row threshold dim back. Sub-2-word docs have no perplexity
+    * evidence → 'unscored' (t21's no-evidence contract, made visible
+    * instead of defaulting); a scored doc whose lang has no threshold
+    * row (impossible unless lang is NULL) falls to 'tail' —
+    * conservative, and the CASE spells identically in both engines.
+    */
+  private def t23(s: SparkSession, d: String): DataFrame = {
+    val scored = pplPerDoc(s, d)
+      .select(col("doc_id"), col("lang"), expr("tot div n_pairs").as("ppl_milli"))
+    val hist = scored.filter(col("ppl_milli").isNotNull)
+      .groupBy(col("lang"), col("ppl_milli")).agg(count(lit(1)).as("c"))
+    val wlang = Window.partitionBy(col("lang")).orderBy(col("ppl_milli"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wlang))
+    val ntot = hist.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val thr = cum.join(ntot, "lang")
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") >= expr("(n + 2) div 3"), col("ppl_milli"))).as("thr1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("ppl_milli"))).as("thr2"))
+    scored.join(broadcast(thr), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("ppl_milli"),
+        when(col("ppl_milli").isNull, lit("unscored"))
+          .when(col("ppl_milli") <= col("thr1"), lit("head"))
+          .when(col("ppl_milli") <= col("thr2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val t23Sql = pplCtes + """,
+    |scored AS (
+    |  SELECT d.doc_id, d.lang, CAST(a.tot AS BIGINT) // a.n_pairs AS ppl_milli
+    |  FROM docs d LEFT JOIN agg a USING (doc_id)),
+    |hist AS (
+    |  SELECT lang, ppl_milli, COUNT(*) AS c FROM scored
+    |  WHERE ppl_milli IS NOT NULL GROUP BY lang, ppl_milli),
+    |cum AS (
+    |  SELECT lang, ppl_milli, SUM(c) OVER (PARTITION BY lang ORDER BY ppl_milli
+    |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    |  FROM hist),
+    |ntot AS (SELECT lang, SUM(c) AS n FROM hist GROUP BY lang),
+    |thr AS (
+    |  SELECT c.lang,
+    |    MIN(CASE WHEN c.cum >= (t.n + 2) // 3 THEN c.ppl_milli END) AS thr1,
+    |    MIN(CASE WHEN c.cum >= (2 * t.n + 2) // 3 THEN c.ppl_milli END) AS thr2
+    |  FROM cum c JOIN ntot t ON t.lang = c.lang GROUP BY c.lang)
+    |SELECT s.doc_id, s.lang, s.ppl_milli,
+    |  CASE WHEN s.ppl_milli IS NULL THEN 'unscored'
+    |       WHEN s.ppl_milli <= t.thr1 THEN 'head'
+    |       WHEN s.ppl_milli <= t.thr2 THEN 'middle'
+    |       ELSE 'tail' END AS bucket
+    |FROM scored s LEFT JOIN thr t ON t.lang = s.lang
+    |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t23_ccnet_bucket" -> (t23 _),
     "t22_learned_pack" -> (t22 _),
     "t21_perplexity_filter" -> (t21 _),
     "t20_bpe_learned" -> (t20 _),
@@ -1598,6 +1685,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t23_ccnet_bucket" -> t23Sql,
     "t22_learned_pack" -> t22Sql,
     "t21_perplexity_filter" -> t21Sql,
     "t20_bpe_learned" -> t20Sql,

@@ -320,6 +320,35 @@ class PropertySpec extends SparkSpec {
     assert(!byId(0L).isNullAt(byId(0L).fieldIndex("ppl_milli")))
   }
 
+  test("t23 terciles are exact per-lang order statistics with the no-evidence bucket") {
+    val out = SparkEntry.queries("t23_ccnet_bucket")(spark, sf).collect()
+    val t21 = SparkEntry.queries("t21_perplexity_filter")(spark, sf).collect()
+    // 'unscored' is exactly t21's no-evidence population (one LM, one
+    // scoring chain — pplPerDoc is shared, so the sets must coincide)
+    val noEvidence = t21.filter(_.getAs[Long]("n_pairs") == 0L).map(_.getLong(0)).toSet
+    assert(out.filter(_.getAs[String]("bucket") == "unscored")
+      .map(_.getLong(0)).toSet == noEvidence)
+    out.filter(r => !r.isNullAt(r.fieldIndex("ppl_milli")))
+      .groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+        val n = rows.length
+        val byB = rows.groupBy(_.getAs[String]("bucket"))
+          .view.mapValues(_.map(_.getAs[Long]("ppl_milli"))).toMap
+        val head = byB.getOrElse("head", Array.empty[Long])
+        val mid = byB.getOrElse("middle", Array.empty[Long])
+        val tail = byB.getOrElse("tail", Array.empty[Long])
+        // buckets are contiguous perplexity ranges in order
+        if (head.nonEmpty && mid.nonEmpty) assert(head.max <= mid.min, lang)
+        if (mid.nonEmpty && tail.nonEmpty) assert(mid.max <= tail.min, lang)
+        // exact order statistics: head reaches ⌈n/3⌉, head+middle
+        // ⌈2n/3⌉ (ties can only push a bucket PAST its boundary)
+        assert(head.length >= (n + 2) / 3, s"$lang head ${head.length} of $n")
+        assert(head.length + mid.length >= (2 * n + 2) / 3, lang)
+        // tie-minimality: without its boundary VALUE the head would
+        // fall short — thr1 really is the ⌈n/3⌉-th order statistic
+        assert(head.count(_ < head.max) < (n + 2) / 3, s"$lang head not minimal")
+      }
+  }
+
   test("native CdcChunks equals the declarative HOF chunking on random unicode") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
