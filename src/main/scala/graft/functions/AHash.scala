@@ -25,9 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * hash-map bookkeeping, and the r10 measurement showed the HOF fold
   * alternative is even slower (interpreted lambdas). This pass pays
   * one array iteration per row and removes the per-character row
-  * stream entirely. Overflow note: the cross-multiplication wraps at
-  * ~9·10^8-code-point payloads exactly where the declarative long
-  * arithmetic would; both are far past any real document.
+  * stream entirely. Overflow note: the cross-multiplication's wrap
+  * point depends on the payload's average code-point value — roughly
+  * 10^8 code points for high-code-point text up to ~2·10^9 for ASCII
+  * (ADVICE r13: the earlier ~9·10^8 figure assumed one text mix) —
+  * and wherever it wraps it does so bit-identically to the
+  * declarative long arithmetic; both are far past any real document.
   */
 case class AHash(child: Expression) extends UnaryExpression {
 

@@ -122,17 +122,25 @@ object Salted {
     requireAbsent(fact, Seq("__salt", "__hot", totalCol))
     requireAbsent(dict, Seq("__salt", "__hot", totalCol))
     require(hotInv >= 1 && salt >= 1, s"hotInv/salt must be >= 1, got $hotInv/$salt")
-    val isHot = col(dfCol) * hotInv >= col(totalCol)
-    val hot = dict.crossJoin(broadcast(total))
-      .filter(isHot).select(col(key), lit(true).as("__hot"))
+    // the hot flag is computed ONCE, on one tagged relation both
+    // branches share (VERDICT r13 #2): the broadcast hot-set branch and
+    // the replication branch previously each re-derived
+    // crossJoin(total) + isHot from `dict`, giving Catalyst two
+    // textually distinct subplans; with a single `tagged` definition
+    // the two consumers are identical up to the final projection, so
+    // ReuseExchange collapses the dict aggregate's shuffle to one
+    // execution instead of two
+    val tagged = dict.crossJoin(broadcast(total))
+      .withColumn("__hot", col(dfCol) * hotInv >= col(totalCol))
+      .drop(totalCol)
+    val hot = tagged.filter(col("__hot")).select(col(key), col("__hot"))
     val factS = fact.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
         when(col("__hot"), pmod(hash(saltBy), lit(salt))).otherwise(lit(0)))
       .drop("__hot")
-    val dictS = dict.crossJoin(broadcast(total))
-      .withColumn("__salt", explode(
-        when(isHot, sequence(lit(0), lit(salt - 1))).otherwise(array(lit(0)))))
-      .drop(totalCol)
+    val dictS = tagged.withColumn("__salt", explode(
+        when(col("__hot"), sequence(lit(0), lit(salt - 1))).otherwise(array(lit(0)))))
+      .drop("__hot")
     factS.join(dictS, Seq(key, "__salt")).drop("__salt")
   }
 

@@ -47,9 +47,11 @@ object StreamingOps {
       prefix + graft.StagePath.corpusToken(d))
     java.nio.file.Files.createDirectories(dir)
     val marker = dir.resolve("_src_meta")
-    val meta = s"${java.nio.file.Files.size(src)}:" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis + ":" +
-      StagedEventsVersion
+    // StagePath.srcMeta embeds the corpus path in the payload (ADVICE
+    // r13: the streaming stagers had adopted the MD5 directory token
+    // but kept size+mtime-only markers — the second half of the
+    // collision fix every batch-side stager already carries)
+    val meta = graft.StagePath.srcMeta(d, src, StagedEventsVersion)
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet")))
@@ -142,8 +144,9 @@ object StreamingOps {
       "graft_stream_alldocs_" + graft.StagePath.corpusToken(d))
     java.nio.file.Files.createDirectories(dir)
     val marker = dir.resolve("_src_meta")
-    val meta = s"${java.nio.file.Files.size(src)}:" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    // srcMeta (corpus path embedded) + a version token, per the ADVICE
+    // r13 marker-consistency fix
+    val meta = graft.StagePath.srcMeta(d, src, "alldocs1")
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet")))
@@ -218,10 +221,9 @@ object StreamingOps {
     // the session's graft.bloom.bits, so a width change must force a
     // re-stage — st10 probing a bitmap of the wrong width yields wrong
     // bloom_maybe values, including Bloom FALSE NEGATIVES.
-    val meta = s"${java.nio.file.Files.size(src)}:" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis + ":" +
+    val meta = graft.StagePath.srcMeta(d, src,
       graft.dedup.Dedup.manifestLogicToken + ":b" +
-      graft.dedup.Dedup.bloomBitsLog2(s)
+        graft.dedup.Dedup.bloomBitsLog2(s))
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"new_docs_$k.parquet")))

@@ -34,6 +34,30 @@ class BudgetsSpec extends AnyFunSuite {
         s"value diffs: ${mdRows.collect { case (k, v) if Budgets.seconds.get(k).exists(_ != v) => k }}")
   }
 
+  test("every query budgeted >= 2s carries an sf1 scaling-gate entry") {
+    // VERDICT r13 #1b: the gate rule is "every query > 2 s at sf0.1 is
+    // scale-gated"; t23 landed in r13's final snapshot commit AFTER the
+    // gate-extension pass and silently missed coverage. This invariant
+    // makes the drift impossible: an expensive query (where superlinear
+    // scaling hides) must have an sf1MaxRatio allowance the moment its
+    // budget is set.
+    val missing = Budgets.seconds.collect {
+      case (k, b) if b >= 2.0 && !Budgets.sf1MaxRatio.contains(k) => k
+    }
+    assert(missing.isEmpty,
+      s"queries budgeted >= 2s without an sf1MaxRatio gate entry: ${missing.toSeq.sorted}")
+  }
+
+  test("every sf1 gate entry names a real query with a sane allowance") {
+    val unknown = Budgets.sf1MaxRatio.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"sf1MaxRatio keys not in SparkEntry.queries: $unknown")
+    Budgets.sf1MaxRatio.foreach { case (k, r) =>
+      assert(r >= 8.0 && r <= 16.0,
+        s"$k sf1 allowance $r outside the [8, 16] regime (8 = linear-plus-" +
+          "jitter default; above it needs a documented output-growth argument)")
+    }
+  }
+
   test("budgets are sane: positive, floored at 0.5s") {
     Budgets.seconds.foreach { case (k, b) =>
       assert(b >= 0.5, s"$k budget $b below the 0.5s jitter floor")
