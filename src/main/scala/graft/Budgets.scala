@@ -15,11 +15,15 @@ object Budgets {
     // price the admit joins only (was 12.0 when every run re-swept)
     "d16_manifest_admit" -> 2.0,
     "d22_multi_decontam" -> 2.0,
+    // r14: tokenize (t20's staged table) + ~6M 28-token gram hashes —
+    // honest per-row work, the t20/t22 cost class
+    "d23_token_decontam" -> 7.7,
     "d17_bloom_admit" -> 0.9,
     "d19_substring_remove" -> 4.7, // r13: +~1s selective-salting insurance on the gram join-back
     "t20_bpe_learned" -> 5.5,
     "t21_perplexity_filter" -> 1.8,
     "t23_ccnet_bucket" -> 2.2,
+    "t24_dsir_resample" -> 2.3,
     "t22_learned_pack" -> 4.5,
     "d20_cross_batch_cluster" -> 5.0,
     "d21_dedup_pack" -> 5.5,
@@ -183,6 +187,11 @@ object Budgets {
     // linear-plus-jitter band (measured honest ratios ~6-7x)
     "t20_bpe_learned" -> 10.0,
     "t22_learned_pack" -> 10.0,
+    // d23 is the same pure per-row class: the replace-chain
+    // tokenization + the gram hash stream are linear scans with no
+    // sub-linear stage to hide behind (its joins/aggregates are
+    // broadcast-membership + survivor-sized)
+    "d23_token_decontam" -> 10.0,
     "t21_perplexity_filter" -> 8.0,
     "m8_interleaved_pack" -> 8.0,
     // r12 verdict #5: the sf0.1 budget gate cannot see superlinear
@@ -205,6 +214,7 @@ object Budgets {
     // measured honest ratios are all <= 4x — t23's judge-measured 2.2x,
     // the rest ride sub-linear plans or bounded stages).
     "t23_ccnet_bucket" -> 8.0,
+    "t24_dsir_resample" -> 8.0,
     "d3_simhash" -> 8.0,
     "d11_word_minhash" -> 8.0,
     "d12_incremental_dedup" -> 8.0,

@@ -2070,6 +2070,81 @@ object Dedup {
   private[graft] val DecontamGramK = 8
   private[graft] val DecontamMinHits = 2
 
+  /** d23's token-gram width and the token-plant length. 28 learned-BPE
+    * tokens span ~5-6 words on this corpus (avg 5.5 pre-merge symbols
+    * per word) — measured on the real tables as the narrowest width
+    * whose NATURAL cross-doc collision stays at the handful-of-docs
+    * level (pre-merge proxy sweep at sf0.1: K=24 → 104 docs with >= 2
+    * accidental gram hits, K=28 → 12, K=32 → 1; post-merge streams are
+    * shorter, so the true counts sit below the proxy). The plant is
+    * the first [[DecontamTokPlantWords]] = 8 words of a benchmark doc:
+    * 8 words yield EXACTLY ONE word-8-gram — sub-threshold for d22's
+    * >= [[DecontamMinHits]] rule BY CONSTRUCTION — while tokenizing to
+    * ~33-45 learned-BPE symbols, i.e. >= 6 token grams, far over the
+    * same threshold at token level. That asymmetry is the operator's
+    * reason to exist (GPT-3's decontamination ran on 13 TOKEN grams,
+    * Brown et al. 2020 arXiv:2005.14165 appendix C, precisely because
+    * sub-gram word leaks survive a word-level filter). */
+  private[graft] val DecontamTokGramK = 28
+  private[graft] val DecontamTokPlantWords = 8
+
+  /** The decontamination corpus BOTH d22 (word grams) and d23 (token
+    * grams) score — one corpus, two detectors, so the spec can pin
+    * "d22's catches are a subset of d23's" on identical input. Docs
+    * 0-14 are the three benchmarks; corpus docs (>= 15) carry two
+    * planted leak classes:
+    *   - `doc_id % 10 == 6`: 12 benchmark words appended — >= 3 word
+    *     grams, caught by BOTH detectors;
+    *   - `doc_id % 10 == 7`: 8 benchmark words appended — exactly one
+    *     word gram (d22 records the hit but keeps the doc, its
+    *     documented single-gram rule), >= 6 token grams (d23 drops).
+    * The plant joins are broadcasts of 3-row relations; the corpus
+    * projection is per-row, shuffle-free. */
+  private def decontamCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val benchDocs = docs.filter(col("doc_id") < 15)
+    val plant = benchDocs.filter(col("doc_id") % 5 === 0)
+      .select(expr("doc_id div 5").as("bench_id"),
+        expr("array_join(slice(filter(split(lower(text), '\\\\s+'), t -> t != ''), 1, 12), ' ')")
+          .as("plant_text"))
+    val tplant = benchDocs.filter(col("doc_id") % 5 === 0)
+      .select(expr("doc_id div 5").as("tbench_id"),
+        expr(s"array_join(slice(filter(split(text, '\\\\s+'), t -> t != ''), 1, $DecontamTokPlantWords), ' ')")
+          .as("tplant_text"))
+    docs.filter(col("doc_id") >= 15)
+      .join(broadcast(plant),
+        col("doc_id") % 10 === 6 && col("bench_id") === col("doc_id") % 3, "left")
+      .join(broadcast(tplant),
+        col("doc_id") % 10 === 7 && col("tbench_id") === col("doc_id") % 3, "left")
+      .select(col("doc_id"),
+        when(col("plant_text").isNotNull,
+          concat(col("text"), lit(" "), col("plant_text")))
+          .when(col("tplant_text").isNotNull,
+            concat(col("text"), lit(" "), col("tplant_text")))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** Oracle-side twin of [[decontamCorpus]] (CTEs `plant`, `tplant`,
+    * `corpus`; requires a `docs` CTE in scope) — shared verbatim by
+    * d22Sql and d23Sql. */
+  private val decontamCorpusCtes: String =
+    s"""plant AS (
+       |  SELECT doc_id // 5 AS bench_id,
+       |    array_to_string(regexp_extract_all(lower(text), '\\S+')[1:12], ' ') AS plant_text
+       |  FROM docs WHERE doc_id < 15 AND doc_id % 5 = 0),
+       |tplant AS (
+       |  SELECT doc_id // 5 AS bench_id,
+       |    array_to_string(regexp_extract_all(text, '\\S+')[1:$DecontamTokPlantWords], ' ') AS tplant_text
+       |  FROM docs WHERE doc_id < 15 AND doc_id % 5 = 0),
+       |corpus AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN p.plant_text IS NOT NULL THEN d.text || ' ' || p.plant_text
+       |         WHEN t.tplant_text IS NOT NULL THEN d.text || ' ' || t.tplant_text
+       |         ELSE d.text END AS text
+       |  FROM (SELECT doc_id, text FROM docs WHERE doc_id >= 15) d
+       |  LEFT JOIN plant p ON d.doc_id % 10 = 6 AND p.bench_id = d.doc_id % 3
+       |  LEFT JOIN tplant t ON d.doc_id % 10 = 7 AND t.bench_id = d.doc_id % 3)""".stripMargin
+
   /** d22: MULTI-benchmark decontamination with a keep/drop verdict —
     * the composition the r12 verdict sketched (#8): real pipelines
     * decontaminate against MANY held-out benchmarks at once and feed
@@ -2104,17 +2179,7 @@ object Dedup {
     val k = DecontamGramK
     val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
     val benchDocs = docs.filter(col("doc_id") < 15)
-    val plant = benchDocs.filter(col("doc_id") % 5 === 0)
-      .select(expr("doc_id div 5").as("bench_id"),
-        expr("array_join(slice(filter(split(lower(text), '\\\\s+'), t -> t != ''), 1, 12), ' ')")
-          .as("plant_text"))
-    val corpus = docs.filter(col("doc_id") >= 15)
-      .join(broadcast(plant),
-        col("doc_id") % 10 === 6 && col("bench_id") === col("doc_id") % 3, "left")
-      .select(col("doc_id"),
-        when(col("plant_text").isNotNull,
-          concat(col("text"), lit(" "), col("plant_text")))
-          .otherwise(col("text")).as("text"))
+    val corpus = decontamCorpus(s, d)
     def gramsOf(df: DataFrame): DataFrame = df
       .select(col("doc_id"),
         expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ts"))
@@ -2151,16 +2216,7 @@ object Dedup {
   private val d22Sql = {
     val (k, m) = (DecontamGramK, DecontamMinHits)
     s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
-       |plant AS (
-       |  SELECT doc_id // 5 AS bench_id,
-       |    array_to_string(regexp_extract_all(lower(text), '\\S+')[1:12], ' ') AS plant_text
-       |  FROM docs WHERE doc_id < 15 AND doc_id % 5 = 0),
-       |corpus AS (
-       |  SELECT d.doc_id,
-       |    CASE WHEN p.plant_text IS NOT NULL THEN d.text || ' ' || p.plant_text
-       |         ELSE d.text END AS text
-       |  FROM (SELECT doc_id, text FROM docs WHERE doc_id >= 15) d
-       |  LEFT JOIN plant p ON d.doc_id % 10 = 6 AND p.bench_id = d.doc_id % 3),
+       |$decontamCorpusCtes,
        |bgrams AS (
        |  SELECT DISTINCT doc_id // 5 AS bench_id, md5(array_to_string(ts[p + 1 : p + $k], ' ')) AS g
        |  FROM (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - $k)) AS p
@@ -2192,7 +2248,142 @@ object Dedup {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  /** d23: TOKEN-level multi-benchmark decontamination — d22's verdict
+    * re-run on the LEARNED-BPE token stream instead of word 8-grams,
+    * because the production leak check is tokenizer-aware: GPT-3's
+    * filter matched 13-gram TOKEN sequences (Brown et al. 2020,
+    * arXiv:2005.14165 appendix C) precisely because verbatim leaks
+    * shorter than the word-gram window survive a word-level filter.
+    * The corpus ([[decontamCorpus]] — shared with d22 verbatim) plants
+    * that exact blind spot: `doc_id % 10 == 7` docs append an 8-word
+    * benchmark prefix — ONE word 8-gram, which d22's documented
+    * single-gram rule records but keeps, while the same 8 words
+    * tokenize to ~33-45 learned symbols = >= 6 distinct
+    * [[DecontamTokGramK]]-token grams, >= 2 of them matching, so d23
+    * drops. Conversely every d22 catch (>= 2 word grams = a >= 9-word
+    * verbatim run = a >= ~45-token shared run) is a d23 catch — the
+    * subset DecontamSpec pins on the real corpus.
+    *
+    * The tokenizer is the STAGED t20 merge table
+    * ([[graft.text.TextAnalysis.mergesFor]] — its third consumer after
+    * t20/t22, the production one-tokenizer-many-consumers story), and
+    * the oracle splices t20's training + application CTE chain
+    * VERBATIM (the t22 discipline) before unrolling the gram compare,
+    * so the cross-check proves the learned table, the tokenization AND
+    * the verdict end to end.
+    *
+    * Scale shape: identical to d22's — tokenization is a per-row
+    * replace-chain projection (t20's application shape, zero shuffle);
+    * grams explode to 16-byte md5 keys with per-doc DISTINCT collapse;
+    * the benchmark gram set stays metadata-sized (benchmarks are
+    * small; token grams grow their count ~5x over word grams, not
+    * their nature) and rides ONE tagged broadcast; the rollup is a
+    * map-side-partial conditional aggregate; the verdict a left join
+    * on unique doc_id. Adding a benchmark is still one tag value,
+    * zero joins.
+    */
+  private def d23(s: SparkSession, d: String): DataFrame = {
+    val k = DecontamTokGramK
+    val merges = graft.text.TextAnalysis.mergesFor(s, d)
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val benchDocs = docs.filter(col("doc_id") < 15).select(col("doc_id"), col("text"))
+    val corpus = decontamCorpus(s, d)
+    def tokGrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), graft.text.TextAnalysis.learnedTokens(merges).as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ts) - $k), p -> md5(concat_ws(' ', slice(ts, p + 1, $k))))"))
+        .as("g"))
+    val bench = tokGrams(benchDocs)
+      .select(expr("doc_id div 5").as("bench_id"), col("g")).distinct()
+    // corpus grams hit the METADATA-sized broadcast membership test
+    // BEFORE any dedup: token grams are ~5x as numerous as d22's word
+    // grams, and a pre-join per-doc DISTINCT would shuffle the whole
+    // gram stream to save the broadcast join nothing — join first
+    // (map-side, near-total selectivity), then distinct the handful of
+    // survivors. Identical result: bench (bench_id, g) is distinct, so
+    // distinct-after-join on (doc, bench, g) = distinct-before x match.
+    val hits = tokGrams(corpus)
+      .join(broadcast(bench), Seq("g"))
+      .select(col("doc_id"), col("bench_id"), col("g")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("bench_id") === 0, 1L).otherwise(0L)).as("h0"),
+        sum(when(col("bench_id") === 1, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("bench_id") === 2, 1L).otherwise(0L)).as("h2"))
+    val m = DecontamMinHits
+    corpus.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("h0"), lit(0L)).as("n_b0"),
+        coalesce(col("h1"), lit(0L)).as("n_b1"),
+        coalesce(col("h2"), lit(0L)).as("n_b2"))
+      .withColumn("n_hit",
+        (col("n_b0") >= m).cast("long") + (col("n_b1") >= m).cast("long") +
+          (col("n_b2") >= m).cast("long"))
+      .withColumn("drop_reason", concat_ws(",",
+        when(col("n_b0") >= m, lit("b0")),
+        when(col("n_b1") >= m, lit("b1")),
+        when(col("n_b2") >= m, lit("b2"))))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private def d23Sql: String = {
+    val (k, m) = (DecontamTokGramK, DecontamMinHits)
+    val nMerges = graft.text.TextAnalysis.BpeMerges
+    val t20 = graft.text.TextAnalysis.t20Sql
+    // t20's docs CTE + BPE training chain (m1..m8) + whole-corpus
+    // application chain (ap0..ap8), spliced verbatim — ap8 restricted
+    // to doc_id < 15 is the benchmark token stream
+    val body = t20.substring(0, t20.lastIndexOf("\nSELECT d.doc_id,"))
+    val dbl = graft.text.TextAnalysis.bpeDblReplaceSql("sp")
+    val sb = new StringBuilder(body)
+    sb ++= s""",
+       |$decontamCorpusCtes,
+       |cap0 AS (
+       |  SELECT doc_id,
+       |    ' ' || array_to_string(list_transform(regexp_extract_all(text, '\\S+'),
+       |        w -> array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), ' ') || ' </w>'), ' ') || ' ' AS sp
+       |  FROM corpus)""".stripMargin
+    for (r <- 1 to nMerges) {
+      sb ++= s""",
+       |cap$r AS (SELECT doc_id, $dbl AS sp FROM cap${r - 1} CROSS JOIN m$r m)""".stripMargin
+    }
+    sb ++= s""",
+       |btoks AS (
+       |  SELECT doc_id // 5 AS bench_id, list_filter(string_split(sp, ' '), x -> x <> '') AS ts
+       |  FROM ap$nMerges WHERE doc_id < 15),
+       |bgrams AS (
+       |  SELECT DISTINCT bench_id, md5(array_to_string(ts[p + 1 : p + $k], ' ')) AS g
+       |  FROM (SELECT bench_id, ts, unnest(generate_series(0, len(ts) - $k)) AS p
+       |        FROM btoks WHERE len(ts) >= $k)),
+       |ctoks AS (
+       |  SELECT doc_id, list_filter(string_split(sp, ' '), x -> x <> '') AS ts FROM cap$nMerges),
+       |cgrams AS (
+       |  SELECT DISTINCT doc_id, md5(array_to_string(ts[p + 1 : p + $k], ' ')) AS g
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - $k)) AS p
+       |        FROM ctoks WHERE len(ts) >= $k)),
+       |thits AS (
+       |  SELECT c.doc_id,
+       |    CAST(SUM(CASE WHEN b.bench_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b0,
+       |    CAST(SUM(CASE WHEN b.bench_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
+       |    CAST(SUM(CASE WHEN b.bench_id = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b2
+       |  FROM cgrams c JOIN bgrams b USING (g) GROUP BY c.doc_id)
+       |SELECT c.doc_id,
+       |  COALESCE(h.n_b0, 0) AS n_b0, COALESCE(h.n_b1, 0) AS n_b1,
+       |  COALESCE(h.n_b2, 0) AS n_b2,
+       |  CAST(COALESCE(h.n_b0, 0) >= $m AS BIGINT) + CAST(COALESCE(h.n_b1, 0) >= $m AS BIGINT)
+       |    + CAST(COALESCE(h.n_b2, 0) >= $m AS BIGINT) AS n_hit,
+       |  concat_ws(',',
+       |    CASE WHEN COALESCE(h.n_b0, 0) >= $m THEN 'b0' END,
+       |    CASE WHEN COALESCE(h.n_b1, 0) >= $m THEN 'b1' END,
+       |    CASE WHEN COALESCE(h.n_b2, 0) >= $m THEN 'b2' END) AS drop_reason
+       |FROM (SELECT doc_id FROM corpus) c LEFT JOIN thits h USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+    sb.result()
+  }
+
   val queries: Map[String, QFn] = Map(
+    "d23_token_decontam" -> (d23 _),
     "d22_multi_decontam" -> (d22 _),
     "d21_dedup_pack" -> (d21 _),
     "d20_cross_batch_cluster" -> (d20 _),
@@ -2217,6 +2408,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5 _))
 
   val oracles: Map[String, String] = Map(
+    "d23_token_decontam" -> d23Sql,
     "d22_multi_decontam" -> d22Sql,
     "d21_dedup_pack" -> d21Sql,
     "d20_cross_batch_cluster" -> d20Sql,

@@ -1243,10 +1243,14 @@ object TextAnalysis {
       .map { l => val Array(a, b) = l.split("\t", 2); (a, b) }
   }
 
-  /** Learned-BPE token count per doc for a trained merge table — the
-    * whole-doc spaced-symbol string with the merge rules folded in as
-    * codegen'd literal replaces (see [[t20]]'s soundness argument). */
-  private def learnedCount(merges: Seq[(String, String)]): Column = {
+  /** The applied-BPE token ARRAY for a document (input column `text`)
+    * under a trained merge table — the whole-doc spaced-symbol string
+    * with the merge rules folded in as codegen'd literal replaces (see
+    * [[t20]]'s soundness argument), split back into symbols. Shared by
+    * the counting consumers here (t20/t22) and by token-level
+    * decontamination ([[graft.dedup.Dedup]] d23), which needs the
+    * SEQUENCE, not just its length. */
+  private[graft] def learnedTokens(merges: Seq[(String, String)]): Column = {
     val spacedDoc = expr(
       """concat(' ', array_join(transform(filter(split(text, '\\s+'), t -> t != ''),
         |  w -> concat(concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1))), ' </w>')), ' '), ' ')""".stripMargin)
@@ -1254,8 +1258,12 @@ object TextAnalysis {
       val (pat, rep) = (lit(s" $a $b "), lit(s" $a$b "))
       replace(replace(c, pat, rep), pat, rep)
     }
-    size(filter(split(applied, " "), x => x =!= "")).cast("long")
+    filter(split(applied, " "), x => x =!= "")
   }
+
+  /** Learned-BPE token count per doc — `size` of [[learnedTokens]]. */
+  private def learnedCount(merges: Seq[(String, String)]): Column =
+    size(learnedTokens(merges)).cast("long")
 
   /** t20: REAL byte-pair encoding with a LEARNED merge table — t13's
     * regex proxy upgraded to the actual algorithm (Sennrich et al.
@@ -1298,11 +1306,20 @@ object TextAnalysis {
       .sortWithinPartitions(col("doc_id"))
   }
 
-  private val t20Sql = {
+  /** The oracle-side double literal replace for one merge rule `m`
+    * (see [[bpeTrain]]'s soundness note) — shared by every consumer
+    * that unrolls the merge chain in SQL (t20/t22 here, d23's
+    * token-gram decontamination in [[graft.dedup.Dedup]]). */
+  private[graft] def bpeDblReplaceSql(src: String): String =
+    s"""replace(replace($src, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
+       |      ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')""".stripMargin
+
+  /** t20's full oracle; `private[graft]` because t22 and d23 splice
+    * its training + application CTE chain verbatim (the one-tokenizer-
+    * many-consumers contract, enforced textually). */
+  private[graft] val t20Sql = {
     val pat = BpeishPattern.replace("'", "''")
-    def dblReplace(src: String) =
-      s"""replace(replace($src, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
-         |      ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')""".stripMargin
+    def dblReplace(src: String) = bpeDblReplaceSql(src)
     val sb = new StringBuilder
     sb ++= s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
        |sw0 AS (
@@ -1659,7 +1676,174 @@ object TextAnalysis {
     |FROM scored s LEFT JOIN thr t ON t.lang = s.lang
     |ORDER BY s.doc_id""".stripMargin
 
+  /** t24 knobs. 256 hashed n-gram feature buckets (2 md5 hex digits —
+    * the t8 split idiom), so the feature space is a CONSTANT
+    * independent of vocabulary: the bigram-LM alternative carries an
+    * observed-vocab-sized model, which at production scale is a
+    * corpus-sized relation; DSIR's hashing collapses it to a 256-row
+    * broadcast forever. Target distribution = the '[[DsirTargetLang]]'
+    * slice (the trusted-domain stand-in). Acceptance temperature is
+    * [[DsirTempX]] bits, threshold [[DsirTauMilli]] milli-bits. */
+  private[graft] val DsirBuckets = 256
+  private[graft] val DsirTargetLang = "en"
+  private[graft] val DsirTempX = 2L
+  private[graft] val DsirTauMilli = 0L
+
+  /** t24: DSIR — data selection via importance resampling (Xie et al.
+    * 2023, arXiv:2302.03169), the remaining major public curation
+    * operator: score every document by how target-like its hashed
+    * n-gram feature distribution is, then resample the corpus with
+    * probability exponential in that score, tilting the mixture toward
+    * the target domain without a hard domain filter.
+    *
+    *   - features: each token hashes to one of [[DsirBuckets]] buckets
+    *     (first 2 hex of md5 — engine-identical);
+    *   - model: add-one-smoothed bucket probabilities for the TARGET
+    *     slice and the RAW corpus; per-bucket gain = surp_raw −
+    *     surp_target in integer milli-bits via t21's shift-and-square
+    *     binary log ([[surpMilliSpark]] — no libm, both engines run
+    *     the same BIGINT recurrence). The model is 256 rows at ANY
+    *     corpus size: one broadcast, never a shuffle side.
+    *   - per-doc weight w = Σ_tokens gain(bucket(token)) — the exact
+    *     log importance ratio log2(p_target(x)/p_raw(x)) · 1000 under
+    *     the bag-of-buckets model;
+    *   - resampling: keep iff w + T·u_milli ≥ τ where u_milli =
+    *     −log2(u/2^32)·1000 for the md5-derived 32-bit uniform u (the
+    *     t9 membership idiom). P(keep) = min(1, 2^((w−τ)/(1000·T))) —
+    *     the clamped-exponential acceptance computed entirely in the
+    *     LOG domain, so the "exp" needs no libm either: the SAME
+    *     integer log applied to the noise makes the comparison exact.
+    *     Membership is a pure function of content identity: stable
+    *     under re-runs, row order, partitioning and corpus growth.
+    *
+    * Scale shape: one token explode feeding (a) two 256-row map-side
+    * bucket-count aggregates and (b) a broadcast-join + per-doc
+    * map-side-partial rollup (the shuffle carries per-doc partials,
+    * doc-sized); the noise surprisal is a per-row projection. No
+    * window anywhere. Overflow: den·2^20 needs den < 2^43 (t21's
+    * bound) — the raw-total denominator crosses it around 8·10^12
+    * tokens, where the model counts would switch to a pre-scaled
+    * sample, a documented knob not a silent wrap (the noise side is
+    * exact by construction: den = 2^32).
+    *
+    * Spec (QueriesSpec): the kept set's target-language share strictly
+    * exceeds the corpus's, and every target-language doc with positive
+    * weight survives τ = 0 — "the resampled mixture moves toward the
+    * target distribution".
+    */
+  private def t24(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // hashed unigram + bigram features (the paper's feature set —
+    // on a shared-vocabulary corpus the language signal lives in
+    // FREQUENCIES, and pair frequencies roughly double the per-token
+    // separation the unigrams alone give); the bigram arm is
+    // pplPerDoc's pairsOf shape
+    val toks = docs.select(col("doc_id"), col("lang"),
+      expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ts"))
+    val uni = toks.select(col("doc_id"), col("lang"), explode(col("ts")).as("w"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("w"))
+    val feat = uni.unionByName(bi)
+      .select(col("doc_id"), col("lang"), substring(md5(col("w")), 1, 2).as("b"))
+    val raw = feat.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = feat.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tots = feat.agg(count(lit(1)).as("tr"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("tt"))
+    def surp(df: DataFrame, num: Column, den: Column, out: String): DataFrame =
+      df.withColumn("num", num).withColumn("den", den)
+        .withColumn(out, expr(surpMilliSpark)).drop("num", "den")
+    val model = surp(surp(
+        raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tots)),
+        coalesce(col("ct"), lit(0L)) + 1L, col("tt") + DsirBuckets, "surp_t"),
+        col("cr") + 1L, col("tr") + DsirBuckets, "surp_r")
+      .select(col("b"), (col("surp_r") - col("surp_t")).as("gain_milli"))
+    val w = feat.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("gain_milli")).as("w_milli"))
+    val noise = surp(docs.select(col("doc_id"), col("lang")),
+      expr("cast(conv(substring(md5(concat('dsir:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) + 1"),
+      lit(1L << 32), "u_milli")
+    noise.join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("w_milli"), lit(0L)).as("w_milli"),
+        col("u_milli"),
+        (coalesce(col("w_milli"), lit(0L)) + lit(DsirTempX) * col("u_milli") >=
+          DsirTauMilli).as("keep"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val t24Sql = {
+    val (m2, top) = (1L << PplShift, 2L << PplShift)
+    // the shift-and-square chain over CTE `src`'s (num, den), keyed by
+    // `keys`, emitting `out` — the pplCtes step shape, reused for the
+    // three surprisal chains (target model, raw model, noise)
+    def surpChain(tag: String, src: String, keys: String, out: String): String = {
+      val sb = new StringBuilder
+      sb ++= s""",
+       |${tag}0 AS (
+       |  SELECT $keys, length(bin(den // num)) - 1 AS e,
+       |    (den * $m2) // (num * (1::BIGINT << (length(bin(den // num)) - 1))) AS m,
+       |    0::BIGINT AS f
+       |  FROM $src)""".stripMargin
+      for (r <- 1 to PplSteps) sb ++= s""",
+       |$tag$r AS (SELECT $keys, e,
+       |  CASE WHEN (m * m) // $m2 >= $top THEN ((m * m) // $m2) // 2
+       |       ELSE (m * m) // $m2 END AS m,
+       |  f * 2 + CASE WHEN (m * m) // $m2 >= $top THEN 1 ELSE 0 END AS f
+       |  FROM $tag${r - 1})""".stripMargin
+      sb ++= s""",
+       |$tag AS (SELECT $keys, e * 1000 + (f * 1000) // 1024 AS $out FROM $tag$PplSteps)""".stripMargin
+      sb.result()
+    }
+    // 32-bit uniform from 8 md5 hex digits, decoded positionally (the
+    // d17 oracle idiom — DuckDB has no conv)
+    val uDecode = (1 to 8).map { k =>
+      s"(strpos('0123456789abcdef', substring(md5('dsir:' || doc_id), $k, 1)) - 1) * ${1L << (4 * (8 - k))}"
+    }.mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id IS NOT NULL),
+       |feat AS (
+       |  SELECT doc_id, lang, substring(md5(w), 1, 2) AS b
+       |  FROM (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+       |        FROM docs
+       |        UNION ALL
+       |        SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS w
+       |        FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '\\S+') AS ts
+       |              FROM docs),
+       |             unnest(generate_series(1, len(ts) - 1)) AS u(i))),
+       |raw AS (SELECT b, COUNT(*) AS cr FROM feat GROUP BY b),
+       |tgt AS (SELECT b, COUNT(*) AS ct FROM feat WHERE lang = '$DsirTargetLang' GROUP BY b),
+       |tots AS (SELECT COUNT(*) AS tr,
+       |    COUNT(*) FILTER (WHERE lang = '$DsirTargetLang') AS tt FROM feat),
+       |tmodel AS (
+       |  SELECT r.b, r.cr, t2.tr, COALESCE(t.ct, 0) + 1 AS num, t2.tt + $DsirBuckets AS den
+       |  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots t2)""".stripMargin +
+      surpChain("tsurp", "tmodel", "b, cr, tr", "surp_t") + s""",
+       |rmodel AS (SELECT b, surp_t, cr + 1 AS num, tr + $DsirBuckets AS den FROM tsurp)""".stripMargin +
+      surpChain("rsurp", "rmodel", "b, surp_t", "surp_r") + s""",
+       |model AS (SELECT b, surp_r - surp_t AS gain_milli FROM rsurp),
+       |dw AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |    CAST(SUM(gain_milli) AS BIGINT) AS w_milli
+       |  FROM feat JOIN model USING (b) GROUP BY doc_id),
+       |nz AS (SELECT doc_id, lang, CAST($uDecode AS BIGINT) + 1 AS num,
+       |    ${1L << 32}::BIGINT AS den FROM docs)""".stripMargin +
+      surpChain("usurp", "nz", "doc_id, lang", "u_milli") + s"""
+       |SELECT n.doc_id, n.lang,
+       |  COALESCE(w.n_toks, 0) AS n_toks, COALESCE(w.w_milli, 0) AS w_milli,
+       |  u.u_milli,
+       |  COALESCE(w.w_milli, 0) + $DsirTempX * u.u_milli >= $DsirTauMilli AS keep
+       |FROM (SELECT doc_id, lang FROM docs) n
+       |LEFT JOIN dw w USING (doc_id) JOIN usurp u USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "t24_dsir_resample" -> (t24 _),
     "t23_ccnet_bucket" -> (t23 _),
     "t22_learned_pack" -> (t22 _),
     "t21_perplexity_filter" -> (t21 _),
@@ -1685,6 +1869,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t24_dsir_resample" -> t24Sql,
     "t23_ccnet_bucket" -> t23Sql,
     "t22_learned_pack" -> t22Sql,
     "t21_perplexity_filter" -> t21Sql,

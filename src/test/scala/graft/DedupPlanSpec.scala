@@ -44,6 +44,36 @@ class DedupPlanSpec extends SparkSpec {
     assert(after > before, "stale marker must rebuild the label store itself")
   }
 
+  test("d23 token grams catch the 8-word plant d22 provably misses; d22 drops are a subset") {
+    def verdicts(key: String): Map[Long, (Long, String)] =
+      SparkEntry.queries(key)(spark, sf).collect()
+        .map(r => r.getLong(0) ->
+          (Seq(r.getLong(1), r.getLong(2), r.getLong(3)).max, r.getString(5)))
+        .toMap
+    val word = verdicts("d22_multi_decontam")
+    val tok = verdicts("d23_token_decontam")
+    assert(word.keySet == tok.keySet, "both detectors must score the same corpus")
+    val tokPlants = word.keySet.filter(_ % 10 == 7)
+    assert(tokPlants.nonEmpty)
+    tokPlants.foreach { id =>
+      // word level RECORDS the leak (exactly the one sub-threshold
+      // 8-word gram) but keeps the doc — d22's documented single-gram
+      // rule, i.e. the blind spot token-level decontamination closes
+      assert(word(id) == ((1L, "")),
+        s"doc $id: d22 should see exactly one word-gram hit and keep, got ${word(id)}")
+      assert(tok(id)._2.nonEmpty,
+        s"doc $id: the planted 8-word leak must drop at token level")
+    }
+    // every word-level catch is a token-level catch: >= 2 word grams
+    // means a >= 9-word verbatim run, whose identical per-word
+    // tokenization shares >= DecontamTokGramK + 1 consecutive symbols
+    val subsetViolations = word.collect {
+      case (id, (_, r)) if r.nonEmpty && tok(id)._2.isEmpty => id
+    }
+    assert(subsetViolations.isEmpty,
+      s"docs dropped by word-level d22 but kept by token-level d23: $subsetViolations")
+  }
+
   test("d21 packs exactly the tokens d19 keeps, in order, mass-conserving") {
     import org.apache.spark.sql.functions._
     val d19r = SparkEntry.queries("d19_substring_remove")(spark, sf).collect()
@@ -370,7 +400,9 @@ class DedupPlanSpec extends SparkSpec {
     val hints = df.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
-    assert(hints.size == 3, s"expected 2x plant + 1x bench broadcasts, got ${hints.size}")
+    // r14: the shared decontam corpus carries TWO plant dims (word +
+    // token), each referenced twice -> 4, plus the benchmark gram set
+    assert(hints.size == 5, s"expected 2x plant + 2x tplant + 1x bench broadcasts, got ${hints.size}")
     val rows = df.collect().map(r => r.getLong(0) ->
       ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getLong(4), r.getString(5))).toMap
     val nCorpus = SparkEntry.queries("d22_multi_decontam")(spark, sf).count()
@@ -636,13 +668,15 @@ class DedupPlanSpec extends SparkSpec {
       "graft_stream_docs_" + StagePath.corpusToken(dir) + "_manifests", "_src_meta")
     def meta(): String = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
     runBloom("st10_stream_bloom") // stage under the default width
-    assert(meta().endsWith(":b14"), s"marker must encode the default width: ${meta()}")
+    // the srcMeta payload ends with the corpus path (ADVICE r13); the
+    // width token sits just before it
+    assert(meta().endsWith(s":b14:$dir"), s"marker must encode the default width: ${meta()}")
     spark.conf.set("graft.bloom.bits", "6")
     try {
       val d17 = runBloom("d17_bloom_admit")
       val st10 = runBloom("st10_stream_bloom")
       // the width change must have forced a re-stage...
-      assert(meta().endsWith(":b6"), s"marker must track the new width: ${meta()}")
+      assert(meta().endsWith(s":b6:$dir"), s"marker must track the new width: ${meta()}")
       // ...so the persisted bitmap st10 probes matches d17's live build
       assert(st10 == d17, s"st10 diverged from d17 after a width change: $st10 vs $d17")
     } finally spark.conf.unset("graft.bloom.bits")

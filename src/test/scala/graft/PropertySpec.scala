@@ -575,6 +575,34 @@ class PropertySpec extends SparkSpec {
     assert(got.count(_._4) > 0 && got.map(_._3).distinct.length > 1)
   }
 
+  test("t24 DSIR resampling moves the kept mixture toward the target distribution") {
+    val rows = SparkEntry.queries("t24_dsir_resample")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getBoolean(5)))
+    val tgt = text.TextAnalysis.DsirTargetLang
+    val corpusShare = rows.count(_._1 == tgt).toDouble / rows.length
+    val kept = rows.filter(_._3)
+    val keptShare = kept.count(_._1 == tgt).toDouble / kept.length
+    // the point of importance resampling: the kept set is tilted
+    // toward the target domain, without a hard domain filter
+    assert(keptShare > corpusShare,
+      f"kept target share $keptShare%.3f must exceed corpus share $corpusShare%.3f")
+    assert(kept.length < rows.length, "resampling must actually drop documents")
+    assert(kept.exists(_._1 != tgt),
+      "resampling must not degenerate into a hard language filter")
+    // at tau = 0, acceptance prob = min(1, 2^(w/T)) — a doc with
+    // non-negative importance weight survives DETERMINISTICALLY
+    // (u_milli >= 0 always); only negative-weight docs face the coin
+    rows.filter(_._2 >= 0).foreach { case (_, w, keep) =>
+      assert(keep, s"doc with non-negative weight $w must always be kept at tau=0")
+    }
+    // target-language docs must carry higher importance weight on
+    // average — the model actually learned the target distribution
+    val avgT = rows.filter(_._1 == tgt).map(_._2).sum.toDouble / rows.count(_._1 == tgt)
+    val avgO = rows.filter(_._1 != tgt).map(_._2).sum.toDouble / rows.count(_._1 != tgt)
+    assert(avgT > avgO + 500,
+      f"mean weight separation too weak: target $avgT%.0f vs others $avgO%.0f milli-bits")
+  }
+
   test("t10's derived pack bucket bounds BOTH prefix-sum stages at any corpus size") {
     // stage 2's bucket-offset window reads maxId/width rows on one
     // task; stage 3's within-bucket cumsum partitions hold ≤ width
