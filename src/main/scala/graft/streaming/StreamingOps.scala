@@ -279,10 +279,35 @@ object StreamingOps {
     val multi =
       if (nFiles > 1) reader.option("maxFilesPerTrigger", filesPerTrigger.toString)
       else reader
+    // The manifest side is STATIC across the life of the stream (the
+    // freshness marker owns its identity), yet a stream-static join
+    // re-executes the batch side every micro-batch — at N landing
+    // files per day that is N parquet scans + decodes of the same
+    // manifests (VERDICT r13 #5: the measured st9/st10 per-batch
+    // floor). Persisting them amortizes the scan to once per process;
+    // MEMORY_AND_DISK because a production fp manifest is
+    // corpus-admitted-sized. A re-stage rewrote the files, so any
+    // previously cached plan over these paths must be invalidated
+    // FIRST (refreshByPath drops both the cached data and the file
+    // listing) — without it the cache would serve the pre-sweep
+    // manifests forever, a silent wrong-answer, not a perf bug.
+    if (!fresh)
+      for (mp <- Seq("fp_manifest", "sig_manifest", "bloom_manifest"))
+        s.catalog.refreshByPath(mdir.resolve(mp).toString)
+    // conf-gated for A/B measurement (graft.stream.persistManifests,
+    // default true — the Bench/Dev SPARK_GRAFT_CONF passthrough can
+    // turn it off)
+    val persistManifests = s.conf
+      .getOption("graft.stream.persistManifests").forall(_.equalsIgnoreCase("true"))
+    def manifest(name: String): DataFrame = {
+      val df = s.read.parquet(mdir.resolve(name).toString)
+      if (persistManifests &&
+          df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
     (multi.parquet(dir.toString),
-      s.read.parquet(mdir.resolve("fp_manifest").toString),
-      s.read.parquet(mdir.resolve("sig_manifest").toString),
-      s.read.parquet(mdir.resolve("bloom_manifest").toString))
+      manifest("fp_manifest"), manifest("sig_manifest"), manifest("bloom_manifest"))
   }
 
   /** State-store partition count for the bounded streaming queries
