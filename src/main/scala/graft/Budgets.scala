@@ -165,7 +165,11 @@ object Budgets {
   val sf1MaxRatio: Map[String, Double] = Map(
     "q1_agg" -> 8.0,
     "q3_join_agg" -> 8.0,
-    "q24_range_join" -> 16.0,
+    // r14: q24's gate corpus is the range-scaled events variant
+    // (Bench dirOverride + ScaleData.generateRangeScaledEvents), so
+    // its output grows ~10x like everyone else's and the allowance
+    // returns from the 16x output-shape carve-out to the standard 8x
+    "q24_range_join" -> 8.0,
     "q30_salted_agg" -> 8.0,
     "q36_zorder_skip" -> 8.0,
     "d2_minhash_lsh" -> 8.0,

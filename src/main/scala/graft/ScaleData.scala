@@ -64,6 +64,33 @@ object ScaleData {
     spark.stop()
   }
 
+  /** Events-only TIME-RANGE scale-up for output-bound range queries
+    * (VERDICT r13 #6): copy c shifts `ts` by c × (source span + 1 s)
+    * at the SOURCE density, so a ±ε range self-join's pair output
+    * grows ~linearly with the data — the density-preserving [[generate]]
+    * packs 10× the events into the same range and its pair output
+    * grows ~100×, which is the data's shape, not plan scaling, and it
+    * forced q24's gate allowance to 16×. Writes `events.parquet` only
+    * (q24 reads nothing else); `ts` goes through [[Tables.events]]'s
+    * epoch-nanos normalization, a physical form every consumer already
+    * accepts (the streaming stagers write it too). */
+  def generateRangeScaledEvents(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
+    import spark.implicits._
+    val cdim = broadcast((0 until copies).toDF("c"))
+    val ev = Tables.events(spark, src)
+    val nEv = ev.count()
+    val nCust = spark.read.parquet(s"$src/customer.parquet").count()
+    val span = ev.agg((max(col("ts")) - min(col("ts")) + lit(1000000000L)).as("s"))
+      .head().getLong(0)
+    ev.crossJoin(cdim)
+      .select((col("c").cast("long") * nEv + col("event_id")).as("event_id"),
+        (col("ts") + col("c").cast("long") * span).as("ts"),
+        (col("c").cast("long") * nCust + col("user_id")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+  }
+
   /** The scale-up itself, callable from an existing session —
     * [[Bench]]'s sf1 regression gate regenerates a missing corpus
     * through this. */
