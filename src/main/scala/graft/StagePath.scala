@@ -26,6 +26,39 @@ object StagePath {
     md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** Stage a directory-shaped artifact via write-to-temp + rename
+    * (ADVICE r13: two concurrent processes on the same corpus could
+    * race a re-sweep's multi-second `mode("overwrite")` parquet write
+    * against a warm reader). `write` produces the artifact at a temp
+    * sibling on the same filesystem; the previous artifact is then
+    * deleted and the temp renamed into place with ATOMIC_MOVE. The
+    * exposure shrinks from the full Spark write to the delete+rename
+    * instant — not perfectly atomic (POSIX cannot atomically replace a
+    * non-empty directory), but combined with the marker-written-last
+    * rule a concurrent reader can no longer observe a half-written
+    * parquet directory behind a valid marker. Stagers that assemble
+    * per-file (the streaming landing dirs) already move files into
+    * place individually and don't need this. */
+  def atomicSwapDir(dst: java.nio.file.Path)(write: java.nio.file.Path => Unit): Unit = {
+    val tmp = dst.resolveSibling(dst.getFileName.toString + "_swap_tmp")
+    deleteRecursively(tmp)
+    write(tmp)
+    deleteRecursively(dst)
+    try java.nio.file.Files.move(tmp, dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp, dst)
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
   /** The freshness-marker payload for a staged artifact derived from
     * `src` (a file inside corpus `d`): size, mtime, the staging logic's
     * version token, and the corpus path itself (so even a directory-

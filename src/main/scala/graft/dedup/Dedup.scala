@@ -1221,15 +1221,23 @@ object Dedup {
       // table the two manifest writes would each re-run the whole
       // clustering chain (measured 2x the sweep cost)
       val kept = existing.join(keeperIds(existing), Seq("doc_id"), "left_semi")
-      graft.sources.TableSource.write(kept, stage.resolve("kept_corpus").toString)
+      // write-to-temp + rename (ADVICE r13): a concurrent warm reader
+      // must never see a manifest dir mid-overwrite
+      graft.StagePath.atomicSwapDir(stage.resolve("kept_corpus")) { tmp =>
+        graft.sources.TableSource.write(kept, tmp.toString)
+      }
       val keptT = graft.sources.TableSource.read(s, stage.resolve("kept_corpus").toString)
-      graft.sources.TableSource.write(
-        keptT.select(md5(col("text").cast("binary")).as("fp"))
-          .groupBy(col("fp")).agg(lit(1).as("fp_hit")),
-        stage.resolve("fp_manifest").toString)
-      graft.sources.TableSource.write(
-        simhashSigsOf(keptT).groupBy(col("simhash")).agg(lit(1).as("sig_hit")),
-        stage.resolve("sig_manifest").toString)
+      graft.StagePath.atomicSwapDir(stage.resolve("fp_manifest")) { tmp =>
+        graft.sources.TableSource.write(
+          keptT.select(md5(col("text").cast("binary")).as("fp"))
+            .groupBy(col("fp")).agg(lit(1).as("fp_hit")),
+          tmp.toString)
+      }
+      graft.StagePath.atomicSwapDir(stage.resolve("sig_manifest")) { tmp =>
+        graft.sources.TableSource.write(
+          simhashSigsOf(keptT).groupBy(col("simhash")).agg(lit(1).as("sig_hit")),
+          tmp.toString)
+      }
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
     // admit stage: manifest sides are parquet scans — the only other

@@ -1235,8 +1235,14 @@ object TextAnalysis {
       Files.exists(table)
     if (!fresh) {
       val merges = bpeTrain(s, d)
-      Files.write(table,
+      // tmp + atomic rename (ADVICE r13's staging-race note): a
+      // concurrent reader sees the old table or the new one, never a
+      // torn write
+      val tmp = table.resolveSibling("merges.tsv.tmp")
+      Files.write(tmp,
         merges.map { case (a, b) => s"$a\t$b" }.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, table, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       Files.write(marker, meta.getBytes("UTF-8"))
     }
     new String(Files.readAllBytes(table), "UTF-8").split("\n").toSeq
