@@ -28,6 +28,7 @@ object Budgets {
     "d20_cross_batch_cluster" -> 5.0,
     "d21_dedup_pack" -> 5.5,
     "m8_interleaved_pack" -> 2.0,
+    "m9_crossmodal_dedup" -> 2.6,
     "d18_semdedup" -> 1.1,
     "d14_repeated_ngrams" -> 3.2,
     "d15_minhash_accuracy" -> 4.5,
@@ -198,6 +199,7 @@ object Budgets {
     "d23_token_decontam" -> 10.0,
     "t21_perplexity_filter" -> 8.0,
     "m8_interleaved_pack" -> 8.0,
+    "m9_crossmodal_dedup" -> 8.0,
     // r12 verdict #5: the sf0.1 budget gate cannot see superlinear
     // scaling, so every query > 2 s at sf0.1 (the expensive tail) now
     // carries an sf1 ratio check. Allowance 8.0 where the measured

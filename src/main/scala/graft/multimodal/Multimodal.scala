@@ -367,24 +367,31 @@ object Multimodal {
       .sortWithinPartitions(col("doc_id"))
   }
 
+  /** The oracle-side aHash CTE chain (base/segs/per/tot/ph) over
+    * `$src`'s (doc_id, $textCol) — shared verbatim by the m6 oracle
+    * and m9's cross-modal dedup oracle (one perceptual hash, two
+    * consumers — the mergesFor reuse discipline, SQL side). */
+  private def phashCtes(src: String, textCol: String): String =
+    s"""base AS (
+       |  SELECT doc_id, $textCol AS ptext, length($textCol) AS n FROM $src
+       |  WHERE doc_id IS NOT NULL AND length($textCol) >= 64),
+       |segs AS (
+       |  SELECT doc_id, ((i - 1) * 64) // n AS seg,
+       |    CAST(ascii(substring(ptext, i, 1)) AS BIGINT) AS code
+       |  FROM (SELECT doc_id, ptext, n, unnest(generate_series(1, n)) AS i FROM base)),
+       |per AS (
+       |  SELECT doc_id, seg, SUM(code) AS num, COUNT(*) AS len
+       |  FROM segs GROUP BY doc_id, seg),
+       |tot AS (SELECT doc_id, SUM(num) AS tnum, SUM(len) AS tlen FROM per GROUP BY doc_id),
+       |ph AS (
+       |  SELECT p.doc_id,
+       |    string_agg(CASE WHEN p.num * t.tlen > t.tnum * p.len THEN '1' ELSE '0' END,
+       |               '' ORDER BY p.seg) AS phash
+       |  FROM per p JOIN tot t ON t.doc_id = p.doc_id
+       |  GROUP BY p.doc_id)""".stripMargin
+
   private val m6Sql =
-    """WITH base AS (
-      |  SELECT doc_id, text, length(text) AS n FROM documents
-      |  WHERE doc_id IS NOT NULL AND length(text) >= 64),
-      |segs AS (
-      |  SELECT doc_id, ((i - 1) * 64) // n AS seg,
-      |    CAST(ascii(substring(text, i, 1)) AS BIGINT) AS code
-      |  FROM (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS i FROM base)),
-      |per AS (
-      |  SELECT doc_id, seg, SUM(code) AS num, COUNT(*) AS len
-      |  FROM segs GROUP BY doc_id, seg),
-      |tot AS (SELECT doc_id, SUM(num) AS tnum, SUM(len) AS tlen FROM per GROUP BY doc_id),
-      |ph AS (
-      |  SELECT p.doc_id,
-      |    string_agg(CASE WHEN p.num * t.tlen > t.tnum * p.len THEN '1' ELSE '0' END,
-      |               '' ORDER BY p.seg) AS phash
-      |  FROM per p JOIN tot t ON t.doc_id = p.doc_id
-      |  GROUP BY p.doc_id)
+    "WITH " + phashCtes("documents", "text") + """
       |SELECT doc_id, phash,
       |  CAST(length(replace(phash, '0', '')) AS BIGINT) AS n_ones,
       |  COUNT(*) OVER (PARTITION BY phash) AS phash_count
@@ -516,7 +523,143 @@ object Multimodal {
       |  tok_offset // ${graft.text.TextAnalysis.PackTokens} AS seq_id
       |FROM o ORDER BY doc_id""".stripMargin
 
+  /** m9: CROSS-MODAL near-dup dedup — the composed verdict the
+    * per-modality family lacks (VERDICT r13 #7): a re-encoded image
+    * with an edited caption defeats every single-signal detector —
+    * byte fingerprints (m3/m4/d1) change with the re-encode, caption
+    * fingerprints (t4/d1) change with the edit — but the composition
+    * catches it: perceptual-hash CANDIDATES (aHash is re-encode-
+    * invariant) verified by caption word overlap, then the d10
+    * keep-best discipline per matched doc.
+    *
+    * Record model: payload = the document's bytes (the m1/m6 stub
+    * decode contract), caption = its first 10 lowered words. PLANTED
+    * re-encodes (the d18/d19/d22 injection discipline): every
+    * `doc_id % 10 == 3` record is rebuilt from source doc
+    * `doc_id - 3` with (a) its first two characters swapped — both
+    * sit inside aHash span 0 for any >= 65-char payload, so every
+    * span sum and the global mean are EXACTLY preserved: the
+    * perceptual hash is identical while md5 differs, the re-encode
+    * model — and (b) the caption's 10th word replaced ('v2'): 9 of 10
+    * words shared, caption md5 differs, the edited-caption model.
+    *
+    * Detection: 16-char phash block equi-join (d8's 4x16 multi-index
+    * on the hash STRING — hamming <= 3 implies >= 1 exact block),
+    * exact hamming verify on candidates (64-step integer fold — the
+    * pairs are post-blocking few, so the interpreted HOF is off the
+    * hot path), caption verify 3·|A∩B| >= |A|+|B| on DISTINCT word
+    * sets (Jaccard >= 1/2, integer cross-multiplied — no float), then
+    * per matched doc: partner count and `keep` = beats every partner
+    * on (n_bytes desc, doc_id asc) — d10's quality argmax. The swap
+    * preserves length, so each planted pair ties on bytes and the
+    * SOURCE keeps: deterministic, spec-pinned.
+    *
+    * Scale shape: the only joins are the 16-bit-value block self-join
+    * (occupancy-bounded like d8, family-quadratic never corpus-
+    * quadratic), two candidate-sized attribute joins, and the
+    * pair-sized rollup; phash is one native codegen'd pass per row;
+    * no window, no broadcast of anything corpus-sized.
+    */
+  private def m9(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id").isNotNull && length(col("text")) >= 64)
+    val srcp = Tables.documents(s, d)
+      .filter(col("doc_id").isNotNull && col("doc_id") % 10 === 0 &&
+        length(col("text")) >= 65)
+      .select(col("doc_id").as("src_id"), col("text").as("src_text"))
+    val recs = docs.withColumn("jk", col("doc_id") - 3)
+      .join(srcp, col("doc_id") % 10 === 3 && col("jk") === col("src_id"), "left")
+      .select(col("doc_id"),
+        when(col("src_id").isNotNull, expr(
+          "concat(substring(src_text, 2, 1), substring(src_text, 1, 1), substring(src_text, 3))"))
+          .otherwise(col("text")).as("payload"),
+        when(col("src_id").isNotNull, expr(
+          "concat(slice(filter(split(lower(src_text), '\\\\s+'), t -> t != ''), 1, 9), array('v2'))"))
+          .otherwise(expr("slice(filter(split(lower(text), '\\\\s+'), t -> t != ''), 1, 10)"))
+          .as("cap"))
+    val sig = recs.select(col("doc_id"), col("cap"),
+      octet_length(col("payload").cast("binary")).cast("long").as("n_bytes"),
+      aHashCol(col("payload")).as("phash"))
+    val blocks = sig.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), substring(col("phash"), 1 + 16 * b, 16).as("bkey"))): _*))
+        .as("blk"))
+      .select(col("doc_id"), col("phash"), col("blk.b").as("b"), col("blk.bkey").as("bkey"))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+    val ver = cand
+      .withColumn("hamming", expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + " +
+          "CASE WHEN substring(pa, i, 1) = substring(pb, i, 1) THEN 0 ELSE 1 END)"))
+      .filter(col("hamming") <= 3)
+      .join(sig.select(col("doc_id").as("da"), col("cap").as("ca"),
+        col("n_bytes").as("nba")), Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("cap").as("cb"),
+        col("n_bytes").as("nbb")), Seq("db"))
+      .withColumn("ninter",
+        size(array_intersect(array_distinct(col("ca")), array_distinct(col("cb")))))
+      .filter(col("ninter") * 3 >=
+        size(array_distinct(col("ca"))) + size(array_distinct(col("cb"))))
+    val part = ver.select(col("da").as("doc_id"), col("nba").as("nb"),
+        col("db").as("partner"), col("nbb").as("pnb"))
+      .unionByName(ver.select(col("db").as("doc_id"), col("nbb").as("nb"),
+        col("da").as("partner"), col("nba").as("pnb")))
+    part.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_partners"), max(col("nb")).as("n_bytes"),
+        expr("bool_and(nb > pnb OR (nb = pnb AND doc_id < partner))").as("keep"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val m9Sql =
+    """WITH srcp AS (
+      |  SELECT doc_id AS src_id, text AS src_text FROM documents
+      |  WHERE doc_id IS NOT NULL AND doc_id % 10 = 0 AND length(text) >= 65),
+      |recs AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN s.src_id IS NOT NULL
+      |      THEN substring(s.src_text, 2, 1) || substring(s.src_text, 1, 1) || substring(s.src_text, 3)
+      |      ELSE d.text END AS payload,
+      |    CASE WHEN s.src_id IS NOT NULL
+      |      THEN list_concat(regexp_extract_all(lower(s.src_text), '\S+')[1:9], ['v2'])
+      |      ELSE regexp_extract_all(lower(d.text), '\S+')[1:10] END AS cap
+      |  FROM (SELECT doc_id, text FROM documents
+      |        WHERE doc_id IS NOT NULL AND length(text) >= 64) d
+      |  LEFT JOIN srcp s ON d.doc_id % 10 = 3 AND s.src_id = d.doc_id - 3),
+      |""".stripMargin +
+      phashCtes("recs", "payload") + """,
+      |sig AS (
+      |  SELECT r.doc_id, r.cap,
+      |    CAST(octet_length(encode(r.payload)) AS BIGINT) AS n_bytes, p.phash
+      |  FROM recs r JOIN ph p USING (doc_id)),
+      |blk AS (
+      |  SELECT doc_id, phash, b, substring(phash, 1 + 16 * b, 16) AS bkey
+      |  FROM sig, unnest([0, 1, 2, 3]) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM blk a JOIN blk b
+      |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |ver AS (
+      |  SELECT c.da, c.db, sa.n_bytes AS nba, sb.n_bytes AS nbb
+      |  FROM cand c JOIN sig sa ON sa.doc_id = c.da JOIN sig sb ON sb.doc_id = c.db
+      |  WHERE list_sum(list_transform(generate_series(1, 64), i ->
+      |          CASE WHEN sa.phash[i] = sb.phash[i] THEN 0 ELSE 1 END)) <= 3
+      |    AND 3 * len(list_intersect(list_distinct(sa.cap), list_distinct(sb.cap)))
+      |        >= len(list_distinct(sa.cap)) + len(list_distinct(sb.cap))),
+      |part AS (
+      |  SELECT da AS doc_id, nba AS nb, db AS partner, nbb AS pnb FROM ver
+      |  UNION ALL
+      |  SELECT db, nbb, da, nba FROM ver)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners, MAX(nb) AS n_bytes,
+      |  BOOL_AND(nb > pnb OR (nb = pnb AND doc_id < partner)) AS keep
+      |FROM part GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "m9_crossmodal_dedup" -> (m9 _),
     "m8_interleaved_pack" -> (m8 _),
     "m7_shard_pack" -> (m7 _),
     "m1_binary_meta" -> (m1 _),
@@ -527,6 +670,7 @@ object Multimodal {
     "m6_perceptual_hash" -> (m6 _))
 
   val oracles: Map[String, String] = Map(
+    "m9_crossmodal_dedup" -> m9Sql,
     "m8_interleaved_pack" -> m8Sql,
     "m7_shard_pack" -> m7Sql,
     "m1_binary_meta" -> m1Sql,

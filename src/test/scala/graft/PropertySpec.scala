@@ -603,6 +603,41 @@ class PropertySpec extends SparkSpec {
       f"mean weight separation too weak: target $avgT%.0f vs others $avgO%.0f milli-bits")
   }
 
+  test("m9 catches planted cross-modal near-dups that BOTH single-signal detectors miss") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("m9_crossmodal_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    // reconstruct the planted (source, re-encode) pairs straight from
+    // the table: i % 10 == 3 with source i-3 present, both long enough
+    val docs = Tables.documents(spark, sf).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val planted = docs.keys.filter { i =>
+      i % 10 == 3 && docs(i).length >= 64 &&
+        docs.get(i - 3).exists(_.length >= 65) && (i - 3) % 10 == 0
+    }.toSeq.sorted
+    assert(planted.nonEmpty, "corpus must yield planted re-encode pairs")
+    planted.foreach { i =>
+      val (srcTxt, plantPayload) = (docs(i - 3),
+        s"${docs(i - 3)(1)}${docs(i - 3)(0)}${docs(i - 3).drop(2)}")
+      // single-signal miss #1: the re-encode changed the payload bytes
+      assert(plantPayload != srcTxt || srcTxt(0) == srcTxt(1))
+      // single-signal miss #2: the caption edit changed the caption
+      // (word 10 -> 'v2'); both exact fingerprints therefore differ
+      // whenever the swapped chars differ — restrict assertions there
+      if (srcTxt(0) != srcTxt(1)) {
+        assert(out.contains(i) && out.contains(i - 3),
+          s"planted pair ($i, ${i - 3}) missing from the m9 verdict")
+        // the swap preserves length, so the pair ties on bytes and the
+        // d10 argmax keeps the LOWER id — the source — deterministically
+        if (out(i)._1 == 1 && out(i - 3)._1 == 1) {
+          assert(!out(i)._2, s"re-encode $i must lose the keep argmax")
+          assert(out(i - 3)._2, s"source ${i - 3} must win the keep argmax")
+        }
+      }
+    }
+  }
+
   test("t10's derived pack bucket bounds BOTH prefix-sum stages at any corpus size") {
     // stage 2's bucket-offset window reads maxId/width rows on one
     // task; stage 3's within-bucket cumsum partitions hold ≤ width

@@ -196,6 +196,48 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("timing canary: the salted join-back's unskewed premium stays bounded") {
+    // VERDICT r13 #8: SkewSpec proves row-identity on/off, but nothing
+    // guarded against the salted path regressing to a blanket-
+    // replication cost (every dict row x salt — measured >= 3x wall).
+    // On an UNSKEWED corpus the deliberate premium is the hot-set
+    // broadcast + tag join only — measured 9-32% per query at sf0.1
+    // (SURVEY §5's r14 A/B table) — so a COARSE bound of 2x plus a
+    // 0.5 s absolute floor separates "insurance premium" from
+    // "structural regression" without flaky micro-timing: CI noise
+    // lives inside the slack, blanket replication far outside it.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_flat").toString
+    spark.range(200000)
+      .select((col("id") % 5000).as("tok"), col("id").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/tf")
+    val f = spark.read.parquet(s"$dir/tf")
+    f.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/dfreq")
+    val dd = spark.read.parquet(s"$dir/dfreq")
+    val total = f.select(countDistinct(col("doc_id")).as("n_docs"))
+    // precondition, structural: NOTHING is hot here (40 rows per key
+    // vs a 10k hot threshold), so the salted path must replicate zero
+    // dictionary rows — if this count is ever > 0 the hot predicate
+    // itself regressed
+    val replicated = dd.crossJoin(broadcast(total))
+      .filter(col("df") * 20 >= col("n_docs")).count()
+    assert(replicated == 0, s"unskewed corpus found $replicated hot keys")
+    def bestOf3(df: => org.apache.spark.sql.DataFrame): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    bestOf3(f.join(dd, Seq("tok"))) // warm-up: pays codegen/JIT once
+    val tPlain = bestOf3(f.join(dd, Seq("tok")))
+    val tSalted = bestOf3(Salted.dfJoinBack(f, dd, "tok", "df",
+      total, "n_docs", saltBy = col("doc_id")))
+    assert(tSalted <= tPlain * 2 + 0.5,
+      f"salted join-back cost $tSalted%.2fs vs plain $tPlain%.2fs — " +
+        "past the insurance band, check for blanket replication")
+  }
+
   test("dfJoinBack rejects a non-boolean graft.skew.salted loudly") {
     val fact = spark.read.parquet(s"$stagedDir/tf")
     val dict = spark.read.parquet(s"$stagedDir/dfreq")
