@@ -15,9 +15,11 @@ object Budgets {
     // price the admit joins only (was 12.0 when every run re-swept)
     "d16_manifest_admit" -> 2.0,
     "d22_multi_decontam" -> 2.0,
-    // r14: tokenize (t20's staged table) + ~6M 28-token gram hashes —
-    // honest per-row work, the t20/t22 cost class
-    "d23_token_decontam" -> 7.7,
+    // r14: tokenize (t20's staged table) + the native O(bytes)
+    // TokenGramHash rolling pass (the first md5-slice cut measured
+    // 6.75 in-sweep and breached its sf1 allowance; the rolling form
+    // measures 2.97 solo / ~3.2 in-sweep, sf1 ratio 10.65 -> 6.78)
+    "d23_token_decontam" -> 4.0,
     "d17_bloom_admit" -> 0.9,
     "d19_substring_remove" -> 4.7, // r13: +~1s selective-salting insurance on the gram join-back
     "t20_bpe_learned" -> 5.5,

@@ -2296,12 +2296,17 @@ object Dedup {
     val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
     val benchDocs = docs.filter(col("doc_id") < 15).select(col("doc_id"), col("text"))
     val corpus = decontamCorpus(s, d)
-    def tokGrams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), graft.text.TextAnalysis.learnedTokens(merges).as("ts"))
-      .filter(size(col("ts")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(ts) - $k), p -> md5(concat_ws(' ', slice(ts, p + 1, $k))))"))
-        .as("g"))
+    // gram keys via the native O(tokens) rolling pass — the
+    // md5(concat_ws(slice)) form hashed ~k x the corpus bytes and was
+    // the dominant cost (and the sf1-ratio breach) of the first cut
+    def tokGrams(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      df.select(col("doc_id"), graft.text.TextAnalysis.learnedTokens(merges).as("ts"))
+        .filter(size(col("ts")) >= k)
+        .select(col("doc_id"), explode(ColumnBridge.column(
+          graft.functions.TokenGramHash(ColumnBridge.expression(col("ts")), k)))
+          .as("g"))
+    }
     val bench = tokGrams(benchDocs)
       .select(expr("doc_id div 5").as("bench_id"), col("g")).distinct()
     // corpus grams hit the METADATA-sized broadcast membership test
@@ -2356,20 +2361,18 @@ object Dedup {
       sb ++= s""",
        |cap$r AS (SELECT doc_id, $dbl AS sp FROM cap${r - 1} CROSS JOIN m$r m)""".stripMargin
     }
+    val codes = graft.functions.TokenGramHash.codesSql("ts")
+    val grams = graft.functions.TokenGramHash.gramsFromCodesSql("cds", k)
     sb ++= s""",
        |btoks AS (
        |  SELECT doc_id // 5 AS bench_id, list_filter(string_split(sp, ' '), x -> x <> '') AS ts
        |  FROM ap$nMerges WHERE doc_id < 15),
-       |bgrams AS (
-       |  SELECT DISTINCT bench_id, md5(array_to_string(ts[p + 1 : p + $k], ' ')) AS g
-       |  FROM (SELECT bench_id, ts, unnest(generate_series(0, len(ts) - $k)) AS p
-       |        FROM btoks WHERE len(ts) >= $k)),
+       |bcodes AS (SELECT bench_id, $codes AS cds FROM btoks WHERE len(ts) >= $k),
+       |bgrams AS (SELECT DISTINCT bench_id, unnest($grams) AS g FROM bcodes),
        |ctoks AS (
        |  SELECT doc_id, list_filter(string_split(sp, ' '), x -> x <> '') AS ts FROM cap$nMerges),
-       |cgrams AS (
-       |  SELECT DISTINCT doc_id, md5(array_to_string(ts[p + 1 : p + $k], ' ')) AS g
-       |  FROM (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - $k)) AS p
-       |        FROM ctoks WHERE len(ts) >= $k)),
+       |ccodes AS (SELECT doc_id, $codes AS cds FROM ctoks WHERE len(ts) >= $k),
+       |cgrams AS (SELECT DISTINCT doc_id, unnest($grams) AS g FROM ccodes),
        |thits AS (
        |  SELECT c.doc_id,
        |    CAST(SUM(CASE WHEN b.bench_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b0,

@@ -42,9 +42,18 @@ object StreamingOps {
   private def stageEventSplits(s: SparkSession, d: String,
       prefix: String, nFiles: Int): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(d, "events.parquet")
+    // the file COUNT is part of the staged artifact's identity
+    // (stagedAdmitInputs' `_n` tag discipline): the glob reader admits
+    // every b*.parquet, so an 8-file staging sharing a 4-file dir
+    // would silently turn st8/st11 into 8-micro-batch queries — a
+    // found-in-round-14 hazard (a streambench st8Files(8) run left
+    // b0..b7 behind, the b0..b3 freshness check passed, and st8's
+    // sf0.1 wall DOUBLED while computing a different watermark
+    // trajectory). Separate dirs per count, plus the exact-set check
+    // below as defense in depth.
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      prefix + graft.StagePath.corpusToken(d))
+      prefix + graft.StagePath.corpusToken(d) + s"_n$nFiles")
     java.nio.file.Files.createDirectories(dir)
     val marker = dir.resolve("_src_meta")
     // StagePath.srcMeta embeds the corpus path in the payload (ADVICE
@@ -54,7 +63,8 @@ object StreamingOps {
     val meta = graft.StagePath.srcMeta(d, src, StagedEventsVersion)
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
-      (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet")))
+      (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet"))) &&
+      !java.nio.file.Files.exists(dir.resolve(s"b$nFiles.parquet"))
     if (!fresh) {
       // wipe any previous staging so stray files can't join the stream
       val listing = java.nio.file.Files.list(dir)
@@ -139,9 +149,11 @@ object StreamingOps {
     */
   private def docsStreamMulti(s: SparkSession, d: String, nFiles: Int): DataFrame = {
     val src = java.nio.file.Paths.get(d, "documents.parquet")
+    // file count in the dir identity + exact-set check, like
+    // stageEventSplits (the glob reader admits every b*.parquet)
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_alldocs_" + graft.StagePath.corpusToken(d))
+      "graft_stream_alldocs_" + graft.StagePath.corpusToken(d) + s"_n$nFiles")
     java.nio.file.Files.createDirectories(dir)
     val marker = dir.resolve("_src_meta")
     // srcMeta (corpus path embedded) + a version token, per the ADVICE
@@ -149,7 +161,8 @@ object StreamingOps {
     val meta = graft.StagePath.srcMeta(d, src, "alldocs1")
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
-      (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet")))
+      (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet"))) &&
+      !java.nio.file.Files.exists(dir.resolve(s"b$nFiles.parquet"))
     if (!fresh) {
       val listing = java.nio.file.Files.list(dir)
       try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
@@ -226,7 +239,8 @@ object StreamingOps {
         graft.dedup.Dedup.bloomBitsLog2(s))
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
-      (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"new_docs_$k.parquet")))
+      (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"new_docs_$k.parquet"))) &&
+      !java.nio.file.Files.exists(dir.resolve(s"new_docs_$nFiles.parquet"))
     if (!fresh) {
       val listing = java.nio.file.Files.list(dir)
       try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))

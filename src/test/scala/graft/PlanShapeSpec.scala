@@ -319,6 +319,30 @@ class PlanShapeSpec extends SparkSpec {
       s"a fact side got broadcast — wrong at scale:\n$p")
   }
 
+  test("r14 operators (d23/t24/m9): window-free, cartesian-free, bounded broadcasts") {
+    // d23: the benchmark token-gram set rides a broadcast membership
+    // join (metadata-sized by definition); the corpus gram stream is
+    // never pre-shuffled — the only exchanges are the survivors'
+    // distinct and the per-doc rollup
+    val p23 = plan("d23_token_decontam")
+    assert(!p23.contains("Window"), p23)
+    assert(!p23.contains("CartesianProduct"), p23)
+    assert(p23.contains("BroadcastHashJoin"), p23)
+    // t24: the 256-row model broadcasts into the token stream; the
+    // doc rollup is a partial-aggregated groupBy; no window anywhere
+    val p24 = plan("t24_dsir_resample")
+    assert(!p24.contains("Window"), p24)
+    assert(!p24.contains("CartesianProduct"), p24)
+    assert(p24.contains("BroadcastHashJoin"), p24)
+    assert("HashAggregate".r.findAllIn(p24).size >= 2, p24)
+    // m9: the phash block self-join must stay an equi-join (the
+    // multi-index contract) — never a nested-loop or cartesian
+    val p9 = plan("m9_crossmodal_dedup")
+    assert(!p9.contains("Window"), p9)
+    assert(!p9.contains("CartesianProduct"), p9)
+    assert(!p9.contains("BroadcastNestedLoopJoin"), p9)
+  }
+
   test("d17 bloom probe broadcasts only the bounded bitmap; no window, no cartesian") {
     val p = plan("d17_bloom_admit")
     assert(!p.contains("Window"), p)

@@ -575,6 +575,50 @@ class PropertySpec extends SparkSpec {
     assert(got.count(_._4) > 0 && got.map(_._3).distinct.length > 1)
   }
 
+  test("native TokenGramHash equals an independent BigInt reference, unicode included") {
+    import graft.functions.TokenGramHash
+    val P = BigInt(TokenGramHash.P)
+    def refCode(t: String): BigInt =
+      t.codePoints().toArray.foldLeft(BigInt(0))((h, cp) => (h * TokenGramHash.B0 + cp) mod P)
+    def refGrams(tokens: Seq[String], k: Int): Seq[String] = {
+      val codes = tokens.map(refCode)
+      (0 to tokens.length - k).map { p =>
+        def lane(b: Long) =
+          codes.slice(p, p + k).foldLeft(BigInt(0))((h, c) => (h * b + c) mod P)
+        s"${lane(TokenGramHash.B1)}_${lane(TokenGramHash.B2)}"
+      }
+    }
+    def nativeGrams(tokens: Seq[String], k: Int): Seq[String] = {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val in = new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any])
+      val out = TokenGramHash.compute(in, k)
+      (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+    }
+    val rnd = new scala.util.Random(20260815)
+    val alphabets = Seq("abcdef", "a兔🧪é</w>x0.", " aZé世😀")
+    for (trial <- 1 to 40) {
+      val alpha = alphabets(trial % alphabets.length)
+      // tokens as random code-point sequences (1..6 cps, astral incl.)
+      val cps = alpha.codePoints().toArray
+      val n = 1 + rnd.nextInt(40)
+      val tokens = Seq.fill(n) {
+        val len = 1 + rnd.nextInt(6)
+        val sb = new StringBuilder
+        (1 to len).foreach(_ => sb.appendAll(Character.toChars(cps(rnd.nextInt(cps.length)))))
+        sb.toString
+      }
+      val k = 1 + rnd.nextInt(math.min(8, n))
+      assert(nativeGrams(tokens, k) == refGrams(tokens, k),
+        s"trial $trial mismatch for k=$k tokens=$tokens")
+    }
+    // the rolling update and the per-window polynomial agree on the
+    // real corpus tokenization width too
+    val wide = Seq.fill(200)(rnd.nextInt(1114111).toChar.toString.filter(!_.isSurrogate))
+      .map(t => if (t.isEmpty) "x" else t)
+    assert(nativeGrams(wide, 28) == refGrams(wide, 28))
+  }
+
   test("t24 DSIR resampling moves the kept mixture toward the target distribution") {
     val rows = SparkEntry.queries("t24_dsir_resample")(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(3), r.getBoolean(5)))
