@@ -577,25 +577,35 @@ object Multimodal {
           "concat(slice(filter(split(lower(src_text), '\\\\s+'), t -> t != ''), 1, 9), array('v2'))"))
           .otherwise(expr("slice(filter(split(lower(text), '\\\\s+'), t -> t != ''), 1, 10)"))
           .as("cap"))
+    // the '0'/'1' hash string converts ONCE per record to two 32-bit
+    // halves, so the per-candidate hamming verify is codegen'd
+    // bit_count(xor) — the d8 discipline. The 16-bit block candidates
+    // grow with the SQUARE of block occupancy (birthday collisions:
+    // ~800 pairs at sf0.1 → ~76k at sf1), which is fine iff the
+    // verify is near-free; the first cut's interpreted 64-step
+    // substring fold multiplied exactly that growth and tripped the
+    // sf1 gate at 8.4x.
     val sig = recs.select(col("doc_id"), col("cap"),
       octet_length(col("payload").cast("binary")).cast("long").as("n_bytes"),
       aHashCol(col("payload")).as("phash"))
-    val blocks = sig.select(col("doc_id"), col("phash"),
+      .withColumn("ph_hi", expr("cast(conv(substring(phash, 1, 32), 2, 10) as bigint)"))
+      .withColumn("ph_lo", expr("cast(conv(substring(phash, 33, 32), 2, 10) as bigint)"))
+    val blocks = sig.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"), substring(col("phash"), 1 + 16 * b, 16).as("bkey"))): _*))
         .as("blk"))
-      .select(col("doc_id"), col("phash"), col("blk.b").as("b"), col("blk.bkey").as("bkey"))
+      .select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+        col("blk.b").as("b"), col("blk.bkey").as("bkey"))
+    // hamming <= 3 verifies INSIDE the join (codegen'd xor+popcount),
+    // so the quadratic candidate stream dies before the distinct
     val cand = blocks.as("x").join(blocks.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          expr("bit_count(x.ph_hi ^ y.ph_hi) + bit_count(x.ph_lo ^ y.ph_lo)") <= 3)
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        col("x.phash").as("pa"), col("y.phash").as("pb"))
+        expr("bit_count(x.ph_hi ^ y.ph_hi) + bit_count(x.ph_lo ^ y.ph_lo)").as("hamming"))
       .distinct()
     val ver = cand
-      .withColumn("hamming", expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + " +
-          "CASE WHEN substring(pa, i, 1) = substring(pb, i, 1) THEN 0 ELSE 1 END)"))
-      .filter(col("hamming") <= 3)
       .join(sig.select(col("doc_id").as("da"), col("cap").as("ca"),
         col("n_bytes").as("nba")), Seq("da"))
       .join(sig.select(col("doc_id").as("db"), col("cap").as("cb"),
