@@ -8,7 +8,30 @@ import org.apache.spark.sql.SparkSession
   * `count()`'s column-pruning shortcuts.
   */
 object Bench {
+  /** Host-speed calibration: a fixed 2e8-step xorshift64 loop, timed,
+    * best-of-3 (pass 1 absorbs JIT). Round 14's full sweeps ran a
+    * uniform ~1.13x over round 13's (median per-query ratio 1.128
+    * across all 133 common queries, p10 1.03 / p90 1.28, q1_agg —
+    * untouched for rounds — +18% on an idle host), i.e. the HOST got
+    * slower between rounds, not the code. Absolute sweep totals are
+    * only comparable with a host-speed denominator; this probe puts
+    * one in every bench artifact (`calib_ms`).
+    */
+  private def hostCalibMs(): Long = {
+    def pass(): Long = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      // consume x so the loop cannot be dead-code-eliminated
+      if (x == 0) System.err.println("calib: unreachable")
+      (System.nanoTime() - t0) / 1000000
+    }
+    (1 to 3).map(_ => pass()).min
+  }
+
   def main(args: Array[String]): Unit = {
+    val calibMs = hostCalibMs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -87,7 +110,7 @@ object Bench {
         "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs}"""
     // The stdout metric line stays SHORT (~150 bytes): BENCH_r09 came
     // back parsed:null because the 92-entry per-query map grew the line
     // to ~2.9 KB and the driver's 2000-char capture tail sliced it
@@ -102,7 +125,7 @@ object Bench {
     val queriesLine =
       s"""{"metric":"queries","unit":"centisec","sf":"$sfDir","queries":$shortQs}"""
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs}"""
     // stdout can be lost in log noise; persist the full map for the driver
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     // history only records FULL sweeps (filtered local-iteration runs
