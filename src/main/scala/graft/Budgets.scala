@@ -69,6 +69,7 @@ object Budgets {
     "g2_request_validate" -> 0.5,
     "g3_batch_shard" -> 0.5,
     "g16_budget_shard" -> 1.5,
+    "g17_request_dedup" -> 0.7,
     "g4_response_parse" -> 0.7,
     "g5_result_join" -> 0.8,
     "g6_error_split" -> 0.5,
@@ -127,6 +128,7 @@ object Budgets {
     "s4_ivf_probe" -> 1.9,
     "s12_range_search" -> 1.9,
     "s13_range_recall" -> 2.5,
+    "s14_bm25" -> 1.0,
     "s5_ann_recall" -> 1.1,
     "s6_ivf_recall" -> 2.5,
     "s7_sq8_recall" -> 2.2,

@@ -16,6 +16,7 @@ object SparkEntry {
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (sim.Knn.queries, sim.Knn.oracles),
+    (sim.Bm25.queries, sim.Bm25.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracles))
 

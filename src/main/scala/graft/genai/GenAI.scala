@@ -638,7 +638,83 @@ object GenAI {
       |  CAST(SUM(payload_chars) AS BIGINT) > $ShardBudgetChars AS over_budget
       |FROM o GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  /** g17: request idempotency dedup — collapse byte-identical request
+    * bodies BEFORE submission and fan the one paid response back out.
+    * The reference resubmits failed batches wholesale
+    * (openai_batch_processor.py:217 `retry_failed_requests` re-uploads
+    * every failed request), and a flaky client re-enqueues the same
+    * prompt under a fresh custom_id — in a paid batch API every
+    * collapsed duplicate is tokens not bought. The operational
+    * duplicates are planted in-query (the m9/d23 plant discipline):
+    * docs with doc_id % 7 = 3 are re-submitted under
+    * `request-<id>-retry` with an IDENTICAL body, so the collapse is
+    * falsifiable — the oracle must see exactly those groups at size 2
+    * and every other group at size 1.
+    *
+    * Identity = md5 over the FULL body tuple (method, url, model,
+    * system, user, max_tokens, temperature) — the d1 fp convention: a
+    * 32-hex shuffle key instead of kilobyte prompt bodies; canonical =
+    * lexicographic min custom_id (the original is a prefix of its
+    * retry, so orig wins its group; deterministic in both engines).
+    *
+    * Scale shape: one partial+final count/min aggregate on fp, one
+    * shuffle equi-join back on fp (both sides already fp-partitioned
+    * after the aggregate — ReuseExchange collapses the probe side's
+    * exchange), no broadcast of anything corpus-sized, corpus-sized
+    * output → sortWithinPartitions. Duplicate groups are bounded (a
+    * retry storm on one prompt is operationally bounded by attempt
+    * caps), so fp is not a skew key.
+    */
+  private def g17(s: SparkSession, d: String): DataFrame = {
+    val base = reqs(s, d)
+    val resub = base.filter(col("doc_id") % 7 === 3)
+      .withColumn("custom_id", concat(col("custom_id"), lit("-retry")))
+    val keyed = base.unionAll(resub)
+      .select(col("doc_id"), col("custom_id"),
+        md5(concat_ws("\u0001",
+          col("method"), col("url"), col("model"), col("system_content"),
+          col("user_content"), col("max_tokens").cast("string"),
+          col("temperature").cast("string")).cast("binary")).as("fp"),
+        length(col("user_content")).cast("long").as("chars"))
+    val groups = keyed.groupBy(col("fp"))
+      .agg(min(col("custom_id")).as("canonical_custom_id"),
+        count(lit(1)).as("n_dup"))
+    keyed.join(groups, Seq("fp"))
+      .select(col("doc_id"), col("custom_id"), col("canonical_custom_id"),
+        (col("custom_id") === col("canonical_custom_id")).as("is_canonical"),
+        col("n_dup"),
+        when(col("custom_id") === col("canonical_custom_id"), lit(0L))
+          .otherwise(col("chars")).as("saved_chars"))
+      .sortWithinPartitions(col("custom_id"))
+  }
+
+  private val g17Sql = ReqsCte +
+    """,
+      |allreq AS (
+      |  SELECT doc_id, custom_id, method, url, model, system_content,
+      |         user_content, max_tokens, temperature FROM reqs
+      |  UNION ALL
+      |  SELECT doc_id, custom_id || '-retry', method, url, model,
+      |         system_content, user_content, max_tokens, temperature
+      |  FROM reqs WHERE doc_id % 7 = 3),
+      |keyed AS (
+      |  SELECT doc_id, custom_id,
+      |    md5(concat_ws(chr(1), method, url, model, system_content,
+      |      user_content, CAST(max_tokens AS VARCHAR),
+      |      CAST(temperature AS VARCHAR))) AS fp,
+      |    CAST(length(user_content) AS BIGINT) AS chars
+      |  FROM allreq),
+      |grp AS (
+      |  SELECT fp, MIN(custom_id) AS canonical_custom_id, COUNT(*) AS n_dup
+      |  FROM keyed GROUP BY fp)
+      |SELECT k.doc_id, k.custom_id, g.canonical_custom_id,
+      |  k.custom_id = g.canonical_custom_id AS is_canonical, g.n_dup,
+      |  CASE WHEN k.custom_id = g.canonical_custom_id THEN 0
+      |       ELSE k.chars END AS saved_chars
+      |FROM keyed k JOIN grp g USING (fp) ORDER BY k.custom_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "g17_request_dedup" -> (g17 _),
     "g16_budget_shard" -> (g16 _),
     "g15_corrupt_quarantine" -> (g15 _),
     "g14_workflow_run" -> (g14 _),
@@ -657,6 +733,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g17_request_dedup" -> g17Sql,
     "g16_budget_shard" -> g16Sql,
     "g15_corrupt_quarantine" -> g15Sql,
     "g14_workflow_run" -> g14Sql,

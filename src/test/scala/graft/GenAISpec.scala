@@ -440,4 +440,38 @@ class GenAISpec extends SparkSpec {
       assert(r.getAs[Boolean]("over_budget") == (chars > budget))
     }
   }
+
+  test("g17 collapses exactly the planted identical-body resubmissions") {
+    val out = SparkEntry.queries("g17_request_dedup")(spark, sf).collect()
+    val nBase = reqs.count()
+    val plantIds = docs.filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every request (original + planted retry) survives to the output
+    assert(out.length == nBase + plantIds.size)
+    // groups: the planted docs collapse at size 2, everything else is
+    // singleton — i.e. no accidental byte-identical bodies in the corpus
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rows) =>
+      val expected = if (plantIds(id)) 2 else 1
+      assert(rows.length == expected && rows.forall(_.getAs[Long]("n_dup") == expected),
+        s"doc $id: expected group size $expected")
+      // exactly one canonical per group, and it is the ORIGINAL id
+      // (lexicographic min — the original is a prefix of its retry)
+      val canon = rows.filter(_.getAs[Boolean]("is_canonical"))
+      assert(canon.length == 1)
+      assert(!canon.head.getAs[String]("custom_id").endsWith("-retry"))
+      // canonical rows save nothing; every duplicate saves its payload
+      assert(canon.head.getAs[Long]("saved_chars") == 0L)
+      rows.filterNot(_.getAs[Boolean]("is_canonical")).foreach { r =>
+        assert(r.getAs[Long]("saved_chars") > 0L)
+        assert(r.getAs[String]("canonical_custom_id") ==
+          canon.head.getAs[String]("custom_id"))
+      }
+    }
+    // the saved-chars ledger equals the planted docs' payload lengths
+    val savedTotal = out.map(_.getAs[Long]("saved_chars")).sum
+    val plantChars = reqs.filter(col("doc_id") % 7 === 3)
+      .agg(sum(length(col("user_content")).cast("long"))).head().getLong(0)
+    assert(savedTotal == plantChars)
+  }
 }
