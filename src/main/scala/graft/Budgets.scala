@@ -129,6 +129,7 @@ object Budgets {
     "s12_range_search" -> 1.9,
     "s13_range_recall" -> 2.5,
     "s14_bm25" -> 1.0,
+    "s15_hybrid_rrf" -> 1.9,
     "s5_ann_recall" -> 1.1,
     "s6_ivf_recall" -> 2.5,
     "s7_sq8_recall" -> 2.2,

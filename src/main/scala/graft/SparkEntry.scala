@@ -17,6 +17,7 @@ object SparkEntry {
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (sim.Knn.queries, sim.Knn.oracles),
     (sim.Bm25.queries, sim.Bm25.oracles),
+    (sim.Hybrid.queries, sim.Hybrid.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracles))
 

@@ -79,10 +79,10 @@ object Knn {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
 
-  /** The brute-force scoring shared by s1 (top-k truth) and s13's
-    * range truth: broadcast query side, corpus never shuffles for
-    * scoring. */
-  private def bruteScored(s: SparkSession, d: String): DataFrame = {
+  /** The brute-force scoring shared by s1 (top-k truth), s13's range
+    * truth, and s15's dense arm ([[Hybrid.denseArm]]): broadcast query
+    * side, corpus never shuffles for scoring. */
+  private[sim] def bruteScored(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       // corpus norms once per vector; spread the scan before the
       // per-candidate dot loop
