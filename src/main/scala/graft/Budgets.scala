@@ -130,6 +130,7 @@ object Budgets {
     "s13_range_recall" -> 2.5,
     "s14_bm25" -> 1.0,
     "s15_hybrid_rrf" -> 1.9,
+    "s16_hard_negatives" -> 2.1,
     "s5_ann_recall" -> 1.1,
     "s6_ivf_recall" -> 2.5,
     "s7_sq8_recall" -> 2.2,
@@ -234,6 +235,7 @@ object Budgets {
     "s6_ivf_recall" -> 8.0,
     "s7_sq8_recall" -> 8.0,
     "s13_range_recall" -> 8.0,
+    "s16_hard_negatives" -> 8.0,
     "st5_stream_append_window" -> 8.0,
     "st6_stream_stream_join" -> 8.0,
     "st7_stream_dedup_bounded" -> 8.0,

@@ -18,6 +18,7 @@ object SparkEntry {
     (sim.Knn.queries, sim.Knn.oracles),
     (sim.Bm25.queries, sim.Bm25.oracles),
     (sim.Hybrid.queries, sim.Hybrid.oracles),
+    (sim.Mining.queries, sim.Mining.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracles))
 

@@ -161,6 +161,29 @@ object Bm25 {
     sb.result()
   }
 
+  /** The whitespace tokenizer the lexical family shares (s15/s16 use
+    * it where the term set is data-dependent and the literal-regex
+    * plan above doesn't apply): lowercase split, empties dropped. */
+  private[sim] val TsE = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
+
+  /** BM25 constants relation (tok, idf_milli, a) from a (doc, tok,
+    * tf, len) relation and a one-row (n_docs, s_tok) stats relation —
+    * df per token, idf via the shift-and-square milli-bit log, avgdl
+    * rounded. Vocab-sized output; callers broadcast it into scoring.
+    */
+  private[sim] def idfConsts(tf: DataFrame, stats: DataFrame): DataFrame =
+    tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), (col("df") * 2 + 1).as("num"),
+        (col("n_docs") * 2 + 2).as("den"),
+        expr("(2 * s_tok + n_docs) div (2 * n_docs)").as("a"))
+      .select(col("tok"),
+        expr(graft.text.TextAnalysis.surpMilliSpark).as("idf_milli"), col("a"))
+
+  /** The fraction-cleared per-term score — see the class scaladoc. */
+  private[sim] val StermExpr =
+    "(idf_milli * (44 * a * tf)) div (20 * a * tf + 6 * a + 18 * len)"
+
   val queries: Map[String, QFn] = Map("s14_bm25" -> (s14 _))
   val oracles: Map[String, String] = Map("s14_bm25" -> s14Sql)
 }

@@ -51,7 +51,7 @@ object Hybrid {
   private[graft] val ArmK = 20
   private[graft] val RrfC = 60L
 
-  private val TsE = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
+  private def TsE = Bm25.TsE
 
   /** Lexical arm: BM25 query-by-document — s14's integer arithmetic
     * with the term set = [[QueryDoc]]'s distinct tokens. Returns
@@ -78,18 +78,10 @@ object Hybrid {
     // df over ALL docs (the query doc contributes its own df — the
     // corpus-wide BM25 convention); idf + avgdl on the vocab-sized
     // table, broadcast into the scoring join
-    val consts = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .select(col("tok"), (col("df") * 2 + 1).as("num"),
-        (col("n_docs") * 2 + 2).as("den"),
-        expr("(2 * s_tok + n_docs) div (2 * n_docs)").as("a"))
-      .select(col("tok"),
-        expr(graft.text.TextAnalysis.surpMilliSpark).as("idf_milli"), col("a"))
+    val consts = Bm25.idfConsts(tf, stats)
     val top = tf.filter(col("doc_id") =!= QueryDoc)
       .join(broadcast(consts), Seq("tok"))
-      .select(col("doc_id"),
-        expr("(idf_milli * (44 * a * tf)) div (20 * a * tf + 6 * a + 18 * len)")
-          .as("sterm"))
+      .select(col("doc_id"), expr(Bm25.StermExpr).as("sterm"))
       .groupBy(col("doc_id")).agg(sum(col("sterm")).as("score_milli"))
       .orderBy(col("score_milli").desc, col("doc_id"))
       .limit(ArmK)
