@@ -713,7 +713,88 @@ object GenAI {
       |       ELSE k.chars END AS saved_chars
       |FROM keyed k JOIN grp g USING (fp) ORDER BY k.custom_id""".stripMargin
 
+  /** g18: best-of-n preference-pair construction — the DPO/RLHF
+    * training-data operator downstream of a batch run (Rafailov et al.
+    * 2023, arXiv:2305.18290: a preference dataset is (prompt, chosen,
+    * rejected) triples; the standard recipe samples n completions per
+    * prompt, scores them with a reward model, and pairs the best
+    * against the worst when the margin is informative). The sampling
+    * and the reward model are model-external — exactly the boundary
+    * the [[Simulator]] stands in for everywhere else in this module —
+    * so each of the [[BonSamples]] completions per request carries a
+    * deterministic md5-derived milli-reward (the t24 uniform idiom,
+    * engine-exact via conv/strpos decoding of the same 8 hex digits).
+    *
+    * chosen = argmax (reward DESC, sample ASC), rejected = argmin
+    * (reward ASC, sample ASC) — both via min/max over ordered structs
+    * (the d10 keep-best discipline, no window); pairs below
+    * [[MinMarginMilli]] are dropped (the standard near-tie filter: a
+    * pair the reward model can't separate teaches nothing). At 4
+    * samples on a 0..999 uniform, P(range < 200) ≈ 2.7%, so both kept
+    * and dropped populations exist at every test scale.
+    *
+    * Scale shape: one explode (×n, a constant), one partial+final
+    * groupBy on doc_id, zero joins, zero windows, corpus-sized output
+    * → sortWithinPartitions.
+    */
+  private[graft] val BonSamples = 4
+  private[graft] val MinMarginMilli = 200L
+
+  private def g18(s: SparkSession, d: String): DataFrame = {
+    val samples = reqs(s, d)
+      .select(col("doc_id"), col("custom_id"),
+        explode(expr(s"sequence(0, ${BonSamples - 1})")).as("k"))
+      .select(col("doc_id"), col("k").cast("long").as("k"),
+        expr("cast(conv(substring(md5(concat(custom_id, '#', " +
+          "cast(k as string))), 1, 8), 16, 10) as bigint) % 1000")
+          .as("reward_milli"))
+    samples.groupBy(col("doc_id"))
+      .agg(
+        max(struct(col("reward_milli"), (-col("k")).as("nk"))).as("mx"),
+        min(struct(col("reward_milli"), col("k"))).as("mn"))
+      .select(col("doc_id"),
+        (-col("mx.nk")).as("chosen_k"),
+        col("mx.reward_milli").as("chosen_reward_milli"),
+        col("mn.k").as("rejected_k"),
+        col("mn.reward_milli").as("rejected_reward_milli"),
+        (col("mx.reward_milli") - col("mn.reward_milli")).as("margin_milli"))
+      .filter(col("margin_milli") >= MinMarginMilli)
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val g18Sql = {
+    // 32-bit value from 8 md5 hex digits, decoded positionally (the
+    // d17/t24 oracle idiom — DuckDB has no conv)
+    val decode = (1 to 8).map { p =>
+      s"(strpos('0123456789abcdef', substring(md5(custom_id || '#' || k), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    ReqsCte +
+      s""",
+      |samples AS (
+      |  SELECT r.doc_id, r.custom_id, CAST(t.k AS BIGINT) AS k
+      |  FROM reqs r, unnest(generate_series(0, ${BonSamples - 1})) AS t(k)),
+      |scored AS (
+      |  SELECT doc_id, k, ($decode) % 1000 AS reward_milli FROM samples),
+      |ch AS (
+      |  SELECT doc_id, k AS chosen_k, reward_milli AS chosen_reward_milli,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY reward_milli DESC, k) AS rn
+      |  FROM scored QUALIFY rn = 1),
+      |rj AS (
+      |  SELECT doc_id, k AS rejected_k, reward_milli AS rejected_reward_milli,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY reward_milli ASC, k) AS rn
+      |  FROM scored QUALIFY rn = 1)
+      |SELECT c.doc_id, c.chosen_k, c.chosen_reward_milli,
+      |  r.rejected_k, r.rejected_reward_milli,
+      |  c.chosen_reward_milli - r.rejected_reward_milli AS margin_milli
+      |FROM ch c JOIN rj r USING (doc_id)
+      |WHERE c.chosen_reward_milli - r.rejected_reward_milli >= $MinMarginMilli
+      |ORDER BY c.doc_id""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "g18_preference_pairs" -> (g18 _),
     "g17_request_dedup" -> (g17 _),
     "g16_budget_shard" -> (g16 _),
     "g15_corrupt_quarantine" -> (g15 _),
@@ -733,6 +814,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g18_preference_pairs" -> g18Sql,
     "g17_request_dedup" -> g17Sql,
     "g16_budget_shard" -> g16Sql,
     "g15_corrupt_quarantine" -> g15Sql,

@@ -474,4 +474,36 @@ class GenAISpec extends SparkSpec {
       .agg(sum(length(col("user_content")).cast("long"))).head().getLong(0)
     assert(savedTotal == plantChars)
   }
+
+  test("g18 preference pairs equal the in-JVM best-of-n reference") {
+    val ids = reqs.select("doc_id", "custom_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = ids.flatMap { case (id, cid) =>
+      val rs = (0L until GenAI.BonSamples.toLong).map { k =>
+        k -> java.lang.Long.parseLong(md5hex(s"$cid#$k").substring(0, 8), 16) % 1000
+      }
+      val (ck, cr) = rs.maxBy { case (k, r) => (r, -k) }
+      val (rk, rr) = rs.minBy { case (k, r) => (r, k) }
+      if (cr - rr >= GenAI.MinMarginMilli) Some((id, ck, cr, rk, rr, cr - rr))
+      else None
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("g18_preference_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chosen_k"),
+        r.getAs[Long]("chosen_reward_milli"), r.getAs[Long]("rejected_k"),
+        r.getAs[Long]("rejected_reward_milli"), r.getAs[Long]("margin_milli")))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    // both populations exist: some pairs kept, some near-ties dropped
+    assert(want.nonEmpty)
+    assert(want.length < ids.length,
+      "no near-tie was dropped — the margin filter is untested")
+    // a kept pair is always a real preference: distinct samples,
+    // strictly ordered rewards
+    got.foreach { case (_, ck, cr, rk, rr, m) =>
+      assert(ck != rk && cr > rr && m == cr - rr)
+    }
+  }
 }

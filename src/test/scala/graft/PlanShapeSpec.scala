@@ -343,6 +343,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p9.contains("BroadcastNestedLoopJoin"), p9)
   }
 
+  test("r14 retrieval family (s15/s16): window-free, cartesian-free, heap-ranked") {
+    // s15: both arms end in bounded top-k; the only nested-loop joins
+    // are one-row scalar crosses (stats/avgdl), never corpus-sized
+    val p15 = plan("s15_hybrid_rrf")
+    assert(!p15.contains("Window"), p15)
+    assert(!p15.contains("CartesianProduct"), p15)
+    assert(p15.contains("BroadcastHashJoin"), p15)
+    // s16: per-query ranking is TopKPerKey's partial+final heaps; the
+    // vocabulary/candidate joins are broadcast equi-joins
+    val p16 = plan("s16_hard_negatives")
+    assert(!p16.contains("Window"), p16)
+    assert(!p16.contains("CartesianProduct"), p16)
+    assert("TopKPerKey".r.findAllIn(p16).size >= 2,
+      s"s16 per-query ranking is not the partial+final heap pair:\n$p16")
+    assert(p16.contains("BroadcastHashJoin"), p16)
+  }
+
   test("d17 bloom probe broadcasts only the bounded bitmap; no window, no cartesian") {
     val p = plan("d17_bloom_admit")
     assert(!p.contains("Window"), p)
