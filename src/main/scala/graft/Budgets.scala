@@ -71,6 +71,7 @@ object Budgets {
     "g16_budget_shard" -> 1.5,
     "g17_request_dedup" -> 0.7,
     "g18_preference_pairs" -> 0.6,
+    "g19_model_router" -> 0.9,
     "g4_response_parse" -> 0.7,
     "g5_result_join" -> 0.8,
     "g6_error_split" -> 0.5,

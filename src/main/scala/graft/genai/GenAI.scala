@@ -793,7 +793,79 @@ object GenAI {
       |ORDER BY c.doc_id""".stripMargin
   }
 
+  /** g19: cost-aware model routing — the FrugalGPT-style cascade
+    * (Chen et al. 2023, arXiv:2305.05176: route each request to the
+    * cheapest model predicted to handle it; batch pipelines ship this
+    * as a pre-submission pass because the price gap between tiers is
+    * ~16×). The difficulty proxy is a deterministic integer text
+    * feature — the long-word milli-ratio of the prompt (words > 7
+    * chars per 1000 words; measured on this corpus: median ≈ 84,
+    * IQR 62–120, so [[RouteTauMilli]] = 100 routes a robust ~40% to
+    * premium at every scale) — compared by integer cross-
+    * multiplication (1000·n_long ≥ τ·n_words, the t2/t14 no-float
+    * discipline). Cost ledger in nano-USD per token (g8's premium
+    * rates; the mini tier at the published ~16× discount), plus the
+    * counterfactual `saved_vs_premium_nano` — the number the cascade
+    * exists to maximize.
+    *
+    * Scale shape: per-row projections + ONE partial+final groupBy on
+    * the 2-value tier key; no joins, no windows, 2-row output.
+    */
+  private[graft] val RouteTauMilli = 100L
+  private[graft] val PremiumModel = "gpt-4.1"
+  private[graft] val MiniModel = "gpt-4o-mini"
+
+  private def g19(s: SparkSession, d: String): DataFrame = {
+    val routed = reqs(s, d).select(
+      expr("cast(size(filter(split(user_content, '\\\\s+'), " +
+        "w -> length(w) > 7)) as bigint)").as("n_long"),
+      expr("cast(regexp_count(user_content, '\\\\S+') as bigint)").as("n_words"),
+      expr("cast((length(system_content) + length(user_content) + 3) div 4 as bigint)")
+        .as("ptok"),
+      col("max_tokens").cast("long").as("ctok"))
+      .withColumn("routed_model",
+        when(col("n_long") * 1000L >= col("n_words") * RouteTauMilli,
+          lit(PremiumModel)).otherwise(lit(MiniModel)))
+    routed.groupBy(col("routed_model"))
+      .agg(count(lit(1)).as("n_requests"),
+        sum(col("ptok")).as("est_prompt_tokens"),
+        sum(col("ctok")).as("est_completion_tokens"),
+        sum(when(col("routed_model") === PremiumModel,
+          col("ptok") * 2500L + col("ctok") * 10000L)
+          .otherwise(col("ptok") * 150L + col("ctok") * 600L)).as("est_cost_nano"),
+        sum(when(col("routed_model") === PremiumModel, lit(0L))
+          .otherwise(col("ptok") * 2350L + col("ctok") * 9400L))
+          .as("saved_vs_premium_nano"))
+      .orderBy(col("routed_model"))
+  }
+
+  private val g19Sql = ReqsCte +
+    s""",
+      |routed AS (
+      |  SELECT
+      |    CAST(len(list_filter(regexp_extract_all(user_content, '\\S+'),
+      |      w -> length(w) > 7)) AS BIGINT) AS n_long,
+      |    CAST(len(regexp_extract_all(user_content, '\\S+')) AS BIGINT) AS n_words,
+      |    CAST((length(system_content) + length(user_content) + 3) // 4 AS BIGINT) AS ptok,
+      |    CAST(max_tokens AS BIGINT) AS ctok
+      |  FROM reqs),
+      |tagged AS (
+      |  SELECT *,
+      |    CASE WHEN n_long * 1000 >= n_words * $RouteTauMilli
+      |         THEN '$PremiumModel' ELSE '$MiniModel' END AS routed_model
+      |  FROM routed)
+      |SELECT routed_model, COUNT(*) AS n_requests,
+      |  CAST(SUM(ptok) AS BIGINT) AS est_prompt_tokens,
+      |  CAST(SUM(ctok) AS BIGINT) AS est_completion_tokens,
+      |  CAST(SUM(CASE WHEN routed_model = '$PremiumModel'
+      |       THEN ptok * 2500 + ctok * 10000
+      |       ELSE ptok * 150 + ctok * 600 END) AS BIGINT) AS est_cost_nano,
+      |  CAST(SUM(CASE WHEN routed_model = '$PremiumModel' THEN 0
+      |       ELSE ptok * 2350 + ctok * 9400 END) AS BIGINT) AS saved_vs_premium_nano
+      |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "g19_model_router" -> (g19 _),
     "g18_preference_pairs" -> (g18 _),
     "g17_request_dedup" -> (g17 _),
     "g16_budget_shard" -> (g16 _),
@@ -814,6 +886,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g19_model_router" -> g19Sql,
     "g18_preference_pairs" -> g18Sql,
     "g17_request_dedup" -> g17Sql,
     "g16_budget_shard" -> g16Sql,

@@ -506,4 +506,34 @@ class GenAISpec extends SparkSpec {
       assert(ck != rk && cr > rr && m == cr - rr)
     }
   }
+
+  test("g19 routing ledger equals the in-JVM recomputation; both tiers populated") {
+    val rows = reqs.select("user_content", "system_content", "max_tokens").collect()
+      .map { r =>
+        val uc = r.getString(0)
+        val nLong = uc.split("\\s+").count(_.length > 7).toLong
+        val nWords = uc.split("\\s+").count(_.nonEmpty).toLong
+        val ptok = (r.getString(1).length + uc.length + 3L) / 4
+        val ctok = r.getAs[Number]("max_tokens").longValue()
+        val premium = nLong * 1000 >= nWords * GenAI.RouteTauMilli
+        (if (premium) GenAI.PremiumModel else GenAI.MiniModel, ptok, ctok)
+      }
+    val want = rows.groupBy(_._1).map { case (m, rs) =>
+      val prem = m == GenAI.PremiumModel
+      (m, rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum,
+        rs.map(r => if (prem) r._2 * 2500 + r._3 * 10000 else r._2 * 150 + r._3 * 600).sum,
+        rs.map(r => if (prem) 0L else r._2 * 2350 + r._3 * 9400).sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("g19_model_router")(spark, sf).collect()
+      .map(r => (r.getAs[String]("routed_model"), r.getAs[Long]("n_requests"),
+        r.getAs[Long]("est_prompt_tokens"), r.getAs[Long]("est_completion_tokens"),
+        r.getAs[Long]("est_cost_nano"), r.getAs[Long]("saved_vs_premium_nano")))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"\n got: $got\nwant: $want")
+    // the cascade is live: both tiers carry requests, and the mini
+    // tier's counterfactual saving is positive
+    assert(got.map(_._1).toSet == Set(GenAI.PremiumModel, GenAI.MiniModel))
+    assert(got.find(_._1 == GenAI.MiniModel).get._6 > 0)
+    assert(got.find(_._1 == GenAI.PremiumModel).get._6 == 0)
+  }
 }
