@@ -148,6 +148,7 @@ object Budgets {
     "st10_stream_bloom" -> 0.8,
     "st11_stream_compact" -> 2.3,
     "st12_stream_pii" -> 1.8,
+    "st13_stream_route" -> 1.9,
     "t10_pack" -> 1.2,
     "t11_stratified" -> 0.5,
     "t1_tokens" -> 0.5,

@@ -815,8 +815,14 @@ object GenAI {
   private[graft] val PremiumModel = "gpt-4.1"
   private[graft] val MiniModel = "gpt-4o-mini"
 
-  private def g19(s: SparkSession, d: String): DataFrame = {
-    val routed = reqs(s, d).select(
+  /** The per-request routing decision — a stateless per-row
+    * projection, shared by g19's ledger and the ingest-time streaming
+    * router (st13, which pins stream ≡ batch row-for-row on exactly
+    * this relation). Columns: doc_id, routed_model, ptok, ctok,
+    * cost_nano, saved_nano.
+    */
+  private[graft] def routeRequests(requests: DataFrame): DataFrame =
+    requests.select(col("doc_id"),
       expr("cast(size(filter(split(user_content, '\\\\s+'), " +
         "w -> length(w) > 7)) as bigint)").as("n_long"),
       expr("cast(regexp_count(user_content, '\\\\S+') as bigint)").as("n_words"),
@@ -826,18 +832,47 @@ object GenAI {
       .withColumn("routed_model",
         when(col("n_long") * 1000L >= col("n_words") * RouteTauMilli,
           lit(PremiumModel)).otherwise(lit(MiniModel)))
-    routed.groupBy(col("routed_model"))
+      .select(col("doc_id"), col("routed_model"), col("ptok"), col("ctok"),
+        when(col("routed_model") === PremiumModel,
+          col("ptok") * 2500L + col("ctok") * 10000L)
+          .otherwise(col("ptok") * 150L + col("ctok") * 600L).as("cost_nano"),
+        when(col("routed_model") === PremiumModel, lit(0L))
+          .otherwise(col("ptok") * 2350L + col("ctok") * 9400L).as("saved_nano"))
+
+  /** st13's oracle: the per-row routing decision as SQL (ReqsCte's
+    * request derivation + the same integer rule). */
+  private[graft] val RoutedRowsSql = ReqsCte +
+    s""",
+      |routed AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(regexp_extract_all(user_content, '\\S+'),
+      |      w -> length(w) > 7)) AS BIGINT) AS n_long,
+      |    CAST(len(regexp_extract_all(user_content, '\\S+')) AS BIGINT) AS n_words,
+      |    CAST((length(system_content) + length(user_content) + 3) // 4 AS BIGINT) AS ptok,
+      |    CAST(max_tokens AS BIGINT) AS ctok
+      |  FROM reqs),
+      |tagged AS (
+      |  SELECT *,
+      |    CASE WHEN n_long * 1000 >= n_words * $RouteTauMilli
+      |         THEN '$PremiumModel' ELSE '$MiniModel' END AS routed_model
+      |  FROM routed)
+      |SELECT doc_id, routed_model, ptok, ctok,
+      |  CASE WHEN routed_model = '$PremiumModel'
+      |       THEN ptok * 2500 + ctok * 10000
+      |       ELSE ptok * 150 + ctok * 600 END AS cost_nano,
+      |  CASE WHEN routed_model = '$PremiumModel' THEN 0
+      |       ELSE ptok * 2350 + ctok * 9400 END AS saved_nano
+      |FROM tagged ORDER BY doc_id""".stripMargin
+
+  private def g19(s: SparkSession, d: String): DataFrame =
+    routeRequests(reqs(s, d))
+      .groupBy(col("routed_model"))
       .agg(count(lit(1)).as("n_requests"),
         sum(col("ptok")).as("est_prompt_tokens"),
         sum(col("ctok")).as("est_completion_tokens"),
-        sum(when(col("routed_model") === PremiumModel,
-          col("ptok") * 2500L + col("ctok") * 10000L)
-          .otherwise(col("ptok") * 150L + col("ctok") * 600L)).as("est_cost_nano"),
-        sum(when(col("routed_model") === PremiumModel, lit(0L))
-          .otherwise(col("ptok") * 2350L + col("ctok") * 9400L))
-          .as("saved_vs_premium_nano"))
+        sum(col("cost_nano")).as("est_cost_nano"),
+        sum(col("saved_nano")).as("saved_vs_premium_nano"))
       .orderBy(col("routed_model"))
-  }
 
   private val g19Sql = ReqsCte +
     s""",

@@ -138,7 +138,8 @@ object StreamingOps {
   }
 
   private val docsStreamSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType)))
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType)))
 
   /** The FULL document corpus staged as `nFiles` landing files (split
     * by `doc_id % nFiles`, strictly increasing mtimes) and read with
@@ -158,7 +159,9 @@ object StreamingOps {
     val marker = dir.resolve("_src_meta")
     // srcMeta (corpus path embedded) + a version token, per the ADVICE
     // r13 marker-consistency fix
-    val meta = graft.StagePath.srcMeta(d, src, "alldocs1")
+    // version bump alldocs1 -> alldocs2: the staged rows gained `lang`
+    // (st13 derives chat requests, whose model policy reads it)
+    val meta = graft.StagePath.srcMeta(d, src, "alldocs2")
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet"))) &&
@@ -172,7 +175,7 @@ object StreamingOps {
       for (k <- 0 until nFiles) {
         graft.Tables.documents(s, d)
           .filter(col("doc_id") % nFiles === k)
-          .select(col("doc_id"), col("text"))
+          .select(col("doc_id"), col("text"), col("lang"))
           .coalesce(1).write.mode("overwrite").parquet(work.toString)
         val partFile = {
           val l = java.nio.file.Files.list(work)
@@ -919,7 +922,30 @@ object StreamingOps {
 
   private val st12Sql = graft.text.TextAnalysis.oracles("t16_pii_redact")
 
+  /** st13: ingest-time model routing — g19's per-request routing
+    * decision ([[graft.genai.GenAI.routeRequests]], the SAME column
+    * expressions) run on the continuous document stream under the
+    * real multi-batch regime (4 landing files, maxFilesPerTrigger=1).
+    * Request construction + routing are stateless per-row maps: no
+    * state store, no watermark, batching-invariant by construction —
+    * the operational story is a live request feed being routed to
+    * model tiers AT ingest, with the guarantee that the streamed
+    * decisions are byte-identical to the batch router's (the st12
+    * compliance discipline, applied to spend instead of PII). Oracle:
+    * the per-row routing SQL over the whole table; the spec pins
+    * st13 == batch routeRequests row-for-row.
+    */
+  private def st13(s: SparkSession, d: String): DataFrame = {
+    val routed = graft.genai.GenAI.routeRequests(
+      graft.genai.Requests.chatRequests(docsStreamMulti(s, d, 4)))
+    runToMemory(s, routed, "graft_st13", mode = "append")
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val st13Sql = graft.genai.GenAI.RoutedRowsSql
+
   val queries: Map[String, QFn] = Map(
+    "st13_stream_route" -> (st13 _),
     "st12_stream_pii" -> (st12 _),
     "st11_stream_compact" -> (st11 _),
     "st10_stream_bloom" -> (st10 _),
@@ -934,6 +960,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st13_stream_route" -> st13Sql,
     "st12_stream_pii" -> st12Sql,
     "st11_stream_compact" -> st11Sql,
     "st10_stream_bloom" -> st10Sql,

@@ -130,6 +130,21 @@ class StreamingMultiBatchSpec extends SparkSpec {
     assert(st12.nonEmpty)
   }
 
+  test("st13 ingest-time routing equals the batch router row-for-row") {
+    // stateless request construction + routing: the streamed decisions
+    // must be byte-identical to the batch router over the table — the
+    // spend-control claim (no path submits an unrouted request)
+    val st13 = SparkEntry.queries("st13_stream_route")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    val batch = genai.GenAI.routeRequests(
+      genai.Requests.chatRequests(Tables.documents(spark, sf)))
+      .orderBy("doc_id").collect().toSeq
+    assert(st13 == batch, "streamed routing diverged from the batch router")
+    assert(st13.nonEmpty)
+    // both tiers appear in the streamed decisions
+    assert(st13.map(_.getAs[String]("routed_model")).toSet.size == 2)
+  }
+
   test("st11 incremental compaction over 4 micro-batches equals the one-shot q34 compaction") {
     // latest-wins is associative+commutative, so the foreachBatch
     // merge must land on exactly the batch answer whatever the
