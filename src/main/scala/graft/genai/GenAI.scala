@@ -657,10 +657,18 @@ object GenAI {
     * lexicographic min custom_id (the original is a prefix of its
     * retry, so orig wins its group; deterministic in both engines).
     *
-    * Scale shape: one partial+final count/min aggregate on fp, one
-    * shuffle equi-join back on fp (both sides already fp-partitioned
-    * after the aggregate — ReuseExchange collapses the probe side's
-    * exchange), no broadcast of anything corpus-sized, corpus-sized
+    * Scale shape: one partial+final count/min aggregate on fp, then
+    * an equi-join back on fp. Catalyst picks the join strategy by the
+    * aggregate's size estimate: on small corpora the groups side
+    * broadcasts (observed in PlanAudit — correct, it IS small); at
+    * scale the estimate exceeds the broadcast threshold and the join
+    * becomes a shuffle join whose exchanged rows are the 32-hex fp +
+    * two small columns, never the request bodies. The probe side
+    * re-evaluates the md5 projection rather than reusing the
+    * aggregate's exchange (column pruning specializes the partial
+    * aggregate, so the exchanges never canonicalize equal — the same
+    * mechanism measured in s14's df branch) — one extra codegen'd
+    * hash pass, cheaper than forcing a second shuffle. Corpus-sized
     * output → sortWithinPartitions. Duplicate groups are bounded (a
     * retry storm on one prompt is operationally bounded by attempt
     * caps), so fp is not a skew key.
