@@ -48,7 +48,14 @@ class DeterminismSpec extends SparkSpec {
     "d20_cross_batch_cluster", "m8_interleaved_pack", "d21_dedup_pack",
     "t22_learned_pack",
     // round-13 addition: multi-benchmark decontamination verdict
-    "d22_multi_decontam")
+    "d22_multi_decontam",
+    // round-14 additions: token decontam, DSIR, cross-modal dedup,
+    // the retrieval family (BM25/hybrid/hard-negatives), the genai
+    // pre/post-submission passes, the streamed router
+    "d23_token_decontam", "t24_dsir_resample", "m9_crossmodal_dedup",
+    "s14_bm25", "s15_hybrid_rrf", "s16_hard_negatives",
+    "g17_request_dedup", "g18_preference_pairs", "g19_model_router",
+    "st13_stream_route")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {
