@@ -133,6 +133,7 @@ object Budgets {
     "s14_bm25" -> 1.0,
     "s15_hybrid_rrf" -> 1.9,
     "s16_hard_negatives" -> 2.1,
+    "s17_ivf_incremental" -> 1.7,
     "s5_ann_recall" -> 1.1,
     "s6_ivf_recall" -> 2.5,
     "s7_sq8_recall" -> 2.2,

@@ -1201,6 +1201,15 @@ object Knn {
     * centroid/assignment rule changes, so stale staged indexes can
     * never serve a newer search path (the d16/st9 freshness rule). */
   private val IvfIndexVersion = "ivf1"
+  private val IvfDeltaVersion = "ivfdelta1"
+
+  /** The arriving batch's vectors — d18's planted derivation verbatim
+    * (Dedup.scala d18: every 10th vector, per-dimension ±2e-3 tilt,
+    * float-rounded identically in both engines). */
+  private val PerturbedBatchExpr =
+    """cast(transform(sequence(1, 64),
+      |  i -> cast(element_at(embedding, i) as double)
+      |       + 1e-3 * cast(i % 5 - 2 as double)) as array<float>)""".stripMargin
 
   /** s11: the PERSISTED IVF index — the offline-build / online-search
     * split every production ANN system has and s3–s10 (which rebuild
@@ -1227,7 +1236,13 @@ object Knn {
     * nprobe/ncells of the corpus bytes, and the cell directories
     * bound that I/O physically, not just logically.
     */
-  private def s11(s: SparkSession, d: String): DataFrame = {
+  /** Stage the persisted IVF index (centroids + cell-partitioned
+    * inverted lists) for corpus `d`, freshness-markered; returns the
+    * index directory. Shared by s11 (search) and s17 (incremental
+    * batch append — which treats this artifact as IMMUTABLE and adds
+    * a delta segment beside it).
+    */
+  private def ensureIvfIndex(s: SparkSession, d: String): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(d, "embeddings.parquet")
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
@@ -1253,9 +1268,15 @@ object Knn {
         .parquet(dir.resolve("lists").toString)
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
-    val centArr = s.read.parquet(dir.resolve("centroids").toString)
+    dir
+  }
+
+  /** The persisted-index probe side: each query ranks the staged
+    * centroids and keeps its 2 nearest cells (norm guard as in s1).
+    * Shared by s11 and s17. */
+  private def indexProbes(s: SparkSession, d: String, centArr: DataFrame): DataFrame = {
     val wc = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cell"))
-    val probes = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+    Tables.embeddings(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       .crossJoin(broadcast(centArr))
       .select(col("q_id"), col("qe"), col("cell"),
@@ -1265,15 +1286,11 @@ object Knn {
       .select(col("q_id"), col("qe"), col("cell").as("probe_cell"))
       .withColumn("norm_q", sqrt(VectorFunctions.dot("qe", "qe")))
       .filter(col("norm_q") > 0)
-    // the probed cell set: metadata-sized (≤ nq·nprobe rows) — the
-    // same class of driver-held listing as q36's pruned file list
-    val probedCells = probes.select(col("probe_cell")).distinct()
-      .collect().map(_.get(0))
-    val lists = s.read.parquet(dir.resolve("lists").toString)
-      // partition-column inference must land on the table's cell type
-      // (int32), not leave it to directory-name parsing luck
-      .withColumn("assigned_cell", col("assigned_cell").cast("int"))
-      .filter(col("assigned_cell").isin(probedCells.toIndexedSeq: _*))
+  }
+
+  /** Score broadcast probes against pruned inverted lists and rank
+    * top-5 per query — the shared tail of s11/s17. */
+  private def rankProbed(probes: DataFrame, lists: DataFrame): DataFrame = {
     val scored = broadcast(probes)
       .join(lists, col("probe_cell") === col("assigned_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("assigned_cell"),
@@ -1284,7 +1301,156 @@ object Knn {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  private def s11(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureIvfIndex(s, d)
+    val centArr = s.read.parquet(dir.resolve("centroids").toString)
+    val probes = indexProbes(s, d, centArr)
+    // the probed cell set: metadata-sized (≤ nq·nprobe rows) — the
+    // same class of driver-held listing as q36's pruned file list
+    val probedCells = probes.select(col("probe_cell")).distinct()
+      .collect().map(_.get(0))
+    val lists = s.read.parquet(dir.resolve("lists").toString)
+      // partition-column inference must land on the table's cell type
+      // (int32), not leave it to directory-name parsing luck
+      .withColumn("assigned_cell", col("assigned_cell").cast("int"))
+      .filter(col("assigned_cell").isin(probedCells.toIndexedSeq: _*))
+    rankProbed(probes, lists)
+  }
+
+  /** s17: incremental index maintenance — batch APPEND to the
+    * persisted IVF index without a rebuild (the production shape:
+    * FAISS `add` / Milvus-style delta segments; centroids are
+    * retrained rarely and OFFLINE, arriving vectors assign against
+    * the FROZEN centroids and land in a new segment). The d12/d20
+    * incremental-admission discipline applied to ANN:
+    *
+    *   - the base index ([[ensureIvfIndex]]) is IMMUTABLE — the batch
+    *     never rewrites it (an in-place append would silently corrupt
+    *     s11's staged artifact and every reader racing the write);
+    *   - the arriving batch (d18's planted derivation: every 10th
+    *     vector perturbed, re-keyed past the corpus — batch ids
+    *     provably disjoint) assigns against the PERSISTED centroids —
+    *     batch-sized work, one broadcast pass, nothing corpus-sized
+    *     recomputed — and lands as a cell-partitioned DELTA segment
+    *     with its own freshness marker;
+    *   - search probes the same 2 cells and scans base ∪ delta lists,
+    *     both directory-pruned to the probed cells.
+    *
+    * Because assignment is per-vector independent given frozen
+    * centroids, incremental ≡ from-scratch EXACTLY (no relaxation —
+    * stronger than d20's star-contraction argument); the spec asserts
+    * result equality against a from-scratch assignment of the union,
+    * and the oracle recomputes base-corpus centroids + union
+    * assignment + probe + rank in SQL.
+    */
+  private def s17(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureIvfIndex(s, d)
+    val centArr = s.read.parquet(dir.resolve("centroids").toString)
+    // delta segment: staged beside (never inside) the base index
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val delta = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ivfdelta_" + graft.StagePath.corpusToken(d))
+    java.nio.file.Files.createDirectories(delta)
+    val marker = delta.resolve("_src_meta")
+    val meta = graft.StagePath.srcMeta(d, src, IvfDeltaVersion)
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      java.nio.file.Files.exists(delta.resolve("lists"))
+    if (!fresh) {
+      val batch = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          lit(null).cast("int").as("label"),
+          expr(PerturbedBatchExpr).as("embedding"))
+      assign(batch
+          .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+          .filter(col("norm_e") > 0),
+          centArr, Seq("embedding", "norm_e"))
+        .select(col("vec_id"), col("embedding"), col("norm_e"),
+          col("cell").as("assigned_cell"))
+        .write.mode("overwrite").partitionBy("assigned_cell")
+        .parquet(delta.resolve("lists").toString)
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
+    val probes = indexProbes(s, d, centArr)
+    val probedCells = probes.select(col("probe_cell")).distinct()
+      .collect().map(_.get(0))
+    def segment(p: java.nio.file.Path): DataFrame =
+      s.read.parquet(p.resolve("lists").toString)
+        .withColumn("assigned_cell", col("assigned_cell").cast("int"))
+        .filter(col("assigned_cell").isin(probedCells.toIndexedSeq: _*))
+        .select("vec_id", "embedding", "norm_e", "assigned_cell")
+    rankProbed(probes, segment(dir).unionByName(segment(delta)))
+  }
+
+  /** The from-scratch comparator for s17's spec: the SAME centroids
+    * (base corpus) and ONE assignment pass over the union — no
+    * staging, no segments. Incremental must equal this exactly. */
+  private[graft] def s17FromScratch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val centArr = centroidArrays(e)
+    val batch = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        lit(null).cast("int").as("label"),
+        expr(PerturbedBatchExpr).as("embedding"))
+    val aug = e.select("vec_id", "label", "embedding").unionByName(batch)
+    val corpus = assign(aug
+        .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+        .filter(col("norm_e") > 0), centArr, Seq("embedding", "norm_e"))
+      .select(col("vec_id"), col("embedding"), col("norm_e"),
+        col("cell").as("assigned_cell"))
+    rankProbed(indexProbes(s, d, centArr), corpus)
+  }
+
+  /** s17's oracle: base-corpus centroids (the frozen persisted index),
+    * union-corpus assignment, probe, rank — the ivfCtes chain with the
+    * batch spliced into `aug` and `dims` pinned to the BASE corpus. */
+  private val s17Sql =
+    s"""WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
+       |planted AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    CAST(list_transform(generate_series(1, 64),
+       |      i -> CAST(embedding[i] AS DOUBLE) + 1e-3 * CAST(i % 5 - 2 AS DOUBLE))
+       |      AS FLOAT[]) AS embedding
+       |  FROM base WHERE vec_id % 10 = 0),
+       |aug AS (SELECT vec_id, embedding FROM base
+       |        UNION ALL SELECT vec_id, embedding FROM planted),
+       |dims AS (
+       |  SELECT vec_id, label, g.i, CAST(embedding[g.i] AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, 64) AS g(i)),
+       |cents AS (
+       |  SELECT label AS cell, i,
+       |    CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * COUNT(*)) AS c
+       |  FROM dims GROUP BY label, i),
+       |centarr AS (SELECT cell, list(c ORDER BY i) AS carr FROM cents GROUP BY cell),
+       |l2 AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])),
+       |      (acc, x) -> acc + x) AS dist
+       |  FROM aug e CROSS JOIN centarr c),
+       |corpus AS (
+       |  SELECT vec_id, embedding, cell AS assigned_cell FROM l2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS qe, cell AS probe_cell FROM l2
+       |  WHERE vec_id < 5
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= 2),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id, c.assigned_cell,
+       |    ${duckCos("p.qe", "c.embedding")} AS cos
+       |  FROM probes p JOIN corpus c
+       |    ON p.probe_cell = c.assigned_cell AND c.vec_id <> p.q_id)
+       |SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
+       |       vec_id, assigned_cell, cos
+       |FROM scored
+       |WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |QUALIFY rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "s17_ivf_incremental" -> (s17 _),
     "s12_range_search" -> (s12 _),
     "s13_range_recall" -> (s13 _),
     "s11_ivf_persist" -> (s11 _),
@@ -1300,6 +1466,7 @@ object Knn {
     "s6_ivf_recall" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    "s17_ivf_incremental" -> s17Sql,
     "s12_range_search" -> s12Sql,
     "s13_range_recall" -> s13Sql,
     "s10_ivfpq_recall" -> s10Sql,

@@ -55,7 +55,7 @@ class DeterminismSpec extends SparkSpec {
     "d23_token_decontam", "t24_dsir_resample", "m9_crossmodal_dedup",
     "s14_bm25", "s15_hybrid_rrf", "s16_hard_negatives",
     "g17_request_dedup", "g18_preference_pairs", "g19_model_router",
-    "st13_stream_route")
+    "st13_stream_route", "s17_ivf_incremental")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

@@ -112,6 +112,34 @@ class KnnRankSpec extends SparkSpec {
     assert(learned >= 0.39, f"learned-cell probe recall degraded: $learned%.4f")
   }
 
+  test("s17 incremental append = from-scratch union search; base index immutable") {
+    // ensure the base index exists, then fingerprint it
+    SparkEntry.queries("s11_ivf_persist")(spark, sf).collect()
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ivfindex_" + StagePath.corpusToken(sf))
+    val baseBefore = java.nio.file.Files
+      .getLastModifiedTime(dir.resolve("lists")).toMillis
+    val inc = SparkEntry.queries("s17_ivf_incremental")(spark, sf).collect().toSeq
+    // frozen centroids make assignment per-vector independent, so
+    // incremental == from-scratch EXACTLY, not approximately
+    val scratch = sim.Knn.s17FromScratch(spark, sf).collect().toSeq
+    assert(inc == scratch,
+      "delta-segment search diverged from re-indexing the union")
+    // the delta segment is actually searched: query 0's planted
+    // near-copy (vec 1000000, a 1e-3 perturbation of q0 itself) must
+    // take rank 1 with near-unit cosine — the corpus's max natural
+    // pairwise cosine is ~0.51, so nothing else can outrank it
+    val q0 = inc.filter(_.getAs[Long]("q_id") == 0L)
+      .minBy(_.getAs[Long]("rank"))
+    assert(q0.getAs[Long]("vec_id") == 1000000L, s"rank 1 for q0: $q0")
+    assert(q0.getAs[Double]("cos") > 0.99)
+    // append-only contract: the batch never rewrites the base artifact
+    val baseAfter = java.nio.file.Files
+      .getLastModifiedTime(dir.resolve("lists")).toMillis
+    assert(baseAfter == baseBefore, "s17 mutated the shared base index")
+  }
+
   test("s12 range hits are a subset of the brute τ-truth and s13 measures exactly that") {
     val e = Tables.embeddings(spark, sf)
       .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
