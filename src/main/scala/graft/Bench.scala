@@ -58,8 +58,16 @@ object Bench {
     val passConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v); s"$k=$v"
+        // ADVICE r14: an entry without '=' used to MatchError deep in a
+        // pattern bind; fail fast with a readable message instead. Note
+        // the top-level split is on ',' — comma-containing conf VALUES
+        // are unsupported by this passthrough (use a Dev-mode session
+        // for those).
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v); s"$k=$v"
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not k=v (comma-separated k=v pairs; comma-containing values unsupported)")
+        }
       }
     // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=d8_simhash_pairs,d2_minhash_lsh
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -234,7 +234,6 @@ object Budgets {
     "d3_simhash" -> 8.0,
     "d11_word_minhash" -> 8.0,
     "d12_incremental_dedup" -> 8.0,
-    "q3_join_agg" -> 8.0,
     "q18_percentile" -> 8.0,
     "s6_ivf_recall" -> 8.0,
     "s7_sq8_recall" -> 8.0,

@@ -41,14 +41,26 @@ object StagePath {
     * place individually and don't need this. */
   def atomicSwapDir(dst: java.nio.file.Path)(write: java.nio.file.Path => Unit): Unit = {
     val tmp = dst.resolveSibling(dst.getFileName.toString + "_swap_tmp")
+    val old = dst.resolveSibling(dst.getFileName.toString + "_swap_old")
     deleteRecursively(tmp)
     write(tmp)
-    deleteRecursively(dst)
+    // ADVICE r14: move the previous artifact ASIDE (a rename, near-
+    // instant) rather than deleting it before the swap — a crash
+    // between the old delete and the new rename used to leave a valid
+    // marker pointing at a missing artifact, safe only because every
+    // freshness predicate independently re-tests artifact existence.
+    // That contract still holds (and callers MUST keep testing
+    // existence — a marker alone is never proof of an artifact), but
+    // the unrecoverable window is now two renames, not a recursive
+    // delete; the old dir is reaped after the swap lands.
+    deleteRecursively(old)
+    if (java.nio.file.Files.exists(dst)) java.nio.file.Files.move(dst, old)
     try java.nio.file.Files.move(tmp, dst,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
       java.nio.file.Files.move(tmp, dst)
     }
+    deleteRecursively(old)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

@@ -1353,7 +1353,12 @@ object Knn {
       "graft_ivfdelta_" + graft.StagePath.corpusToken(d))
     java.nio.file.Files.createDirectories(delta)
     val marker = delta.resolve("_src_meta")
-    val meta = graft.StagePath.srcMeta(d, src, IvfDeltaVersion)
+    // ADVICE r14: fold the BASE index version into the delta marker —
+    // the delta stores assignments computed against the persisted
+    // centroids, so a centroid/assignment-rule bump (IvfIndexVersion)
+    // must invalidate staged deltas too, or a warm tmpdir delta would
+    // silently mix old-rule assignments with a new-rule base.
+    val meta = graft.StagePath.srcMeta(d, src, IvfIndexVersion + ":" + IvfDeltaVersion)
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
       java.nio.file.Files.exists(delta.resolve("lists"))
