@@ -311,11 +311,21 @@ object StreamingOps {
     if (!fresh)
       for (mp <- Seq("fp_manifest", "sig_manifest", "bloom_manifest"))
         s.catalog.refreshByPath(mdir.resolve(mp).toString)
-    // conf-gated for A/B measurement (graft.stream.persistManifests,
-    // default true — the Bench/Dev SPARK_GRAFT_CONF passthrough can
-    // turn it off)
+    // Persist is gated on the BATCHING REGIME (r15, VERDICT r14 #1):
+    // the cache amortizes the static-side scan across micro-batches,
+    // so with one staged file (= one data micro-batch) there is
+    // nothing to amortize and the persist is pure overhead — build the
+    // cache, read it once, release it. The r14 unconditional persist
+    // was the measured st9/st10 full-sweep regression (1.67x/1.52x vs
+    // a 1.22x host median); the isolated A/B confirmed on≈off at both
+    // sf0.1 and sf1 for the single-file regime. Multi-file runs
+    // (st9Multi/st10Multi, and any unbounded production landing dir)
+    // re-read the manifests every trigger and keep the persist. The
+    // conf (graft.stream.persistManifests) still overrides both ways
+    // for A/B measurement.
     val persistManifests = s.conf
-      .getOption("graft.stream.persistManifests").forall(_.equalsIgnoreCase("true"))
+      .getOption("graft.stream.persistManifests")
+      .map(_.equalsIgnoreCase("true")).getOrElse(nFiles > 1)
     def manifest(name: String): DataFrame = {
       val df = s.read.parquet(mdir.resolve(name).toString)
       if (persistManifests &&
@@ -711,6 +721,23 @@ object StreamingOps {
     * join. Oracle: d12's SQL VERBATIM — the streaming path must
     * produce byte-identical admissions to the batch query.
     */
+  /** Release the bounded run's manifest cache (r15, VERDICT r14 #1):
+    * the MEMORY_AND_DISK persist amortizes the static-side scan across
+    * the run's micro-batches, but the bounded AvailableNow queries
+    * finish in one process alongside 140+ other bench queries — cache
+    * entries that outlive their stream measurably inflated the rest of
+    * the r14 sweep (st9 1.26→2.10 s, st10 0.54→0.82 s against a 1.22x
+    * host median; the isolated A/B measured persist on≈off at BOTH
+    * sf0.1 and sf1, so the full-sweep delta was pressure, not the
+    * persist itself). An unbounded production stream never reaches
+    * this call — its manifests stay cached for the process lifetime,
+    * which is exactly the amortization the persist exists for. */
+  private def releaseManifests(staged: (DataFrame, DataFrame, DataFrame, DataFrame)): Unit =
+    Seq(staged._2, staged._3, staged._4).foreach { df =>
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        df.unpersist(blocking = false)
+    }
+
   private def admitPipeline(s: SparkSession,
       staged: (DataFrame, DataFrame, DataFrame, DataFrame), name: String): DataFrame = {
     val (stream, fpManifest, sigManifest, _) = staged
@@ -724,8 +751,10 @@ object StreamingOps {
         when(col("fp_hit").isNotNull, "exact_dup")
           .when(col("sig_hit").isNotNull, "near_dup")
           .otherwise("admitted").as("reason"))
-    runToMemory(s, dec, name, mode = "append")
+    val out = runToMemory(s, dec, name, mode = "append")
       .sortWithinPartitions(col("doc_id"))
+    releaseManifests(staged)
+    out
   }
 
   private def st9(s: SparkSession, d: String): DataFrame =
@@ -790,8 +819,10 @@ object StreamingOps {
       .select(col("doc_id"), col("fp"), col("bloom_maybe"),
         col("fp_hit").isNotNull.as("exact_dup"),
         (col("bloom_maybe") && col("fp_hit").isNull).as("false_positive"))
-    runToMemory(s, dec, name, mode = "append")
+    val out = runToMemory(s, dec, name, mode = "append")
       .sortWithinPartitions(col("doc_id"))
+    releaseManifests(staged)
+    out
   }
 
   /** st11 under an nFiles multi-batch regime into fresh temp dirs —
