@@ -26,6 +26,10 @@ object Budgets {
     "t21_perplexity_filter" -> 1.8,
     "t23_ccnet_bucket" -> 2.2,
     "t24_dsir_resample" -> 2.3,
+    // r15: measured 1.30 / 1.21 / 2.24 best-of-3 at sf0.1 in-round
+    "t25_chunk_windows" -> 1.7,
+    "t26_epoch_shuffle" -> 1.6,
+    "s18_cluster_sample" -> 2.8,
     "t22_learned_pack" -> 4.5,
     "d20_cross_batch_cluster" -> 5.0,
     "d21_dedup_pack" -> 5.5,
@@ -239,6 +243,7 @@ object Budgets {
     "s7_sq8_recall" -> 8.0,
     "s13_range_recall" -> 8.0,
     "s16_hard_negatives" -> 8.0,
+    "s18_cluster_sample" -> 8.0,
     "st5_stream_append_window" -> 8.0,
     "st6_stream_stream_join" -> 8.0,
     "st7_stream_dedup_bounded" -> 8.0,

@@ -1454,7 +1454,70 @@ object Knn {
        |QUALIFY rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  /** s18's sample budget: sized against the measured sf0.01 cell-size
+    * distribution (46–57 members over 10 learned cells) so the
+    * per-cell quota ⌈520/10⌉ = 52 lands INSIDE it — five cells are
+    * smaller than the quota (take-all branch) and five larger (cut
+    * branch), so both arms of min(|cell|, quota) are exercised and
+    * falsifiable at oracle scale (the t16 discipline). A production
+    * budget is the training-set size target; it stays constant as the
+    * corpus grows, which is the point — sampling cost scales with the
+    * BUDGET, not the corpus. */
+  private[graft] val ClusterSampleBudget = 520L
+
+  /** s18: cluster-balanced sampling over the learned k-means cells —
+    * the SemDeDup §5 / diversity-sampling follow-on (VERDICT r14 #5):
+    * d18 prunes duplicates WITHIN a cluster, but nothing rebalanced
+    * ACROSS clusters — a raw uniform sample reproduces the corpus's
+    * cluster skew, over-representing the dominant modes exactly where
+    * training data needs diversity. Per cell the quota is
+    * min(|cell|, ⌈budget/ncells⌉), selected in deterministic
+    * content-hash order (t11's md5 discipline — reproducible across
+    * runs, partitioning and engines, no RNG state).
+    *
+    * Execution: s8's learned assignment ([[lloyd]] — the cells are
+    * TRAINED, not the label prior), one metadata-sized scalar for the
+    * learned cell count, then the per-cell cut through
+    * [[graft.plans.TopK]]'s partial+final bounded heaps — no
+    * per-cell sort, no row_number window shipping a whole cell to one
+    * task; the shuffle carries ≤ partitions·ncells·quota survivor
+    * rows (t11's scale shape keyed by the learned cells). Oracle:
+    * s8's unrolled Lloyd chain spliced verbatim through `afin`, plus
+    * the QUALIFY cut — the sampling arithmetic is checked against the
+    * SAME training fixpoint the operator computed.
+    */
+  private def s18(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val (assigned, _, _) = lloyd(e)
+    // learned cell count — metadata-sized scalar (the maxId pattern);
+    // quota uses integer ceil so both engines share the arithmetic
+    val ncells = assigned.select(col("cell")).distinct().count()
+    require(ncells > 0, s"s18: no cells learned over $d")
+    val quota = ((ClusterSampleBudget + ncells - 1) / ncells).toInt
+    val sel = assigned.select(col("cell"), col("vec_id"),
+      md5(concat(lit("csamp:"), col("vec_id").cast("string")).cast("binary")).as("h"))
+    graft.plans.TopK.perKey(sel, Seq("cell"), "h", "vec_id", quota)
+      .sortWithinPartitions(col("cell"), col("h"))
+  }
+
+  private val s18Sql = {
+    val prefix = s8Sql.substring(0, s8Sql.lastIndexOf("\nSELECT cell,"))
+    s"""$prefix,
+       |sel AS (SELECT cell, vec_id, md5('csamp:' || CAST(vec_id AS VARCHAR)) AS h
+       |  FROM afin),
+       |nc AS (SELECT COUNT(DISTINCT cell) AS ncells FROM afin)
+       |SELECT cell, vec_id, h FROM (
+       |  SELECT s.cell, s.vec_id, s.h,
+       |    ROW_NUMBER() OVER (PARTITION BY s.cell ORDER BY s.h DESC, s.vec_id) AS pick,
+       |    nc.ncells
+       |  FROM sel s CROSS JOIN nc)
+       |WHERE pick <= ($ClusterSampleBudget + ncells - 1) // ncells
+       |ORDER BY cell, h DESC""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "s18_cluster_sample" -> (s18 _),
     "s17_ivf_incremental" -> (s17 _),
     "s12_range_search" -> (s12 _),
     "s13_range_recall" -> (s13 _),
@@ -1471,6 +1534,7 @@ object Knn {
     "s6_ivf_recall" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    "s18_cluster_sample" -> s18Sql,
     "s17_ivf_incremental" -> s17Sql,
     "s12_range_search" -> s12Sql,
     "s13_range_recall" -> s13Sql,

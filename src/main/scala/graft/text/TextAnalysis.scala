@@ -1848,7 +1848,171 @@ object TextAnalysis {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** t25 window geometry: 32-token chunks advancing 24 tokens per
+    * step (the 0.75 stride/chunk ratio retrieval pipelines default
+    * to — LangChain/LlamaIndex-style overlap keeps a sentence that
+    * straddles a boundary whole in at least one chunk). Sized to the
+    * corpus's 10–99-token documents so multi-chunk docs are common
+    * at every SF; a model-window 256/192 is the same arithmetic. */
+  private[graft] val ChunkTokens = 32L
+  private[graft] val ChunkStride = 24L
+
+  /** t25: token-budget text chunking with overlap — the retrieval/
+    * embedding window splitter (VERDICT r14 #4): the gap between m3's
+    * binary chunking and t10's packing was that nothing SPLITS a long
+    * document into model-window chunks. Every document yields
+    * `1 + ceil(max(n−C,0)/S)` chunks; chunk k covers tokens
+    * [k·S, min(k·S+C, n)) of the whitespace pre-tokenizer stream
+    * (t1's unit — a model tokenizer changes the unit, not the
+    * arithmetic), so consecutive chunks overlap exactly C−S tokens
+    * and every token lands in ≥1 chunk (ChunkWindowSpec pins both,
+    * plus reconstruction: substring(text, char_start+1, char_len) ==
+    * chunk_text — the char offsets make each chunk addressable in
+    * the ORIGINAL document, which is what a RAG citation needs).
+    *
+    * Global `chunk_id` is the corpus-order chunk number, computed as
+    * doc-level chunk-count prefix sums through the fully-partitioned
+    * three-level [[graft.operators.PrefixOffsets]] scheme (t10's
+    * discipline — no unpartitioned window), plus the within-doc seq.
+    *
+    * Scale: one scan, one metadata-sized prefix-sum stage, then a
+    * per-row explode of ~n/S chunk rows with all slice/join work
+    * codegen'd HOFs — no UDFs, no corpus-sized shuffle (the only
+    * exchanges carry the √n bucket sums). Chunk text duplicates
+    * overlapped tokens by design (C/(C−S) ≈ 4× is the storage price
+    * of overlap; a production sink would store (doc_id, char_start,
+    * char_len) and reconstruct, which the offsets here enable).
+    */
+  private def t25(s: SparkSession, d: String): DataFrame = {
+    val (c, st) = (ChunkTokens, ChunkStride)
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val bucket = derivePackBucket(maxId)
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chunks", lit(1L) +
+        when(col("n_tokens") > c,
+          expr(s"(n_tokens - $c + ${st - 1}) div $st")).otherwise(lit(0L)))
+      .withColumn("pbucket", expr(s"doc_id div $bucket"))
+    val bsums = base.groupBy(col("pbucket")).agg(sum(col("n_chunks")).as("bchunks"))
+    val boffsets = graft.operators.PrefixOffsets.bucketOffsets(bsums, Nil, "bchunks",
+      graft.operators.PrefixOffsets.superBucket(maxId / bucket))
+    val local = Window.partitionBy(col("pbucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(boffsets), Seq("pbucket"))
+      .withColumn("doc_chunk_offset",
+        col("boffset") + coalesce(sum(col("n_chunks")).over(local), lit(0L)))
+      .select(col("doc_id"), col("toks"), col("n_tokens"), col("doc_chunk_offset"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_seq"))
+      .withColumn("tok_start", col("chunk_seq") * st)
+      .withColumn("tok_end", least(col("tok_start") + c, col("n_tokens")))
+      .withColumn("chunk_text", expr(
+        "array_join(slice(toks, CAST(tok_start + 1 AS INT), CAST(tok_end - tok_start AS INT)), ' ')"))
+      .withColumn("char_start", when(col("tok_start") === 0L, lit(0L))
+        .otherwise(length(expr("array_join(slice(toks, 1, CAST(tok_start AS INT)), ' ')")).cast("long") + 1L))
+      .withColumn("char_len", length(col("chunk_text")).cast("long"))
+      .select(col("doc_id"), (col("doc_chunk_offset") + col("chunk_seq")).as("chunk_id"),
+        col("chunk_seq"), col("tok_start"), col("tok_end"),
+        col("char_start"), col("char_len"), col("chunk_text"))
+      .sortWithinPartitions(col("doc_id"), col("chunk_seq"))
+  }
+
+  private val t25Sql = {
+    val (c, st) = (ChunkTokens, ChunkStride)
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n_tokens,
+       |    1 + CASE WHEN n_tokens > $c THEN (n_tokens - $c + ${st - 1}) // $st
+       |             ELSE CAST(0 AS BIGINT) END AS n_chunks
+       |  FROM t),
+       |o AS (
+       |  SELECT doc_id, toks, n_tokens, n_chunks,
+       |    CAST(COALESCE(SUM(n_chunks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_chunk_offset
+       |  FROM c),
+       |e AS (
+       |  SELECT doc_id, toks, n_tokens, doc_chunk_offset,
+       |    unnest(range(n_chunks)) AS chunk_seq
+       |  FROM o),
+       |x AS (
+       |  SELECT doc_id, toks, n_tokens, doc_chunk_offset, chunk_seq,
+       |    chunk_seq * $st AS tok_start,
+       |    LEAST(chunk_seq * $st + $c, n_tokens) AS tok_end
+       |  FROM e)
+       |SELECT doc_id,
+       |  doc_chunk_offset + chunk_seq AS chunk_id,
+       |  chunk_seq, tok_start, tok_end,
+       |  CASE WHEN tok_start = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE length(array_to_string(list_slice(toks, 1, tok_start), ' ')) + 1 END AS char_start,
+       |  CAST(length(array_to_string(list_slice(toks, tok_start + 1, tok_end), ' ')) AS BIGINT) AS char_len,
+       |  array_to_string(list_slice(toks, tok_start + 1, tok_end), ' ') AS chunk_text
+       |FROM x ORDER BY doc_id, chunk_seq""".stripMargin
+  }
+
+  /** Epochs emitted by t26 — enough for the permutation independence
+    * across epochs to be a checkable claim (any two epochs' orders
+    * differ), while keeping the output 3× corpus rows. */
+  private[graft] val EpochCount = 3L
+
+  /** t26: deterministic epoch shuffle — the training-order
+    * permutation every pack consumer (t10/t22/d21/m8) feeds at
+    * training time (VERDICT r14 #6): for each epoch, a seeded md5
+    * permutation key per (doc, epoch) and the document's 1-based
+    * global `position` in that epoch's key order. Like t8's split
+    * assignment the order is a pure function of content identity —
+    * reproducible across runs, row order, partitioning and engines
+    * (DeterminismSpec re-runs it on a differently-partitioned input).
+    *
+    * The global rank is computed WITHOUT a global sort (plan-pinned in
+    * PlanShapeSpec — no RangePartitioning anywhere): the md5 key's
+    * first two hex chars bucket rows into 256 uniform buckets whose
+    * counts prefix-sum through [[graft.operators.PrefixOffsets]]
+    * (parts = epoch), and a row's position is its bucket's offset plus
+    * its row_number within the (epoch, bucket) window — lexicographic
+    * hex order equals the buckets' numeric order, so the composition
+    * equals the oracle's one global row_number per epoch. At 100 TB
+    * the per-task sort is 1/256th of an epoch (and the bucket width is
+    * a constant to widen), vs a rangepartitioned global sort's skewed
+    * sampling pass + full-corpus range exchange PER EPOCH.
+    */
+  private def t26(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val keyed = docs
+      .select(col("doc_id"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${EpochCount - 1} AS BIGINT))")).as("epoch"))
+      .withColumn("h", md5(concat(lit("shuf1:"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string")).cast("binary")))
+      .withColumn("pbucket", expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT)"))
+    val bsums = keyed.groupBy(col("epoch"), col("pbucket")).agg(count(lit(1)).as("bcnt"))
+    val boffsets = graft.operators.PrefixOffsets.bucketOffsets(bsums, Seq("epoch"), "bcnt",
+      graft.operators.PrefixOffsets.superBucket(255L))
+    val local = Window.partitionBy(col("epoch"), col("pbucket"))
+      .orderBy(col("h"), col("doc_id"))
+    keyed
+      .join(broadcast(boffsets), Seq("epoch", "pbucket"))
+      .withColumn("position", col("boffset") + row_number().over(local).cast("long"))
+      .select(col("epoch"), col("doc_id"), col("h"), col("position"))
+      .sortWithinPartitions(col("epoch"), col("position"))
+  }
+
+  private val t26Sql =
+    s"""WITH k AS (
+       |  SELECT d.doc_id, e.epoch,
+       |    md5('shuf1:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+       |  FROM documents d CROSS JOIN (SELECT unnest(range($EpochCount)) AS epoch) e)
+       |SELECT epoch, doc_id, h,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS position
+       |FROM k ORDER BY epoch, position""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "t25_chunk_windows" -> (t25 _),
+    "t26_epoch_shuffle" -> (t26 _),
     "t24_dsir_resample" -> (t24 _),
     "t23_ccnet_bucket" -> (t23 _),
     "t22_learned_pack" -> (t22 _),
@@ -1875,6 +2039,8 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t25_chunk_windows" -> t25Sql,
+    "t26_epoch_shuffle" -> t26Sql,
     "t24_dsir_resample" -> t24Sql,
     "t23_ccnet_bucket" -> t23Sql,
     "t22_learned_pack" -> t22Sql,

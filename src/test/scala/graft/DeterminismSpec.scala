@@ -55,7 +55,10 @@ class DeterminismSpec extends SparkSpec {
     "d23_token_decontam", "t24_dsir_resample", "m9_crossmodal_dedup",
     "s14_bm25", "s15_hybrid_rrf", "s16_hard_negatives",
     "g17_request_dedup", "g18_preference_pairs", "g19_model_router",
-    "st13_stream_route", "s17_ivf_incremental")
+    "st13_stream_route", "s17_ivf_incremental",
+    // round-15 additions: overlap chunking, the epoch permutation,
+    // cluster-balanced sampling
+    "t25_chunk_windows", "t26_epoch_shuffle", "s18_cluster_sample")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {
