@@ -112,13 +112,21 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val nFailed = results.count(!_._3)
     // regression gate vs BASELINE.md: a query over 2x its pinned budget
-    // is a flag, not noise (budgets already carry 25% headroom)
+    // is a flag, not noise (budgets already carry 25% headroom). The
+    // comparison is HOST-NORMALIZED (VERDICT r14 #2): budgets were
+    // priced at CalibRefMs host speed, so the threshold scales with
+    // this run's measured calib_ms — without it the gate's meaning
+    // decays as the shared host drifts (r14 measured a uniform
+    // 1.13-1.22x slowdown that pushed 9 queries "over 1x" with zero
+    // code change). Clamped so one bad calibration reading cannot
+    // neuter or double the gate; reported values stay RAW seconds.
+    val calibScale = math.min(2.0, math.max(0.5, calibMs / Budgets.CalibRefMs))
     val over = results.collect {
-      case (k, v, true) if Budgets.seconds.get(k).exists(b => v > 2 * b) =>
+      case (k, v, true) if Budgets.seconds.get(k).exists(b => v > 2 * b * calibScale) =>
         "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs,"calib_scale":${f(calibScale)}}"""
     // The stdout metric line stays SHORT (~150 bytes): BENCH_r09 came
     // back parsed:null because the 92-entry per-query map grew the line
     // to ~2.9 KB and the driver's 2000-char capture tail sliced it
@@ -133,7 +141,7 @@ object Bench {
     val queriesLine =
       s"""{"metric":"queries","unit":"centisec","sf":"$sfDir","queries":$shortQs}"""
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs,"calib_scale":${f(calibScale)}}"""
     // stdout can be lost in log noise; persist the full map for the driver
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     // history only records FULL sweeps (filtered local-iteration runs
@@ -221,9 +229,49 @@ object Bench {
       // rides bench_sf1_last.json
       val short =
         s"""{"metric":"sf1_gate","value":${f(totalSf1)},"unit":"sec","sf1":"$sf1Dir","n_failed":$nFail,"over_ratio":$over}"""
-      (full, short)
+      // VERDICT r14 #8: slow upward creep is invisible to the binary
+      // over_ratio check — diff each gated query's ratio against the
+      // PREVIOUS full (unfiltered, unconf'd) gate line on the SAME
+      // corpus and print the movers, so drift is a visible line each
+      // round, not an archaeology task. The full delta map rides
+      // bench_sf1_trend.json (untracked — SF1_HISTORY holds the
+      // primary evidence).
+      val trend: Option[String] = {
+        val hist = java.nio.file.Paths.get("SF1_HISTORY.jsonl")
+        if (!java.nio.file.Files.exists(hist)) None
+        else {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          scala.jdk.CollectionConverters.ListHasAsScala(
+              java.nio.file.Files.readAllLines(hist)).asScala
+            .filter(_.trim.nonEmpty).map(mapper.readTree)
+            .filter(n => n.path("sf1").asText == sf1Dir &&
+              !n.path("filtered").asBoolean(true) && n.path("conf").size == 0)
+            .lastOption.map { n =>
+              val deltas = rows.collect {
+                case (name, true, _, r, _)
+                    if n.path("ratios").path(name).isObject =>
+                  name -> (r - n.path("ratios").path(name).path("ratio").asDouble)
+              }
+              val dmap = deltas.map { case (k, d) => "\"" + k + "\":" + f(d) }
+                .mkString("{", ",", "}")
+              java.nio.file.Files.writeString(
+                java.nio.file.Paths.get("bench_sf1_trend.json"),
+                s"""{"vs_ts":${n.path("ts").asLong},"deltas":$dmap}""" + "\n")
+              val movers = deltas.filter { case (_, d) => math.abs(d) >= 0.5 }
+                .sortBy(-_._2)
+                .map { case (k, d) => "\"" + k + "\":" + f(d) }
+                .mkString("{", ",", "}")
+              val med = {
+                val ds = deltas.map(_._2).sorted
+                if (ds.isEmpty) 0.0 else ds(ds.size / 2)
+              }
+              s"""{"metric":"sf1_trend","vs_ts":${n.path("ts").asLong},"n_compared":${deltas.size},"median_delta":${f(med)},"movers":$movers}"""
+            }
+        }
+      }
+      (full, short, trend)
     }
-    sf1Line.foreach { case (full, _) =>
+    sf1Line.foreach { case (full, _, _) =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_sf1_last.json"), full + "\n")
       // VERDICT r13 #1c: bench_sf1_last.json holds only the LAST gate
       // run, so a round-end single-query run erased the full-gate
@@ -255,10 +303,12 @@ object Bench {
     // line.
     println("GRAFT_BENCH_QUERIES")
     println(queriesLine)
-    sf1Line.foreach { case (_, short) =>
+    sf1Line.foreach { case (_, short, trend) =>
       // the sf1 gate line is a SEPARATE marker: a driver that parses
       // only GRAFT_BENCH_JSON is unaffected; the full ratios map rides
-      // bench_sf1_last.json
+      // bench_sf1_last.json. The trend diff prints FIRST (less
+      // critical than the gate verdict if the capture tail slices).
+      trend.foreach { t => println("GRAFT_SF1_TREND"); println(t) }
       println("GRAFT_SF1_JSON")
       println(short)
     }

@@ -6,6 +6,19 @@ package graft
   * field; BudgetsSpec keeps this map and BASELINE.md in lockstep.
   */
 object Budgets {
+
+  /** Host-speed reference for budget normalization (VERDICT r14 #2):
+    * the FIRST `calib_ms` reading taken when the calibration loop was
+    * introduced (r14), pinning the host speed the budget table was
+    * priced on. [[Bench]] scales the 2x over-budget comparison by
+    * `calib_ms / CalibRefMs` (clamped to [0.5, 2.0] so a pathological
+    * calibration reading can neither neuter nor double the gate), so
+    * budgets keep their meaning as the shared host drifts: 9 r14
+    * queries ran "over 1x budget" purely because the host had slowed
+    * a measured 1.13-1.22x. The sf1 gate needs no calibration — its
+    * ratios divide two same-host measurements. */
+  val CalibRefMs: Double = 386.0
+
   val seconds: Map[String, Double] = Map(
     "d10_cluster_keep" -> 4.7,
     "d11_word_minhash" -> 2.1,
@@ -30,6 +43,9 @@ object Budgets {
     "t25_chunk_windows" -> 1.7,
     "t26_epoch_shuffle" -> 1.6,
     "s18_cluster_sample" -> 2.8,
+    // r15: measured 4.22 best-of-3 at sf0.1 (the composed two-arm +
+    // chunk-assembly DAG: ~= lexArm + s11 + t25 + wiring)
+    "s19_rag_pipeline" -> 5.3,
     "t22_learned_pack" -> 4.5,
     "d20_cross_batch_cluster" -> 5.0,
     "d21_dedup_pack" -> 5.5,
@@ -178,7 +194,17 @@ object Budgets {
     * regression). Ratios are only meaningful above noise: the gate
     * ignores queries whose sf1 time is under 1 s. */
   val sf1MaxRatio: Map[String, Double] = Map(
-    "q1_agg" -> 8.0,
+    // r15 (VERDICT r14 #3): allowances are DATA-DERIVED, not blanket —
+    // per query, allowance = max(8, ceil(1.15 x worst HONEST ratio))
+    // over SF1_HISTORY.jsonl's full unconf'd gate runs, where a
+    // reading the gate flagged at its run time (a caught breach, like
+    // d23's pre-fix 10.65) is not honest and is excluded. BudgetsSpec
+    // recomputes the rule from the tracked history and fails on
+    // drift, so a tail reading that erodes headroom below 15% forces
+    // a deliberate regeneration here rather than a silent false trip.
+    // Queries without history yet (new this round) sit at the 8.0
+    // linear-plus-jitter default until their first full gate run.
+    "q1_agg" -> 9.0, // worst honest 7.38 (r14 watch-item: measured 6.7-7.4 across four runs)
     "q3_join_agg" -> 8.0,
     // r14: q24's gate corpus is the range-scaled events variant
     // (Bench dirOverride + ScaleData.generateRangeScaledEvents), so
@@ -204,16 +230,16 @@ object Budgets {
     // BpeTrainCap the training input is scale-independent (binds at
     // sf1: 10000 -> 2000 docs), so the allowance drops back to the
     // linear-plus-jitter band (measured honest ratios ~6-7x)
-    "t20_bpe_learned" -> 10.0,
-    "t22_learned_pack" -> 10.0,
+    "t20_bpe_learned" -> 10.0, // worst honest 8.49
+    "t22_learned_pack" -> 8.0, // worst honest 6.37 - the r12-era 12x is long gone
     // d23 is the same pure per-row class: the replace-chain
     // tokenization + the gram hash stream are linear scans with no
     // sub-linear stage to hide behind (its joins/aggregates are
     // broadcast-membership + survivor-sized)
-    "d23_token_decontam" -> 10.0,
+    "d23_token_decontam" -> 9.0, // worst honest 7.74 (post-TokenGramHash fix)
     "t21_perplexity_filter" -> 8.0,
     "m8_interleaved_pack" -> 8.0,
-    "m9_crossmodal_dedup" -> 8.0,
+    "m9_crossmodal_dedup" -> 9.0, // worst honest 7.18
     // r12 verdict #5: the sf0.1 budget gate cannot see superlinear
     // scaling, so every query > 2 s at sf0.1 (the expensive tail) now
     // carries an sf1 ratio check. Allowance 8.0 where the measured
@@ -244,10 +270,11 @@ object Budgets {
     "s13_range_recall" -> 8.0,
     "s16_hard_negatives" -> 8.0,
     "s18_cluster_sample" -> 8.0,
+    "s19_rag_pipeline" -> 8.0,
     "st5_stream_append_window" -> 8.0,
     "st6_stream_stream_join" -> 8.0,
     "st7_stream_dedup_bounded" -> 8.0,
-    "st9_stream_admit" -> 8.0,
+    "st9_stream_admit" -> 9.0, // worst honest 7.01 pre-r15-fix; isolated 4.8 after
     "d10_cluster_keep" -> 8.0,
     "d13_keeper_admit" -> 8.0,
     "d15_minhash_accuracy" -> 8.0,

@@ -64,4 +64,56 @@ class BudgetsSpec extends AnyFunSuite {
       assert(b < 60.0, s"$k budget $b implausibly large")
     }
   }
+
+  test("sf1 allowances are regenerated from SF1_HISTORY.jsonl (VERDICT r14 #3)") {
+    // rule: allowance = max(8, ceil(1.15 x worst HONEST ratio)) over the
+    // tracked full unconf'd gate runs, where a reading the gate flagged
+    // at its own run time (a caught breach) is NOT honest. Queries with
+    // no history yet stay at the 8.0 default. A new tail reading that
+    // erodes a query's headroom below 15% fails HERE, forcing a
+    // deliberate regeneration in Budgets.sf1MaxRatio instead of a
+    // silent false trip in a later gate run.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val src = scala.io.Source.fromFile("SF1_HISTORY.jsonl", "UTF-8")
+    val worst = scala.collection.mutable.Map[String, Double]()
+    try src.getLines().filter(_.trim.nonEmpty).foreach { line =>
+      val n = mapper.readTree(line)
+      val filtered = n.path("filtered").asBoolean(true)
+      val hasConf = n.has("conf") && n.path("conf").size() > 0
+      if (!filtered && !hasConf) {
+        val flagged = {
+          val it = n.path("over_ratio").fieldNames()
+          val b = scala.collection.mutable.Set[String]()
+          while (it.hasNext) b += it.next()
+          b
+        }
+        val rit = n.path("ratios").fields()
+        while (rit.hasNext) {
+          val e = rit.next()
+          val ratio = e.getValue.path("ratio").asDouble(-1.0)
+          if (ratio > 0 && !flagged(e.getKey))
+            worst(e.getKey) = math.max(worst.getOrElse(e.getKey, 0.0), ratio)
+        }
+      }
+    } finally src.close()
+    assert(worst.nonEmpty, "no full gate runs parsed from SF1_HISTORY.jsonl")
+    Budgets.sf1MaxRatio.foreach { case (k, allowance) =>
+      val derived = worst.get(k)
+        .map(w => math.max(8.0, math.ceil(1.15 * w)))
+        .getOrElse(8.0)
+      assert(allowance == derived,
+        s"$k sf1 allowance $allowance != derived $derived " +
+          s"(worst honest ${worst.get(k).fold("none")(w => f"$w%.2f")}) — " +
+          "regenerate Budgets.sf1MaxRatio from history")
+    }
+  }
+
+  test("the calibration reference is pinned and documented") {
+    assert(Budgets.CalibRefMs == 386.0,
+      "CalibRefMs is the r14 first reading — changing it re-prices every budget")
+    val src = scala.io.Source.fromFile("BASELINE.md", "UTF-8")
+    val text = try src.mkString finally src.close()
+    assert(text.contains("386"),
+      "BASELINE.md must document the calib_ms reference the budget gate scales by")
+  }
 }
