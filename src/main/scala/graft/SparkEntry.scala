@@ -19,6 +19,7 @@ object SparkEntry {
     (sim.Bm25.queries, sim.Bm25.oracles),
     (sim.Hybrid.queries, sim.Hybrid.oracles),
     (sim.Mining.queries, sim.Mining.oracles),
+    (sim.Rag.queries, sim.Rag.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracles))
 

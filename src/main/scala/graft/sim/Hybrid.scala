@@ -116,7 +116,7 @@ object Hybrid {
     fused.orderBy(col("rrf_milli").desc, col("doc_id")).limit(10)
   }
 
-  private def s15Sql: String = {
+  private[sim] def s15Sql: String = {
     val m2 = 1L << graft.text.TextAnalysis.PplShift
     val top = 2L << graft.text.TextAnalysis.PplShift
     val steps = graft.text.TextAnalysis.PplSteps

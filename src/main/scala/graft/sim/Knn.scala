@@ -284,7 +284,7 @@ object Knn {
   /** The IVF pipeline CTE chain ending in scored(q_id, vec_id,
     * assigned_cell, cos) — shared verbatim by the s4 oracle and the s6
     * recall oracle, so the two necessarily measure the same index. */
-  private val ivfCtes =
+  private[sim] val ivfCtes =
     s"""dims AS (
        |  SELECT vec_id, label, g.i, CAST(embedding[g.i] AS DOUBLE) AS x
        |  FROM embeddings, generate_series(1, 64) AS g(i)),
@@ -1301,7 +1301,7 @@ object Knn {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  private def s11(s: SparkSession, d: String): DataFrame = {
+  private[graft] def s11(s: SparkSession, d: String): DataFrame = {
     val dir = ensureIvfIndex(s, d)
     val centArr = s.read.parquet(dir.resolve("centroids").toString)
     val probes = indexProbes(s, d, centArr)

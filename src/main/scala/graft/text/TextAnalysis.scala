@@ -1883,7 +1883,7 @@ object TextAnalysis {
     * of overlap; a production sink would store (doc_id, char_start,
     * char_len) and reconstruct, which the offsets here enable).
     */
-  private def t25(s: SparkSession, d: String): DataFrame = {
+  private[graft] def t25(s: SparkSession, d: String): DataFrame = {
     val (c, st) = (ChunkTokens, ChunkStride)
     val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
     val maxRow = docs.agg(max(col("doc_id"))).head()
@@ -1920,7 +1920,7 @@ object TextAnalysis {
       .sortWithinPartitions(col("doc_id"), col("chunk_seq"))
   }
 
-  private val t25Sql = {
+  private[graft] val t25Sql = {
     val (c, st) = (ChunkTokens, ChunkStride)
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks,
