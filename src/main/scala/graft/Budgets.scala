@@ -170,6 +170,7 @@ object Budgets {
     "st11_stream_compact" -> 2.3,
     "st12_stream_pii" -> 1.8,
     "st13_stream_route" -> 1.9,
+    "st14_stream_chunk" -> 2.2, // r15: measured 1.74 warm best-of-3 (4-file multi-batch regime)
     "t10_pack" -> 1.2,
     "t11_stratified" -> 0.5,
     "t1_tokens" -> 0.5,
@@ -288,5 +289,6 @@ object Budgets {
     "s9_pq_recall" -> 8.0,
     "s10_ivfpq_recall" -> 8.0,
     "st8_stream_multibatch" -> 8.0,
-    "st11_stream_compact" -> 8.0)
+    "st11_stream_compact" -> 8.0,
+    "st14_stream_chunk" -> 8.0)
 }

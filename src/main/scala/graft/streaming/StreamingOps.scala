@@ -975,7 +975,43 @@ object StreamingOps {
 
   private val st13Sql = graft.genai.GenAI.RoutedRowsSql
 
+  /** st14: chunking at ingest — t25's retrieval-window splitter run
+    * where a RAG pipeline actually runs it: on the continuous document
+    * stream, under the real multi-batch regime (4 landing files,
+    * maxFilesPerTrigger=1), so chunks are embeddable the moment a
+    * document lands instead of waiting for the nightly batch.
+    * The per-doc arithmetic is [[graft.text.TextAnalysis.chunkBase]]/
+    * [[graft.text.TextAnalysis.chunkExpand]] — the SAME column
+    * expressions t25 compiles, stateless per-row codegen (split,
+    * sequence explode, slice HOFs): no state store, no watermark,
+    * batching-invariant by construction (the st12 compliance
+    * discipline). What canNOT stream is the corpus-order `chunk_id` —
+    * a corpus-wide prefix sum is batch state by definition — so the
+    * ingest emits the doc-scoped key (doc_id, chunk_seq), which is
+    * already stable and globally unique; the nightly t25 run assigns
+    * corpus-order ids when it rebuilds the chunk table. Oracle: t25's
+    * SQL CTE chain VERBATIM minus the id column; the spec pins
+    * st14 ≡ t25-minus-id row-for-row.
+    */
+  private def st14(s: SparkSession, d: String): DataFrame = {
+    val chunks = graft.text.TextAnalysis.chunkExpand(
+        graft.text.TextAnalysis.chunkBase(docsStreamMulti(s, d, 4)), Nil)
+      .select(col("doc_id"), col("chunk_seq"), col("tok_start"), col("tok_end"),
+        col("char_start"), col("char_len"), col("chunk_text"))
+    runToMemory(s, chunks, "graft_st14", mode = "append")
+      .sortWithinPartitions(col("doc_id"), col("chunk_seq"))
+  }
+
+  private val st14Sql = {
+    val t25 = graft.text.TextAnalysis.t25Sql
+    t25.substring(0, t25.lastIndexOf("\nSELECT doc_id,")) +
+      """
+        |SELECT doc_id, chunk_seq, tok_start, tok_end, char_start, char_len, chunk_text
+        |FROM y ORDER BY doc_id, chunk_seq""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "st14_stream_chunk" -> (st14 _),
     "st13_stream_route" -> (st13 _),
     "st12_stream_pii" -> (st12 _),
     "st11_stream_compact" -> (st11 _),
@@ -991,6 +1027,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st14_stream_chunk" -> st14Sql,
     "st13_stream_route" -> st13Sql,
     "st12_stream_pii" -> st12Sql,
     "st11_stream_compact" -> st11Sql,

@@ -1883,30 +1883,29 @@ object TextAnalysis {
     * of overlap; a production sink would store (doc_id, char_start,
     * char_len) and reconstruct, which the offsets here enable).
     */
-  private[graft] def t25(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc chunk-count projection — the pre-explode half of the
+    * window arithmetic, shared by t25 (batch) and st14 (ingest
+    * stream). Requires (doc_id, text); yields (doc_id, toks,
+    * n_tokens, n_chunks). Pure per-row codegen. */
+  private[graft] def chunkBase(docs: DataFrame): DataFrame = {
     val (c, st) = (ChunkTokens, ChunkStride)
-    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
-    val maxRow = docs.agg(max(col("doc_id"))).head()
-    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    val bucket = derivePackBucket(maxId)
-    val base = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_chunks", lit(1L) +
         when(col("n_tokens") > c,
           expr(s"(n_tokens - $c + ${st - 1}) div $st")).otherwise(lit(0L)))
-      .withColumn("pbucket", expr(s"doc_id div $bucket"))
-    val bsums = base.groupBy(col("pbucket")).agg(sum(col("n_chunks")).as("bchunks"))
-    val boffsets = graft.operators.PrefixOffsets.bucketOffsets(bsums, Nil, "bchunks",
-      graft.operators.PrefixOffsets.superBucket(maxId / bucket))
-    val local = Window.partitionBy(col("pbucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+  }
+
+  /** Explode a [[chunkBase]] relation into chunk rows with geometry,
+    * text and char offsets; `extra` columns ride through (t25 threads
+    * its prefix-sum offset). Stateless per-row slices/joins — the
+    * streaming-safe half st14 runs at ingest. */
+  private[graft] def chunkExpand(base: DataFrame, extra: Seq[String]): DataFrame = {
+    val (c, st) = (ChunkTokens, ChunkStride)
     base
-      .join(broadcast(boffsets), Seq("pbucket"))
-      .withColumn("doc_chunk_offset",
-        col("boffset") + coalesce(sum(col("n_chunks")).over(local), lit(0L)))
-      .select(col("doc_id"), col("toks"), col("n_tokens"), col("doc_chunk_offset"),
-        explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_seq"))
+      .select(Seq(col("doc_id"), col("toks"), col("n_tokens")) ++ extra.map(col) :+
+        explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_seq"): _*)
       .withColumn("tok_start", col("chunk_seq") * st)
       .withColumn("tok_end", least(col("tok_start") + c, col("n_tokens")))
       .withColumn("chunk_text", expr(
@@ -1914,6 +1913,26 @@ object TextAnalysis {
       .withColumn("char_start", when(col("tok_start") === 0L, lit(0L))
         .otherwise(length(expr("array_join(slice(toks, 1, CAST(tok_start AS INT)), ' ')")).cast("long") + 1L))
       .withColumn("char_len", length(col("chunk_text")).cast("long"))
+  }
+
+  private[graft] def t25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val bucket = derivePackBucket(maxId)
+    val base = chunkBase(docs)
+      .withColumn("pbucket", expr(s"doc_id div $bucket"))
+    val bsums = base.groupBy(col("pbucket")).agg(sum(col("n_chunks")).as("bchunks"))
+    val boffsets = graft.operators.PrefixOffsets.bucketOffsets(bsums, Nil, "bchunks",
+      graft.operators.PrefixOffsets.superBucket(maxId / bucket))
+    val local = Window.partitionBy(col("pbucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunkExpand(
+      base
+        .join(broadcast(boffsets), Seq("pbucket"))
+        .withColumn("doc_chunk_offset",
+          col("boffset") + coalesce(sum(col("n_chunks")).over(local), lit(0L))),
+      Seq("doc_chunk_offset"))
       .select(col("doc_id"), (col("doc_chunk_offset") + col("chunk_seq")).as("chunk_id"),
         col("chunk_seq"), col("tok_start"), col("tok_end"),
         col("char_start"), col("char_len"), col("chunk_text"))
@@ -1944,15 +1963,18 @@ object TextAnalysis {
        |  SELECT doc_id, toks, n_tokens, doc_chunk_offset, chunk_seq,
        |    chunk_seq * $st AS tok_start,
        |    LEAST(chunk_seq * $st + $c, n_tokens) AS tok_end
-       |  FROM e)
+       |  FROM e),
+       |y AS (
+       |  SELECT doc_id, doc_chunk_offset, chunk_seq, tok_start, tok_end,
+       |    CASE WHEN tok_start = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE length(array_to_string(list_slice(toks, 1, tok_start), ' ')) + 1 END AS char_start,
+       |    CAST(length(array_to_string(list_slice(toks, tok_start + 1, tok_end), ' ')) AS BIGINT) AS char_len,
+       |    array_to_string(list_slice(toks, tok_start + 1, tok_end), ' ') AS chunk_text
+       |  FROM x)
        |SELECT doc_id,
        |  doc_chunk_offset + chunk_seq AS chunk_id,
-       |  chunk_seq, tok_start, tok_end,
-       |  CASE WHEN tok_start = 0 THEN CAST(0 AS BIGINT)
-       |       ELSE length(array_to_string(list_slice(toks, 1, tok_start), ' ')) + 1 END AS char_start,
-       |  CAST(length(array_to_string(list_slice(toks, tok_start + 1, tok_end), ' ')) AS BIGINT) AS char_len,
-       |  array_to_string(list_slice(toks, tok_start + 1, tok_end), ' ') AS chunk_text
-       |FROM x ORDER BY doc_id, chunk_seq""".stripMargin
+       |  chunk_seq, tok_start, tok_end, char_start, char_len, chunk_text
+       |FROM y ORDER BY doc_id, chunk_seq""".stripMargin
   }
 
   /** Epochs emitted by t26 — enough for the permutation independence

@@ -57,8 +57,10 @@ class DeterminismSpec extends SparkSpec {
     "g17_request_dedup", "g18_preference_pairs", "g19_model_router",
     "st13_stream_route", "s17_ivf_incremental",
     // round-15 additions: overlap chunking, the epoch permutation,
-    // cluster-balanced sampling
-    "t25_chunk_windows", "t26_epoch_shuffle", "s18_cluster_sample")
+    // cluster-balanced sampling, the composed RAG DAG, chunking at
+    // ingest
+    "t25_chunk_windows", "t26_epoch_shuffle", "s18_cluster_sample",
+    "s19_rag_pipeline", "st14_stream_chunk")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

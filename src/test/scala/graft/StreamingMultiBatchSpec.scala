@@ -145,6 +145,23 @@ class StreamingMultiBatchSpec extends SparkSpec {
     assert(st13.map(_.getAs[String]("routed_model")).toSet.size == 2)
   }
 
+  test("st14 ingest-time chunking equals t25's windows row-for-row (minus the corpus-order id)") {
+    // stateless per-row window arithmetic: whatever the file/trigger
+    // split, the streamed chunks must be byte-identical to the batch
+    // chunker's geometry/text/offsets — only the corpus-order chunk_id
+    // (a batch-state prefix sum by definition) stays batch-side
+    val st14 = SparkEntry.queries("st14_stream_chunk")(spark, sf)
+      .orderBy("doc_id", "chunk_seq").collect().toSeq
+    val t25 = SparkEntry.queries("t25_chunk_windows")(spark, sf)
+      .select("doc_id", "chunk_seq", "tok_start", "tok_end",
+        "char_start", "char_len", "chunk_text")
+      .orderBy("doc_id", "chunk_seq").collect().toSeq
+    assert(st14 == t25, "streamed chunking diverged from the batch chunker")
+    assert(st14.nonEmpty)
+    // multi-chunk documents actually stream (the overlap path fires)
+    assert(st14.map(_.getLong(1)).max >= 1L)
+  }
+
   test("st11 incremental compaction over 4 micro-batches equals the one-shot q34 compaction") {
     // latest-wins is associative+commutative, so the foreachBatch
     // merge must land on exactly the batch answer whatever the
