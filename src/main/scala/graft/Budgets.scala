@@ -46,11 +46,13 @@ object Budgets {
     // r15: measured 4.22 best-of-3 at sf0.1 (the composed two-arm +
     // chunk-assembly DAG: ~= lexArm + s11 + t25 + wiring)
     "s19_rag_pipeline" -> 5.3,
+    "s20_mmr_diversify" -> 2.5, // r15: measured 1.96 best-of-3 (~= s15 + the metadata-sized greedy)
     "t22_learned_pack" -> 4.5,
     "d20_cross_batch_cluster" -> 5.0,
     "d21_dedup_pack" -> 5.5,
     "m8_interleaved_pack" -> 2.0,
     "m9_crossmodal_dedup" -> 2.6,
+    "m10_scene_split" -> 5.4, // r15: measured 4.26 best-of-3 (m2 verbatim + AHash + the scene prefix)
     "d18_semdedup" -> 1.1,
     "d14_repeated_ngrams" -> 3.2,
     "d15_minhash_accuracy" -> 4.5,
@@ -272,6 +274,8 @@ object Budgets {
     "s16_hard_negatives" -> 8.0,
     "s18_cluster_sample" -> 8.0,
     "s19_rag_pipeline" -> 8.0,
+    "s20_mmr_diversify" -> 8.0,
+    "m10_scene_split" -> 8.0,
     "st5_stream_append_window" -> 8.0,
     "st6_stream_stream_join" -> 8.0,
     "st7_stream_dedup_bounded" -> 8.0,

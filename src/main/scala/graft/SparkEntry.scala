@@ -20,6 +20,7 @@ object SparkEntry {
     (sim.Hybrid.queries, sim.Hybrid.oracles),
     (sim.Mining.queries, sim.Mining.oracles),
     (sim.Rag.queries, sim.Rag.oracles),
+    (sim.Mmr.queries, sim.Mmr.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
     (streaming.StreamingOps.queries, streaming.StreamingOps.oracles))
 

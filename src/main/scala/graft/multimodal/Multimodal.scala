@@ -668,7 +668,100 @@ object Multimodal {
       |FROM part GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Scene-boundary threshold: hamming ≥ 2 of consecutive sampled
+    * frames' 64-bit perceptual hashes. Data-informed (the g19/t16
+    * rule): the DuckDB probe of the consecutive-frame hamming
+    * distribution measured 0–3 with median 1 / p90 2, so τ=2 leaves
+    * BOTH populations non-degenerate at every SF (sf0.01: 104
+    * boundaries over 1065 frames, 254 scenes, largest scene 9
+    * frames — multi-frame scenes and cuts both provable). */
+  private[graft] val SceneHamTau = 2L
+
+  /** m10: video scene segmentation over the sampled frame stream —
+    * the shot-boundary detection every video-curation pipeline runs
+    * before captioning/dedup (PySceneDetect's content-detector shape:
+    * consecutive-frame perceptual distance over a threshold = a cut):
+    * m2's every-10th-frame sample VERBATIM (the s19 composition rule)
+    * joins its frame payload, hashes each frame with the native
+    * [[graft.functions.AHash]] expression (m6's hash, third consumer),
+    * and a frame starts a new scene when its hamming distance to the
+    * PREVIOUS sampled frame reaches [[SceneHamTau]].
+    *
+    * Distribution shape: "previous frame" is an EQUI-JOIN on
+    * (user_id, frame_idx − 10) — sampled indices are exactly
+    * {1, 11, 21, …} per user, so the lag is a join key, not a window
+    * (the hot-video row_number risk m2 de-windowed stays de-windowed);
+    * the scene id (running count of boundaries in frame order) is the
+    * m2/t10 bucketed prefix idiom: per-(user, bucket) boundary sums →
+    * [[graft.operators.PrefixOffsets]] (parts = user) → a
+    * within-bucket cumulative window over ≤ bucket-width rows. The
+    * only windows are bucket-bounded; the hamming is a codegen'd HOF
+    * over two 64-char strings. Oracle: the LAG + SUM OVER window
+    * formulation with m6's phash CTE chain — same values, the window
+    * form DuckDB can afford at oracle scale.
+    */
+  private def m10(s: SparkSession, d: String): DataFrame = {
+    val fr = m2(s, d)
+      .join(Tables.events(s, d).select(col("event_id"), col("props")), Seq("event_id"))
+      .withColumn("fimg", rpad(coalesce(col("props"), lit("")), 64, "."))
+      .select(col("user_id"), col("frame_idx"), col("event_id"),
+        aHashCol(col("fimg")).as("phash"))
+    val prev = fr.select(col("user_id"), (col("frame_idx") + 10).as("frame_idx"),
+      col("phash").as("prev_phash"))
+    val maxRow = fr.agg(max(col("frame_idx"))).head()
+    val maxIdx = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val bucket = graft.text.TextAnalysis.derivePackBucket(maxIdx)
+    val withB = fr
+      .join(prev, Seq("user_id", "frame_idx"), "left")
+      .withColumn("ham_prev", when(col("prev_phash").isNull, lit(null).cast("long"))
+        .otherwise(expr(
+          "CAST(size(filter(sequence(1, 64), i -> substring(prev_phash, i, 1) != substring(phash, i, 1))) AS BIGINT)")))
+      .withColumn("is_boundary", coalesce(col("ham_prev") >= SceneHamTau, lit(false)))
+      .withColumn("bflag", when(col("is_boundary"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("pbucket", expr(s"frame_idx div $bucket"))
+    val bsums = withB.groupBy(col("user_id"), col("pbucket")).agg(sum(col("bflag")).as("bs"))
+    val boffsets = graft.operators.PrefixOffsets.bucketOffsets(bsums, Seq("user_id"), "bs",
+      graft.operators.PrefixOffsets.superBucket(maxIdx / bucket))
+    val local = Window.partitionBy(col("user_id"), col("pbucket"))
+      .orderBy(col("frame_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .join(boffsets, Seq("user_id", "pbucket"))
+      .withColumn("scene_id", col("boffset") + sum(col("bflag")).over(local))
+      .select(col("user_id"), col("frame_idx"), col("event_id"), col("phash"),
+        col("ham_prev"), col("is_boundary"), col("scene_id"))
+      .sortWithinPartitions(col("user_id"), col("frame_idx"))
+  }
+
+  private val m10Sql =
+    s"""WITH f AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS frame_idx,
+       |    rpad(coalesce(props, ''), 64, '.') AS fimg
+       |  FROM events),
+       |frames AS (
+       |  SELECT user_id, event_id AS doc_id, frame_idx, fimg
+       |  FROM f WHERE frame_idx % 10 = 1),
+       |${phashCtes("frames", "fimg")},
+       |j AS (
+       |  SELECT fr.user_id, fr.frame_idx, fr.doc_id AS event_id, ph.phash,
+       |    LAG(ph.phash) OVER (PARTITION BY fr.user_id ORDER BY fr.frame_idx) AS prev
+       |  FROM frames fr JOIN ph ON ph.doc_id = fr.doc_id),
+       |h AS (
+       |  SELECT user_id, frame_idx, event_id, phash,
+       |    CASE WHEN prev IS NULL THEN NULL
+       |         ELSE CAST(len(list_filter(generate_series(1, 64),
+       |                i -> substring(phash, i, 1) <> substring(prev, i, 1))) AS BIGINT)
+       |    END AS ham_prev
+       |  FROM j)
+       |SELECT user_id, frame_idx, event_id, phash, ham_prev,
+       |  COALESCE(ham_prev >= $SceneHamTau, FALSE) AS is_boundary,
+       |  CAST(SUM(CASE WHEN COALESCE(ham_prev >= $SceneHamTau, FALSE) THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY frame_idx) AS BIGINT) AS scene_id
+       |FROM h ORDER BY user_id, frame_idx""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "m10_scene_split" -> (m10 _),
     "m9_crossmodal_dedup" -> (m9 _),
     "m8_interleaved_pack" -> (m8 _),
     "m7_shard_pack" -> (m7 _),
@@ -680,6 +773,7 @@ object Multimodal {
     "m6_perceptual_hash" -> (m6 _))
 
   val oracles: Map[String, String] = Map(
+    "m10_scene_split" -> m10Sql,
     "m9_crossmodal_dedup" -> m9Sql,
     "m8_interleaved_pack" -> m8Sql,
     "m7_shard_pack" -> m7Sql,

@@ -21,7 +21,7 @@ object Knn {
     s"""list_reduce(list_transform(generate_series(1, 64),
        |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)""".stripMargin
 
-  private def duckCos(a: String, b: String): String =
+  private[sim] def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
   /** Final ranking of a scored candidate set (columns `q_id`, `vec_id`,

@@ -60,7 +60,8 @@ class DeterminismSpec extends SparkSpec {
     // cluster-balanced sampling, the composed RAG DAG, chunking at
     // ingest
     "t25_chunk_windows", "t26_epoch_shuffle", "s18_cluster_sample",
-    "s19_rag_pipeline", "st14_stream_chunk")
+    "s19_rag_pipeline", "st14_stream_chunk", "s20_mmr_diversify",
+    "m10_scene_split")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {
