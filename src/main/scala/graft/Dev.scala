@@ -100,6 +100,19 @@ object Dev {
         time("rule_off")
         spark.conf.unset("spark.sql.optimizer.excludedRules")
         time("rule_on")
+      case Some("explain") =>
+        // formatted physical plan for any registered query — the plan
+        // audit the §5 discipline asks for after every operator lands
+        // ("explain and iterate until it's the plan you'd want")
+        val name = args.lift(1).getOrElse(
+          sys.error("usage: explain <query> [sfDir]"))
+        val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.01")
+        val fn = SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query '$name'"))
+        val df = fn(spark, sfDir)
+        df.write.mode("overwrite").format("noop").save()
+        println(df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0))
       case _ =>
         println(s"entry rows=${SparkEntry.entry(spark).count()}")
     }
