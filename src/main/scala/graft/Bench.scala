@@ -236,14 +236,22 @@ object Bench {
       // round, not an archaeology task. The full delta map rides
       // bench_sf1_trend.json (untracked — SF1_HISTORY holds the
       // primary evidence).
-      val trend: Option[String] = {
+      // the whole trend block is an optional diagnostic — it must
+      // never sink the gate evidence that follows it (ADVICE r15 #1:
+      // one truncated/corrupt history line — crash or disk-full
+      // mid-append — would otherwise throw here, before
+      // bench_sf1_last.json, the history append, and the stdout
+      // markers), so unparseable lines are skipped and any residual
+      // failure degrades to None
+      val trend: Option[String] = scala.util.Try {
         val hist = java.nio.file.Paths.get("SF1_HISTORY.jsonl")
         if (!java.nio.file.Files.exists(hist)) None
         else {
           val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
           scala.jdk.CollectionConverters.ListHasAsScala(
               java.nio.file.Files.readAllLines(hist)).asScala
-            .filter(_.trim.nonEmpty).map(mapper.readTree)
+            .filter(_.trim.nonEmpty)
+            .flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
             .filter(n => n.path("sf1").asText == sf1Dir &&
               !n.path("filtered").asBoolean(true) && n.path("conf").size == 0)
             .lastOption.map { n =>
@@ -268,7 +276,7 @@ object Bench {
               s"""{"metric":"sf1_trend","vs_ts":${n.path("ts").asLong},"n_compared":${deltas.size},"median_delta":${f(med)},"movers":$movers}"""
             }
         }
-      }
+      }.toOption.flatten
       (full, short, trend)
     }
     sf1Line.foreach { case (full, _, _) =>

@@ -695,27 +695,39 @@ object Multimodal {
     * m2/t10 bucketed prefix idiom: per-(user, bucket) boundary sums →
     * [[graft.operators.PrefixOffsets]] (parts = user) → a
     * within-bucket cumulative window over ≤ bucket-width rows. The
-    * only windows are bucket-bounded; the hamming is a codegen'd HOF
-    * over two 64-char strings. Oracle: the LAG + SUM OVER window
+    * only windows are bucket-bounded; the hamming is codegen'd
+    * bit_count(xor) over the conv()-packed 32-bit halves (m9/d8's
+    * idiom). Oracle: the LAG + SUM OVER window
     * formulation with m6's phash CTE chain — same values, the window
     * form DuckDB can afford at oracle scale.
     */
   private def m10(s: SparkSession, d: String): DataFrame = {
+    // the phash rides as the output string, but the hamming compares
+    // its two conv()-packed longs via codegen'd bit_count(xor) — the
+    // repo's m9/d8 idiom (VERDICT r15 #2: the 64-iteration substring
+    // HOF was the interpreted outlier)
     val fr = m2(s, d)
       .join(Tables.events(s, d).select(col("event_id"), col("props")), Seq("event_id"))
       .withColumn("fimg", rpad(coalesce(col("props"), lit("")), 64, "."))
       .select(col("user_id"), col("frame_idx"), col("event_id"),
         aHashCol(col("fimg")).as("phash"))
+      .withColumn("ph_hi", expr("cast(conv(substring(phash, 1, 32), 2, 10) as bigint)"))
+      .withColumn("ph_lo", expr("cast(conv(substring(phash, 33, 32), 2, 10) as bigint)"))
     val prev = fr.select(col("user_id"), (col("frame_idx") + 10).as("frame_idx"),
-      col("phash").as("prev_phash"))
-    val maxRow = fr.agg(max(col("frame_idx"))).head()
-    val maxIdx = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      col("ph_hi").as("prev_hi"), col("ph_lo").as("prev_lo"))
+    // bucket sizing reads a scan-level upper bound (total event count
+    // >= any user's frame_idx), not max(frame_idx) over the m2 window
+    // subtree — the bucket width never changes output values (offsets
+    // are bucketing-invariant), so the cheap bound is oracle-safe and
+    // drops the third execution of the per-user row_number window
+    // (VERDICT r15 #3)
+    val maxIdx = Tables.events(s, d).count()
     val bucket = graft.text.TextAnalysis.derivePackBucket(maxIdx)
     val withB = fr
       .join(prev, Seq("user_id", "frame_idx"), "left")
-      .withColumn("ham_prev", when(col("prev_phash").isNull, lit(null).cast("long"))
+      .withColumn("ham_prev", when(col("prev_hi").isNull, lit(null).cast("long"))
         .otherwise(expr(
-          "CAST(size(filter(sequence(1, 64), i -> substring(prev_phash, i, 1) != substring(phash, i, 1))) AS BIGINT)")))
+          "CAST(bit_count(ph_hi ^ prev_hi) + bit_count(ph_lo ^ prev_lo) AS BIGINT)")))
       .withColumn("is_boundary", coalesce(col("ham_prev") >= SceneHamTau, lit(false)))
       .withColumn("bflag", when(col("is_boundary"), lit(1L)).otherwise(lit(0L)))
       .withColumn("pbucket", expr(s"frame_idx div $bucket"))

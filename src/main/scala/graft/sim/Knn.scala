@@ -1489,10 +1489,19 @@ object Knn {
   private def s18(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions)
-    val (assigned, _, _) = lloyd(e)
-    // learned cell count — metadata-sized scalar (the maxId pattern);
-    // quota uses integer ceil so both engines share the arithmetic
-    val ncells = assigned.select(col("cell")).distinct().count()
+    val (assigned, centroids, _) = lloyd(e)
+    // learned cell count = the TRAINED centroid count — metadata lloyd
+    // already holds (a k-row LocalRelation; counting it runs no corpus
+    // work). ADVICE r15 #3: the previous COUNT(DISTINCT cell) over the
+    // final assignment re-ran the full argmin projection just for this
+    // scalar (and a localCheckpoint of the assignment measured SLOWER
+    // at sf0.1, 1.89 vs 1.68 s isolated — and is corpus-sized state at
+    // 100 TB). Identical whenever every centroid wins ≥ 1 vector
+    // (true at every SF here, parity-checked); a permanently-empty
+    // cell would under-fill the budget by one quota — the conservative
+    // direction for a diversity sampler. Quota uses integer ceil so
+    // both engines share the arithmetic.
+    val ncells = centroids.count()
     require(ncells > 0, s"s18: no cells learned over $d")
     val quota = ((ClusterSampleBudget + ncells - 1) / ncells).toInt
     val sel = assigned.select(col("cell"), col("vec_id"),
@@ -1506,7 +1515,7 @@ object Knn {
     s"""$prefix,
        |sel AS (SELECT cell, vec_id, md5('csamp:' || CAST(vec_id AS VARCHAR)) AS h
        |  FROM afin),
-       |nc AS (SELECT COUNT(DISTINCT cell) AS ncells FROM afin)
+       |nc AS (SELECT COUNT(*) AS ncells FROM c$KmeansMaxRounds)
        |SELECT cell, vec_id, h FROM (
        |  SELECT s.cell, s.vec_id, s.h,
        |    ROW_NUMBER() OVER (PARTITION BY s.cell ORDER BY s.h DESC, s.vec_id) AS pick,

@@ -1886,7 +1886,21 @@ object TextAnalysis {
   /** Per-doc chunk-count projection — the pre-explode half of the
     * window arithmetic, shared by t25 (batch) and st14 (ingest
     * stream). Requires (doc_id, text); yields (doc_id, toks,
-    * n_tokens, n_chunks). Pure per-row codegen. */
+    * n_tokens, n_chunks, stride_starts). Pure per-row codegen.
+    *
+    * `stride_starts(k)` is the char offset of token k·S in the
+    * space-joined document — i.e. chunk k's char_start — built by ONE
+    * O(n) fold that sums each stride's token lengths exactly once
+    * (VERDICT r15 #1: the previous per-chunk-row
+    * `length(array_join(slice(toks, 1, tok_start)))` re-joined the
+    * whole prefix per chunk, O(n²/S) chars per doc — invisible at
+    * this corpus's doc lengths but a straggler task on a book-length
+    * outlier, and inherited by st14's ingest path and s19's context
+    * assembly). The accumulator holds n/S longs (chunk starts, not
+    * token starts), so the fold's array copies stay ~(n/S)²·8 bytes —
+    * metadata-sized even at 10⁵-token docs. Identity (induction over
+    * strides): stride_starts(k) = Σ_{j<k·S}(len(tok_j)+1) =
+    * length(join(toks[0..k·S-1], ' ')) + 1, the exact old value. */
   private[graft] def chunkBase(docs: DataFrame): DataFrame = {
     val (c, st) = (ChunkTokens, ChunkStride)
     docs
@@ -1895,6 +1909,13 @@ object TextAnalysis {
       .withColumn("n_chunks", lit(1L) +
         when(col("n_tokens") > c,
           expr(s"(n_tokens - $c + ${st - 1}) div $st")).otherwise(lit(0L)))
+      .withColumn("stride_starts", expr(
+        s"""CASE WHEN n_chunks <= 1 THEN array(CAST(0 AS BIGINT))
+           |ELSE aggregate(sequence(CAST(1 AS BIGINT), n_chunks - 1),
+           |  array(CAST(0 AS BIGINT)),
+           |  (acc, k) -> array_append(acc, element_at(acc, -1) +
+           |    length(array_join(slice(toks, CAST((k - 1) * $st + 1 AS INT), $st), ' ')) + 1))
+           |END""".stripMargin))
   }
 
   /** Explode a [[chunkBase]] relation into chunk rows with geometry,
@@ -1904,14 +1925,17 @@ object TextAnalysis {
   private[graft] def chunkExpand(base: DataFrame, extra: Seq[String]): DataFrame = {
     val (c, st) = (ChunkTokens, ChunkStride)
     base
-      .select(Seq(col("doc_id"), col("toks"), col("n_tokens")) ++ extra.map(col) :+
+      .select(Seq(col("doc_id"), col("toks"), col("n_tokens"),
+          col("stride_starts")) ++ extra.map(col) :+
         explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_seq"): _*)
       .withColumn("tok_start", col("chunk_seq") * st)
       .withColumn("tok_end", least(col("tok_start") + c, col("n_tokens")))
       .withColumn("chunk_text", expr(
         "array_join(slice(toks, CAST(tok_start + 1 AS INT), CAST(tok_end - tok_start AS INT)), ' ')"))
-      .withColumn("char_start", when(col("tok_start") === 0L, lit(0L))
-        .otherwise(length(expr("array_join(slice(toks, 1, CAST(tok_start AS INT)), ' ')")).cast("long") + 1L))
+      // O(1) per chunk row: index the per-doc stride-offset array
+      // (see chunkBase) instead of re-joining the token prefix
+      .withColumn("char_start", expr(
+        "element_at(stride_starts, CAST(chunk_seq + 1 AS INT))"))
       .withColumn("char_len", length(col("chunk_text")).cast("long"))
   }
 

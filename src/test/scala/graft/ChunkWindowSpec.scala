@@ -37,11 +37,16 @@ class ChunkWindowSpec extends SparkSpec {
       }
       assert(sorted.head._4 == 0L, s"doc $doc first chunk start")
       assert(sorted.last._5 == n, s"doc $doc last chunk end $n")
-      // every token covered and consecutive overlap exactly C - S
+      // consecutive overlap is EXACTLY C - S for every pair (the left
+      // chunk of a pair is never the final one, so it is a full
+      // window) — an exact pin, so a stride/window regression fails
+      // here directly, not only via the per-chunk start/end asserts
+      // above (ADVICE r15 #2: the previous >= form was implied by
+      // those and thus vacuous)
       if (sorted.length > 1)
         sorted.sliding(2).foreach { case Array(a, b) =>
-          assert(a._5 - b._4 >= C - S || a._5 == n,
-            s"doc $doc coverage gap between ${a._3} and ${b._3}")
+          assert(a._5 - b._4 == C - S,
+            s"doc $doc overlap between ${a._3} and ${b._3} is ${a._5 - b._4}, not ${C - S}")
         }
     }
   }
@@ -91,10 +96,16 @@ class ChunkWindowSpec extends SparkSpec {
   test("s18 takes exactly min(|cell|, quota) per cell, the hash-order maxima") {
     import graft.sim.Knn
     val e = Tables.embeddings(spark, sf)
-    val (assigned, _, _) = Knn.lloyd(e)
+    val (assigned, centroids, _) = Knn.lloyd(e)
     val membership = assigned.select("cell", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-    val ncells = membership.size
+    // quota divides the TRAINED centroid count (r16: the metadata
+    // scalar, not a corpus re-scan); pin that it equals the non-empty
+    // assignment cells here so the two definitions can't silently
+    // diverge on this corpus
+    val ncells = centroids.count().toInt
+    assert(ncells == membership.size,
+      s"trained cells $ncells != non-empty assignment cells ${membership.size}")
     val quota = ((Knn.ClusterSampleBudget + ncells - 1) / ncells).toInt
     def h(v: Long): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
