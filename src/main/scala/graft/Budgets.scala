@@ -94,6 +94,7 @@ object Budgets {
     "g17_request_dedup" -> 0.7,
     "g18_preference_pairs" -> 0.6,
     "g19_model_router" -> 0.9,
+    "g20_schema_validate" -> 1.0, // r16: measured 0.78 best-of-3 at sf0.1
     "g4_response_parse" -> 0.7,
     "g5_result_join" -> 0.8,
     "g6_error_split" -> 0.5,

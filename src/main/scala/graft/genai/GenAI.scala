@@ -249,9 +249,11 @@ object GenAI {
     * against ground truth — per-source accuracy. Every stage is a
     * per-row projection or one groupBy; the scoring join is on doc_id.
     */
-  private def g11(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val items = docs.select(
+  /** The multichoice exam item shape (run_multichoice_exam.py's
+    * pre-formatted messages), shared by g11 (scoring) and g20
+    * (response-contract validation). */
+  private def examItems(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"), col("source"),
       array(
         struct(lit("system").as("role"),
@@ -264,6 +266,10 @@ object GenAI {
               "than the answer.\nQuestion: which option number equals "),
             col("doc_id") % 4 + 1,
             lit("?\n1. one\n2. two\n3. three\n4. four")).as("content"))).as("messages"))
+
+  private def g11(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val items = examItems(docs)
     val parsed = Responses.parse(Simulator.respondExam(Requests.examRequests(items)))
     Responses.results(parsed)
       .select(col("doc_id"),
@@ -907,7 +913,64 @@ object GenAI {
       |       ELSE ptok * 2350 + ctok * 9400 END) AS BIGINT) AS saved_vs_premium_nano
       |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** g20: typed structured-output validation — the response-side g2
+    * (VERDICT r15 #5): the reference forces
+    * `response_format: json_object` and then hand-parses one field
+    * (`json.loads(content)["answer"]`, run_multichoice_exam.py;
+    * openai_batch_processor.py:79 sets the format) — a schema
+    * violation crashes the whole retrieve step. Here every parsed
+    * response gets a per-rule verdict
+    * ([[Validation.validateStructured]]: required key, integer type,
+    * enum 1–4 — first failing rule wins, the g2 form) against a
+    * simulated model that disobeys JSON mode on deterministic slivers
+    * ([[Simulator.respondStructured]] — prose, wrong type, enum
+    * violation, missing key; every rule population non-empty at every
+    * SF, the t16 falsifiability discipline), then one count rollup
+    * per verdict (the g15 quarantine discipline applied to semantic
+    * validity: invalid rows are a queryable population, not a crash).
+    *
+    * Scale: per-row codegen'd JSON predicates over the parsed
+    * responses, zero joins; the only exchanges carry the ≤ 6-row
+    * verdict rollup (plan-pinned). The oracle re-derives every
+    * verdict from the CONTENT through DuckDB's own JSON machinery
+    * (json_valid / json_extract_string / TRY_CAST), not from the
+    * planting rule — so the two engines' parse semantics are being
+    * compared, not the injection arithmetic.
+    */
+  private def g20(s: SparkSession, d: String): DataFrame = {
+    val items = examItems(Tables.documents(s, d))
+    val parsed = Responses.parse(
+      Simulator.respondStructured(Requests.examRequests(items)))
+    Validation.validateStructured(parsed)
+      .groupBy(coalesce(col("reason"), lit("valid")).as("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("reason"))
+  }
+
+  private val g20Sql =
+    """WITH resp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 53 = 0 THEN 500 ELSE 200 END AS status_code,
+      |    CASE WHEN doc_id % 53 = 0 THEN NULL
+      |         WHEN doc_id % 17 = 2 THEN 'The answer is ' || CAST(doc_id % 4 + 1 AS VARCHAR) || '.'
+      |         WHEN doc_id % 19 = 4 THEN '{"answer": "option-' || CAST(doc_id % 4 + 1 AS VARCHAR) || '"}'
+      |         WHEN doc_id % 23 = 6 THEN '{"answer": "7"}'
+      |         WHEN doc_id % 29 = 8 THEN '{"verdict": "' || CAST(doc_id % 4 + 1 AS VARCHAR) || '"}'
+      |         ELSE '{"answer": "' || CAST(doc_id % 4 + 1 AS VARCHAR) || '"}' END AS content
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id,
+      |    CASE WHEN status_code <> 200 OR content IS NULL THEN 'missing_content'
+      |         WHEN NOT json_valid(content) THEN 'not_json'
+      |         WHEN json_extract_string(content, '$.answer') IS NULL THEN 'missing_key'
+      |         WHEN TRY_CAST(json_extract_string(content, '$.answer') AS BIGINT) IS NULL THEN 'wrong_type'
+      |         WHEN TRY_CAST(json_extract_string(content, '$.answer') AS BIGINT) NOT BETWEEN 1 AND 4 THEN 'enum_out_of_range'
+      |         ELSE 'valid' END AS reason
+      |  FROM resp)
+      |SELECT reason, COUNT(*) AS n FROM v GROUP BY reason ORDER BY reason""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "g20_schema_validate" -> (g20 _),
     "g19_model_router" -> (g19 _),
     "g18_preference_pairs" -> (g18 _),
     "g17_request_dedup" -> (g17 _),
@@ -929,6 +992,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g20_schema_validate" -> g20Sql,
     "g19_model_router" -> g19Sql,
     "g18_preference_pairs" -> g18Sql,
     "g17_request_dedup" -> g17Sql,

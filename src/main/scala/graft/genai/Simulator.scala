@@ -69,6 +69,52 @@ object Simulator {
       when(failed, lit("Internal server error")).otherwise(lit(null).cast("string")).as("error_message"))
   }
 
+  /** Exam responder that DISOBEYS the json_object contract on
+    * deterministic slivers — what a real model does even when
+    * `response_format` forces JSON mode (the mode guarantees
+    * syntactic JSON at best; nothing guarantees the schema, and
+    * providers without strict mode emit prose too). The reference
+    * hand-parses `json.loads(content)["answer"]`
+    * (run_multichoice_exam.py) and would crash or mis-score on every
+    * one of these; g20 is the validation stage that quarantines them
+    * first. Planting is the g15 injection discipline (deterministic
+    * doc_id slivers, CASE precedence top-down so both engines agree
+    * on overlaps):
+    *   doc_id % 53 == 0 → transport 500 (the standing rule)
+    *   doc_id % 17 == 2 → prose, not JSON
+    *   doc_id % 19 == 4 → wrong type ("option-N", not an integer)
+    *   doc_id % 23 == 6 → enum violation ("7", outside 1–4)
+    *   doc_id % 29 == 8 → required key missing ("verdict" instead)
+    *   else             → schema-conforming {"answer": "N"}
+    */
+  def respondStructured(requests: DataFrame): DataFrame = {
+    val userContent = expr("element_at(messages, 2).content")
+    val solved = regexp_extract(userContent, "equals (\\d)", 1)
+    val content =
+      when(col("doc_id") % 17 === 2, concat(lit("The answer is "), solved, lit(".")))
+        .when(col("doc_id") % 19 === 4,
+          concat(lit("{\"answer\": \"option-"), solved, lit("\"}")))
+        .when(col("doc_id") % 23 === 6, lit("{\"answer\": \"7\"}"))
+        .when(col("doc_id") % 29 === 8,
+          concat(lit("{\"verdict\": \""), solved, lit("\"}")))
+        .otherwise(concat(lit("{\"answer\": \""), solved, lit("\"}")))
+    val promptTokens = expr("aggregate(messages, 3L, (acc, m) -> acc + length(m.content)) div 4")
+    val failed = col("doc_id") % 53 === 0
+    requests.select(
+      col("custom_id"),
+      when(failed, lit(500)).otherwise(lit(200)).as("status_code"),
+      when(failed, lit(null).cast("string")).otherwise(
+        to_json(struct(
+          col("model"),
+          array(struct(
+            struct(lit("assistant").as("role"), content.as("content")).as("message")
+          )).as("choices"),
+          struct(
+            promptTokens.as("prompt_tokens"),
+            lit(7L).as("completion_tokens")).as("usage")))).as("body_json"),
+      when(failed, lit("Internal server error")).otherwise(lit(null).cast("string")).as("error_message"))
+  }
+
   /** Exam-request responder (for Requests.examRequests): the fake
     * model "solves" the question by reading the option number out of
     * the user message, answers `{"answer": "N"}` as the forced

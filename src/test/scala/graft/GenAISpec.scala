@@ -536,4 +536,50 @@ class GenAISpec extends SparkSpec {
     assert(got.find(_._1 == GenAI.MiniModel).get._6 > 0)
     assert(got.find(_._1 == GenAI.PremiumModel).get._6 == 0)
   }
+
+  test("g20 verdict rollup equals the planting arithmetic; every rule population live") {
+    // independent reference: the verdicts the INJECTION rules imply,
+    // recomputed in plain Scala — the operator derives its verdicts
+    // through Spark's JSON machinery from the content, so agreement
+    // here proves the parse chain classifies every planted shape right
+    def expected(id: Long): String =
+      if (id % 53 == 0) "missing_content"
+      else if (id % 17 == 2) "not_json"
+      else if (id % 19 == 4) "wrong_type"
+      else if (id % 23 == 6) "enum_out_of_range"
+      else if (id % 29 == 8) "missing_key"
+      else "valid"
+    val want = docs.select("doc_id").collect().map(_.getLong(0))
+      .groupBy(expected).map { case (r, ids) => r -> ids.length.toLong }
+    val got = SparkEntry.queries("g20_schema_validate")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"\n got: $got\nwant: $want")
+    // falsifiability: all six verdict populations are non-empty
+    assert(got.keySet == Set("missing_content", "not_json", "missing_key",
+      "wrong_type", "enum_out_of_range", "valid"))
+    assert(got.values.forall(_ > 0))
+  }
+
+  test("g20 per-row verdicts: valid rows parse to an in-range integer, invalid rows keep raw content") {
+    val items = docs.select(col("doc_id"), col("source"),
+      array(struct(lit("system").as("role"), lit("s").as("content")),
+        struct(lit("user").as("role"),
+          concat(lit("which option number equals "), col("doc_id") % 4 + 1,
+            lit("?")).as("content"))).as("messages"))
+    val parsed = Responses.parse(
+      Simulator.respondStructured(Requests.examRequests(items)))
+    val v = Validation.validateStructured(parsed)
+    import org.apache.spark.sql.functions.{expr => e}
+    // every valid row yields the solved answer (doc_id % 4 + 1) in 1..4
+    val badValid = v.filter(col("is_valid") &&
+      (e("try_cast(get_json_object(content, '$.answer') AS BIGINT)")
+        =!= (col("doc_id") % 4 + 1))).count()
+    assert(badValid == 0L)
+    // invalid non-transport rows still carry their raw content for the
+    // audit trail (the g15 quarantine property)
+    assert(v.filter(!col("is_valid") && col("reason") =!= "missing_content" &&
+      col("content").isNull).count() == 0L)
+    // reason is total: every row gets exactly one verdict
+    assert(v.filter(col("reason").isNull && !col("is_valid")).count() == 0L)
+  }
 }

@@ -807,6 +807,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.filter(col("reason") === "malformed" && col("raw_quarantine").isNull).count() == 0L)
   }
 
+  test("g20 schema validation is per-row verdicts + a rollup-only exchange") {
+    val p = plan("g20_schema_validate")
+    // the verdict chain is join-free; the only exchanges carry the
+    // <= 6-row reason rollup (hash for the agg, range for the orderBy)
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size <= 2, s"expected only rollup exchanges:\n$p")
+  }
+
   test("m7 shard packing keeps the prefix sum two-level and bucket-scoped") {
     val p = plan("m7_shard_pack")
     // every doc_id-ordered window is bucket-partitioned (the t10/t15
