@@ -2056,7 +2056,104 @@ object TextAnalysis {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS position
        |FROM k ORDER BY epoch, position""".stripMargin
 
+  /** Context-window token budget for t27 — sized against the corpus's
+    * lead-chunk distribution (docs are 10–99 tokens, so lead chunks
+    * are 10–32) so all three fill branches are live at oracle scale:
+    * slots that fit whole, one mid-chunk truncation, and selected
+    * docs dropped after exhaustion. A model budget (8k/128k) is the
+    * same arithmetic. */
+  private[graft] val ContextBudgetTokens = 80L
+
+  /** t27: token-budgeted context assembly — the final stage of the
+    * retrieval pipeline (VERDICT r15 #6): s20 selects diverse docs and
+    * s19 picks chunks, but nothing assembled the context WINDOW a
+    * model actually receives. In s20's diversification order
+    * (mmr_rank), each selected document contributes its LEAD chunk
+    * (t25 VERBATIM, chunk_seq 0 — the head-of-document default when no
+    * per-query chunk signal is in play), and the window greedy-fills a
+    * fixed token budget ([[ContextBudgetTokens]]): tok_alloc =
+    * min(chunk tokens, remaining budget), sequential (the t10
+    * offset-packing arithmetic over ≤ [[graft.sim.Mmr.MmrK]] rows), a
+    * chunk cut mid-way is `truncated`, docs after exhaustion drop.
+    * Output rows are citation-addressable: (char_start, char_alloc)
+    * locate the EXACT allocated text in the original document, and
+    * context_text is the window content itself.
+    *
+    * Scale: both composed stages are the proven shapes (s20's arms +
+    * t25's chunker); the only new work joins t25's corpus-sized chunk
+    * relation against the BROADCAST ≤ 5-row selection, and the greedy
+    * fold runs on the driver over ≤ 5 rows — metadata-sized BY
+    * CONSTRUCTION (s20's bounded selection; the s20/s15 collect-once
+    * discipline, not a DataFrame recurrence). Oracle: s20Sql's full
+    * chain + t25Sql's chain spliced verbatim, fill as a prefix-sum
+    * window over the ≤ 5-row csel — drift in either member breaks t27
+    * too (the t15 composition rule).
+    */
+  private def t27(s: SparkSession, d: String): DataFrame = {
+    val sel = graft.sim.Mmr.queries("s20_mmr_diversify")(s, d)
+      .select(col("mmr_rank"), col("doc_id"))
+    val lead = t25(s, d).filter(col("chunk_seq") === 0L)
+      .join(broadcast(sel), Seq("doc_id"))
+      .select(col("mmr_rank"), col("doc_id"), col("chunk_id"),
+        (col("tok_end") - col("tok_start")).as("ctoks"),
+        col("char_start"), col("chunk_text"))
+      .collect() // <= MmrK rows by construction
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+      .sortBy(_._1)
+    var rem = ContextBudgetTokens
+    var slot = 0L
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Boolean, Long, Long, String)]
+    lead.foreach { case (_, doc, cid, ctoks, cst, text) =>
+      val alloc = math.min(ctoks, math.max(rem, 0L))
+      if (alloc > 0L) {
+        slot += 1
+        // -1 keeps empty tokens so the char arithmetic matches the
+        // engines' split semantics exactly
+        val ctxText = text.split(" ", -1).take(alloc.toInt).mkString(" ")
+        out += ((slot, doc, cid, alloc, alloc < ctoks, cst,
+          ctxText.length.toLong, ctxText))
+        rem -= alloc
+      }
+    }
+    import s.implicits._
+    out.toSeq.toDF("slot", "doc_id", "chunk_id", "tok_alloc", "truncated",
+        "char_start", "char_alloc", "context_text")
+      .orderBy(col("slot"))
+  }
+
+  private[graft] def t27Sql: String = {
+    val s20Full = graft.sim.Mmr.oracles("s20_mmr_diversify")
+    val s20Ctes = s20Full.substring(0, s20Full.lastIndexOf("\nSELECT mmr_rank"))
+    val t25Body = t25Sql.substring("WITH ".length, t25Sql.lastIndexOf("\nSELECT doc_id,"))
+    val t25Select = t25Sql.substring(t25Sql.lastIndexOf("\nSELECT doc_id,") + 1)
+      .replace(" ORDER BY doc_id, chunk_seq", "")
+    s"""$s20Ctes,
+       |$t25Body,
+       |chunks AS ($t25Select),
+       |csel AS (
+       |  SELECT a.mmr_rank, a.doc_id, c.chunk_id,
+       |    c.tok_end - c.tok_start AS ctoks, c.char_start, c.chunk_text
+       |  FROM acc${graft.sim.Mmr.MmrK} a
+       |  JOIN chunks c ON c.doc_id = a.doc_id AND c.chunk_seq = 0),
+       |pre AS (
+       |  SELECT *, COALESCE(SUM(ctoks) OVER (ORDER BY mmr_rank
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_off
+       |  FROM csel),
+       |alc AS (
+       |  SELECT mmr_rank, doc_id, chunk_id, ctoks, char_start, chunk_text,
+       |    CAST(LEAST(ctoks, GREATEST($ContextBudgetTokens - tok_off, 0)) AS BIGINT) AS tok_alloc
+       |  FROM pre)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY mmr_rank) AS BIGINT) AS slot,
+       |  doc_id, chunk_id, tok_alloc, tok_alloc < ctoks AS truncated, char_start,
+       |  CAST(length(array_to_string(list_slice(string_split(chunk_text, ' '), 1, tok_alloc), ' ')) AS BIGINT) AS char_alloc,
+       |  array_to_string(list_slice(string_split(chunk_text, ' '), 1, tok_alloc), ' ') AS context_text
+       |FROM alc WHERE tok_alloc > 0 ORDER BY slot""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "t27_context_pack" -> (t27 _),
     "t25_chunk_windows" -> (t25 _),
     "t26_epoch_shuffle" -> (t26 _),
     "t24_dsir_resample" -> (t24 _),
@@ -2085,6 +2182,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t27_context_pack" -> t27Sql,
     "t25_chunk_windows" -> t25Sql,
     "t26_epoch_shuffle" -> t26Sql,
     "t24_dsir_resample" -> t24Sql,

@@ -138,6 +138,40 @@ class ChunkWindowSpec extends SparkSpec {
     assert(badWindow.isEmpty, s"s18 plans a window sort: $badWindow")
   }
 
+  test("t27 greedy fill equals an in-JVM recomputation from s20's selection and the raw texts") {
+    val sel = SparkEntry.queries("s20_mmr_diversify")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(sel.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent reference: the fill recomputed from first principles
+    // (lead chunk = first min(32, n) tokens, sequential budget 80)
+    var rem = 80L
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean, String)]
+    sel.foreach { case (_, doc) =>
+      val toks = texts(doc).split(" ", -1)
+      val ctoks = math.min(32L, toks.length.toLong)
+      val alloc = math.min(ctoks, math.max(rem, 0L))
+      if (alloc > 0L) {
+        want += ((doc, alloc, alloc < ctoks, toks.take(alloc.toInt).mkString(" ")))
+        rem -= alloc
+      }
+    }
+    val got = SparkEntry.queries("t27_context_pack")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("slot"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_alloc"),
+        r.getAs[Boolean]("truncated"), r.getAs[String]("context_text")))
+    assert(got.toSeq == want.toSeq, s"\n got: ${got.toSeq}\nwant: ${want.toSeq}")
+    // citation addressing: lead chunks start at char 0 and the
+    // allocated span reconstructs from the ORIGINAL document
+    SparkEntry.queries("t27_context_pack")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("char_start") == 0L)
+      val doc = texts(r.getAs[Long]("doc_id"))
+      val span = doc.substring(0, r.getAs[Long]("char_alloc").toInt)
+      assert(span == r.getAs[String]("context_text"))
+    }
+  }
+
   test("t25/t26 plan no unpartitioned window (the serial point) and no range exchange") {
     for (q <- Seq("t25_chunk_windows", "t26_epoch_shuffle")) {
       val df = SparkEntry.queries(q)(spark, sf)
