@@ -49,6 +49,8 @@ object Budgets {
     "s20_mmr_diversify" -> 2.5, // r15: measured 1.96 best-of-3 (~= s15 + the metadata-sized greedy)
     // r16: measured 3.66 best-of-3 (~= s20 + t25 + the broadcast lead-chunk join)
     "t27_context_pack" -> 4.5,
+    // r16: measured 5.12 best-of-3 (the two composed pipelines it compares)
+    "s21_rag_recall" -> 6.5,
     "t22_learned_pack" -> 4.5,
     "d20_cross_batch_cluster" -> 5.0,
     "d21_dedup_pack" -> 5.5,
@@ -278,6 +280,7 @@ object Budgets {
     "s18_cluster_sample" -> 8.0,
     "s19_rag_pipeline" -> 8.0,
     "s20_mmr_diversify" -> 8.0,
+    "s21_rag_recall" -> 8.0,
     "t27_context_pack" -> 8.0,
     "m10_scene_split" -> 8.0,
     "st5_stream_append_window" -> 8.0,

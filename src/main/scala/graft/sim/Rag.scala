@@ -130,6 +130,67 @@ object Rag {
        |ORDER BY rrf_milli DESC, doc_id""".stripMargin
   }
 
-  val queries: Map[String, QFn] = Map("s19_rag_pipeline" -> (s19 _))
-  val oracles: Map[String, String] = Map("s19_rag_pipeline" -> s19Sql)
+  /** s21: end-to-end recall contract for the composed RAG DAG
+    * (VERDICT r15 #4): every index stage carries its own recall
+    * contract (s5 LSH, s6 IVF, s13 range), but s19's COMPOSITION had
+    * none — this is the go/no-go number a serving stack reads before
+    * trusting the staged index inside the full pipeline. Truth is the
+    * brute-force hybrid top-10: [[Hybrid.s15]] VERBATIM (the same
+    * lexical arm + s1's brute dense ranking, fused by the same
+    * integer RRF). Candidate is the document set [[s19]] actually
+    * returns through its persisted-index dense arm. Output is the s5
+    * shape collapsed to the standing query: (n_true, n_found,
+    * recall).
+    *
+    * Scale: measurement cost is the two pipelines themselves (both
+    * proven shapes); the comparison is a 10×10-row left join. Oracle:
+    * the shared lexical chain + s15's brute dense CTEs verbatim (tru)
+    * and s19's persisted-index probe chain verbatim (ann, the ivfCtes
+    * + the same fusion wiring s19Sql ships) — so drift in EITHER
+    * pipeline's arithmetic, or in the recall between them, breaks the
+    * hash match.
+    */
+  private[sim] def s21(s: SparkSession, d: String): DataFrame = {
+    val tru = Hybrid.s15(s, d).select(col("doc_id"))
+    val ann = s19(s, d).select(col("doc_id")).withColumn("hit", lit(1L))
+    tru.join(ann, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall", col("n_found").cast("double") / col("n_true"))
+  }
+
+  private def s21Sql: String = {
+    val arm = Hybrid.s15Sql
+    val lexCtes = arm.substring(0, arm.indexOf(",\nqv AS"))
+    val cut = arm.lastIndexOf("\nSELECT COALESCE(l.doc_id")
+    val bruteCtes = arm.substring(arm.indexOf(",\nqv AS"), cut)
+    val fusedSelect = arm.substring(cut + 1)
+    s"""$lexCtes$bruteCtes,
+       |tru AS ($fusedSelect),
+       |${Knn.ivfCtes},
+       |adtop AS (
+       |  SELECT vec_id AS doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS dense_rank
+       |  FROM scored
+       |  WHERE q_id = ${Hybrid.QueryDoc} AND cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY dense_rank <= 5),
+       |ann AS (
+       |  SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id
+       |  FROM ltop l FULL OUTER JOIN adtop dn ON l.doc_id = dn.doc_id
+       |  ORDER BY COALESCE(1000000 // (${Hybrid.RrfC} + l.lex_rank), 0) +
+       |           COALESCE(1000000 // (${Hybrid.RrfC} + dn.dense_rank), 0) DESC,
+       |           COALESCE(l.doc_id, dn.doc_id)
+       |  LIMIT 10)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+       |  CAST(SUM(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |  CAST(SUM(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+       |FROM tru t LEFT JOIN ann a ON a.doc_id = t.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "s19_rag_pipeline" -> (s19 _),
+    "s21_rag_recall" -> (s21 _))
+  val oracles: Map[String, String] = Map(
+    "s19_rag_pipeline" -> s19Sql,
+    "s21_rag_recall" -> s21Sql)
 }

@@ -82,4 +82,22 @@ class RagSpec extends SparkSpec {
     }
     assert(bcasts.nonEmpty, "s19 lost its broadcast joins")
   }
+
+  test("s21 recall equals the in-JVM intersection of s15's truth and s19's docs") {
+    val tru = SparkEntry.queries("s15_hybrid_rrf")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val ann = SparkEntry.queries("s19_rag_pipeline")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val row = SparkEntry.queries("s21_rag_recall")(spark, sf).collect().head
+    assert(row.getAs[Long]("n_true") == tru.size.toLong)
+    assert(row.getAs[Long]("n_found") == (tru & ann).size.toLong,
+      s"n_found ${row.getAs[Long]("n_found")} != |truth ∩ s19| ${(tru & ann).size}")
+    assert(row.getAs[Double]("recall") ==
+      (tru & ann).size.toDouble / tru.size)
+    // the serving contract: the composed persisted-index path keeps at
+    // least half the brute-force hybrid top-10 (measured 0.7/0.6/1.0
+    // at sf0.001/0.01/1 — the 2-probe IVF arm is the recall cost)
+    assert(row.getAs[Double]("recall") >= 0.5,
+      s"composed RAG recall ${row.getAs[Double]("recall")} below the 0.5 floor")
+  }
 }
