@@ -178,6 +178,7 @@ object Budgets {
     "st12_stream_pii" -> 1.8,
     "st13_stream_route" -> 1.9,
     "st14_stream_chunk" -> 2.2, // r15: measured 1.74 warm best-of-3 (4-file multi-batch regime)
+    "st15_stream_scene" -> 1.7, // r16: measured 1.25 best-of-3 (keyed state op, single-batch staging)
     "t10_pack" -> 1.2,
     "t11_stratified" -> 0.5,
     "t1_tokens" -> 0.5,

@@ -1010,7 +1010,46 @@ object StreamingOps {
         |FROM y ORDER BY doc_id, chunk_seq""".stripMargin
   }
 
+  /** st15: scene-cut detection at ingest — m10's shot-boundary test
+    * run where a video-curation feed actually needs it: a frame's cut
+    * flag the moment it lands, not after the nightly batch (VERDICT
+    * r15 #8). m10's "previous sampled frame" equi-join on
+    * (user, frame_idx − 10) becomes ONE retained phash per user in a
+    * keyed [[SceneDetector]] (`flatMapGroupsWithState`, the st4
+    * discipline — O(1) state per user, sharded across executors); the
+    * frame numbering, rpad recipe, AHash and packed bit_count(xor)
+    * hamming are the SAME code paths m10 compiles. What canNOT stream
+    * is the corpus-order `scene_id` — a corpus-wide prefix sum is
+    * batch state by definition (st14's chunk_id rule) — so the ingest
+    * emits the cut flags and the nightly m10 run assigns scene ids.
+    * Oracle: m10's SQL chain VERBATIM minus the scene_id column; a
+    * spec pins st15 ≡ m10-minus-scene_id row-for-row.
+    */
+  private def st15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val ev = eventsStream(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("props"))
+      .as[FrameIn]
+    val out = SceneDetector.flags(ev).toDF()
+    runToMemory(s, out, "graft_st15", mode = "append")
+      .select(col("user_id"), col("frame_idx"), col("event_id"),
+        col("phash"), col("ham_prev"), col("is_boundary"))
+      .sortWithinPartitions(col("user_id"), col("frame_idx"))
+  }
+
+  private val st15Sql = {
+    val m10 = graft.multimodal.Multimodal.oracles("m10_scene_split")
+    m10.substring(0, m10.lastIndexOf("\nSELECT user_id,")) +
+      s"""
+        |SELECT user_id, frame_idx, event_id, phash, ham_prev,
+        |  COALESCE(ham_prev >= ${graft.multimodal.Multimodal.SceneHamTau}, FALSE) AS is_boundary
+        |FROM h ORDER BY user_id, frame_idx""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "st15_stream_scene" -> (st15 _),
     "st14_stream_chunk" -> (st14 _),
     "st13_stream_route" -> (st13 _),
     "st12_stream_pii" -> (st12 _),
@@ -1027,6 +1066,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st15_stream_scene" -> st15Sql,
     "st14_stream_chunk" -> st14Sql,
     "st13_stream_route" -> st13Sql,
     "st12_stream_pii" -> st12Sql,

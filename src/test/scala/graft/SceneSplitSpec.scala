@@ -43,4 +43,20 @@ class SceneSplitSpec extends SparkSpec {
     val maxScene = all.groupBy(r => (r._1, r._7)).values.map(_.size).max
     assert(maxScene >= 3, "no multi-frame scene — the continue branch never held")
   }
+
+  test("st15 ingest scene flags equal m10 minus scene_id row-for-row") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("frame_idx"))
+    def payload(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"), r.getAs[String]("phash"),
+        Option(r.getAs[java.lang.Long]("ham_prev")).map(_.longValue),
+        r.getAs[Boolean]("is_boundary"))
+    val batch = SparkEntry.queries("m10_scene_split")(spark, sf).collect()
+      .map(r => key(r) -> payload(r)).sortBy(_._1).toSeq
+    val stream = SparkEntry.queries("st15_stream_scene")(spark, sf).collect()
+      .map(r => key(r) -> payload(r)).sortBy(_._1).toSeq
+    assert(stream == batch,
+      s"stream/batch divergence; first diff: ${
+        stream.zip(batch).find { case (a, b) => a != b }}")
+  }
 }
