@@ -239,13 +239,13 @@ object Budgets {
     // BpeTrainCap the training input is scale-independent (binds at
     // sf1: 10000 -> 2000 docs), so the allowance drops back to the
     // linear-plus-jitter band (measured honest ratios ~6-7x)
-    "t20_bpe_learned" -> 10.0, // worst honest 8.49
+    "t20_bpe_learned" -> 11.0, // worst honest 9.20 (r16 full gate; the pure per-row linear class above)
     "t22_learned_pack" -> 8.0, // worst honest 6.37 - the r12-era 12x is long gone
     // d23 is the same pure per-row class: the replace-chain
     // tokenization + the gram hash stream are linear scans with no
     // sub-linear stage to hide behind (its joins/aggregates are
     // broadcast-membership + survivor-sized)
-    "d23_token_decontam" -> 9.0, // worst honest 7.74 (post-TokenGramHash fix)
+    "d23_token_decontam" -> 10.0, // worst honest 8.14 (r16 full gate; same pure per-row class)
     "t21_perplexity_filter" -> 8.0,
     "m8_interleaved_pack" -> 8.0,
     "m9_crossmodal_dedup" -> 9.0, // worst honest 7.18
