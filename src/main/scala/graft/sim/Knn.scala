@@ -82,7 +82,11 @@ object Knn {
   /** The brute-force scoring shared by s1 (top-k truth), s13's range
     * truth, and s15's dense arm ([[Hybrid.denseArm]]): broadcast query
     * side, corpus never shuffles for scoring. */
-  private[sim] def bruteScored(s: SparkSession, d: String): DataFrame = {
+  /** `corpusPred`: optional metadata predicate on the CANDIDATE side
+    * only (queries always draw from the full corpus) — the filtered
+    * brute truth s23 ranks against. None leaves s1's shape untouched. */
+  private[sim] def bruteScored(s: SparkSession, d: String,
+      corpusPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val e = Tables.embeddings(s, d)
       // corpus norms once per vector; spread the scan before the
       // per-candidate dot loop
@@ -96,8 +100,9 @@ object Knn {
       .filter(col("norm_e") > 0)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm_e").as("norm_q"))
+    val corpus = corpusPred.fold(e)(p => e.filter(p))
     broadcast(q)
-      .join(e, col("vec_id") =!= col("q_id"))
+      .join(corpus, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
   }
@@ -253,14 +258,22 @@ object Knn {
       .select(col("q_id"), col("rank"), col("vec_id"), col("assigned_cell"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
 
-  /** The IVF probe scoring shared by s4 (top-k), s6 (recall, via s4)
-    * and s12 (range search): assign the corpus to cells, probe the 2
-    * nearest cells per query, score cosine over probed cells only. */
-  private def ivfScored(s: SparkSession, d: String): DataFrame = {
+  /** The IVF probe scoring shared by s4 (top-k), s6 (recall, via s4),
+    * s12 (range search) and s22 (filtered search): assign the corpus
+    * to cells, probe the 2 nearest cells per query, score cosine over
+    * probed cells only. `corpusPred`: optional metadata predicate on
+    * the candidate side — applied BEFORE assignment/scoring (the
+    * filter commutes with both, so pushing it to the scan is free
+    * selectivity: admissible vectors only ever pay the argmin and the
+    * probe join). Centroids and queries always read the FULL corpus —
+    * a production index is built once, filters vary per query. */
+  private def ivfScored(s: SparkSession, d: String,
+      corpusPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val e = Tables.embeddings(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions)
     val centArr = centroidArrays(e)
-    val corpus = assign(e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+    val eCorp = corpusPred.fold(e)(p => e.filter(p))
+    val corpus = assign(eCorp.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
         .filter(col("norm_e") > 0), // ANSI zero-norm guard (see s1)
         centArr, Seq("embedding", "norm_e"))
       .select(col("vec_id"), col("cell").as("assigned_cell"), col("embedding"), col("norm_e"))
@@ -473,6 +486,81 @@ object Knn {
        |ann AS (
        |  SELECT q_id, vec_id FROM scored
        |  WHERE cos IS NOT NULL AND NOT isnan(cos) AND cos >= $RangeTau),
+       |$recallTailSql""".stripMargin
+
+  /** s22's metadata predicate: admissible candidates are the even
+    * labels — ~50% selectivity on this corpus (probed: 244/256 at
+    * sf0.01), so the filtered and excluded populations are both
+    * non-degenerate at every SF (the t16 discipline). A production
+    * filter (tenant, language, freshness) is the same shape: any
+    * per-row predicate on the index's payload columns. */
+  private[graft] val FilterPredSql = "label % 2 = 0"
+
+  /** s22: filtered vector search — ANN under a metadata predicate,
+    * the capability every production vector store ships (FAISS
+    * IDSelector, pgvector/Vespa filtered queries): top-k among only
+    * the ADMISSIBLE corpus vectors. The classic correctness trap is
+    * post-filtering a plain top-k (it underfills: filtering s4's
+    * top-5 by a 50% predicate leaves ~2.5 hits); the correct operator
+    * filters FIRST, then ranks k among survivors — which is also the
+    * efficient Spark plan: the predicate pushes to the corpus scan,
+    * so excluded vectors never pay the argmin assignment or the
+    * probe join ([[ivfScored]]'s corpusPred). The index itself stays
+    * filter-agnostic — centroids and probe selection read the full
+    * corpus, because a real index is built once and filters vary per
+    * query. Oracle: the SAME ivfCtes chain with the predicate applied
+    * AFTER scoring (filtering commutes with scoring, so the values
+    * pin while the Spark side keeps the pushed-down plan).
+    */
+  private def s22(s: SparkSession, d: String): DataFrame =
+    rankTopK(ivfScored(s, d, Some(expr(FilterPredSql))), 5, Seq("assigned_cell"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("assigned_cell"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+
+  private val s22Sql =
+    s"""WITH $ivfCtes,
+       |fsc AS (
+       |  SELECT sc.q_id, sc.vec_id, sc.assigned_cell, sc.cos
+       |  FROM scored sc JOIN embeddings em ON em.vec_id = sc.vec_id
+       |  WHERE em.$FilterPredSql)
+       |SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
+       |       vec_id, assigned_cell, cos
+       |FROM fsc
+       |WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |QUALIFY rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** s23: filtered-search recall@3 — the quality contract for s22
+    * (the s5/s6/s13 discipline): per query, the fraction of the TRUE
+    * filtered top-3 (brute-force cosine over ONLY the admissible
+    * corpus — [[bruteScored]] with the same predicate) that the
+    * filtered IVF path returned. Filtered recall stresses the index
+    * differently from plain recall@k: under a selective predicate the
+    * admissible neighbors thin out per cell, so the fixed nprobe=2
+    * probe covers a smaller admissible candidate pool — this
+    * measurement is what justifies an nprobe setting for a FILTERED
+    * workload before serving trusts it. */
+  private def s23(s: SparkSession, d: String): DataFrame = {
+    val tru = rankTopK(
+        bruteScored(s, d, Some(expr(FilterPredSql))), 3, Seq.empty)
+      .select(col("q_id"), col("vec_id"))
+    recallVs(tru, s22(s, d).select(col("q_id"), col("vec_id")))
+  }
+
+  private val s23Sql =
+    s"""WITH tru AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS cos
+       |    FROM (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5) q
+       |    JOIN embeddings e ON e.vec_id <> q.q_id AND e.$FilterPredSql)
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 3),
+       |$ivfCtes,
+       |ann AS (
+       |  SELECT sc.q_id, sc.vec_id FROM scored sc
+       |  JOIN embeddings em ON em.vec_id = sc.vec_id
+       |  WHERE em.$FilterPredSql AND sc.cos IS NOT NULL AND NOT isnan(sc.cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sc.q_id ORDER BY sc.cos DESC, sc.vec_id) <= 5),
        |$recallTailSql""".stripMargin
 
   /** s7: SQ8 (int8 scalar quantization) recall@3 — the memory-side ANN
@@ -1528,6 +1616,8 @@ object Knn {
   val queries: Map[String, QFn] = Map(
     "s18_cluster_sample" -> (s18 _),
     "s17_ivf_incremental" -> (s17 _),
+    "s22_filtered_search" -> (s22 _),
+    "s23_filtered_recall" -> (s23 _),
     "s12_range_search" -> (s12 _),
     "s13_range_recall" -> (s13 _),
     "s11_ivf_persist" -> (s11 _),
@@ -1545,6 +1635,8 @@ object Knn {
   val oracles: Map[String, String] = Map(
     "s18_cluster_sample" -> s18Sql,
     "s17_ivf_incremental" -> s17Sql,
+    "s22_filtered_search" -> s22Sql,
+    "s23_filtered_recall" -> s23Sql,
     "s12_range_search" -> s12Sql,
     "s13_range_recall" -> s13Sql,
     "s10_ivfpq_recall" -> s10Sql,

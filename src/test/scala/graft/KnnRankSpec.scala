@@ -169,4 +169,28 @@ class KnnRankSpec extends SparkSpec {
       assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
     }
   }
+
+  test("s22 filters FIRST then ranks — full k among admissible, and post-filtering s4 would differ") {
+    import org.apache.spark.sql.functions._
+    val admissible = Tables.embeddings(spark, sf)
+      .filter(expr(graft.sim.Knn.FilterPredSql))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val s22 = SparkEntry.queries("s22_filtered_search")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+    // every hit is admissible, and ranks are dense from 1 per query
+    assert(s22.forall { case (_, _, v) => admissible(v) })
+    s22.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"q$q ranks not dense")
+    }
+    // the trap this operator exists to avoid: post-filtering the
+    // UNfiltered top-5 (s4) underfills and/or returns a different set
+    val s4Post = SparkEntry.queries("s4_ivf_probe")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .filter { case (_, v) => admissible(v) }
+    val s22Set = s22.map(r => (r._1, r._3)).toSet
+    assert(s4Post.toSet != s22Set,
+      "post-filtered s4 equals s22 on this corpus — the filter-first distinction is untested")
+    assert(s4Post.groupBy(_._1).values.map(_.size).min < 5,
+      "post-filtering never underfilled k — pick a more selective predicate")
+  }
 }
