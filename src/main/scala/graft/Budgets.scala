@@ -53,6 +53,7 @@ object Budgets {
     "s21_rag_recall" -> 6.5,
     "s22_filtered_search" -> 1.8, // r16: measured 1.35 best-of-3
     "s23_filtered_recall" -> 2.8, // r16: measured 2.20 best-of-3 (filtered brute truth + s22)
+    "s24_nprobe_curve" -> 2.9, // r16: measured 2.23 best-of-3 (one probe join + 4-way explode + brute truth)
     "t22_learned_pack" -> 4.5,
     "d20_cross_batch_cluster" -> 5.0,
     "d21_dedup_pack" -> 5.5,
@@ -285,6 +286,7 @@ object Budgets {
     "s20_mmr_diversify" -> 8.0,
     "s21_rag_recall" -> 8.0,
     "s23_filtered_recall" -> 8.0,
+    "s24_nprobe_curve" -> 8.0,
     "t27_context_pack" -> 8.0,
     "m10_scene_split" -> 8.0,
     "st5_stream_append_window" -> 8.0,

@@ -563,6 +563,128 @@ object Knn {
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sc.q_id ORDER BY sc.cos DESC, sc.vec_id) <= 5),
        |$recallTailSql""".stripMargin
 
+  /** s24's probe-depth ceiling: 4 of the 10 cells — deep enough that
+    * the curve's knee is visible at every SF, shallow enough that the
+    * sweep costs ≤ 2× the nprobe=2 search (the expansion is pairs ×
+    * visible depths, bounded by MaxProbe × the nprobe=MaxProbe pool). */
+  private[graft] val MaxProbe = 4
+
+  /** s24: the nprobe tuning curve — recall@5 AND scan cost per probe
+    * depth, in ONE pass (the FAISS `nprobe` sweep every IVF deployment
+    * runs before picking its operating point; s6/s23 measure a single
+    * point, this is the curve those points live on). For each
+    * nprobe ∈ 1..[[MaxProbe]]: the candidates examined (n_scored — the
+    * cost axis) and the fraction of the brute top-5 found in that
+    * depth's top-5 (the quality axis — s6's recall@5, so the curve's
+    * nprobe=2 point IS s6's number, spec-pinned).
+    *
+    * Execution: the corpus is assigned ONCE and each query's cells
+    * ranked ONCE; every scored pair carries the minimum depth that
+    * sees it (crn of its probe cell), so the whole curve is ONE probe
+    * join + a ≤ MaxProbe-way explode — not MaxProbe separate searches
+    * (pairs re-rank per depth through the same partial+final bounded
+    * [[graft.plans.TopK]] heaps, keyed (q_id, nprobe)). Recall is
+    * monotone non-decreasing in nprobe BY CONSTRUCTION (depth N's
+    * candidate pool contains depth N−1's; spec-pinned) — a production
+    * reader picks the knee. Oracle: the same chain with the explode as
+    * a range join (u.n >= crn), tru from the shared [[truTopSql]].
+    */
+  private def s24(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val centArr = centroidArrays(e)
+    val corpus = assign(e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+        .filter(col("norm_e") > 0), centArr, Seq("embedding", "norm_e"))
+      .select(col("vec_id"), col("cell").as("assigned_cell"), col("embedding"), col("norm_e"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cell"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centArr))
+      .select(col("q_id"), col("qe"), col("cell"),
+        VectorFunctions.l2sq("qe", "carr").as("qdist"))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= MaxProbe)
+      .select(col("q_id"), col("qe"), col("cell").as("probe_cell"), col("crn"))
+      .withColumn("norm_q", sqrt(VectorFunctions.dot("qe", "qe")))
+      .filter(col("norm_q") > 0)
+    val scoredAll = broadcast(probes)
+      .join(corpus, col("probe_cell") === col("assigned_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("crn"), col("vec_id"),
+        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
+    // a pair is visible at every depth >= its probe cell's rank
+    // (BIGINT to match the oracle's generate_series)
+    val expanded = scoredAll
+      .withColumn("nprobe", explode(expr(
+        s"sequence(CAST(crn AS BIGINT), CAST($MaxProbe AS BIGINT))")))
+    val ann = graft.plans.TopK.perKey(
+        expanded.filter(col("cos").isNotNull && !isnan(col("cos"))),
+        Seq("q_id", "nprobe"), "cos", "vec_id", 5)
+      .select(col("nprobe"), col("q_id"), col("vec_id"))
+    val tru = rankTopK(bruteScored(s, d), 5, Seq.empty)
+      .select(col("q_id"), col("vec_id"))
+    val nScored = expanded.groupBy(col("nprobe")).agg(count(lit(1)).as("n_scored"))
+    val nFound = ann.join(tru, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_found"))
+    val nTrue = tru.agg(count(lit(1)).as("n_true"))
+    nScored
+      .crossJoin(broadcast(nTrue))
+      .join(nFound, Seq("nprobe"), "left")
+      .select(col("nprobe"), col("n_scored"), col("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"))
+      .withColumn("recall", col("n_found").cast("double") / col("n_true"))
+      .orderBy(col("nprobe"))
+  }
+
+  private val s24Sql =
+    s"""WITH ${truTopSql(5)},
+       |dims AS (
+       |  SELECT vec_id, label, g.i, CAST(embedding[g.i] AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, 64) AS g(i)),
+       |cents AS (
+       |  SELECT label AS cell, i,
+       |    CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * COUNT(*)) AS c
+       |  FROM dims GROUP BY label, i),
+       |centarr AS (
+       |  SELECT cell, list(c ORDER BY i) AS carr FROM cents GROUP BY cell),
+       |l2 AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])),
+       |      (acc, x) -> acc + x) AS dist
+       |  FROM embeddings e CROSS JOIN centarr c),
+       |corpus AS (
+       |  SELECT vec_id, embedding, cell AS assigned_cell FROM l2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS qe, cell AS probe_cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS crn
+       |  FROM l2 WHERE vec_id < 5
+       |  QUALIFY crn <= $MaxProbe),
+       |sc AS (
+       |  SELECT p.q_id, p.crn, c.vec_id,
+       |    ${duckCos("p.qe", "c.embedding")} AS cos
+       |  FROM probes p JOIN corpus c
+       |    ON p.probe_cell = c.assigned_cell AND c.vec_id <> p.q_id),
+       |ex AS (
+       |  SELECT s2.q_id, s2.vec_id, s2.cos, u.n AS nprobe
+       |  FROM sc s2 JOIN (SELECT unnest(generate_series(1, $MaxProbe)) AS n) u
+       |    ON u.n >= s2.crn),
+       |ann AS (
+       |  SELECT nprobe, q_id, vec_id FROM ex
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY nprobe, q_id ORDER BY cos DESC, vec_id) <= 5),
+       |ns AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_scored FROM ex GROUP BY nprobe),
+       |nf AS (
+       |  SELECT a.nprobe, CAST(COUNT(*) AS BIGINT) AS n_found
+       |  FROM ann a JOIN tru t ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+       |  GROUP BY a.nprobe),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tru)
+       |SELECT ns.nprobe, ns.n_scored, nt.n_true,
+       |  CAST(COALESCE(nf.n_found, 0) AS BIGINT) AS n_found,
+       |  CAST(COALESCE(nf.n_found, 0) AS DOUBLE) / nt.n_true AS recall
+       |FROM ns CROSS JOIN nt LEFT JOIN nf ON nf.nprobe = ns.nprobe
+       |ORDER BY ns.nprobe""".stripMargin
+
   /** s7: SQ8 (int8 scalar quantization) recall@3 — the memory-side ANN
     * lever the LSH/IVF family doesn't cover: at 100 TB of float32
     * embeddings the scoring scan is BANDWIDTH-bound, and storing each
@@ -1618,6 +1740,7 @@ object Knn {
     "s17_ivf_incremental" -> (s17 _),
     "s22_filtered_search" -> (s22 _),
     "s23_filtered_recall" -> (s23 _),
+    "s24_nprobe_curve" -> (s24 _),
     "s12_range_search" -> (s12 _),
     "s13_range_recall" -> (s13 _),
     "s11_ivf_persist" -> (s11 _),
@@ -1637,6 +1760,7 @@ object Knn {
     "s17_ivf_incremental" -> s17Sql,
     "s22_filtered_search" -> s22Sql,
     "s23_filtered_recall" -> s23Sql,
+    "s24_nprobe_curve" -> s24Sql,
     "s12_range_search" -> s12Sql,
     "s13_range_recall" -> s13Sql,
     "s10_ivfpq_recall" -> s10Sql,

@@ -193,4 +193,23 @@ class KnnRankSpec extends SparkSpec {
     assert(s4Post.groupBy(_._1).values.map(_.size).min < 5,
       "post-filtering never underfilled k — pick a more selective predicate")
   }
+
+  test("s24 curve: recall monotone, cost strictly increasing, nprobe=2 point equals s6") {
+    val curve = SparkEntry.queries("s24_nprobe_curve")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_scored"),
+        r.getAs[Long]("n_found"), r.getAs[Double]("recall")))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq == (1L to 4L).toSeq)
+    // depth N's candidate pool contains depth N-1's — recall cannot
+    // fall and the examined-pair count strictly grows
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4, s"recall fell ${a._1}->${b._1}")
+      assert(b._2 > a._2, s"n_scored not increasing ${a._1}->${b._1}")
+    }
+    // the curve's nprobe=2 point IS s6's single-point measurement
+    val s6Found = SparkEntry.queries("s6_ivf_recall")(spark, sf).collect()
+      .map(_.getAs[Long]("n_found")).sum
+    assert(curve.find(_._1 == 2L).get._3 == s6Found,
+      "s24's nprobe=2 n_found != s6's aggregate — the two measure different indexes")
+  }
 }
