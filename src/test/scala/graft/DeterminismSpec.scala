@@ -61,7 +61,13 @@ class DeterminismSpec extends SparkSpec {
     // ingest
     "t25_chunk_windows", "t26_epoch_shuffle", "s18_cluster_sample",
     "s19_rag_pipeline", "st14_stream_chunk", "s20_mmr_diversify",
-    "m10_scene_split")
+    "m10_scene_split",
+    // round-16 additions: schema validation, context assembly, the
+    // RAG recall contract, ingest scene cuts, filtered search + its
+    // recall, the nprobe curve
+    "g20_schema_validate", "t27_context_pack", "s21_rag_recall",
+    "st15_stream_scene", "s22_filtered_search", "s23_filtered_recall",
+    "s24_nprobe_curve")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

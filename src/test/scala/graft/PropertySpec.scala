@@ -696,4 +696,42 @@ class PropertySpec extends SparkSpec {
       assert(width <= bound, s"maxId=$maxId partition width $width > $bound")
     }
   }
+
+  test("chunk stride offsets equal the naive prefix re-join on adversarial spacing") {
+    // r16: char_start moved from an O(prefix) re-join per chunk row to
+    // a per-doc stride-offset array — pin the identity on inputs the
+    // corpus never exercises: empty tokens (multi-space runs), leading/
+    // trailing spaces, unicode, and docs spanning many strides
+    val wordGen = Gen.oneOf(
+      Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)),
+      Gen.const(""), Gen.const("héllo"), Gen.const("東京タワー"))
+    val docGen = Gen.choose(1, 120).flatMap(n => Gen.listOfN(n, wordGen))
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.chunkExpand(
+        graft.text.TextAnalysis.chunkBase(df), Nil)
+      .select("doc_id", "chunk_seq", "tok_start", "tok_end",
+        "char_start", "char_len", "chunk_text")
+      .collect()
+    assert(out.nonEmpty)
+    val byId = docs.toMap
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    out.foreach { r =>
+      val text = byId(r.getLong(0))
+      val toks = text.split(" ", -1)
+      val (st, en) = (r.getLong(2).toInt, r.getLong(3).toInt)
+      // the naive O(prefix) definition the stride array replaced
+      val naiveStart = if (st == 0) 0L else cp(toks.take(st).mkString(" ")) + 1L
+      assert(r.getLong(4) == naiveStart,
+        s"doc ${r.getLong(0)} chunk ${r.getLong(1)}: char_start ${r.getLong(4)} != $naiveStart")
+      val expText = toks.slice(st, en).mkString(" ")
+      assert(r.getString(6) == expText)
+      assert(r.getLong(5) == cp(expText))
+    }
+    // the adversarial generator actually produced multi-stride docs
+    // and empty tokens — otherwise this test is vacuous
+    assert(out.exists(_.getLong(1) >= 2L), "no doc spanned 3+ chunks")
+    assert(docs.exists(_._2.contains("  ")), "no multi-space run generated")
+  }
 }
