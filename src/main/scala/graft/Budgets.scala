@@ -60,6 +60,7 @@ object Budgets {
     "m8_interleaved_pack" -> 2.0,
     "m9_crossmodal_dedup" -> 2.6,
     "m10_scene_split" -> 5.4, // r15: measured 4.26 best-of-3 (m2 verbatim + AHash + the scene prefix)
+    "m11_shard_index" -> 1.1, // r16: measured 0.83 best-of-3 (m7's offsets chain + shard-bounded windows)
     "d18_semdedup" -> 1.1,
     "d14_repeated_ngrams" -> 3.2,
     "d15_minhash_accuracy" -> 4.5,

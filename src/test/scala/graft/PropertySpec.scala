@@ -734,4 +734,31 @@ class PropertySpec extends SparkSpec {
     assert(out.exists(_.getLong(1) >= 2L), "no doc spanned 3+ chunks")
     assert(docs.exists(_._2.contains("  ")), "no multi-space run generated")
   }
+
+  test("m11 shard index is contiguous within shards and sums to m7's manifest") {
+    val idx = SparkEntry.queries("m11_shard_index")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("sample_idx"),
+        r.getAs[Long]("local_offset"), r.getAs[Long]("n_bytes")))
+      .groupBy(_._1)
+    assert(idx.nonEmpty)
+    idx.foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // sample_idx dense from 1; the first sample starts the shard
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"shard $shard idx gap")
+      assert(sorted.head._3 == 0L, s"shard $shard first sample offset ${sorted.head._3}")
+      // contiguity: a reader can seek sample k+1 at offset(k) + len(k)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(b._3 == a._3 + a._4, s"shard $shard hole between ${a._2} and ${b._2}")
+      }
+    }
+    // cross-pin: the index aggregates to exactly m7's manifest
+    val manifest = SparkEntry.queries("m7_shard_pack")(spark, sf).collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_bytes"))).toMap
+    assert(idx.keySet == manifest.keySet)
+    idx.foreach { case (shard, rows) =>
+      assert(rows.length.toLong == manifest(shard)._1, s"shard $shard doc count")
+      assert(rows.map(_._4).sum == manifest(shard)._2, s"shard $shard byte mass")
+    }
+  }
 }
