@@ -183,6 +183,7 @@ object Budgets {
     "st13_stream_route" -> 1.9,
     "st14_stream_chunk" -> 2.2, // r15: measured 1.74 warm best-of-3 (4-file multi-batch regime)
     "st15_stream_scene" -> 1.7, // r16: measured 1.25 best-of-3 (keyed state op, single-batch staging)
+    "st16_stream_validate" -> 2.4, // r16: measured 1.83 best-of-3 (stateless per-row, 4-file multi-batch)
     "t10_pack" -> 1.2,
     "t11_stratified" -> 0.5,
     "t1_tokens" -> 0.5,
@@ -308,5 +309,6 @@ object Budgets {
     "s10_ivfpq_recall" -> 8.0,
     "st8_stream_multibatch" -> 8.0,
     "st11_stream_compact" -> 8.0,
-    "st14_stream_chunk" -> 8.0)
+    "st14_stream_chunk" -> 8.0,
+    "st16_stream_validate" -> 8.0)
 }

@@ -249,23 +249,27 @@ object GenAI {
     * against ground truth — per-source accuracy. Every stage is a
     * per-row projection or one groupBy; the scoring join is on doc_id.
     */
-  /** The multichoice exam item shape (run_multichoice_exam.py's
-    * pre-formatted messages), shared by g11 (scoring) and g20
+  /** The multichoice exam message column (run_multichoice_exam.py's
+    * pre-formatted messages), a pure function of doc_id — shared by
+    * g11/g20 (batch) and st16 (ingest), so stream and batch compile
+    * the SAME expression. */
+  private[graft] def examMessagesCol: org.apache.spark.sql.Column =
+    array(
+      struct(lit("system").as("role"),
+        lit("You are a careful exam solver.").as("content")),
+      struct(lit("user").as("role"),
+        concat(
+          lit("Answer the following multiple choice question. Choose the most " +
+            "appropriate option and output in the following JSON format: " +
+            "{\"answer\": \"{option_number}\"} Do not output any text other " +
+            "than the answer.\nQuestion: which option number equals "),
+          col("doc_id") % 4 + 1,
+          lit("?\n1. one\n2. two\n3. three\n4. four")).as("content")))
+
+  /** The exam item shape, shared by g11 (scoring) and g20
     * (response-contract validation). */
   private def examItems(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"), col("source"),
-      array(
-        struct(lit("system").as("role"),
-          lit("You are a careful exam solver.").as("content")),
-        struct(lit("user").as("role"),
-          concat(
-            lit("Answer the following multiple choice question. Choose the most " +
-              "appropriate option and output in the following JSON format: " +
-              "{\"answer\": \"{option_number}\"} Do not output any text other " +
-              "than the answer.\nQuestion: which option number equals "),
-            col("doc_id") % 4 + 1,
-            lit("?\n1. one\n2. two\n3. three\n4. four")).as("content"))).as("messages"))
+    docs.select(col("doc_id"), col("source"), examMessagesCol.as("messages"))
 
   private def g11(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)

@@ -1048,7 +1048,47 @@ object StreamingOps {
         |FROM h ORDER BY user_id, frame_idx""".stripMargin
   }
 
+  /** st16: structured-output validation at ingest — g20's
+    * response-contract verdicts run where a live results feed needs
+    * them: each response line is classified the moment it lands, so a
+    * malformed model output quarantines immediately instead of
+    * crashing the nightly retrieve (the g15 rationale, applied to
+    * semantic validity on a stream). The whole chain — exam messages
+    * ([[graft.genai.GenAI.examMessagesCol]], the SAME expression the
+    * batch compiles), request build, the contract-disobeying
+    * simulator, parse, and [[graft.genai.Validation.validateStructured]]
+    * — is stateless per-row codegen under the real multi-batch regime
+    * (4 landing files, maxFilesPerTrigger=1): no state store, no
+    * watermark, batching-invariant by construction (the st12/st13
+    * compliance discipline). What canNOT stream is g20's corpus-wide
+    * verdict ROLLUP (an aggregate is batch state; the nightly g20 run
+    * owns the ledger) — the ingest emits the per-response verdicts.
+    * Oracle: g20's CTE chain verbatim minus the rollup; a spec pins
+    * st16 ≡ the batch per-row verdicts row-for-row.
+    */
+  private def st16(s: SparkSession, d: String): DataFrame = {
+    val items = docsStreamMulti(s, d, 4)
+      .select(col("doc_id"), graft.genai.GenAI.examMessagesCol.as("messages"))
+    val parsed = graft.genai.Responses.parse(
+      graft.genai.Simulator.respondStructured(
+        graft.genai.Requests.examRequests(items)))
+    val v = graft.genai.Validation.validateStructured(parsed)
+      .select(col("doc_id"),
+        coalesce(col("reason"), lit("valid")).as("reason"), col("is_valid"))
+    runToMemory(s, v, "graft_st16", mode = "append")
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val st16Sql = {
+    val g20 = graft.genai.GenAI.oracles("g20_schema_validate")
+    g20.substring(0, g20.lastIndexOf("\nSELECT reason,")) +
+      """
+        |SELECT doc_id, reason, reason = 'valid' AS is_valid
+        |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "st16_stream_validate" -> (st16 _),
     "st15_stream_scene" -> (st15 _),
     "st14_stream_chunk" -> (st14 _),
     "st13_stream_route" -> (st13 _),
@@ -1066,6 +1106,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st16_stream_validate" -> st16Sql,
     "st15_stream_scene" -> st15Sql,
     "st14_stream_chunk" -> st14Sql,
     "st13_stream_route" -> st13Sql,

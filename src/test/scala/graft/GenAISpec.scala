@@ -582,4 +582,19 @@ class GenAISpec extends SparkSpec {
     // reason is total: every row gets exactly one verdict
     assert(v.filter(col("reason").isNull && !col("is_valid")).count() == 0L)
   }
+
+  test("st16 ingest verdicts equal the batch per-row validation row-for-row") {
+    val items = docs.select(col("doc_id"), GenAI.examMessagesCol.as("messages"))
+    val batch = Validation.validateStructured(Responses.parse(
+        Simulator.respondStructured(Requests.examRequests(items))))
+      .select(col("doc_id"), coalesce(col("reason"), lit("valid")).as("reason"),
+        col("is_valid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val stream = SparkEntry.queries("st16_stream_validate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(stream == batch,
+      s"stream/batch divergence; first diff: ${
+        stream.zip(batch).find { case (a, b) => a != b }}")
+  }
 }
