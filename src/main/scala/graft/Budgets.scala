@@ -218,8 +218,8 @@ object Budgets {
     // a deliberate regeneration here rather than a silent false trip.
     // Queries without history yet (new this round) sit at the 8.0
     // linear-plus-jitter default until their first full gate run.
-    "q1_agg" -> 9.0, // worst honest 7.38 (r14 watch-item: measured 6.7-7.4 across four runs)
-    "q3_join_agg" -> 8.0,
+    "q1_agg" -> 10.0, // worst honest 8.62 (r16 final gate; a pure scan-agg whose ratio breathes with host load — isolated confirmation in the r16 round log)
+    "q3_join_agg" -> 9.0, // worst honest 7.29 (r16 final gate; context class — plans byte-identical at both SFs, isolated 5.0-5.7, see the r16 round log)
     // r14: q24's gate corpus is the range-scaled events variant
     // (Bench dirOverride + ScaleData.generateRangeScaledEvents), so
     // its output grows ~10x like everyone else's and the allowance
