@@ -213,7 +213,17 @@ object Bench {
         val ok = sf1Ps.forall(_._2) && refOk
         val t1 = sf1Ps.filter(_._2).map(_._1).minOption.getOrElse(-1.0)
         val ratio = if (ok && ref > 0) t1 / ref else -1.0
-        (name, ok, t1, ratio, ok && t1 > 1.0 && ratio > maxRatio)
+        // ADVICE r16 #4: the pure per-row-linear class gates on an
+        // ABSOLUTE host-normalized sf1 band (Budgets.sf1MaxSeconds) —
+        // their ratio's sf0.1 denominator breathes with host load and
+        // was ratcheting the ratio allowance every round; everyone
+        // else keeps the ratio gate (stable for sub-linear plans,
+        // and it needs no calibration)
+        val trip = Budgets.sf1MaxSeconds.get(name) match {
+          case Some(band) => ok && t1 > band * calibScale
+          case None => ok && t1 > 1.0 && ratio > maxRatio
+        }
+        (name, ok, t1, ratio, trip)
       }
       val ratios = rows.map { case (n, ok, t1, r, _) =>
         "\"" + n + "\":" + (if (ok) s"{${"\"sec\""}:${f(t1)},${"\"ratio\""}:${f(r)}}" else "-1")
@@ -305,10 +315,11 @@ object Bench {
     // ORDER MATTERS for a collector that keeps only a ~2 KB output
     // tail: least-critical first. The compact per-query line leads (a
     // slice cuts into it, not the gates), then the sf1 summary, then
-    // the main metric line — emitted TWICE because a slice can still
-    // land mid-first-copy (BENCH_r04 lost the line's head exactly that
-    // way); the second, later copy then carries a complete marker +
-    // line.
+    // the main metric line — emitted ONCE (VERDICT r16 #6: the old
+    // second copy, insurance against a slice landing mid-line, made
+    // naive log-grep parsers double-count; the ~1.4 KB queries line
+    // now leads, so the ~200-byte metric line sits safely inside any
+    // 2 KB capture tail, and bench_last.json carries it regardless).
     println("GRAFT_BENCH_QUERIES")
     println(queriesLine)
     sf1Line.foreach { case (_, short, trend) =>
@@ -320,8 +331,6 @@ object Bench {
       println("GRAFT_SF1_JSON")
       println(short)
     }
-    println("GRAFT_BENCH_JSON")
-    println(line)
     println("GRAFT_BENCH_JSON")
     println(line)
     System.out.flush()

@@ -37,7 +37,11 @@ object Budgets {
     "d19_substring_remove" -> 4.7, // r13: +~1s selective-salting insurance on the gram join-back
     "t20_bpe_learned" -> 5.5,
     "t21_perplexity_filter" -> 1.8,
-    "t23_ccnet_bucket" -> 2.2,
+    // r17: re-based on isolated best-of-3 evidence — 2.57 s at
+    // calib_ms 374 (and 2.56-3.11 across three isolated r17 runs);
+    // the old 2.2 was priced on a pre-r14 reading and t23 had sat at
+    // 1.15-1.2x budget for two rounds on an unchanged plan
+    "t23_ccnet_bucket" -> 2.8,
     "t24_dsir_resample" -> 2.3,
     // r15: measured 1.30 / 1.21 / 2.24 best-of-3 at sf0.1 in-round
     "t25_chunk_windows" -> 1.7,
@@ -311,4 +315,26 @@ object Budgets {
     "st11_stream_compact" -> 8.0,
     "st14_stream_chunk" -> 8.0,
     "st16_stream_validate" -> 8.0)
+
+  /** ADVICE r16 #4: the ratio gate's denominator (the query's sf0.1
+    * best, ~1-3 s for the pure per-row-linear class) breathes with
+    * host load while the sf1 numerator is stable — q1_agg's nine
+    * honest gate readings span 8.1-10.4 s absolute but 6.3-8.6x as a
+    * ratio — so each new wobble forced a ratio-allowance ratchet
+    * (q1 9→10, q3 8→9, t20 10→12, d23 9→10 by r16), progressively
+    * weakening the gate. For keys HERE the gate trips on ABSOLUTE sf1
+    * seconds instead, host-normalized by calib_scale exactly like the
+    * sf0.1 budget gate: band = ceil(1.3 × worst honest sf1 seconds)
+    * over SF1_HISTORY's full unconf'd runs (readings flagged at their
+    * own run time excluded — the sf1MaxRatio derivation rule, applied
+    * to the stable axis). BudgetsSpec recomputes the rule from
+    * history and fails on drift. These keys KEEP their sf1MaxRatio
+    * entries — membership in the gated set and the reported ratio are
+    * unchanged — but those ratio values are frozen at r16 and no
+    * longer ratchet. */
+  val sf1MaxSeconds: Map[String, Double] = Map(
+    "q1_agg" -> 14.0, // worst honest 10.353 (r16 final gate)
+    "q3_join_agg" -> 13.0, // worst honest 9.729
+    "t20_bpe_learned" -> 13.0, // worst honest 9.660
+    "d23_token_decontam" -> 28.0) // worst honest 21.042
 }

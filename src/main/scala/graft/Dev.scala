@@ -1,7 +1,8 @@
 package graft
 
-/** Entry smoke probe (see .claude/skills/verify): prints the flagship
-  * query's row count; also a scratch main for environment probes.
+/** Entry smoke probe (see README "Verifying a change"): prints the
+  * flagship query's row count; also a scratch main for environment
+  * probes and per-query plan/stage diagnostics.
   */
 object Dev {
   def main(args: Array[String]): Unit = {

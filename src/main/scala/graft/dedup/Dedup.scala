@@ -2347,7 +2347,7 @@ object Dedup {
     // t20's docs CTE + BPE training chain (m1..m8) + whole-corpus
     // application chain (ap0..ap8), spliced verbatim — ap8 restricted
     // to doc_id < 15 is the benchmark token stream
-    val body = t20.substring(0, t20.lastIndexOf("\nSELECT d.doc_id,"))
+    val body = graft.SqlSplice.before(t20, "\nSELECT d.doc_id,")
     val dbl = graft.text.TextAnalysis.bpeDblReplaceSql("sp")
     val sb = new StringBuilder(body)
     sb ++= s""",

@@ -651,7 +651,16 @@ object Knn {
        |    list_reduce(list_transform(generate_series(1, 64),
        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])),
        |      (acc, x) -> acc + x) AS dist
-       |  FROM embeddings e CROSS JOIN centarr c),
+       |  FROM embeddings e CROSS JOIN centarr c
+       |  -- zero-norm guard mirroring the Spark side's norm_e > 0 /
+       |  -- norm_q > 0 filters (ADVICE r16: s24's n_scored is the raw
+       |  -- scored-set SIZE, so the guard must agree by contract, not
+       |  -- because the corpus happens to lack zero vectors; l2 feeds
+       |  -- both corpus and probes, matching the Spark filters' scope,
+       |  -- while cents stays unfiltered exactly like centroidArrays).
+       |  -- sum-of-squares > 0 is fold-order-exact in both engines.
+       |  WHERE list_reduce(list_transform(e.embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x) > 0),
        |corpus AS (
        |  SELECT vec_id, embedding, cell AS assigned_cell FROM l2
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
@@ -1721,7 +1730,7 @@ object Knn {
   }
 
   private val s18Sql = {
-    val prefix = s8Sql.substring(0, s8Sql.lastIndexOf("\nSELECT cell,"))
+    val prefix = graft.SqlSplice.before(s8Sql, "\nSELECT cell,")
     s"""$prefix,
        |sel AS (SELECT cell, vec_id, md5('csamp:' || CAST(vec_id AS VARCHAR)) AS h
        |  FROM afin),

@@ -87,7 +87,7 @@ object Mmr {
 
   private def s20Sql: String = {
     val arm = Hybrid.s15Sql
-    val cut = arm.lastIndexOf("\nSELECT COALESCE(l.doc_id")
+    val cut = graft.SqlSplice.lastIdx(arm, "\nSELECT COALESCE(l.doc_id")
     val prefix = arm.substring(0, cut)
     val fusedSelect = arm.substring(cut + 1)
     val sb = new StringBuilder

@@ -86,11 +86,13 @@ object Rag {
     val q = Hybrid.QueryDoc
     val armLex = Hybrid.s15Sql
     // lexical chain verbatim: everything before s15's brute dense arm
-    val lexCtes = armLex.substring(0, armLex.indexOf(",\nqv AS"))
+    val lexCtes = graft.SqlSplice.beforeFirst(armLex, ",\nqv AS")
     // t25's window chain verbatim, rewrapped as a `chunks` CTE
     val t25 = graft.text.TextAnalysis.t25Sql
-    val t25Body = t25.substring("WITH ".length, t25.lastIndexOf("\nSELECT doc_id,"))
-    val t25Select = t25.substring(t25.lastIndexOf("\nSELECT doc_id,") + 1)
+    val t25Body = t25.substring("WITH ".length,
+      graft.SqlSplice.lastIdx(t25, "\nSELECT doc_id,"))
+    val t25Select = t25.substring(
+        graft.SqlSplice.lastIdx(t25, "\nSELECT doc_id,") + 1)
       .replace(" ORDER BY doc_id, chunk_seq", "")
     s"""$lexCtes,
        |${Knn.ivfCtes},
@@ -161,9 +163,9 @@ object Rag {
 
   private def s21Sql: String = {
     val arm = Hybrid.s15Sql
-    val lexCtes = arm.substring(0, arm.indexOf(",\nqv AS"))
-    val cut = arm.lastIndexOf("\nSELECT COALESCE(l.doc_id")
-    val bruteCtes = arm.substring(arm.indexOf(",\nqv AS"), cut)
+    val lexCtes = graft.SqlSplice.beforeFirst(arm, ",\nqv AS")
+    val cut = graft.SqlSplice.lastIdx(arm, "\nSELECT COALESCE(l.doc_id")
+    val bruteCtes = arm.substring(graft.SqlSplice.firstIdx(arm, ",\nqv AS"), cut)
     val fusedSelect = arm.substring(cut + 1)
     s"""$lexCtes$bruteCtes,
        |tru AS ($fusedSelect),

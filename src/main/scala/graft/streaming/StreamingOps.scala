@@ -1004,7 +1004,7 @@ object StreamingOps {
 
   private val st14Sql = {
     val t25 = graft.text.TextAnalysis.t25Sql
-    t25.substring(0, t25.lastIndexOf("\nSELECT doc_id,")) +
+    graft.SqlSplice.before(t25, "\nSELECT doc_id,") +
       """
         |SELECT doc_id, chunk_seq, tok_start, tok_end, char_start, char_len, chunk_text
         |FROM y ORDER BY doc_id, chunk_seq""".stripMargin
@@ -1041,7 +1041,7 @@ object StreamingOps {
 
   private val st15Sql = {
     val m10 = graft.multimodal.Multimodal.oracles("m10_scene_split")
-    m10.substring(0, m10.lastIndexOf("\nSELECT user_id,")) +
+    graft.SqlSplice.before(m10, "\nSELECT user_id,") +
       s"""
         |SELECT user_id, frame_idx, event_id, phash, ham_prev,
         |  COALESCE(ham_prev >= ${graft.multimodal.Multimodal.SceneHamTau}, FALSE) AS is_boundary
@@ -1081,7 +1081,7 @@ object StreamingOps {
 
   private val st16Sql = {
     val g20 = graft.genai.GenAI.oracles("g20_schema_validate")
-    g20.substring(0, g20.lastIndexOf("\nSELECT reason,")) +
+    graft.SqlSplice.before(g20, "\nSELECT reason,") +
       """
         |SELECT doc_id, reason, reason = 'valid' AS is_valid
         |FROM v ORDER BY doc_id""".stripMargin

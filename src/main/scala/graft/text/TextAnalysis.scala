@@ -1406,7 +1406,7 @@ object TextAnalysis {
   private val t22Sql = {
     // t20's training + application chain verbatim, repacked: take
     // everything up to the final SELECT and append the cumulative
-    val body = t20Sql.substring(0, t20Sql.lastIndexOf("\nSELECT d.doc_id,"))
+    val body = graft.SqlSplice.before(t20Sql, "\nSELECT d.doc_id,")
     body + s""",
       |cnt AS (
       |  SELECT doc_id,
@@ -2112,8 +2112,12 @@ object TextAnalysis {
         // -1 keeps empty tokens so the char arithmetic matches the
         // engines' split semantics exactly
         val ctxText = text.split(" ", -1).take(alloc.toInt).mkString(" ")
+        // code POINTS, not UTF-16 units (ADVICE r16): the oracle's
+        // length() and all other chunk geometry (char_start, char_len)
+        // are code-point counts, so a supplementary-plane char in a
+        // selected lead chunk must not skew the citation span
         out += ((slot, doc, cid, alloc, alloc < ctoks, cst,
-          ctxText.length.toLong, ctxText))
+          ctxText.codePointCount(0, ctxText.length).toLong, ctxText))
         rem -= alloc
       }
     }
@@ -2125,9 +2129,11 @@ object TextAnalysis {
 
   private[graft] def t27Sql: String = {
     val s20Full = graft.sim.Mmr.oracles("s20_mmr_diversify")
-    val s20Ctes = s20Full.substring(0, s20Full.lastIndexOf("\nSELECT mmr_rank"))
-    val t25Body = t25Sql.substring("WITH ".length, t25Sql.lastIndexOf("\nSELECT doc_id,"))
-    val t25Select = t25Sql.substring(t25Sql.lastIndexOf("\nSELECT doc_id,") + 1)
+    val s20Ctes = graft.SqlSplice.before(s20Full, "\nSELECT mmr_rank")
+    val t25Body = t25Sql.substring("WITH ".length,
+      graft.SqlSplice.lastIdx(t25Sql, "\nSELECT doc_id,"))
+    val t25Select = t25Sql.substring(
+        graft.SqlSplice.lastIdx(t25Sql, "\nSELECT doc_id,") + 1)
       .replace(" ORDER BY doc_id, chunk_seq", "")
     s"""$s20Ctes,
        |$t25Body,

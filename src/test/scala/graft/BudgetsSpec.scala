@@ -56,6 +56,11 @@ class BudgetsSpec extends AnyFunSuite {
         s"$k sf1 allowance $r outside the [8, 16] regime (8 = linear-plus-" +
           "jitter default; above it needs a documented output-growth argument)")
     }
+    // absolute-band keys must still be MEMBERS of the gated set (the
+    // band replaces the trip condition, not gate coverage)
+    val orphan = Budgets.sf1MaxSeconds.keySet -- Budgets.sf1MaxRatio.keySet
+    assert(orphan.isEmpty,
+      s"sf1MaxSeconds keys missing from sf1MaxRatio (gate membership): $orphan")
   }
 
   test("budgets are sane: positive, floored at 0.5s") {
@@ -76,6 +81,7 @@ class BudgetsSpec extends AnyFunSuite {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val src = scala.io.Source.fromFile("SF1_HISTORY.jsonl", "UTF-8")
     val worst = scala.collection.mutable.Map[String, Double]()
+    val worstSec = scala.collection.mutable.Map[String, Double]()
     try src.getLines().filter(_.trim.nonEmpty).foreach { line =>
       val n = mapper.readTree(line)
       val filtered = n.path("filtered").asBoolean(true)
@@ -91,20 +97,39 @@ class BudgetsSpec extends AnyFunSuite {
         while (rit.hasNext) {
           val e = rit.next()
           val ratio = e.getValue.path("ratio").asDouble(-1.0)
-          if (ratio > 0 && !flagged(e.getKey))
+          val sec = e.getValue.path("sec").asDouble(-1.0)
+          if (ratio > 0 && !flagged(e.getKey)) {
             worst(e.getKey) = math.max(worst.getOrElse(e.getKey, 0.0), ratio)
+            if (sec > 0)
+              worstSec(e.getKey) = math.max(worstSec.getOrElse(e.getKey, 0.0), sec)
+          }
         }
       }
     } finally src.close()
     assert(worst.nonEmpty, "no full gate runs parsed from SF1_HISTORY.jsonl")
     Budgets.sf1MaxRatio.foreach { case (k, allowance) =>
-      val derived = worst.get(k)
-        .map(w => math.max(8.0, math.ceil(1.15 * w)))
-        .getOrElse(8.0)
-      assert(allowance == derived,
-        s"$k sf1 allowance $allowance != derived $derived " +
-          s"(worst honest ${worst.get(k).fold("none")(w => f"$w%.2f")}) — " +
-          "regenerate Budgets.sf1MaxRatio from history")
+      // ADVICE r16 #4: absolute-band keys no longer ratchet their
+      // (frozen, reporting-only) ratio entry — the band rule below is
+      // their data-derived check instead
+      if (!Budgets.sf1MaxSeconds.contains(k)) {
+        val derived = worst.get(k)
+          .map(w => math.max(8.0, math.ceil(1.15 * w)))
+          .getOrElse(8.0)
+        assert(allowance == derived,
+          s"$k sf1 allowance $allowance != derived $derived " +
+            s"(worst honest ${worst.get(k).fold("none")(w => f"$w%.2f")}) — " +
+            "regenerate Budgets.sf1MaxRatio from history")
+      }
+    }
+    Budgets.sf1MaxSeconds.foreach { case (k, band) =>
+      // band = ceil(1.3 x worst honest sf1 seconds) — the stable axis
+      // (q1's nine honest readings span 8.1-10.4 s absolute while its
+      // ratio swung 6.3-8.6 with the sf0.1 denominator)
+      val derived = worstSec.get(k).map(w => math.ceil(1.3 * w))
+      assert(derived.isDefined, s"$k has an sf1MaxSeconds band but no history")
+      assert(band == derived.get,
+        s"$k sf1 band $band != derived ${derived.get} " +
+          f"(worst honest ${worstSec(k)}%.2f s) — regenerate Budgets.sf1MaxSeconds")
     }
   }
 

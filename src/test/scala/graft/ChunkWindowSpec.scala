@@ -163,12 +163,44 @@ class ChunkWindowSpec extends SparkSpec {
         r.getAs[Boolean]("truncated"), r.getAs[String]("context_text")))
     assert(got.toSeq == want.toSeq, s"\n got: ${got.toSeq}\nwant: ${want.toSeq}")
     // citation addressing: lead chunks start at char 0 and the
-    // allocated span reconstructs from the ORIGINAL document
+    // allocated span reconstructs from the ORIGINAL document — in
+    // CODE POINT space (char_alloc counts code points, the unit all
+    // other chunk geometry uses; ADVICE r16)
     SparkEntry.queries("t27_context_pack")(spark, sf).collect().foreach { r =>
       assert(r.getAs[Long]("char_start") == 0L)
       val doc = texts(r.getAs[Long]("doc_id"))
-      val span = doc.substring(0, r.getAs[Long]("char_alloc").toInt)
-      assert(span == r.getAs[String]("context_text"))
+      val end = doc.offsetByCodePoints(0, r.getAs[Long]("char_alloc").toInt)
+      assert(doc.substring(0, end) == r.getAs[String]("context_text"))
+    }
+  }
+
+  test("t27 char_alloc counts code points: a non-BMP lead chunk keeps the citation span exact") {
+    // ADVICE r16: char_alloc was JVM String.length (UTF-16 units)
+    // while the oracle and all other chunk geometry count code
+    // points — a supplementary-plane character in a selected lead
+    // chunk diverged the two. Corpus variant: an astral-plane char
+    // prepended as token 0 of EVERY doc, so whatever s20 selects
+    // carries it in its lead chunk.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nonbmp").toString
+    Tables.documents(spark, sf)
+      .withColumn("text", concat(lit("😀 "), col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    Tables.embeddings(spark, sf)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = SparkEntry.queries("t27_context_pack")(spark, tmp).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, tmp).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val ctx = r.getAs[String]("context_text")
+      assert(ctx.contains("😀"), "lead chunk lost the planted astral char")
+      assert(ctx.codePointCount(0, ctx.length) == r.getAs[Long]("char_alloc"),
+        s"doc ${r.getAs[Long]("doc_id")}: char_alloc is not a code-point count")
+      // reconstruction via code-point offsets — the mixed-unit span
+      // (UTF-16 alloc over code-point start) would break exactly here
+      val doc = texts(r.getAs[Long]("doc_id"))
+      val end = doc.offsetByCodePoints(0, r.getAs[Long]("char_alloc").toInt)
+      assert(doc.substring(0, end) == ctx)
     }
   }
 
