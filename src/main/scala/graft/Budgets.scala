@@ -70,7 +70,10 @@ object Budgets {
     "d15_minhash_accuracy" -> 4.5,
     "t12_doc_frequency" -> 1.1,
     "t14_tfidf_top" -> 1.3,
-    "t15_curate_pipeline" -> 2.2,
+    // r17: re-priced with the composed t28 provenance gate (stage 0):
+    // measured 2.37 in-round at sf0.1 (was 2.2 for the 4-stage chain)
+    "t15_curate_pipeline" -> 2.9,
+    "t28_url_curate" -> 0.6, // r17: measured 0.37 (per-row regexps + broadcast blocklist join)
     "t16_pii_redact" -> 0.8,
     "t17_line_dedup" -> 0.8,
     "t18_model_score" -> 0.6,

@@ -628,24 +628,147 @@ object TextAnalysis {
       |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) <= 5
       |ORDER BY doc_id, score DESC, tok""".stripMargin
 
+  /** t28's provenance-rule surface, factored like [[keepVerdict]]: one
+    * row per document with its URL, parsed provenance fields and the
+    * first-failing URL rule (`""` = keep) — consumed by t28 (the
+    * audit-shaped presentation) and by t15's composed pipeline as its
+    * stage-0 gate (the C4/RefinedWeb ordering: provenance rules run
+    * before any content gate ever reads the text).
+    *
+    * The corpus carries `source` but no URL (TESTDATA.md), so the
+    * query PLANTS a deterministic URL per document from (source,
+    * doc_id) — the t16 discipline (inject, then detect with generic
+    * machinery): subdomain shape varies by doc_id (a digit-heavy
+    * auto-generated label every 11th doc, `www.` every 3rd), TLD by
+    * source, path depth 1–5 by doc_id. Detection then reads ONLY the
+    * URL string: host/registered-domain/TLD via generic regexes, path
+    * depth by counting separators — so the compare pins the real
+    * parse-and-rule machinery end-to-end, not the generator's
+    * parameters.
+    *
+    * Rules, in priority order (each the standard curation gate):
+    *   1. `blocked_domain` — registered domain on the blocklist dim.
+    *      The dim is the corpus's distinct sources under a fixed rule
+    *      (sn % 7 = 2, standing in for a loaded blocklist table the
+    *      way t9's weights stand in for a mixture config) — a
+    *      metadata-sized relation, BROADCAST into the probe join.
+    *   2. `banned_tld` — spam-haven TLDs (biz/xyz).
+    *   3. `digit_domain` — a ≥4-digit run in the host (auto-generated
+    *      spam domains).
+    *   4. `deep_path` — more than 4 path segments (calendar/faceted
+    *      crawler traps).
+    *
+    * Scale: pure per-row codegen'd regexp projection over the scan
+    * plus ONE broadcast left join against the metadata-sized
+    * blocklist — zero corpus-sized shuffle; at 100 TB this runs at
+    * scan speed ahead of every content gate, which is exactly why
+    * real pipelines order it first. */
+  private[graft] def urlVerdict(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def srcNum(c: Column) = regexp_extract(c, "([0-9]+)", 1).cast("int")
+    def tldOf(c: Column) = element_at(
+      array(lit("com"), lit("org"), lit("net"), lit("info"), lit("biz"), lit("xyz")),
+      (srcNum(c) % 6) + 1)
+    val url = concat(lit("https://"),
+      when(col("doc_id") % 11 === 0,
+        concat(lit("d"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(".")))
+        .when(col("doc_id") % 3 === 0, lit("www."))
+        .otherwise(lit("")),
+      col("source"), lit("."), tldOf(col("source")),
+      expr("repeat('/p', CAST(doc_id % 5 AS INT) + 1)"))
+    val parsed = docs.select(col("doc_id"), url.as("url"))
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)", 1))
+      .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("tld", regexp_extract(col("host"), "\\.([a-z]+)$", 1))
+      .withColumn("n_path_segs", regexp_count(col("url"), lit("/")).cast("long") - 2L)
+      .withColumn("digit_host", regexp_count(col("host"), lit("[0-9]{4}")) > 0)
+    val blocklist = docs.select(col("source")).distinct()
+      .filter(srcNum(col("source")) % 7 === 2)
+      .select(concat(col("source"), lit("."), tldOf(col("source"))).as("bdomain"))
+    parsed.join(broadcast(blocklist), col("domain") === col("bdomain"), "left")
+      .withColumn("url_reason",
+        when(col("bdomain").isNotNull, lit("blocked_domain"))
+          .when(col("tld").isin("biz", "xyz"), lit("banned_tld"))
+          .when(col("digit_host"), lit("digit_domain"))
+          .when(col("n_path_segs") > 4, lit("deep_path"))
+          .otherwise(lit("")))
+      .select(col("doc_id"), col("url"), col("domain"), col("tld"),
+        col("n_path_segs"), col("url_reason"))
+  }
+
+  private def t28(s: SparkSession, d: String): DataFrame =
+    urlVerdict(s, d)
+      .select(col("doc_id"), col("url"), col("domain"), col("tld"),
+        col("n_path_segs"), (col("url_reason") === "").as("keep"), col("url_reason"))
+      .sortWithinPartitions(col("doc_id"))
+
+  /** The [[urlVerdict]] CTE chain ending in
+    * `uverdict(doc_id, url, domain, tld, n_path_segs, url_reason)` —
+    * shared verbatim by the t28 and t15 oracles (one rule set, two
+    * consumers; the QualityScoreCte discipline). */
+  private[graft] val UrlVerdictCtes =
+    """uw AS (SELECT doc_id, source,
+      |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS sn
+      |  FROM documents),
+      |uu AS (SELECT doc_id,
+      |  'https://' ||
+      |  CASE WHEN doc_id % 11 = 0 THEN 'd' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+      |       WHEN doc_id % 3 = 0 THEN 'www.'
+      |       ELSE '' END ||
+      |  source || '.' ||
+      |  CASE sn % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+      |       WHEN 3 THEN 'info' WHEN 4 THEN 'biz' ELSE 'xyz' END ||
+      |  repeat('/p', CAST(doc_id % 5 AS INTEGER) + 1) AS url
+      |  FROM uw),
+      |up AS (SELECT doc_id, url,
+      |    regexp_extract(url, '^https://([^/]+)', 1) AS host FROM uu),
+      |ug AS (SELECT doc_id, url, host,
+      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+      |  regexp_extract(host, '\.([a-z]+)$', 1) AS tld,
+      |  CAST(length(regexp_extract_all(url, '/')) AS BIGINT) - 2 AS n_path_segs,
+      |  length(regexp_extract_all(host, '[0-9]{4}')) > 0 AS digit_host
+      |  FROM up),
+      |ubl AS (SELECT DISTINCT (source || '.' ||
+      |  CASE sn % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+      |       WHEN 3 THEN 'info' WHEN 4 THEN 'biz' ELSE 'xyz' END) AS bdomain
+      |  FROM uw WHERE sn % 7 = 2),
+      |uverdict AS (
+      |  SELECT g.doc_id, g.url, g.domain, g.tld, g.n_path_segs,
+      |    CASE WHEN b.bdomain IS NOT NULL THEN 'blocked_domain'
+      |         WHEN g.tld IN ('biz', 'xyz') THEN 'banned_tld'
+      |         WHEN g.digit_host THEN 'digit_domain'
+      |         WHEN g.n_path_segs > 4 THEN 'deep_path'
+      |         ELSE '' END AS url_reason
+      |  FROM ug g LEFT JOIN ubl b ON b.bdomain = g.domain)""".stripMargin
+
+  private val t28Sql =
+    s"""WITH $UrlVerdictCtes
+       |SELECT doc_id, url, domain, tld, n_path_segs,
+       |  url_reason = '' AS keep, url_reason
+       |FROM uverdict ORDER BY doc_id""".stripMargin
+
   /** t15: the composed corpus-curation pipeline — the end-to-end DAG a
     * training-data team actually ships, as ONE oracle-checked query:
-    * t7's keep/drop verdict (exact-dup keeper + quality gate +
-    * repetition gate) → t9's deterministic mixture sampling → t8's
-    * stable train/val/test split → t10's sequence packing, run
-    * per-split over the surviving documents. Output: every document
-    * that makes it into the training corpus, with its split, its
-    * global token offset WITHIN that split and the training-sequence
-    * id it lands in. Each stage is the already-oracle-checked rule of
-    * its source query (keepVerdict is shared with t7 verbatim; the
-    * mixture/split hash rules are t9/t8's expressions; the packing is
-    * t10's two-level prefix sum with `split` prepended to both
-    * partition keys), so this query pins the COMPOSITION — stage
+    * t28's URL/domain provenance gate (r17 — the C4/RefinedWeb stage
+    * 0 that runs BEFORE any content gate reads the text) → t7's
+    * keep/drop verdict (exact-dup keeper + quality gate + repetition
+    * gate) → t9's deterministic mixture sampling → t8's stable
+    * train/val/test split → t10's sequence packing, run per-split
+    * over the surviving documents. Output: every document that makes
+    * it into the training corpus, with its split, its global token
+    * offset WITHIN that split and the training-sequence id it lands
+    * in. Each stage is the already-oracle-checked rule of its source
+    * query (urlVerdict is shared with t28 verbatim; keepVerdict with
+    * t7; the mixture/split hash rules are t9/t8's expressions; the
+    * packing is t10's two-level prefix sum with `split` prepended to
+    * both partition keys), so this query pins the COMPOSITION — stage
     * wiring, filter ordering, per-split offset isolation — not new
     * per-stage semantics.
     *
     * Scale shape: one corpus scan feeds the verdict's three signal
-    * pipelines (equi-joined on unique doc_id), the sampling/split
+    * pipelines (equi-joined on unique doc_id) plus the provenance
+    * projection (per-row regexps + one broadcast blocklist join — the
+    * cheapest gate, which is why it goes first), the sampling/split
     * gates are per-row hash predicates fused into the scan projection,
     * and the per-split prefix sum stays two-level bucketed — the
     * bucket-offset window reads |splits|·√n metadata rows and every
@@ -655,6 +778,7 @@ object TextAnalysis {
     */
   private def t15(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    val urlKeep = urlVerdict(s, d).filter(col("url_reason") === "").select("doc_id")
     val kept0 = keepVerdict(s, d).filter(col("drop_reason") === "").select("doc_id")
     val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
     val weight = (lit(1) + srcNum % 4).cast("double") / 4.0
@@ -668,6 +792,7 @@ object TextAnalysis {
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2).as("h2"))
       .filter(substring(md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))
         .cast("binary")), 1, 4) < thresh)
+      .join(urlKeep, Seq("doc_id"))
       .join(kept0, Seq("doc_id"))
       .withColumn("split",
         when(col("h2") < "cd", lit("train"))
@@ -732,6 +857,7 @@ object TextAnalysis {
       |         WHEN repetitive THEN 'repetitive'
       |         ELSE '' END AS drop_reason
       |  FROM q JOIN rep ON q.doc_id = rep.doc_id JOIN dup ON q.doc_id = dup.doc_id),
+      |$UrlVerdictCtes,
       |w AS (SELECT doc_id, source,
       |    (1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4) / CAST(4 AS DOUBLE) AS mix_weight,
       |    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
@@ -744,7 +870,8 @@ object TextAnalysis {
       |         ELSE 'test' END AS split,
       |    w.n_tokens
       |  FROM w JOIN verdict v ON v.doc_id = w.doc_id
-      |  WHERE v.drop_reason = ''
+      |  JOIN uverdict uv ON uv.doc_id = w.doc_id
+      |  WHERE v.drop_reason = '' AND uv.url_reason = ''
       |    AND substring(md5(w.source || ':' || w.doc_id), 1, 4) <
       |      CASE WHEN mix_weight = 0.25 THEN '4000'
       |           WHEN mix_weight = 0.5 THEN '8000'
@@ -2159,6 +2286,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, QFn] = Map(
+    "t28_url_curate" -> (t28 _),
     "t27_context_pack" -> (t27 _),
     "t25_chunk_windows" -> (t25 _),
     "t26_epoch_shuffle" -> (t26 _),
@@ -2188,6 +2316,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t28_url_curate" -> t28Sql,
     "t27_context_pack" -> t27Sql,
     "t25_chunk_windows" -> t25Sql,
     "t26_epoch_shuffle" -> t26Sql,

@@ -67,7 +67,10 @@ class DeterminismSpec extends SparkSpec {
     // recall, the nprobe curve
     "g20_schema_validate", "t27_context_pack", "s21_rag_recall",
     "st15_stream_scene", "s22_filtered_search", "s23_filtered_recall",
-    "s24_nprobe_curve")
+    "s24_nprobe_curve",
+    // round-17 additions: the URL/domain provenance gate (t28; t15's
+    // rewired composition is already listed above)
+    "t28_url_curate")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

@@ -298,7 +298,9 @@ class PlanShapeSpec extends SparkSpec {
       "t20_bpe_learned", "t21_perplexity_filter", "m8_interleaved_pack",
       "d21_dedup_pack", "t22_learned_pack",
       // round-13 per-doc outputs
-      "d22_multi_decontam", "g16_budget_shard", "s12_range_search")
+      "d22_multi_decontam", "g16_budget_shard", "s12_range_search",
+      // round-17 per-doc outputs
+      "t28_url_curate")
     for (q <- corpusSized) {
       val p = plan(q)
       val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
