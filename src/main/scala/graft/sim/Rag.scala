@@ -189,10 +189,160 @@ object Rag {
        |FROM tru t LEFT JOIN ann a ON a.doc_id = t.doc_id""".stripMargin
   }
 
+  /** The ≤10-row (rrf_milli DESC, doc_id) rank assembly — the lexArm
+    * idiom (collect, comparator sort, posexplode; never a Window over
+    * an unbounded partition), shared by s25's truth and candidate
+    * rankings. Input must be bounded by construction (both inputs are
+    * LIMIT-10 fusions). */
+  private def rankOf(df: DataFrame): DataFrame =
+    df.agg(collect_list(struct(col("rrf_milli"), col("doc_id"))).as("cand"))
+      .withColumn("sorted", expr(
+        """array_sort(cand, (l, r) ->
+          |  CASE WHEN l.rrf_milli > r.rrf_milli THEN -1
+          |       WHEN l.rrf_milli < r.rrf_milli THEN 1
+          |       WHEN l.doc_id < r.doc_id THEN -1
+          |       WHEN l.doc_id > r.doc_id THEN 1 ELSE 0 END)""".stripMargin))
+      .select(posexplode(col("sorted")).as(Seq("pos", "c")))
+      .select(col("c.doc_id").as("doc_id"), (col("pos") + 1).cast("long").as("rank"))
+
+  /** s25: ranking-quality metrics for the composed RAG DAG (VERDICT
+    * r16 #3) — s21 reports recall only, but MRR and nDCG@10 are the
+    * numbers a retrieval eval actually publishes: recall says the
+    * right documents surfaced, these say they surfaced in the right
+    * ORDER. Truth and candidate are s21's exact plumbing (brute hybrid
+    * [[Hybrid.s15]] vs the persisted-index pipeline [[s19]], both
+    * VERBATIM); relevance is binary membership in the truth top-10,
+    * the standard eval convention when no graded judgments exist.
+    *
+    * All arithmetic is integer so the oracle is exact (the t14/t19/
+    * t21 discipline): reciprocal rank as `1000000 div first_rank`
+    * micro-units, and nDCG's discount 1/log2(rank+1) through t21's
+    * shift-and-square binary log ([[graft.text.TextAnalysis
+    * .surpMilliSpark]] — gain_micro = 10⁹ div log2_milli(rank+1), a
+    * 10-row table both engines derive through the identical integer
+    * recurrence). The ONLY double is the final ndcg = dcg/idcg, an
+    * exact division of two exact integers — bit-identical across
+    * engines. idcg is nonzero by construction (the truth fusion always
+    * ranks 10 docs on this corpus; n_true ≥ 1 whenever s15 returns).
+    *
+    * Scale: measurement cost is the two pipelines themselves (proven
+    * shapes); everything after is ≤10-row metadata — the rank
+    * assemblies are bounded collects, the discount table is 10 rows,
+    * and the final assembly crossJoins four 1-row aggregates (the
+    * repo's driver-metadata discipline). A spec cross-pins
+    * (n_true, n_rel) to s21's (n_true, n_found) on the same run and
+    * recomputes MRR/nDCG from first principles in the JVM.
+    */
+  private[sim] def s25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tru = Hybrid.s15(s, d).select(col("doc_id"))
+    val cand = rankOf(s19(s, d).select(col("doc_id"), col("rrf_milli")))
+    // 1/log2(r+1) discounts for ranks 1..10 in integer micro-units,
+    // via the shared shift-and-square log (fold form == unrolled
+    // chain, PropertySpec-pinned)
+    val disc = (1L to 10L).toDF("rnum")
+      .select(col("rnum"), lit(1L).as("num"), (col("rnum") + 1L).as("den"))
+      .select(col("rnum"), expr(graft.text.TextAnalysis.surpMilliSpark).as("log2_milli"))
+      .select(col("rnum"), expr("CAST(1000000000 AS BIGINT) div log2_milli").as("gain_micro"))
+    val truCnt = tru.agg(count(lit(1)).as("n_true"))
+    val candCnt = cand.agg(count(lit(1)).as("n_cand"))
+    val hits = cand.join(tru, Seq("doc_id"), "left_semi")
+    val hitStats = hits.join(broadcast(disc), col("rank") === col("rnum"), "left")
+      .agg(count(lit(1)).as("n_rel"),
+        coalesce(min(col("rank")), lit(0L)).as("first_rank"),
+        coalesce(sum(col("gain_micro")), lit(0L)).as("dcg_micro"))
+    val idcg = disc.crossJoin(broadcast(truCnt))
+      .filter(col("rnum") <= least(col("n_true"), lit(10L)))
+      .agg(sum(col("gain_micro")).as("idcg_micro"))
+    truCnt.crossJoin(candCnt).crossJoin(hitStats).crossJoin(idcg)
+      .select(col("n_true"), col("n_cand"), col("n_rel"), col("first_rank"),
+        when(col("first_rank") > 0, expr("1000000 div first_rank"))
+          .otherwise(lit(0L)).as("rr_micro"),
+        col("dcg_micro"), col("idcg_micro"),
+        (col("dcg_micro").cast("double") / col("idcg_micro")).as("ndcg"))
+  }
+
+  private def s25Sql: String = {
+    val arm = Hybrid.s15Sql
+    val lexCtes = graft.SqlSplice.beforeFirst(arm, ",\nqv AS")
+    val cut = graft.SqlSplice.lastIdx(arm, "\nSELECT COALESCE(l.doc_id")
+    val bruteCtes = arm.substring(graft.SqlSplice.firstIdx(arm, ",\nqv AS"), cut)
+    val fusedSelect = arm.substring(cut + 1)
+    val m2 = 1L << graft.text.TextAnalysis.PplShift
+    val top = 2L << graft.text.TextAnalysis.PplShift
+    val steps = graft.text.TextAnalysis.PplSteps
+    // the t21 shift-and-square log, unrolled over the 10-row rank
+    // relation (l0..lN — st0..stN is taken by the spliced idf chain)
+    val logChain = {
+      val sb = new StringBuilder
+      sb ++= s"""dl0 AS (
+         |  SELECT rnum, length(bin(den // num)) - 1 AS e,
+         |    (den * $m2) // (num * (1::BIGINT << (length(bin(den // num)) - 1))) AS m,
+         |    0::BIGINT AS f
+         |  FROM rnk)""".stripMargin
+      for (r <- 1 to steps) {
+        sb ++= s""",
+         |dl$r AS (SELECT rnum, e,
+         |  CASE WHEN (m * m) // $m2 >= $top THEN ((m * m) // $m2) // 2
+         |       ELSE (m * m) // $m2 END AS m,
+         |  f * 2 + CASE WHEN (m * m) // $m2 >= $top THEN 1 ELSE 0 END AS f
+         |  FROM dl${r - 1})""".stripMargin
+      }
+      sb.result()
+    }
+    s"""$lexCtes$bruteCtes,
+       |tru AS ($fusedSelect),
+       |trr AS (SELECT doc_id FROM tru),
+       |${Knn.ivfCtes},
+       |adtop AS (
+       |  SELECT vec_id AS doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS dense_rank
+       |  FROM scored
+       |  WHERE q_id = ${Hybrid.QueryDoc} AND cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY dense_rank <= 5),
+       |annr AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY rrf_milli DESC, doc_id) AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+       |      COALESCE(1000000 // (${Hybrid.RrfC} + l.lex_rank), 0) +
+       |      COALESCE(1000000 // (${Hybrid.RrfC} + dn.dense_rank), 0) AS rrf_milli
+       |    FROM ltop l FULL OUTER JOIN adtop dn ON l.doc_id = dn.doc_id
+       |    ORDER BY rrf_milli DESC, doc_id LIMIT 10)),
+       |rnk AS (SELECT CAST(u.r AS BIGINT) AS rnum, CAST(1 AS BIGINT) AS num,
+       |  CAST(u.r + 1 AS BIGINT) AS den
+       |  FROM (SELECT unnest(generate_series(1, 10)) AS r) u),
+       |$logChain,
+       |disc AS (SELECT rnum,
+       |  CAST(1000000000 AS BIGINT) // (e * 1000 + (f * 1000) // 1024) AS gain_micro
+       |  FROM dl$steps),
+       |hits AS (SELECT a.rank FROM annr a JOIN trr t ON t.doc_id = a.doc_id),
+       |hs AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rel,
+       |    CAST(COALESCE(MIN(rank), 0) AS BIGINT) AS first_rank
+       |  FROM hits),
+       |dcg AS (
+       |  SELECT CAST(COALESCE(SUM(d.gain_micro), 0) AS BIGINT) AS dcg_micro
+       |  FROM hits h JOIN disc d ON d.rnum = h.rank),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM trr),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM annr),
+       |idcg AS (
+       |  SELECT CAST(SUM(d.gain_micro) AS BIGINT) AS idcg_micro
+       |  FROM disc d, nt WHERE d.rnum <= LEAST(nt.n_true, 10))
+       |SELECT nt.n_true, nc.n_cand, hs.n_rel, hs.first_rank,
+       |  CASE WHEN hs.first_rank > 0 THEN 1000000 // hs.first_rank
+       |       ELSE CAST(0 AS BIGINT) END AS rr_micro,
+       |  dcg.dcg_micro, idcg.idcg_micro,
+       |  CAST(dcg.dcg_micro AS DOUBLE) / idcg.idcg_micro AS ndcg
+       |FROM nt, nc, hs, dcg, idcg""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "s19_rag_pipeline" -> (s19 _),
-    "s21_rag_recall" -> (s21 _))
+    "s21_rag_recall" -> (s21 _),
+    "s25_rank_metrics" -> (s25 _))
   val oracles: Map[String, String] = Map(
     "s19_rag_pipeline" -> s19Sql,
-    "s21_rag_recall" -> s21Sql)
+    "s21_rag_recall" -> s21Sql,
+    "s25_rank_metrics" -> s25Sql)
 }

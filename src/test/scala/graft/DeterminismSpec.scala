@@ -69,8 +69,9 @@ class DeterminismSpec extends SparkSpec {
     "st15_stream_scene", "s22_filtered_search", "s23_filtered_recall",
     "s24_nprobe_curve",
     // round-17 additions: the URL/domain provenance gate (t28; t15's
-    // rewired composition is already listed above)
-    "t28_url_curate")
+    // rewired composition is already listed above), ranking-quality
+    // metrics for the composed RAG DAG
+    "t28_url_curate", "s25_rank_metrics")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

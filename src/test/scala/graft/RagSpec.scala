@@ -100,4 +100,40 @@ class RagSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") >= 0.5,
       s"composed RAG recall ${row.getAs[Double]("recall")} below the 0.5 floor")
   }
+
+  test("s25 cross-pins s21 and recomputes MRR/nDCG from first principles (round 17)") {
+    val m = SparkEntry.queries("s25_rank_metrics")(spark, sf).collect().head
+    // cross-pin: the two contracts measure the SAME run of the same
+    // pipelines, so a silent divergence between their candidate or
+    // truth plumbing fails here (the s24↔s6 discipline)
+    val rec = SparkEntry.queries("s21_rag_recall")(spark, sf).collect().head
+    assert(m.getAs[Long]("n_true") == rec.getAs[Long]("n_true"))
+    assert(m.getAs[Long]("n_rel") == rec.getAs[Long]("n_found"),
+      s"s25 n_rel ${m.getAs[Long]("n_rel")} != s21 n_found ${rec.getAs[Long]("n_found")}")
+    // independent recompute: truth set from s15, candidate ORDER from
+    // s19's rows (already rrf-sorted), metrics in plain JVM arithmetic
+    val tru = SparkEntry.queries("s15_hybrid_rrf")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val candOrder = SparkEntry.queries("s19_rag_pipeline")(spark, sf).collect()
+      .sortBy(r => (-r.getAs[Long]("rrf_milli"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("doc_id"))
+    val hits = candOrder.zipWithIndex.collect { case (d, i) if tru(d) => i + 1 }
+    assert(m.getAs[Long]("n_cand") == candOrder.length.toLong)
+    assert(m.getAs[Long]("n_rel") == hits.length.toLong)
+    assert(m.getAs[Long]("first_rank") == hits.headOption.getOrElse(0).toLong)
+    assert(m.getAs[Long]("rr_micro") ==
+      hits.headOption.map(r => 1000000L / r).getOrElse(0L))
+    // nDCG recomputed with libm log2 — the integer shift-and-square
+    // discount is exact to ~1 milli-bit per term, so the two agree to
+    // well under 1e-2 while sharing NO arithmetic
+    def gain(r: Int) = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+    val dcg = hits.map(gain).sum
+    val idcg = (1 to math.min(tru.size, 10)).map(gain).sum
+    assert(math.abs(m.getAs[Double]("ndcg") - dcg / idcg) < 0.01,
+      s"integer nDCG ${m.getAs[Double]("ndcg")} vs libm ${dcg / idcg}")
+    // order sanity: the metrics sit in their defined ranges and nDCG
+    // cannot exceed the recall ceiling's perfect-order value
+    assert(m.getAs[Double]("ndcg") > 0.0 && m.getAs[Double]("ndcg") <= 1.0)
+    assert(m.getAs[Long]("dcg_micro") <= m.getAs[Long]("idcg_micro"))
+  }
 }
