@@ -58,6 +58,9 @@ object Budgets {
     // r17: measured 4.63 best-of-3 (the same two pipelines s21 runs +
     // <= 10-row metadata arithmetic)
     "s25_rank_metrics" -> 5.8,
+    // r17: measured 5.74 best-of-3 (~= d10's cluster pipeline + the
+    // four cheap per-doc signal chains + a 20-row rollup)
+    "t29_datasheet" -> 7.2,
     "s22_filtered_search" -> 1.8, // r16: measured 1.35 best-of-3
     "s23_filtered_recall" -> 2.8, // r16: measured 2.20 best-of-3 (filtered brute truth + s22)
     "s24_nprobe_curve" -> 2.9, // r16: measured 2.23 best-of-3 (one probe join + 4-way explode + brute truth)
@@ -298,6 +301,7 @@ object Budgets {
     "s20_mmr_diversify" -> 8.0,
     "s21_rag_recall" -> 8.0,
     "s25_rank_metrics" -> 8.0,
+    "t29_datasheet" -> 8.0,
     "s23_filtered_recall" -> 8.0,
     "s24_nprobe_curve" -> 8.0,
     "t27_context_pack" -> 8.0,

@@ -839,7 +839,9 @@ object Dedup {
     * closure — exact at the driver's sf0.01 gate; tools/parity.py
     * swaps in iterative propagation for larger SFs). Shared by d7 and
     * d10. */
-  private val ClusterCteBody = MinhashCteBody +
+  // private[graft]: t29's corpus-datasheet oracle splices this chain
+  // verbatim (the near-dup drop column is d10's keeper rule)
+  private[graft] val ClusterCteBody = MinhashCteBody +
     s""",
       |rooted AS (
       |  SELECT DISTINCT root, doc_id FROM (

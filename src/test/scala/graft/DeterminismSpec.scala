@@ -71,7 +71,7 @@ class DeterminismSpec extends SparkSpec {
     // round-17 additions: the URL/domain provenance gate (t28; t15's
     // rewired composition is already listed above), ranking-quality
     // metrics for the composed RAG DAG
-    "t28_url_curate", "s25_rank_metrics")
+    "t28_url_curate", "s25_rank_metrics", "t29_datasheet")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

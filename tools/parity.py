@@ -91,6 +91,19 @@ def d10_oracle(con, sql: str) -> pd.DataFrame:
         ORDER BY l.doc_id""").df()
 
 
+def t29_oracle(con, sql: str) -> pd.DataFrame:
+    """t29 via the same iterative propagation as d7_oracle: its
+    near-dup drop column is d10's keeper rule over the cluster
+    assignment, so the closure swaps identically; everything after the
+    clusters CTE (the datasheet chain + rollup) is lifted verbatim and
+    re-rooted on the converged __labels table."""
+    _d7_labels(con, sql)
+    tail = sql.split("MIN(dst) AS cluster_id FROM reach GROUP BY src),\n")[1]
+    return con.execute(
+        "WITH clusters AS (SELECT doc_id, label AS cluster_id FROM __labels),\n"
+        + tail).df()
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -122,6 +135,8 @@ def main():
                 exp = canon(d10_oracle(con, oracle[name]))
             elif name == "d20_cross_batch_cluster":
                 exp = canon(d20_oracle(con, oracle[name]))
+            elif name == "t29_datasheet":
+                exp = canon(t29_oracle(con, oracle[name]))
             else:
                 exp = canon(con.execute(oracle[name]).df())
         except Exception as e:
