@@ -61,6 +61,14 @@ object Budgets {
     // r17: measured 5.74 best-of-3 (~= d10's cluster pipeline + the
     // four cheap per-doc signal chains + a 20-row rollup)
     "t29_datasheet" -> 7.2,
+    // r17: measured 2.91 best-of-3 at calib 412 (t18 scoring +
+    // source-partitioned rank window + ExactPercentile scalar)
+    "t30_quality_calibrate" -> 3.6,
+    "q38_snapshot_diff" -> 0.6, // r17: measured 0.33 (two fp scans + one doc_id full-outer join)
+    "g21_judge_agreement" -> 1.8, // r17: measured 1.39 (two response pipelines + bounded marginal join)
+    // r17: measured 2.12 best-of-3 (stateless URL gate under the
+    // 4-file multi-batch regime; ~= t28 + fixed micro-batch overhead)
+    "st17_stream_url" -> 2.7,
     "s22_filtered_search" -> 1.8, // r16: measured 1.35 best-of-3
     "s23_filtered_recall" -> 2.8, // r16: measured 2.20 best-of-3 (filtered brute truth + s22)
     "s24_nprobe_curve" -> 2.9, // r16: measured 2.23 best-of-3 (one probe join + 4-way explode + brute truth)
@@ -302,6 +310,9 @@ object Budgets {
     "s21_rag_recall" -> 8.0,
     "s25_rank_metrics" -> 8.0,
     "t29_datasheet" -> 8.0,
+    // r17: new >= 2s queries enter at the 8.0 default (no history yet)
+    "t30_quality_calibrate" -> 8.0,
+    "st17_stream_url" -> 8.0,
     "s23_filtered_recall" -> 8.0,
     "s24_nprobe_curve" -> 8.0,
     "t27_context_pack" -> 8.0,

@@ -1424,7 +1424,72 @@ object Analytics {
       |  event_type AS last_event_type, value AS last_value, n_events
       |FROM e WHERE rn = 1""".stripMargin
 
+  /** q38: corpus snapshot diff — the release-over-release comparison a
+    * data team runs before shipping a new corpus version (and the
+    * input to incremental re-processing: `added ∪ changed` is exactly
+    * the set d12-class pipelines re-run). Two releases are derived
+    * deterministically from the corpus — v_old drops `doc_id%10=7`
+    * (docs that didn't exist last release) and carries a content edit
+    * on `doc_id%7=3` (final character dropped — docs whose text
+    * changed), v_new drops `doc_id%13=5` (docs deleted since) — the
+    * t16/t28 inject-then-detect discipline: the DIFF below reads only
+    * doc_id and content fingerprints, never the generator's rules, so
+    * the compare pins the real diff machinery.
+    *
+    * Per doc: status ∈ {added, removed, changed, unchanged} with both
+    * fingerprints (md5 — exact in both engines over UTF-8 text).
+    *
+    * Scale: fingerprinting is per-row codegen at scan speed; the diff
+    * is ONE equi-join on the unique snapshot key (shuffle-partitioned
+    * both sides, no skew by construction — doc_id is unique), which
+    * is the canonical 100 TB snapshot-diff plan; with both releases
+    * bucketed by doc_id at write time it degrades to a zero-shuffle
+    * sort-merge (q27's layout argument).
+    */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldText = when(col("doc_id") % 7 === 3,
+        expr("substring(text, 1, greatest(length(text) - 1, 0))"))
+      .otherwise(col("text"))
+    val vOld = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("source"),
+        md5(oldText.cast("binary")).as("old_fp"))
+    val vNew = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("source").as("new_source"),
+        md5(col("text").cast("binary")).as("new_fp"))
+    vOld.join(vNew, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("source"), col("new_source")).as("source"),
+        col("old_fp"), col("new_fp"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val q38Sql =
+    """WITH vold AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 7 = 3
+      |        THEN substring(text, 1, greatest(length(text) - 1, 0))
+      |        ELSE text END) AS old_fp
+      |  FROM documents WHERE doc_id % 10 != 7),
+      |vnew AS (
+      |  SELECT doc_id, source AS new_source, md5(text) AS new_fp
+      |  FROM documents WHERE doc_id % 13 != 5)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  COALESCE(o.source, n.new_source) AS source,
+      |  o.old_fp, n.new_fp,
+      |  CASE WHEN o.old_fp IS NULL THEN 'added'
+      |       WHEN n.new_fp IS NULL THEN 'removed'
+      |       WHEN o.old_fp != n.new_fp THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM vold o FULL OUTER JOIN vnew n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q38_snapshot_diff" -> (q38 _),
     "q37_latest_rewrite" -> (q37 _),
     "q36_zorder_skip" -> (q36 _),
     "q35_cohort_retention" -> (q35 _),
@@ -1466,6 +1531,7 @@ object Analytics {
     "q15_asof_join" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q38_snapshot_diff" -> q38Sql,
     "q37_latest_rewrite" -> q37Sql,
     "q36_zorder_skip" -> q36Sql,
     "q35_cohort_retention" -> q35Sql,

@@ -973,7 +973,95 @@ object GenAI {
       |  FROM resp)
       |SELECT reason, COUNT(*) AS n FROM v GROUP BY reason ORDER BY reason""".stripMargin
 
+  /** g21: inter-judge agreement for LLM-as-judge pipelines — the
+    * quality check a production eval runs BEFORE trusting model-graded
+    * labels (two judges grade the same exam; if they can't agree with
+    * each other beyond chance, neither's grades are usable as truth).
+    * Two deterministic judges answer the SAME multichoice exam through
+    * the full request → simulate → parse path ([[Simulator.respondExam]]
+    * / [[Simulator.respondExamB]] — each with its own error sliver and
+    * its own wrong-answer shift), then per LANGUAGE: n double-graded,
+    * raw agreement, and Cohen's kappa — chance-corrected via the
+    * judges' per-category marginals (Cohen 1960). The grouping is
+    * lang, not source, deliberately: this corpus's sources are
+    * doc_id-residue classes, so within a source the exam's answer
+    * category is CONSTANT — chance-corrected agreement needs category
+    * variation inside the group or pe saturates and kappa is
+    * degenerate noise (the spec pins the lang groups non-degenerate).
+    *
+    * Exactness: kappa = (n·agree − Σₖ nAₖ·nBₖ) / (n² − Σₖ nAₖ·nBₖ) —
+    * numerator and denominator are exact longs (the pe term never
+    * becomes a float), the output double is one division of identical
+    * exact integers in both engines; degenerate marginals (den = 0)
+    * yield NULL, not NaN, in both.
+    *
+    * Scale: two per-row response pipelines + one doc_id equi-join +
+    * bounded groupBys on (source) and (source, answer) — the marginal
+    * product Σₖ nAₖ·nBₖ joins two ≤|sources|×4-row aggregates, a
+    * metadata-sized relation; nothing corpus-sized shuffles twice.
+    */
+  private def g21(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val items = examItems(docs)
+    def answers(resp: DataFrame, name: String) =
+      Responses.results(Responses.parse(resp))
+        .select(col("doc_id"),
+          get_json_object(col("content"), "$.answer").cast("long").as(name))
+    val reqs = Requests.examRequests(items)
+    val a = answers(Simulator.respondExam(reqs), "a")
+    val b = answers(Simulator.respondExamB(reqs), "b")
+    val graded = a.join(b, Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val base = graded.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+    val ca = graded.groupBy(col("lang"), col("a").as("k")).agg(count(lit(1)).as("na"))
+    val cb = graded.groupBy(col("lang"), col("b").as("k")).agg(count(lit(1)).as("nb"))
+    val prods = ca.join(cb, Seq("lang", "k"))
+      .groupBy(col("lang")).agg(sum(col("na") * col("nb")).as("sum_prod"))
+    base.join(prods, Seq("lang"))
+      .withColumn("agree_rate", col("n_agree").cast("double") / col("n"))
+      .withColumn("kappa_num", col("n") * col("n_agree") - col("sum_prod"))
+      .withColumn("kappa_den", col("n") * col("n") - col("sum_prod"))
+      .withColumn("kappa",
+        when(col("kappa_den") =!= 0L,
+          col("kappa_num").cast("double") / col("kappa_den")))
+      .select(col("lang"), col("n"), col("n_agree"), col("agree_rate"),
+        col("kappa_num"), col("kappa_den"), col("kappa"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle mirrors both judges' parsed answers directly (g11Sql's
+    * discipline — the Spark side really round-trips JSONL). */
+  private val g21Sql =
+    """WITH ans AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 11 = 0 THEN (doc_id % 4 + 1) % 4 + 1
+      |         ELSE doc_id % 4 + 1 END AS a,
+      |    CASE WHEN doc_id % 13 = 0 THEN ((doc_id % 4 + 1) + 1) % 4 + 1
+      |         ELSE doc_id % 4 + 1 END AS b
+      |  FROM documents WHERE doc_id % 53 <> 0),
+      |base AS (
+      |  SELECT lang, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      |  FROM ans GROUP BY lang),
+      |ca AS (SELECT lang, a AS k, COUNT(*) AS na FROM ans GROUP BY lang, a),
+      |cb AS (SELECT lang, b AS k, COUNT(*) AS nb FROM ans GROUP BY lang, b),
+      |pr AS (
+      |  SELECT ca.lang, CAST(SUM(na * nb) AS BIGINT) AS sum_prod
+      |  FROM ca JOIN cb ON ca.lang = cb.lang AND ca.k = cb.k
+      |  GROUP BY ca.lang)
+      |SELECT b.lang, n, n_agree,
+      |  CAST(n_agree AS DOUBLE) / n AS agree_rate,
+      |  n * n_agree - sum_prod AS kappa_num,
+      |  n * n - sum_prod AS kappa_den,
+      |  CASE WHEN n * n - sum_prod <> 0
+      |       THEN CAST(n * n_agree - sum_prod AS DOUBLE) / (n * n - sum_prod)
+      |       END AS kappa
+      |FROM base b JOIN pr ON pr.lang = b.lang ORDER BY b.lang""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "g21_judge_agreement" -> (g21 _),
     "g20_schema_validate" -> (g20 _),
     "g19_model_router" -> (g19 _),
     "g18_preference_pairs" -> (g18 _),
@@ -996,6 +1084,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g21_judge_agreement" -> g21Sql,
     "g20_schema_validate" -> g20Sql,
     "g19_model_router" -> g19Sql,
     "g18_preference_pairs" -> g18Sql,

@@ -123,9 +123,30 @@ object Simulator {
     * errors keep the doc_id % 53 rule of [[respond]].
     */
   def respondExam(requests: DataFrame): DataFrame = {
-    val userContent = expr("element_at(messages, 2).content")
-    val solved = regexp_extract(userContent, "equals (\\d)", 1).cast("long")
-    val answer = when(col("doc_id") % 11 === 0, (solved % 4) + 1).otherwise(solved)
+    val solved = examSolved
+    examResponder(requests,
+      when(col("doc_id") % 11 === 0, (solved % 4) + 1).otherwise(solved))
+  }
+
+  /** A SECOND exam judge for agreement measurement (g21): same exam,
+    * same transport-error rule, but its OWN deterministic error sliver
+    * (doc_id % 13) and its own wrong-answer shift (`((s+1)%4)+1` —
+    * provably never the true answer, and provably different from
+    * [[respondExam]]'s wrong answer on the doc_id % 143 overlap where
+    * both judges err, so disagreement-on-error is exercised).
+    */
+  def respondExamB(requests: DataFrame): DataFrame = {
+    val solved = examSolved
+    examResponder(requests,
+      when(col("doc_id") % 13 === 0, ((solved + 1) % 4) + 1).otherwise(solved))
+  }
+
+  private def examSolved =
+    regexp_extract(expr("element_at(messages, 2).content"), "equals (\\d)", 1)
+      .cast("long")
+
+  private def examResponder(requests: DataFrame,
+      answer: org.apache.spark.sql.Column): DataFrame = {
     val promptTokens = expr("aggregate(messages, 3L, (acc, m) -> acc + length(m.content)) div 4")
     val failed = col("doc_id") % 53 === 0
     requests.select(

@@ -141,6 +141,13 @@ object StreamingOps {
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType)))
 
+  /** [[docsStreamMulti]]'s staged shape — the admit stagers keep the
+    * narrower [[docsStreamSchema]] (their files don't carry `source`,
+    * and a shared widened schema would silently read nulls there). */
+  private val docsStreamFullSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType)))
+
   /** The FULL document corpus staged as `nFiles` landing files (split
     * by `doc_id % nFiles`, strictly increasing mtimes) and read with
     * `maxFilesPerTrigger=1` — the document-side twin of
@@ -160,8 +167,10 @@ object StreamingOps {
     // srcMeta (corpus path embedded) + a version token, per the ADVICE
     // r13 marker-consistency fix
     // version bump alldocs1 -> alldocs2: the staged rows gained `lang`
-    // (st13 derives chat requests, whose model policy reads it)
-    val meta = graft.StagePath.srcMeta(d, src, "alldocs2")
+    // (st13 derives chat requests, whose model policy reads it);
+    // alldocs2 -> alldocs3: gained `source` (st17's URL gate plants
+    // the provenance URL from it)
+    val meta = graft.StagePath.srcMeta(d, src, "alldocs3")
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet"))) &&
@@ -175,7 +184,7 @@ object StreamingOps {
       for (k <- 0 until nFiles) {
         graft.Tables.documents(s, d)
           .filter(col("doc_id") % nFiles === k)
-          .select(col("doc_id"), col("text"), col("lang"))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
           .coalesce(1).write.mode("overwrite").parquet(work.toString)
         val partFile = {
           val l = java.nio.file.Files.list(work)
@@ -197,7 +206,7 @@ object StreamingOps {
       }
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
-    s.readStream.schema(docsStreamSchema)
+    s.readStream.schema(docsStreamFullSchema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "b*.parquet")
       .parquet(dir.toString)
@@ -1087,7 +1096,41 @@ object StreamingOps {
         |FROM v ORDER BY doc_id""".stripMargin
   }
 
+  /** st17: URL/domain provenance gating at ingest — t28's
+    * C4/RefinedWeb stage run where a crawler feed actually runs it:
+    * each landed document gets its provenance verdict the moment it
+    * arrives, so a blocked-domain or crawler-trap URL never occupies
+    * downstream quality/dedup compute (the reason real pipelines
+    * order this gate FIRST applies twice as hard on a continuous
+    * feed). The plant + parse + rules are
+    * [[graft.text.TextAnalysis.urlVerdictOn]] — the SAME column
+    * expressions t28 compiles, stateless per-row regexp codegen —
+    * and the blocklist dim is built from the STATIC table
+    * ([[graft.text.TextAnalysis.urlBlocklist]]) and broadcast into a
+    * stream-static left join: operationally the blocklist IS a loaded
+    * static dim, and a stream could not `distinct` it without an
+    * aggregation state store. No state store, no watermark,
+    * batching-invariant by construction (the st12/st13/st16
+    * compliance discipline: the streamed verdicts are byte-identical
+    * to the nightly batch gate's). Runs under the real multi-batch
+    * regime (4 landing files, maxFilesPerTrigger=1). Oracle: t28's
+    * SQL VERBATIM; the spec pins st17 ≡ t28 row-for-row.
+    */
+  private def st17(s: SparkSession, d: String): DataFrame = {
+    val docs = docsStreamMulti(s, d, 4)
+    val gated = graft.text.TextAnalysis.urlVerdictOn(docs,
+        graft.text.TextAnalysis.urlBlocklist(graft.Tables.documents(s, d)))
+      .select(col("doc_id"), col("url"), col("domain"), col("tld"),
+        col("n_path_segs"), (col("url_reason") === "").as("keep"),
+        col("url_reason"))
+    runToMemory(s, gated, "graft_st17", mode = "append")
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val st17Sql = graft.text.TextAnalysis.oracles("t28_url_curate")
+
   val queries: Map[String, QFn] = Map(
+    "st17_stream_url" -> (st17 _),
     "st16_stream_validate" -> (st16 _),
     "st15_stream_scene" -> (st15 _),
     "st14_stream_chunk" -> (st14 _),
@@ -1106,6 +1149,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st17_stream_url" -> st17Sql,
     "st16_stream_validate" -> st16Sql,
     "st15_stream_scene" -> st15Sql,
     "st14_stream_chunk" -> st14Sql,

@@ -665,10 +665,30 @@ object TextAnalysis {
     * real pipelines order it first. */
   private[graft] def urlVerdict(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    def srcNum(c: Column) = regexp_extract(c, "([0-9]+)", 1).cast("int")
-    def tldOf(c: Column) = element_at(
-      array(lit("com"), lit("org"), lit("net"), lit("info"), lit("biz"), lit("xyz")),
-      (srcNum(c) % 6) + 1)
+    urlVerdictOn(docs, urlBlocklist(docs))
+  }
+
+  private def srcNum(c: Column) = regexp_extract(c, "([0-9]+)", 1).cast("int")
+  private def tldOf(c: Column) = element_at(
+    array(lit("com"), lit("org"), lit("net"), lit("info"), lit("biz"), lit("xyz")),
+    (srcNum(c) % 6) + 1)
+
+  /** The blocklist dim (metadata-sized, derived from distinct sources
+    * under the fixed sn%7 rule — t9's config-stand-in discipline).
+    * Factored out of [[urlVerdictOn]] so st17 can build it from the
+    * STATIC table while gating the stream: operationally the blocklist
+    * IS a static loaded dim, and a stream cannot `distinct` without an
+    * aggregation state store anyway. */
+  private[graft] def urlBlocklist(docs: DataFrame): DataFrame =
+    docs.select(col("source")).distinct()
+      .filter(srcNum(col("source")) % 7 === 2)
+      .select(concat(col("source"), lit("."), tldOf(col("source"))).as("bdomain"))
+
+  /** The per-row half of [[urlVerdict]]: plant + parse + rules over
+    * any frame carrying (doc_id, source). Stateless codegen plus ONE
+    * broadcast left join against `blocklist` — streamable as-is
+    * (st17 runs it on the ingest feed against the static dim). */
+  private[graft] def urlVerdictOn(docs: DataFrame, blocklist: DataFrame): DataFrame = {
     val url = concat(lit("https://"),
       when(col("doc_id") % 11 === 0,
         concat(lit("d"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(".")))
@@ -682,9 +702,6 @@ object TextAnalysis {
       .withColumn("tld", regexp_extract(col("host"), "\\.([a-z]+)$", 1))
       .withColumn("n_path_segs", regexp_count(col("url"), lit("/")).cast("long") - 2L)
       .withColumn("digit_host", regexp_count(col("host"), lit("[0-9]{4}")) > 0)
-    val blocklist = docs.select(col("source")).distinct()
-      .filter(srcNum(col("source")) % 7 === 2)
-      .select(concat(col("source"), lit("."), tldOf(col("source"))).as("bdomain"))
     parsed.join(broadcast(blocklist), col("domain") === col("bdomain"), "left")
       .withColumn("url_reason",
         when(col("bdomain").isNotNull, lit("blocked_domain"))
@@ -1286,11 +1303,13 @@ object TextAnalysis {
     * shuffle). Feature extraction is the same codegen'd regexp
     * counting as t1/t2 — no UDFs, one pass.
     */
-  private def t18(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val thr = Seq(("de", 2510L), ("en", 2530L), ("es", 2500L),
-      ("fr", 2520L), ("zh", 2515L)).toDF("lang", "thr")
-    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+  /** t18's exact integer scoring surface, factored for reuse (the
+    * keepVerdict/urlVerdict discipline): one row per document with
+    * (doc_id, lang, source, score, score_per_kchar) — consumed by t18
+    * (per-language threshold verdicts) and t30 (per-source percentile
+    * calibration). Same codegen'd one-pass feature extraction. */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
         tokenCount(col("text")).as("n_tokens"),
         regexp_count(col("text"), lit("\\b(the|a|an|of|and|in|to)\\b"))
           .cast("long").as("n_stop"),
@@ -1300,6 +1319,12 @@ object TextAnalysis {
         lit(5L) * col("n_stop") + lit(2L) * col("n_alpha") +
           lit(10L) * col("n_tokens") - col("n_chars"))
       .withColumn("score_per_kchar", expr("(score * 1000) div n_chars"))
+
+  private def t18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val thr = Seq(("de", 2510L), ("en", 2530L), ("es", 2500L),
+      ("fr", 2520L), ("zh", 2515L)).toDF("lang", "thr")
+    scoredDocs(s, d)
       .join(broadcast(thr), Seq("lang"))
       .withColumn("margin", col("score_per_kchar") - col("thr"))
       .withColumn("label", when(col("margin") >= 0, lit("keep")).otherwise(lit("drop")))
@@ -1308,27 +1333,102 @@ object TextAnalysis {
       .sortWithinPartitions(col("doc_id"))
   }
 
-  private val t18Sql =
-    """WITH f AS (
-      |  SELECT doc_id, lang,
+  /** [[scoredDocs]]' CTE chain ending in
+    * `msc(doc_id, lang, source, score, score_per_kchar)` — shared
+    * verbatim by the t18 and t30 oracles (the UrlVerdictCtes
+    * discipline; fresh CTE names so spliced compositions can't
+    * collide). Both `//` divisions are over provably positive
+    * operands (the t18 scaladoc's trunc-vs-floor argument). */
+  private[graft] val ScoredDocsCtes =
+    """mf AS (
+      |  SELECT doc_id, lang, source,
       |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
       |    CAST(length(regexp_extract_all(text, '\b(the|a|an|of|and|in|to)\b')) AS BIGINT) AS n_stop,
       |    CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
       |    CAST(length(text) AS BIGINT) AS n_chars
       |  FROM documents),
-      |sc AS (
-      |  SELECT doc_id, lang,
-      |    5 * n_stop + 2 * n_alpha + 10 * n_tokens - n_chars AS score, n_chars
-      |  FROM f),
+      |msc AS (
+      |  SELECT doc_id, lang, source,
+      |    5 * n_stop + 2 * n_alpha + 10 * n_tokens - n_chars AS score,
+      |    (5 * n_stop + 2 * n_alpha + 10 * n_tokens - n_chars) * 1000 // n_chars AS score_per_kchar
+      |  FROM mf)""".stripMargin
+
+  private val t18Sql =
+    s"""WITH $ScoredDocsCtes,
       |cal(lang, thr) AS (VALUES
       |  ('de', CAST(2510 AS BIGINT)), ('en', 2530), ('es', 2500),
       |  ('fr', 2520), ('zh', 2515))
-      |SELECT doc_id, sc.lang, score,
-      |  (score * 1000) // n_chars AS score_per_kchar, thr,
-      |  (score * 1000) // n_chars - thr AS margin,
-      |  CASE WHEN (score * 1000) // n_chars - thr >= 0
+      |SELECT doc_id, msc.lang, score, score_per_kchar, thr,
+      |  score_per_kchar - thr AS margin,
+      |  CASE WHEN score_per_kchar - thr >= 0
       |       THEN 'keep' ELSE 'drop' END AS label
-      |FROM sc JOIN cal ON sc.lang = cal.lang""".stripMargin
+      |FROM msc JOIN cal ON msc.lang = cal.lang""".stripMargin
+
+  /** t30: per-source quality-score calibration — the curation
+    * refinement FineWeb/DCLM-class pipelines apply on top of a global
+    * classifier cut: one global threshold over-drops whole domains
+    * whose score distribution is shifted (a forum's median score sits
+    * below a news site's floor), so the production rule keeps the TOP
+    * p OF EVERY SOURCE instead. Per document this emits both verdicts
+    * side by side — `keep_global` (score clears the corpus-wide 70th
+    * percentile) and `keep_cal` (the doc sits in its own source's top
+    * 30% by the deterministic total order (score, doc_id) — QUOTA
+    * semantics: exactly the top share, ties broken stably, which is
+    * what a budgeted keep actually does) — plus `flip`, the audit
+    * column a curation review reads (which docs the calibration
+    * saved/sacrificed).
+    *
+    * Exactness: the score is t18's integer [[scoredDocs]] surface;
+    * the per-source position is an integer micro-unit rank ratio
+    * (`(r-1)*1e6 div max(n-1,1)` — all operands non-negative, so
+    * trunc ≡ floor across engines); the only double is the global
+    * 70th percentile, computed by [[graft.operators.ExactPercentile]]
+    * which is bit-identical to DuckDB `quantile_cont` (q18's proven
+    * machinery) and joined as a broadcast 1-row scalar.
+    *
+    * Scale: the rank window is PARTITIONED BY source (shards across
+    * executors; no global sort anywhere — the t10/t26 rule), the
+    * global percentile is ExactPercentile's distributed
+    * bucket-and-rank pass, and the threshold rides a broadcast
+    * crossJoin of a 1-row aggregate (the d12/q28 scalar pattern).
+    */
+  private def t30(s: SparkSession, d: String): DataFrame = {
+    val sc = scoredDocs(s, d).select(col("doc_id"), col("source"), col("score_per_kchar"))
+    val byScore = Window.partitionBy(col("source"))
+      .orderBy(col("score_per_kchar"), col("doc_id"))
+    val ranked = sc
+      .withColumn("r", row_number().over(byScore).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("pr_micro", expr("((r - 1) * 1000000) div greatest(n - 1, 1L)"))
+    val gthr = graft.operators.ExactPercentile.percentiles(
+        sc.withColumn("g", lit(1)), "g", "score_per_kchar", Seq(0.7))
+      .select(col("value").as("gthr"))
+    // 1-row broadcast scalar (the documented driver-metadata class)
+    ranked.crossJoin(broadcast(gthr))
+      .withColumn("keep_global", col("score_per_kchar") >= col("gthr"))
+      .withColumn("keep_cal", col("pr_micro") >= 700000L)
+      .select(col("doc_id"), col("source"), col("score_per_kchar"),
+        col("pr_micro"), col("keep_global"), col("keep_cal"),
+        (col("keep_cal") =!= col("keep_global")).as("flip"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val t30Sql =
+    s"""WITH $ScoredDocsCtes,
+      |mr AS (
+      |  SELECT doc_id, source, score_per_kchar,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY score_per_kchar, doc_id) AS BIGINT) AS r,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM msc),
+      |mg AS (SELECT quantile_cont(score_per_kchar, 0.7) AS gthr FROM msc)
+      |SELECT doc_id, source, score_per_kchar,
+      |  ((r - 1) * 1000000) // greatest(n - 1, 1) AS pr_micro,
+      |  score_per_kchar >= gthr AS keep_global,
+      |  ((r - 1) * 1000000) // greatest(n - 1, 1) >= 700000 AS keep_cal,
+      |  (((r - 1) * 1000000) // greatest(n - 1, 1) >= 700000)
+      |    != (score_per_kchar >= gthr) AS flip
+      |FROM mr, mg ORDER BY doc_id""".stripMargin
 
   /** t19: temperature-based source reweighting — the multilingual-LM
     * sampling rule (weight ∝ size^α, α = 0.5: upsample small sources,
@@ -2434,6 +2534,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, QFn] = Map(
+    "t30_quality_calibrate" -> (t30 _),
     "t29_datasheet" -> (t29 _),
     "t28_url_curate" -> (t28 _),
     "t27_context_pack" -> (t27 _),
@@ -2465,6 +2566,7 @@ object TextAnalysis {
     "t5_ngram_top" -> (t5 _))
 
   val oracles: Map[String, String] = Map(
+    "t30_quality_calibrate" -> t30Sql,
     "t29_datasheet" -> t29Sql,
     "t28_url_curate" -> t28Sql,
     "t27_context_pack" -> t27Sql,

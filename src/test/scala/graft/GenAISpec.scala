@@ -583,6 +583,49 @@ class GenAISpec extends SparkSpec {
     assert(v.filter(col("reason").isNull && !col("is_valid")).count() == 0L)
   }
 
+  test("g21 kappa recomputes exactly from the two judges' registered answers") {
+    val rows = SparkEntry.queries("g21_judge_agreement")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    // independent recomputation from the SIMULATORS' parsed outputs
+    // (not the oracle's closed form): run both judges, parse, join
+    val items = docs.select(col("doc_id"), col("source"), GenAI.examMessagesCol.as("messages"))
+    val rq = Requests.examRequests(items)
+    def parsedAnswers(resp: org.apache.spark.sql.DataFrame) =
+      Responses.results(Responses.parse(resp))
+        .select(col("doc_id"), get_json_object(col("content"), "$.answer").cast("long").as("ans"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = parsedAnswers(Simulator.respondExam(rq))
+    val b = parsedAnswers(Simulator.respondExamB(rq))
+    assert(a.keySet == b.keySet, "the two judges graded different doc sets")
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = a.keys.groupBy(langOf)
+    rows.foreach { case (lang, n, nAgree, rate, num, den, kappa) =>
+      val ids = byLang(lang).toSeq
+      assert(n == ids.length.toLong, s"$lang n")
+      val agree = ids.count(id => a(id) == b(id)).toLong
+      assert(nAgree == agree, s"$lang n_agree")
+      val sumProd = (1L to 4L).map(k =>
+        ids.count(a(_) == k).toLong * ids.count(b(_) == k).toLong).sum
+      assert(num == n * agree - sumProd, s"$lang kappa_num")
+      assert(den == n * n - sumProd, s"$lang kappa_den")
+      assert(rate == agree.toDouble / n)
+      assert(kappa == (n * agree - sumProd).toDouble / (n * n - sumProd), s"$lang kappa")
+      // the groups must be NON-degenerate for kappa to mean anything
+      // (the reason g21 groups by lang, not this corpus's residue-class
+      // sources): all 4 categories present, so pe is far from 1 and
+      // the judges' shared signal shows as strongly positive kappa
+      assert((1L to 4L).forall(k => ids.exists(a(_) == k)),
+        s"$lang missing an answer category — degenerate kappa group")
+      assert(kappa > 0.5 && kappa < 1.0, s"$lang kappa $kappa not in (0.5, 1)")
+      assert(kappa <= rate, s"$lang kappa $kappa above raw agreement $rate")
+    }
+    // disagreement really fires: some double-graded doc got different answers
+    assert(rows.map(t => t._2 - t._3).sum > 0, "the two judges never disagreed — vacuous")
+  }
+
   test("st16 ingest verdicts equal the batch per-row validation row-for-row") {
     val items = docs.select(col("doc_id"), GenAI.examMessagesCol.as("messages"))
     val batch = Validation.validateStructured(Responses.parse(

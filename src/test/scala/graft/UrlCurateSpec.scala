@@ -76,4 +76,17 @@ class UrlCurateSpec extends SparkSpec {
     assert(((sampled & contentKeep) -- urlKeep).nonEmpty,
       "the URL gate dropped nothing the content gates kept — vacuous composition")
   }
+
+  test("st17 ingest verdicts equal the batch URL gate row-for-row") {
+    // the st12/st13/st16 compliance pin, applied to provenance: the
+    // streamed gate (4-file multi-batch, stream-static blocklist join)
+    // must be byte-identical to the nightly t28 batch run
+    val stream = SparkEntry.queries("st17_stream_url")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getBoolean(5), r.getString(6))).sortBy(_._1).toSeq
+    val batch = rows.sortBy(_._1).toSeq
+    assert(stream == batch,
+      s"stream/batch divergence; first diff: ${
+        stream.zip(batch).find { case (a, b) => a != b }}")
+  }
 }
