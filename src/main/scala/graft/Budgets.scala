@@ -65,6 +65,9 @@ object Budgets {
     // source-partitioned rank window + ExactPercentile scalar)
     "t30_quality_calibrate" -> 3.6,
     "q38_snapshot_diff" -> 0.6, // r17: measured 0.33 (two fp scans + one doc_id full-outer join)
+    // r17: measured 2.46 best-of-3 (the candidateOverlap truth set +
+    // signature joins + the 7-way tau explode)
+    "d24_lsh_curve" -> 3.1,
     "g21_judge_agreement" -> 1.8, // r17: measured 1.39 (two response pipelines + bounded marginal join)
     // r17: measured 2.12 best-of-3 (stateless URL gate under the
     // 4-file multi-batch regime; ~= t28 + fixed micro-batch overhead)
@@ -313,6 +316,7 @@ object Budgets {
     // r17: new >= 2s queries enter at the 8.0 default (no history yet)
     "t30_quality_calibrate" -> 8.0,
     "st17_stream_url" -> 8.0,
+    "d24_lsh_curve" -> 8.0,
     "s23_filtered_recall" -> 8.0,
     "s24_nprobe_curve" -> 8.0,
     "t27_context_pack" -> 8.0,

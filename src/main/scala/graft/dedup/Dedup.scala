@@ -512,23 +512,30 @@ object Dedup {
       .limit(100)
   }
 
+  /** DuckDB mirror of [[candidateOverlap]]'s truth chain (sizes →
+    * rare-shingle pairs → exact intersection counts) — shared verbatim
+    * by the d15 and d24 oracles (the UrlVerdictCtes discipline).
+    * Assumes `sh(doc_id, s)` is in scope (CharShingleCte). */
+  private val PairTruthCtes =
+    """sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 10),
+      |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |common AS (
+      |  SELECT p.da, p.db, COUNT(*) AS n_common
+      |  FROM pairs p
+      |  JOIN sh x ON x.doc_id = p.da
+      |  JOIN sh y ON y.doc_id = p.db AND y.s = x.s
+      |  GROUP BY p.da, p.db)""".stripMargin
+
   private val d15Sql = {
     val estSql = (0 until 8)
       .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")
     "WITH " + CharShingleCte + MinhashSigCtePart +
     s""",
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 10),
-       |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id),
-       |common AS (
-       |  SELECT p.da, p.db, COUNT(*) AS n_common
-       |  FROM pairs p
-       |  JOIN sh x ON x.doc_id = p.da
-       |  JOIN sh y ON y.doc_id = p.db AND y.s = x.s
-       |  GROUP BY p.da, p.db),
+       |$PairTruthCtes,
        |scored AS (
        |  SELECT c.da, c.db,
        |    CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) AS jaccard,
@@ -542,6 +549,87 @@ object Dedup {
        |  abs(minhash_est - jaccard) AS abs_err
        |FROM scored
        |ORDER BY abs_err DESC, da, db LIMIT 100""".stripMargin
+  }
+
+  /** d24: the LSH operating-point calibration curve — precision AND
+    * recall of the PRODUCTION banding detector (d2's 8-component
+    * signature in 4 bands of 2) against exact Jaccard, at seven
+    * candidate thresholds τ ∈ {0.2 … 0.8}, in ONE pass. This is the
+    * measurement that decides a dedup config before a 100 TB run: the
+    * analytic S-curve p(detect) = 1−(1−J²)⁴ says where 4×2 banding
+    * SHOULD cut; this query measures where it actually cuts on the
+    * real corpus (correlated shingles bend the curve — d15's finding,
+    * extended from the estimator to the detector).
+    *
+    * CONTRACT (the d4/d15 truth discipline): the truth universe is
+    * exact Jaccard over the rare-shingle candidate pairs
+    * ([[candidateOverlap]] — the only truth computable without an n²
+    * scan; recall is "of the verifiable true pairs", documented, not
+    * silently global). Detection compares signature components
+    * directly — pairwise equal components ⟺ equal md5 band keys, so
+    * this IS d2's detector. All counts are exact longs (the τ compare
+    * is integer cross-multiplication: 1000·common ≥ τ_milli·union);
+    * the only doubles are final divisions of identical exact integers.
+    *
+    * Scale: everything rides the bounded candidate set (never
+    * quadratic); the curve adds one ≤7-way explode collapsed by
+    * map-side partial aggregation into a 7-row output — the s24
+    * one-pass-curve shape applied to dedup.
+    */
+  private def d24(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(shinglesDistinct(Tables.documents(s, d)))
+    val bandMatch = (0 until 4).map { k =>
+      col(s"a.s${2 * k}") === col(s"b.s${2 * k}") &&
+        col(s"a.s${2 * k + 1}") === col(s"b.s${2 * k + 1}")
+    }.reduce(_ || _)
+    val scored = candidateOverlap(s, d)
+      .join(sig.as("a"), col("da") === col("a.doc_id"))
+      .join(sig.as("b"), col("db") === col("b.doc_id"))
+      .select(col("n_common"),
+        (col("sza") + col("szb") - col("n_common")).as("u"),
+        bandMatch.as("detected"))
+    val isTrue = lit(1000L) * col("n_common") >= col("tau_milli") * col("u")
+    scored
+      .select(col("n_common"), col("u"), col("detected"),
+        explode(array((2 to 8).map(i => lit(i * 100L)): _*)).as("tau_milli"))
+      .groupBy(col("tau_milli"))
+      .agg(
+        sum(when(isTrue, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("detected"), 1L).otherwise(0L)).as("n_detected"),
+        sum(when(col("detected") && isTrue, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("prec",
+        when(col("n_detected") > 0, col("n_hit").cast("double") / col("n_detected")))
+      .withColumn("recall",
+        when(col("n_true") > 0, col("n_hit").cast("double") / col("n_true")))
+      .orderBy(col("tau_milli"))
+  }
+
+  private val d24Sql = {
+    val bandSql = (0 until 4)
+      .map(k => s"(a.s${2 * k} = b.s${2 * k} AND a.s${2 * k + 1} = b.s${2 * k + 1})")
+      .mkString(" OR ")
+    "WITH " + CharShingleCte + MinhashSigCtePart +
+    s""",
+       |$PairTruthCtes,
+       |dscored AS (
+       |  SELECT c.n_common, sa.sz + sb.sz - c.n_common AS u,
+       |    ($bandSql) AS detected
+       |  FROM common c
+       |  JOIN sizes sa ON sa.doc_id = c.da
+       |  JOIN sizes sb ON sb.doc_id = c.db
+       |  JOIN sig a ON a.doc_id = c.da
+       |  JOIN sig b ON b.doc_id = c.db),
+       |taus AS (SELECT unnest([200, 300, 400, 500, 600, 700, 800]) AS tau_milli),
+       |agg AS (
+       |  SELECT tau_milli,
+       |    CAST(SUM(CASE WHEN 1000 * n_common >= tau_milli * u THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |    CAST(SUM(CASE WHEN detected THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       |    CAST(SUM(CASE WHEN detected AND 1000 * n_common >= tau_milli * u THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM dscored, taus GROUP BY tau_milli)
+       |SELECT CAST(tau_milli AS BIGINT) AS tau_milli, n_true, n_detected, n_hit,
+       |  CASE WHEN n_detected > 0 THEN CAST(n_hit AS DOUBLE) / n_detected END AS prec,
+       |  CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true END AS recall
+       |FROM agg ORDER BY tau_milli""".stripMargin
   }
 
   /** d5: embedding-cosine near-dup — hyperplane-LSH-blocked pair scan
@@ -2403,6 +2491,7 @@ object Dedup {
     "d19_substring_remove" -> (d19 _),
     "d18_semdedup" -> (d18 _),
     "d15_minhash_accuracy" -> (d15 _),
+    "d24_lsh_curve" -> (d24 _),
     "d14_repeated_ngrams" -> (d14 _),
     "d13_keeper_admit" -> (d13 _),
     "d16_manifest_admit" -> (d16 _),
@@ -2428,6 +2517,7 @@ object Dedup {
     "d19_substring_remove" -> d19Sql,
     "d18_semdedup" -> d18Sql,
     "d15_minhash_accuracy" -> d15Sql,
+    "d24_lsh_curve" -> d24Sql,
     "d14_repeated_ngrams" -> d14Sql,
     "d13_keeper_admit" -> d13Sql,
     "d16_manifest_admit" -> d13Sql,

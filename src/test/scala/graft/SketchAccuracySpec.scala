@@ -115,4 +115,65 @@ class SketchAccuracySpec extends SparkSpec {
         s"$et: approx ${r.getLong(1)} vs exact $exUsers — relative error $rel > ${2 * Rsd}")
     }
   }
+
+  test("d24 curve recomputes from an independent JVM minhash/band/jaccard pass") {
+    // fully independent re-derivation (the UrlCurateSpec discipline):
+    // code-point 5-gram sets, JVM MD5 slice minima, band compare —
+    // none of the operator's expressions
+    val rows = SparkEntry.queries("d24_lsh_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (2 to 8).map(_ * 100L))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shingles: Map[Long, Set[String]] = docs.map { case (id, text) =>
+      val cps = text.codePoints().toArray
+      id -> (0 to cps.length - 5).map(i => new String(cps, i, 5)).toSet
+    }.toMap
+    val sig: Map[Long, IndexedSeq[String]] = shingles.collect {
+      case (id, shs) if shs.nonEmpty =>
+        val h1s = shs.toSeq.map(md5hex)
+        val h2s = shs.toSeq.map(s => md5hex("x" + s))
+        id -> (0 until 8).map { j =>
+          val src = if (j < 4) h1s else h2s
+          src.map(_.substring(8 * (j % 4), 8 * (j % 4) + 8)).min
+        }
+    }
+    val df = shingles.toSeq.flatMap { case (id, shs) => shs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val pairs = df.valuesIterator
+      .filter(ds => ds.length >= 2 && ds.length <= 10)
+      .flatMap(ds => for (a <- ds; b <- ds if a < b) yield (a, b))
+      .toSet
+    val scored = pairs.toSeq.map { case (da, db) =>
+      val common = (shingles(da) & shingles(db)).size.toLong
+      val u = shingles(da).size.toLong + shingles(db).size - common
+      val det = (0 until 4).exists(k =>
+        sig(da)(2 * k) == sig(db)(2 * k) && sig(da)(2 * k + 1) == sig(db)(2 * k + 1))
+      (common, u, det)
+    }
+    rows.foreach { case (tau, nTrue, nDet, nHit) =>
+      val isTrue = (c: Long, u: Long) => 1000L * c >= tau * u
+      assert(nTrue == scored.count(t => isTrue(t._1, t._2)).toLong, s"tau $tau n_true")
+      assert(nDet == scored.count(_._3).toLong, s"tau $tau n_detected")
+      assert(nHit == scored.count(t => t._3 && isTrue(t._1, t._2)).toLong, s"tau $tau n_hit")
+    }
+    // curve shape: truth and hits shrink as tau rises; detection is
+    // tau-independent; hits bounded by both
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._4 <= a._4, s"non-monotone at tau ${b._1}")
+    }
+    assert(rows.map(_._3).distinct.length == 1)
+    rows.foreach { case (tau, nTrue, nDet, nHit) =>
+      assert(nHit <= math.min(nTrue, nDet), s"tau $tau bounds")
+    }
+    // non-vacuous on this corpus: the detector fires, misses something
+    // (recall < 1 somewhere) and admits something below tau (prec < 1)
+    assert(rows.head._3 > 0, "detector never fired")
+    assert(rows.exists { case (_, nTrue, _, nHit) => nHit < nTrue },
+      "recall saturated at 1 everywhere — curve shows nothing")
+    assert(rows.exists { case (_, _, nDet, nHit) => nHit < nDet },
+      "precision saturated at 1 everywhere — curve shows nothing")
+  }
 }
