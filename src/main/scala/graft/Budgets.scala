@@ -68,6 +68,10 @@ object Budgets {
     // r17: measured 2.46 best-of-3 (the candidateOverlap truth set +
     // signature joins + the 7-way tau explode)
     "d24_lsh_curve" -> 3.1,
+    // r17: same-run A/B measured d25 = 1.16 x d24 (4.27 vs 3.67 on a
+    // loaded host; 2.46 x 1.16 ~= 2.9 at the d24 pricing host speed)
+    "d25_band_sweep" -> 3.6,
+    "t31_heavyhitter" -> 1.3, // r17: measured 0.97 (two vocab-sized aggs + 1024-cell broadcast probe)
     "g21_judge_agreement" -> 1.8, // r17: measured 1.39 (two response pipelines + bounded marginal join)
     // r17: measured 2.12 best-of-3 (stateless URL gate under the
     // 4-file multi-batch regime; ~= t28 + fixed micro-batch overhead)
@@ -317,6 +321,7 @@ object Budgets {
     "t30_quality_calibrate" -> 8.0,
     "st17_stream_url" -> 8.0,
     "d24_lsh_curve" -> 8.0,
+    "d25_band_sweep" -> 8.0,
     "s23_filtered_recall" -> 8.0,
     "s24_nprobe_curve" -> 8.0,
     "t27_context_pack" -> 8.0,

@@ -576,18 +576,26 @@ object Dedup {
     * map-side partial aggregation into a 7-row output — the s24
     * one-pass-curve shape applied to dedup.
     */
-  private def d24(s: SparkSession, d: String): DataFrame = {
+  /** d24/d25's shared base: each rare-shingle truth pair with its
+    * exact overlap arithmetic and the 8 per-component signature
+    * equality flags (eq0..eq7) — every banding layout over the 8
+    * components is a boolean formula over these. */
+  private def pairSigScored(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSig(shinglesDistinct(Tables.documents(s, d)))
-    val bandMatch = (0 until 4).map { k =>
-      col(s"a.s${2 * k}") === col(s"b.s${2 * k}") &&
-        col(s"a.s${2 * k + 1}") === col(s"b.s${2 * k + 1}")
-    }.reduce(_ || _)
-    val scored = candidateOverlap(s, d)
+    candidateOverlap(s, d)
       .join(sig.as("a"), col("da") === col("a.doc_id"))
       .join(sig.as("b"), col("db") === col("b.doc_id"))
-      .select(col("n_common"),
-        (col("sza") + col("szb") - col("n_common")).as("u"),
-        bandMatch.as("detected"))
+      .select((col("n_common") +:
+        (col("sza") + col("szb") - col("n_common")).as("u") +:
+        (0 until 8).map(j => (col(s"a.s$j") === col(s"b.s$j")).as(s"eq$j"))): _*)
+  }
+
+  private def d24(s: SparkSession, d: String): DataFrame = {
+    val bandMatch = (0 until 4).map { k =>
+      col(s"eq${2 * k}") && col(s"eq${2 * k + 1}")
+    }.reduce(_ || _)
+    val scored = pairSigScored(s, d)
+      .select(col("n_common"), col("u"), bandMatch.as("detected"))
     val isTrue = lit(1000L) * col("n_common") >= col("tau_milli") * col("u")
     scored
       .select(col("n_common"), col("u"), col("detected"),
@@ -630,6 +638,93 @@ object Dedup {
        |  CASE WHEN n_detected > 0 THEN CAST(n_hit AS DOUBLE) / n_detected END AS prec,
        |  CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true END AS recall
        |FROM agg ORDER BY tau_milli""".stripMargin
+  }
+
+  /** The four banding layouts of an 8-component signature, each as
+    * (label, bands, rows_per_band, detection formula over eq0..eq7):
+    * b bands of r rows detect iff SOME band's r components all match.
+    * Fewer rows per band ⇒ looser (8×1 fires on ANY component match);
+    * more rows ⇒ stricter (1×8 needs the whole signature equal) — so
+    * detection NESTS: 1×8 ⊆ 2×4 ⊆ 4×2 ⊆ 8×1 (spec-pinned). */
+  private val BandConfigs: Seq[(String, Int, Int)] =
+    Seq(("8x1", 8, 1), ("4x2", 4, 2), ("2x4", 2, 4), ("1x8", 1, 8))
+
+  private def bandDetect(bands: Int, rows: Int): org.apache.spark.sql.Column =
+    (0 until bands).map { b =>
+      (0 until rows).map(r => col(s"eq${b * rows + r}")).reduce(_ && _)
+    }.reduce(_ || _)
+
+  /** d25: the banding-layout sweep — d24's other tuning axis (d24
+    * varies the TARGET threshold under the fixed production 4×2
+    * detector; this varies the DETECTOR at the fixed τ = 0.5 target):
+    * precision and recall of every (bands × rows) layout of the
+    * 8-component signature against exact Jaccard ≥ 0.5, in ONE pass —
+    * the (b, r) sweep a MinHash-LSH deployment runs before choosing
+    * its banding (the S-curve 1−(1−J^r)^b steepens with r, shifts
+    * with b; this measures where each layout lands on the real
+    * corpus). The truth universe and exactness contract are d24's
+    * (rare-shingle pairs, integer cross-multiplied compare, divisions
+    * of exact longs); the 4 layouts are boolean formulas over the
+    * SAME per-component equality flags, so the sweep costs one ≤4-way
+    * explode over the bounded pair set, not 4 re-signings.
+    */
+  private def d25(s: SparkSession, d: String): DataFrame = {
+    val layouts = BandConfigs.map { case (label, b, r) =>
+      struct(lit(label).as("layout"), lit(b.toLong).as("n_bands"),
+        lit(r.toLong).as("rows_per_band"), bandDetect(b, r).as("detected"))
+    }
+    val isTrue = lit(1000L) * col("n_common") >= lit(500L) * col("u")
+    pairSigScored(s, d)
+      .select(col("n_common"), col("u"), explode(array(layouts: _*)).as("c"))
+      .select(col("n_common"), col("u"), col("c.layout").as("layout"),
+        col("c.n_bands").as("n_bands"), col("c.rows_per_band").as("rows_per_band"),
+        col("c.detected").as("detected"))
+      .groupBy(col("layout"), col("n_bands"), col("rows_per_band"))
+      .agg(
+        sum(when(isTrue, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("detected"), 1L).otherwise(0L)).as("n_detected"),
+        sum(when(col("detected") && isTrue, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("prec",
+        when(col("n_detected") > 0, col("n_hit").cast("double") / col("n_detected")))
+      .withColumn("recall",
+        when(col("n_true") > 0, col("n_hit").cast("double") / col("n_true")))
+      .orderBy(col("rows_per_band"))
+  }
+
+  private val d25Sql = {
+    def detSql(bands: Int, rows: Int) = (0 until bands).map { b =>
+      "(" + (0 until rows).map(r => s"a.s${b * rows + r} = b.s${b * rows + r}").mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    val arms = BandConfigs.map { case (label, b, r) =>
+      s"SELECT n_common, u, '$label' AS layout, CAST($b AS BIGINT) AS n_bands, " +
+        s"CAST($r AS BIGINT) AS rows_per_band, det_$label AS detected FROM dsig"
+    }.mkString("\n  UNION ALL ")
+    val detCols = BandConfigs.map { case (label, b, r) =>
+      s"    (${detSql(b, r)}) AS det_$label"
+    }.mkString(",\n")
+    "WITH " + CharShingleCte + MinhashSigCtePart +
+    s""",
+       |$PairTruthCtes,
+       |dsig AS (
+       |  SELECT c.n_common, sa.sz + sb.sz - c.n_common AS u,
+       |$detCols
+       |  FROM common c
+       |  JOIN sizes sa ON sa.doc_id = c.da
+       |  JOIN sizes sb ON sb.doc_id = c.db
+       |  JOIN sig a ON a.doc_id = c.da
+       |  JOIN sig b ON b.doc_id = c.db),
+       |layouts AS (
+       |  $arms),
+       |agg AS (
+       |  SELECT layout, n_bands, rows_per_band,
+       |    CAST(SUM(CASE WHEN 1000 * n_common >= 500 * u THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |    CAST(SUM(CASE WHEN detected THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       |    CAST(SUM(CASE WHEN detected AND 1000 * n_common >= 500 * u THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM layouts GROUP BY layout, n_bands, rows_per_band)
+       |SELECT layout, n_bands, rows_per_band, n_true, n_detected, n_hit,
+       |  CASE WHEN n_detected > 0 THEN CAST(n_hit AS DOUBLE) / n_detected END AS prec,
+       |  CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true END AS recall
+       |FROM agg ORDER BY rows_per_band""".stripMargin
   }
 
   /** d5: embedding-cosine near-dup — hyperplane-LSH-blocked pair scan
@@ -2492,6 +2587,7 @@ object Dedup {
     "d18_semdedup" -> (d18 _),
     "d15_minhash_accuracy" -> (d15 _),
     "d24_lsh_curve" -> (d24 _),
+    "d25_band_sweep" -> (d25 _),
     "d14_repeated_ngrams" -> (d14 _),
     "d13_keeper_admit" -> (d13 _),
     "d16_manifest_admit" -> (d16 _),
@@ -2518,6 +2614,7 @@ object Dedup {
     "d18_semdedup" -> d18Sql,
     "d15_minhash_accuracy" -> d15Sql,
     "d24_lsh_curve" -> d24Sql,
+    "d25_band_sweep" -> d25Sql,
     "d14_repeated_ngrams" -> d14Sql,
     "d13_keeper_admit" -> d13Sql,
     "d16_manifest_admit" -> d13Sql,

@@ -1430,6 +1430,94 @@ object TextAnalysis {
       |    != (score_per_kchar >= gthr) AS flip
       |FROM mr, mg ORDER BY doc_id""".stripMargin
 
+  /** t31: count-min frequency sketch with its executable accuracy
+    * contract — the FREQUENCY member of the engine's sketch family
+    * (q25 percentile / q26 distinct / d2 similarity / d17 membership),
+    * completing the rule that every sketch ships with a measured
+    * bound. A count-min sketch (Cormode & Muthukrishnan 2005,
+    * J. Algorithms 55(1)) summarizes token frequencies in d×w = 4×16
+    * counters: token t increments one counter per row (row j's bucket
+    * = one engine-identical md5 hex digit at offset 8j — four
+    * disjoint digest slices as the four hash functions), estimate =
+    * MIN over rows; overcount-only by construction, E[err] ≤ N/w per
+    * row. w = 16 is sized to this corpus's ~31-token synthetic
+    * vocabulary ON PURPOSE (the t16/t28 inject-then-detect
+    * discipline applied to sketch error: at w = 256 nothing collides
+    * and the contract is vacuous — spec pins overcount > 0 somewhere,
+    * so the collision path is genuinely exercised); at production
+    * scale w grows with the heavy-hitter count and the bound scales
+    * as N/w either way. At 100 TB the sketch is THE point: d·w
+    * mergeable cells regardless of vocabulary (map-side partials
+    * collapse each task to ≤64 rows before the exchange), where t5's
+    * exact count shuffles the whole vocab. Here both are built to
+    * MEASURE the sketch: for the exact top-20 tokens, true count, CMS
+    * estimate, overcount and the doubled-margin bound verdict
+    * (overcount·w ≤ 2N — an integer compare, the q26b discipline);
+    * deterministic md5 buckets make the whole contract
+    * SQL-expressible, so unlike q25/q26 the sketch itself
+    * hash-matches the oracle.
+    */
+  private def t31(s: SparkSession, d: String): DataFrame = {
+    val W = 16L
+    val D = 4
+    val tokCounts = Tables.documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .select(lower(col("token")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("token").cast("binary")))
+    def rowBuckets = array((0 until D).map(j =>
+      struct(lit(j.toLong).as("j"),
+        expr(s"cast(conv(substring(h, ${1 + 8 * j}, 1), 16, 10) as bigint)").as("b"))): _*)
+    val cms = tokCounts
+      .select(col("cnt"), explode(rowBuckets).as("rb"))
+      .groupBy(col("rb.j").as("j"), col("rb.b").as("b"))
+      .agg(sum(col("cnt")).as("bsum"))
+    val total = tokCounts.agg(sum(col("cnt")).as("n_total"))
+    val probes = tokCounts
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+      .select(col("token"), col("cnt"), explode(rowBuckets).as("rb"))
+      .select(col("token"), col("cnt"), col("rb.j").as("j"), col("rb.b").as("b"))
+    // cms is ≤ d·w = 1024 rows and total is 1 row: both broadcast
+    probes.join(broadcast(cms), Seq("j", "b"))
+      .groupBy(col("token"), col("cnt"))
+      .agg(min(col("bsum")).as("est"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("cnt").as("true_cnt"), col("est").as("est_cnt"),
+        (col("est") - col("cnt")).as("overcount"),
+        ((col("est") - col("cnt")) * lit(W) <= lit(2L) * col("n_total"))
+          .as("within_bound"),
+        col("n_total"))
+      .orderBy(col("true_cnt").desc, col("token"))
+  }
+
+  private val t31Sql = {
+    def hex1(p: Int) =
+      s"CAST(strpos('0123456789abcdef', substring(h, $p, 1)) - 1 AS BIGINT)"
+    def slices(src: String, cols: String) = (0 until 4).map { j =>
+      s"SELECT $cols, CAST($j AS BIGINT) AS j, ${hex1(1 + 8 * j)} AS b FROM $src"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tc AS (
+       |  SELECT lower(t.token) AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM documents, unnest(regexp_extract_all(text, '\\S+')) AS t(token)
+       |  GROUP BY 1),
+       |th AS (SELECT token, cnt, md5(token) AS h FROM tc),
+       |cmslong AS (
+       |  ${slices("th", "cnt")}),
+       |cms AS (SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS bsum FROM cmslong GROUP BY j, b),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM tc),
+       |top AS (SELECT token, cnt, h FROM th ORDER BY cnt DESC, token LIMIT 20),
+       |probes AS (
+       |  ${slices("top", "token, cnt")}),
+       |est AS (
+       |  SELECT p.token, p.cnt, MIN(c.bsum) AS est
+       |  FROM probes p JOIN cms c ON c.j = p.j AND c.b = p.b
+       |  GROUP BY p.token, p.cnt)
+       |SELECT token, cnt AS true_cnt, est AS est_cnt, est - cnt AS overcount,
+       |  (est - cnt) * 16 <= 2 * n_total AS within_bound, n_total
+       |FROM est, tot ORDER BY true_cnt DESC, token""".stripMargin
+  }
+
   /** t19: temperature-based source reweighting — the multilingual-LM
     * sampling rule (weight ∝ size^α, α = 0.5: upsample small sources,
     * damp the head) computed as a corpus statistic: per-source token
@@ -2535,6 +2623,7 @@ object TextAnalysis {
 
   val queries: Map[String, QFn] = Map(
     "t30_quality_calibrate" -> (t30 _),
+    "t31_heavyhitter" -> (t31 _),
     "t29_datasheet" -> (t29 _),
     "t28_url_curate" -> (t28 _),
     "t27_context_pack" -> (t27 _),
@@ -2567,6 +2656,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t30_quality_calibrate" -> t30Sql,
+    "t31_heavyhitter" -> t31Sql,
     "t29_datasheet" -> t29Sql,
     "t28_url_curate" -> t28Sql,
     "t27_context_pack" -> t27Sql,

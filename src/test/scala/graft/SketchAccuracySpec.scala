@@ -176,4 +176,71 @@ class SketchAccuracySpec extends SparkSpec {
     assert(rows.exists { case (_, _, nDet, nHit) => nHit < nDet },
       "precision saturated at 1 everywhere — curve shows nothing")
   }
+
+  test("d25 layouts nest (1x8 ⊆ 2x4 ⊆ 4x2 ⊆ 8x1) and 4x2 equals d24's tau=0.5 row") {
+    val rows = SparkEntry.queries("d25_band_sweep")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq("8x1", "4x2", "2x4", "1x8"),
+      s"layout order: ${rows.map(_._1).toSeq}")
+    // shared truth universe: n_true identical across layouts
+    assert(rows.map(_._4).distinct.length == 1)
+    // a stricter layout (more rows per band) detects a SUBSET: both
+    // n_detected and n_hit monotone non-increasing down the layouts
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 <= a._5 && b._6 <= a._6,
+        s"detection did not nest from ${a._1} to ${b._1}")
+    }
+    // cross-pin: the 4x2 row IS d24's production detector at tau=500
+    val d24row = SparkEntry.queries("d24_lsh_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .find(_._1 == 500L).get
+    val x42 = rows.find(_._1 == "4x2").get
+    assert((x42._4, x42._5, x42._6) == (d24row._2, d24row._3, d24row._4),
+      s"4x2 ${(x42._4, x42._5, x42._6)} != d24@500 ${(d24row._2, d24row._3, d24row._4)}")
+    // the sweep differentiates: the loosest and strictest layouts
+    // genuinely differ in detection on this corpus
+    assert(rows.head._5 > rows.last._5,
+      "8x1 and 1x8 detect identically — corpus can't show the trade-off")
+  }
+
+  test("t31 count-min estimates recompute from an independent JVM sketch") {
+    val rows = SparkEntry.queries("t31_heavyhitter")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(rows.length == 20)
+    // independent re-derivation: JVM token counts + JVM MD5 buckets
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      r.getString(0).split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val k = t.toLowerCase
+        counts(k) = counts.getOrElse(k, 0L) + 1L
+      }
+    }
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cms = Array.fill(4, 16)(0L)
+    counts.foreach { case (tok, c) =>
+      val h = md5hex(tok)
+      for (j <- 0 until 4)
+        cms(j)("0123456789abcdef".indexOf(h(8 * j))) += c
+    }
+    val n = counts.values.sum
+    rows.foreach { case (tok, trueCnt, estCnt, over, ok, nTotal) =>
+      assert(nTotal == n, "token mass")
+      assert(trueCnt == counts(tok), s"$tok true count")
+      val h = md5hex(tok)
+      val est = (0 until 4).map(j => cms(j)("0123456789abcdef".indexOf(h(8 * j)))).min
+      assert(estCnt == est, s"$tok estimate")
+      assert(over == est - trueCnt && over >= 0, s"$tok overcount (CMS never undercounts)")
+      assert(ok == (over * 16L <= 2L * n), s"$tok bound verdict")
+      assert(ok, s"$tok breached the doubled CMS margin: over $over vs N=$n")
+    }
+    // the top-20 really are the exact heavy hitters, in order
+    val expectTop = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(rows.map(r => (r._1, r._2)).toSeq == expectTop)
+    // collision path exercised: w=16 is sized so SOME estimate overcounts
+    assert(rows.exists(_._4 > 0),
+      "no overcount anywhere — the sketch contract is vacuous on this corpus")
+  }
 }
