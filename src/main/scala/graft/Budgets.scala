@@ -73,6 +73,8 @@ object Budgets {
     "d25_band_sweep" -> 3.6,
     "t31_heavyhitter" -> 1.3, // r17: measured 0.97 (two vocab-sized aggs + 1024-cell broadcast probe)
     "g21_judge_agreement" -> 1.8, // r17: measured 1.39 (two response pipelines + bounded marginal join)
+    "g22_cost_reconcile" -> 1.7, // r17: measured 1.26 (plan + billed per-model aggregates joined)
+    "s26_index_health" -> 2.6, // r17: measured 2.05 (one broadcast assignment pass + bounded cell agg)
     // r17: measured 2.12 best-of-3 (stateless URL gate under the
     // 4-file multi-batch regime; ~= t28 + fixed micro-batch overhead)
     "st17_stream_url" -> 2.7,
@@ -322,6 +324,7 @@ object Budgets {
     "st17_stream_url" -> 8.0,
     "d24_lsh_curve" -> 8.0,
     "d25_band_sweep" -> 8.0,
+    "s26_index_health" -> 8.0,
     "s23_filtered_recall" -> 8.0,
     "s24_nprobe_curve" -> 8.0,
     "t27_context_pack" -> 8.0,

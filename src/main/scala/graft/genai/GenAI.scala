@@ -1060,7 +1060,80 @@ object GenAI {
       |       END AS kappa
       |FROM base b JOIN pr ON pr.lang = b.lang ORDER BY b.lang""".stripMargin
 
+  /** g22: batch cost reconciliation — the spend report an ops team
+    * runs after every retrieve: what the batch was PLANNED to cost
+    * (pre-submission estimate from request payloads: chars-div-4
+    * prompt tokens + the max_tokens completion cap — the numbers a
+    * budget approval is granted on) vs what was BILLED (the usage
+    * actually reported per 200 response, g8's actuals), per model:
+    * planned/billed request counts, token sums both ways, cost both
+    * ways at the g8 rate card, the unrealized delta and the realized
+    * ratio. The two standing findings this surfaces on the simulated
+    * batch: transport-failed requests (doc_id % 53) are planned but
+    * never billed (unrealized spend), and the zero-cap rows
+    * (max_tokens = 0, doc_id % 97) bill MORE completion than planned
+    * — the under-estimate a reconciliation exists to catch.
+    *
+    * Exactness: every token sum and cost is an exact long (nano-USD
+    * integer rate card, the g8 discipline); realized_ratio is one
+    * division of identical exact longs. Scale: two per-row projections
+    * + two bounded per-model aggregates joined on the ≤|models|-row
+    * key — nothing corpus-sized shuffles twice.
+    */
+  private def g22(s: SparkSession, d: String): DataFrame = {
+    val rq = reqs(s, d)
+    val est = rq.groupBy(col("model"))
+      .agg(count(lit(1)).as("n_planned"),
+        sum(expr("(length(system_content) + length(user_content) + 3) div 4")
+          .cast("long")).as("est_prompt"),
+        sum(col("max_tokens").cast("long")).as("est_completion"))
+    val act = Responses.results(Responses.parse(Simulator.respond(rq)))
+      .groupBy(col("model"))
+      .agg(count(lit(1)).as("n_billed"),
+        sum(col("prompt_tokens")).as("act_prompt"),
+        sum(col("completion_tokens")).as("act_completion"))
+    est.join(act, Seq("model"), "left")
+      .select(col("model"), col("n_planned"),
+        coalesce(col("n_billed"), lit(0L)).as("n_billed"),
+        col("est_prompt"), coalesce(col("act_prompt"), lit(0L)).as("act_prompt"),
+        col("est_completion"),
+        coalesce(col("act_completion"), lit(0L)).as("act_completion"))
+      .withColumn("est_cost_nano",
+        col("est_prompt") * 2500L + col("est_completion") * 10000L)
+      .withColumn("act_cost_nano",
+        col("act_prompt") * 2500L + col("act_completion") * 10000L)
+      .withColumn("unrealized_nano", col("est_cost_nano") - col("act_cost_nano"))
+      .withColumn("realized_ratio",
+        col("act_cost_nano").cast("double") / col("est_cost_nano"))
+      .orderBy(col("model"))
+  }
+
+  private val g22Sql = ParsedCte +
+    """,
+      |cest AS (
+      |  SELECT model, COUNT(*) AS n_planned,
+      |    CAST(SUM((length(system_content) + length(user_content) + 3) // 4) AS BIGINT) AS est_prompt,
+      |    CAST(SUM(max_tokens) AS BIGINT) AS est_completion
+      |  FROM reqs GROUP BY model),
+      |cact AS (
+      |  SELECT model, COUNT(*) AS n_billed,
+      |    CAST(SUM(prompt_tokens) AS BIGINT) AS act_prompt,
+      |    CAST(SUM(completion_tokens) AS BIGINT) AS act_completion
+      |  FROM parsed WHERE status_code = 200 GROUP BY model)
+      |SELECT e.model, n_planned, COALESCE(n_billed, 0) AS n_billed,
+      |  est_prompt, COALESCE(act_prompt, 0) AS act_prompt,
+      |  est_completion, COALESCE(act_completion, 0) AS act_completion,
+      |  est_prompt * 2500 + est_completion * 10000 AS est_cost_nano,
+      |  COALESCE(act_prompt, 0) * 2500 + COALESCE(act_completion, 0) * 10000 AS act_cost_nano,
+      |  est_prompt * 2500 + est_completion * 10000
+      |    - (COALESCE(act_prompt, 0) * 2500 + COALESCE(act_completion, 0) * 10000) AS unrealized_nano,
+      |  CAST(COALESCE(act_prompt, 0) * 2500 + COALESCE(act_completion, 0) * 10000 AS DOUBLE)
+      |    / (est_prompt * 2500 + est_completion * 10000) AS realized_ratio
+      |FROM cest e LEFT JOIN cact a ON a.model = e.model
+      |ORDER BY e.model""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "g22_cost_reconcile" -> (g22 _),
     "g21_judge_agreement" -> (g21 _),
     "g20_schema_validate" -> (g20 _),
     "g19_model_router" -> (g19 _),
@@ -1084,6 +1157,7 @@ object GenAI {
     "g9_multimodal_request" -> (g9 _))
 
   val oracles: Map[String, String] = Map(
+    "g22_cost_reconcile" -> g22Sql,
     "g21_judge_agreement" -> g21Sql,
     "g20_schema_validate" -> g20Sql,
     "g19_model_router" -> g19Sql,

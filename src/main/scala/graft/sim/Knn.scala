@@ -225,8 +225,11 @@ object Knn {
       .sortWithinPartitions(col("vec_id"))
   }
 
-  private val s3Sql =
-    """WITH dims AS (
+  /** s3's assignment CTE chain ending in
+    * `ivfassigned(vec_id, label, cell, dist)` — shared verbatim by the
+    * s3 and s26 oracles (the UrlVerdictCtes discipline). */
+  private val IvfAssignCtes =
+    """dims AS (
       |  SELECT vec_id, label, g.i, CAST(embedding[g.i] AS DOUBLE) AS x
       |  FROM embeddings, generate_series(1, 64) AS g(i)),
       |cents AS (
@@ -240,11 +243,80 @@ object Knn {
       |    list_reduce(list_transform(generate_series(1, 64),
       |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])),
       |      (acc, x) -> acc + x) AS dist
-      |  FROM embeddings e CROSS JOIN centarr c)
+      |  FROM embeddings e CROSS JOIN centarr c),
+      |ivfassigned AS (
+      |  SELECT vec_id, label, cell, dist FROM dists
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1)""".stripMargin
+
+  private val s3Sql =
+    s"""WITH $IvfAssignCtes
       |SELECT vec_id, label, cell AS assigned_cell, dist
-      |FROM dists
-      |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+      |FROM ivfassigned
       |ORDER BY vec_id""".stripMargin
+
+  /** s26: the IVF index-health report — the per-cell diagnostics a
+    * vector-index deployment reads before trusting (or rebuilding) an
+    * index (FAISS's imbalance_factor + quantization-error stats, as a
+    * query): per cell, its occupancy (n_vecs), occupancy ratio vs the
+    * uniform share (n·ncells/N — >1 hot, 0 dead: hot cells make probe
+    * latency skew, dead cells waste the nlist budget), and the
+    * quantization error mass (Σ‖x−c‖², the k-means objective — the
+    * number that says whether centroids still fit the data after
+    * drift, cf. s17's delta segments). Cells come from the centroid
+    * list LEFT-joined to assignments, so a dead cell REPORTS (the
+    * whole point of the health check), not vanishes.
+    *
+    * Exactness: per-row dist is the engine-bit-identical fold
+    * (VectorFunctions scaladoc); the cross-ROW error mass is summed in
+    * integer nano-units (`round(dist·1e9)` per row, then an exact long
+    * sum — the documented cross-row float rule); ratios divide exact
+    * longs (1e9·n is double-exact well past any cell size here).
+    *
+    * Scale: one broadcast assignment pass (the s3 machinery shared
+    * verbatim), one bounded per-cell aggregate, two 1-row scalars
+    * crossJoined broadcast — the report is ncells rows.
+    */
+  private def s26(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val cents = centroidArrays(e)
+    val assigned = assign(e, cents, Seq.empty)
+    val stats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("cast(round(dist * 1e9) as bigint)")).as("sq_err_nano"))
+    val totals = assigned.agg(count(lit(1)).as("n_total"))
+    val ncells = cents.groupBy().agg(count(lit(1)).as("ncells"))
+    cents.select(col("cell"))
+      .join(stats, Seq("cell"), "left")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(ncells))
+      .select(col("cell"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        ((coalesce(col("n_vecs"), lit(0L)) * col("ncells")).cast("double") /
+          col("n_total")).as("occupancy_ratio"),
+        coalesce(col("sq_err_nano"), lit(0L)).as("sq_err_nano"),
+        when(col("n_vecs").isNotNull,
+          col("sq_err_nano").cast("double") / (lit(1e9) * col("n_vecs")))
+          .as("mean_sq_err"))
+      .orderBy(col("cell"))
+  }
+
+  private val s26Sql =
+    s"""WITH $IvfAssignCtes,
+      |cellstats AS (
+      |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST(SUM(CAST(round(dist * 1e9) AS BIGINT)) AS BIGINT) AS sq_err_nano
+      |  FROM ivfassigned GROUP BY cell),
+      |itot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ivfassigned),
+      |inc AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncells FROM centarr)
+      |SELECT c.cell,
+      |  COALESCE(s.n_vecs, 0) AS n_vecs,
+      |  CAST(COALESCE(s.n_vecs, 0) * ncells AS DOUBLE) / n_total AS occupancy_ratio,
+      |  COALESCE(s.sq_err_nano, 0) AS sq_err_nano,
+      |  CASE WHEN s.n_vecs IS NOT NULL
+      |       THEN CAST(s.sq_err_nano AS DOUBLE) / (1e9 * s.n_vecs) END AS mean_sq_err
+      |FROM centarr c
+      |LEFT JOIN cellstats s ON s.cell = c.cell, itot, inc
+      |ORDER BY c.cell""".stripMargin
 
   /** s4: IVF probe search — the query ranks cells by centroid distance,
     * probes the `nprobe`=2 nearest, and brute-forces cosine only against
@@ -1760,6 +1832,7 @@ object Knn {
     "s1_knn_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
     "s3_ivf_cells" -> (s3 _),
+    "s26_index_health" -> (s26 _),
     "s4_ivf_probe" -> (s4 _),
     "s5_ann_recall" -> (s5 _),
     "s6_ivf_recall" -> (s6 _))
@@ -1779,6 +1852,7 @@ object Knn {
     "s1_knn_brute" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ivf_cells" -> s3Sql,
+    "s26_index_health" -> s26Sql,
     "s4_ivf_probe" -> s4Sql,
     "s11_ivf_persist" -> s4Sql,
     "s5_ann_recall" -> s5Sql,

@@ -583,6 +583,44 @@ class GenAISpec extends SparkSpec {
     assert(v.filter(col("reason").isNull && !col("is_valid")).count() == 0L)
   }
 
+  test("g22 reconciliation cross-pins to g8's actuals and recomputes the plan side") {
+    val rows = SparkEntry.queries("g22_cost_reconcile")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9), r.getDouble(10)))
+    assert(rows.nonEmpty)
+    // actual side ≡ g8 (same corpus, the registered billing query)
+    val g8 = SparkEntry.queries("g8_cost_estimate")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // plan side recomputed in JVM from the raw corpus (the request
+    // build rules, independently re-derived)
+    val plan = docs.select("doc_id", "lang", "text").collect().map { r =>
+      val (id, lang, text) = (r.getLong(0), r.getString(1), r.getString(2))
+      val model = if (lang == "en") "gpt-4.1-nano" else "gpt-4o-mini"
+      val sys = Requests.SystemPrompt
+      val user = s"Classify the following sentence: '$text'"
+      val estP = (sys.length + user.length + 3L) / 4L
+      val estC = if (id % 97 == 0) 0L else 10L
+      (model, estP, estC)
+    }.groupBy(_._1)
+    rows.foreach { case (model, nPlanned, nBilled, estP, actP, estC, actC,
+        estCost, actCost, unreal, ratio) =>
+      val p = plan(model)
+      assert(nPlanned == p.length.toLong, s"$model n_planned")
+      assert(estP == p.map(_._2).sum, s"$model est_prompt")
+      assert(estC == p.map(_._3).sum, s"$model est_completion")
+      val (gN, gP, gC, gCost) = g8(model)
+      assert(nBilled == gN && actP == gP && actC == gC, s"$model actuals != g8")
+      assert(estCost == estP * 2500L + estC * 10000L)
+      assert(actCost == gCost, s"$model act cost != g8 cost_nano")
+      assert(unreal == estCost - actCost)
+      assert(ratio == actCost.toDouble / estCost)
+      // the two standing findings: failures leave plan unbilled, and
+      // the net reconciliation shows unrealized spend on this corpus
+      assert(nBilled < nPlanned, s"$model: no transport failures billed out?")
+      assert(unreal > 0 && ratio > 0 && ratio < 1, s"$model reconciliation vacuous")
+    }
+  }
+
   test("g21 kappa recomputes exactly from the two judges' registered answers") {
     val rows = SparkEntry.queries("g21_judge_agreement")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),

@@ -212,4 +212,27 @@ class KnnRankSpec extends SparkSpec {
     assert(curve.find(_._1 == 2L).get._3 == s6Found,
       "s24's nprobe=2 n_found != s6's aggregate — the two measure different indexes")
   }
+
+  test("s26 index health cross-pins to s3's registered assignments") {
+    val health = SparkEntry.queries("s26_index_health")(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val s3rows = SparkEntry.queries("s3_ivf_cells")(spark, sf).collect()
+      .map(r => (r.getAs[Number](2).longValue, r.getDouble(3))) // (assigned_cell, dist)
+    val byCell = s3rows.groupBy(_._1)
+    val nTotal = s3rows.length.toLong
+    val nCells = health.length.toLong
+    // every cell reports exactly once and the masses recompute from s3
+    health.foreach { case (cell, nVecs, ratio, sqNano) =>
+      val assigned = byCell.getOrElse(cell, Array.empty[(Long, Double)])
+      assert(nVecs == assigned.length.toLong, s"cell $cell occupancy")
+      assert(ratio == (nVecs * nCells).toDouble / nTotal, s"cell $cell ratio")
+      assert(sqNano == assigned.map(t => math.round(t._2 * 1e9)).sum, s"cell $cell error mass")
+    }
+    // conservation: occupancies partition the corpus; ratios average 1
+    assert(health.map(_._2).sum == nTotal)
+    assert(math.abs(health.map(_._3).sum / nCells - 1.0) < 1e-9)
+    // the report differentiates on this corpus (hot vs cold cells)
+    assert(health.map(_._3).max > health.map(_._3).min,
+      "all cells identically occupied — imbalance signal vacuous")
+  }
 }
