@@ -75,6 +75,8 @@ object Budgets {
     "g21_judge_agreement" -> 1.8, // r17: measured 1.39 (two response pipelines + bounded marginal join)
     "g22_cost_reconcile" -> 1.7, // r17: measured 1.26 (plan + billed per-model aggregates joined)
     "s26_index_health" -> 2.6, // r17: measured 2.05 (one broadcast assignment pass + bounded cell agg)
+    "m12_magic_sniff" -> 0.5, // r17: measured 0.25 (per-row prefix codegen, zero joins)
+    "st18_stream_sniff" -> 1.9, // r17: measured 1.49 (m12 + fixed 4-batch micro-batch overhead)
     // r17: measured 2.12 best-of-3 (stateless URL gate under the
     // 4-file multi-batch regime; ~= t28 + fixed micro-batch overhead)
     "st17_stream_url" -> 2.7,

@@ -44,6 +44,93 @@ object Multimodal {
       |       ELSE 'webp' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** m12: container sniffing at ingest — the magic-byte gate a media
+    * pipeline runs before ANY decode (crawled files arrive with wrong
+    * or missing extensions; the sniff decides the decode path and
+    * quarantines what nothing can decode — feeding m15-class decode
+    * stubs only what matches their codec). The corpus plants real
+    * magic prefixes by a doc_id rule (JPEG FFD8FF, PNG's 8-byte
+    * signature, GIF89a, RIFF….WEBP, or none — the t16/t28
+    * inject-then-detect discipline); detection then reads ONLY the
+    * payload's leading bytes via generic prefix matching (PNG before
+    * JPEG before GIF before RIFF+WEBP's two-window test), so the
+    * compare pins the sniffing machinery, not the plant. The audit
+    * columns are the real findings: `mismatch` (the m1-rule claimed
+    * extension disagrees with content — the wrong-extension
+    * population) and `quarantine` (no known signature).
+    *
+    * Scale: per-row codegen over a bounded payload PREFIX — Spark
+    * hexes only the first 12 bytes (substring on binary before hex),
+    * so cost is independent of payload size; the oracle hexes the
+    * whole blob (DuckDB cannot slice blobs) and substrings the hex,
+    * which is equal on the compared prefix. Zero joins, zero shuffle
+    * beyond the output exchange.
+    */
+  /** m12's per-row half over ANY frame carrying (doc_id, text) —
+    * plant + sniff + audit columns, stateless codegen: shared verbatim
+    * by m12 (batch) and st18 (the same gate at ingest, the st12/st17
+    * compliance discipline). */
+  private[graft] def sniffVerdict(docs: DataFrame): DataFrame = {
+    val magic = when(col("doc_id") % 5 === 0, unhex(lit("FFD8FF")))
+      .when(col("doc_id") % 5 === 1, unhex(lit("89504E470D0A1A0A")))
+      .when(col("doc_id") % 5 === 2, unhex(lit("474946383961")))
+      .when(col("doc_id") % 5 === 3, unhex(lit("524946460000000057454250")))
+      .otherwise(unhex(lit("")))
+    docs
+      .select(col("doc_id"),
+        concat(magic, col("text").cast("binary")).as("payload"))
+      .withColumn("head24", hex(expr("substring(payload, 1, 12)")))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("sniffed",
+        when(substring(col("head24"), 1, 16) === "89504E470D0A1A0A", lit("png"))
+          .when(substring(col("head24"), 1, 6) === "FFD8FF", lit("jpeg"))
+          .when(substring(col("head24"), 1, 12)
+            .isin("474946383961", "474946383761"), lit("gif"))
+          .when(substring(col("head24"), 1, 8) === "52494646" &&
+            substring(col("head24"), 17, 8) === "57454250", lit("webp"))
+          .otherwise(lit("unknown")))
+      .withColumn("claimed",
+        when(col("n_bytes") % 3 === 0, lit("png"))
+          .when(col("n_bytes") % 3 === 1, lit("jpeg"))
+          .otherwise(lit("webp")))
+      .select(col("doc_id"), col("n_bytes"), col("sniffed"), col("claimed"),
+        (col("claimed") =!= col("sniffed")).as("mismatch"),
+        (col("sniffed") === "unknown").as("quarantine"))
+  }
+
+  private def m12(s: SparkSession, d: String): DataFrame =
+    sniffVerdict(Tables.documents(s, d)).sortWithinPartitions(col("doc_id"))
+
+  private val m12Sql =
+    """WITH pl AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INTEGER)
+      |      WHEN 0 THEN from_hex('FFD8FF')
+      |      WHEN 1 THEN from_hex('89504E470D0A1A0A')
+      |      WHEN 2 THEN from_hex('474946383961')
+      |      WHEN 3 THEN from_hex('524946460000000057454250')
+      |      ELSE from_hex('') END || encode(text) AS payload
+      |  FROM documents),
+      |hx AS (
+      |  SELECT doc_id, substring(hex(payload), 1, 24) AS head24,
+      |    CAST(octet_length(payload) AS BIGINT) AS n_bytes
+      |  FROM pl),
+      |sn AS (
+      |  SELECT doc_id, n_bytes,
+      |    CASE WHEN substring(head24, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+      |         WHEN substring(head24, 1, 6) = 'FFD8FF' THEN 'jpeg'
+      |         WHEN substring(head24, 1, 12) IN ('474946383961', '474946383761') THEN 'gif'
+      |         WHEN substring(head24, 1, 8) = '52494646'
+      |              AND substring(head24, 17, 8) = '57454250' THEN 'webp'
+      |         ELSE 'unknown' END AS sniffed,
+      |    CASE WHEN n_bytes % 3 = 0 THEN 'png'
+      |         WHEN n_bytes % 3 = 1 THEN 'jpeg'
+      |         ELSE 'webp' END AS claimed
+      |  FROM hx)
+      |SELECT doc_id, n_bytes, sniffed, claimed,
+      |  claimed != sniffed AS mismatch, sniffed = 'unknown' AS quarantine
+      |FROM sn ORDER BY doc_id""".stripMargin
+
   /** m2: every-Nth frame sampling per stream (user) in event-time
     * order — the video-frame subsampling pattern.
     *
@@ -827,6 +914,7 @@ object Multimodal {
 
   val queries: Map[String, QFn] = Map(
     "m11_shard_index" -> (m11 _),
+    "m12_magic_sniff" -> (m12 _),
     "m10_scene_split" -> (m10 _),
     "m9_crossmodal_dedup" -> (m9 _),
     "m8_interleaved_pack" -> (m8 _),
@@ -840,6 +928,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "m11_shard_index" -> m11Sql,
+    "m12_magic_sniff" -> m12Sql,
     "m10_scene_split" -> m10Sql,
     "m9_crossmodal_dedup" -> m9Sql,
     "m8_interleaved_pack" -> m8Sql,

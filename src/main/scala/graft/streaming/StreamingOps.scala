@@ -1129,7 +1129,31 @@ object StreamingOps {
 
   private val st17Sql = graft.text.TextAnalysis.oracles("t28_url_curate")
 
+  /** st18: container sniffing at ingest — m12's magic-byte gate run
+    * where a media crawler actually runs it: each landed file is
+    * sniffed (and wrong-extension / quarantine flagged) the moment it
+    * arrives, BEFORE any decode compute is spent on it — the gate's
+    * whole rationale is ingest-time placement, so this is its natural
+    * home; the nightly m12 run is the compliance mirror. The plant +
+    * sniff + audit columns are [[graft.multimodal.Multimodal
+    * .sniffVerdict]] — the SAME column expressions m12 compiles,
+    * stateless per-row codegen over a bounded payload prefix: no
+    * state store, no watermark, batching-invariant by construction
+    * (the st12/st13/st16/st17 compliance discipline). Runs under the
+    * real multi-batch regime (4 landing files, maxFilesPerTrigger=1).
+    * Oracle: m12's SQL VERBATIM; the spec pins st18 ≡ m12
+    * row-for-row.
+    */
+  private def st18(s: SparkSession, d: String): DataFrame = {
+    val out = graft.multimodal.Multimodal.sniffVerdict(docsStreamMulti(s, d, 4))
+    runToMemory(s, out, "graft_st18", mode = "append")
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  private val st18Sql = graft.multimodal.Multimodal.oracles("m12_magic_sniff")
+
   val queries: Map[String, QFn] = Map(
+    "st18_stream_sniff" -> (st18 _),
     "st17_stream_url" -> (st17 _),
     "st16_stream_validate" -> (st16 _),
     "st15_stream_scene" -> (st15 _),
@@ -1149,6 +1173,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st18_stream_sniff" -> st18Sql,
     "st17_stream_url" -> st17Sql,
     "st16_stream_validate" -> st16Sql,
     "st15_stream_scene" -> st15Sql,
