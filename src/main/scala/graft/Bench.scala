@@ -31,6 +31,23 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val mainT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - mainT0) / 1e9
+    // Wall-clock self-budget (VERDICT r17 #2): the r17 DRIVER bench
+    // artifact came back rc=124/parsed:null — the 174-query x
+    // best-of-3 sweep (~250 s per pass) plus warm-up plus JVM startup
+    // crossed the driver's external time cap, which kills the process
+    // before the metric line ever prints. The bench now (a) degrades
+    // sweep passes 3 -> as-few-as-1 when the next pass would not fit
+    // the budget, and (b) emits the GRAFT_BENCH_JSON line immediately
+    // after the sweep, BEFORE the (opt-in) sf1 gate phase — so the
+    // driver artifact is parseable even if a later phase is cut down.
+    // 0 disables (builder full-gate runs set 0 for best-of-3 + gate).
+    // Default 700: the r16 driver run (~800 s external wall) passed
+    // and the r17 one (~950 s) was killed, so the cap sits between;
+    // 700 in-main + ~40 s sbt startup lands a 2-pass sweep safely
+    // under it (warm-up + pass1 ~410 s, pass2 ~685 s).
+    val timeBudgetS = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "700").toDouble
     val calibMs = hostCalibMs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -85,9 +102,17 @@ object Bench {
     // query land in the same window; sweep-level passes space each
     // query's samples ~a sweep apart, so the per-query minimum is a
     // far better steady-state estimate at identical total cost.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
-    val samples = (1 to repeats).flatMap { _ =>
-      ordered.map { case (name, fn) =>
+    val repeatsWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // pass-by-pass with the budget check between passes: pass 1 always
+    // runs; pass k+1 runs only when the projected finish (elapsed +
+    // 1.1 x the last pass's wall) fits the budget
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(String, Option[Double])]
+    var repeats = 0
+    var lastPassS = 0.0
+    var continue = true
+    while (continue && repeats < repeatsWanted) {
+      val passT0 = System.nanoTime()
+      samples ++= ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -96,6 +121,15 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           (name, None)
         }
+      }
+      repeats += 1
+      lastPassS = (System.nanoTime() - passT0) / 1e9
+      if (timeBudgetS > 0 && repeats < repeatsWanted &&
+          elapsedS + 1.1 * lastPassS > timeBudgetS) {
+        System.err.println(
+          f"[bench] budget: stopping after pass $repeats (elapsed $elapsedS%.0f s + " +
+            f"projected ${1.1 * lastPassS}%.0f s > budget $timeBudgetS%.0f s)")
+        continue = false
       }
     }
     val results = ordered.map { case (name, _) =>
@@ -153,15 +187,47 @@ object Bench {
         (stamped + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }
+    // VERDICT r17 #2: the driver-facing metric lines print HERE —
+    // after the sweep, before the opt-in sf1 phase — so an external
+    // time cap landing mid-gate still leaves a parseable artifact in
+    // the capture tail. Log level is ERROR from here on, so no log
+    // lines interleave after these (the r15/r16 tails confirm stdout
+    // stays clean once the session is up). Printed exactly once.
+    println("GRAFT_BENCH_QUERIES")
+    println(queriesLine)
+    println("GRAFT_BENCH_JSON")
+    println(line)
+    System.out.flush()
     // sf1 (10x) scaling regression gate — opt-in via SPARK_GRAFT_SF1
     // (r11 verdict #8: the sweep was a one-off; wire it into the round
     // loop). "1"/"true" uses/creates testdata-sf1 from sfDir; any other
     // value is the corpus path. Each gate query runs ONCE at sf1; its
     // ratio vs this run's own best sfDir time must stay under
     // Budgets.sf1MaxRatio (ignored below 1 s of sf1 wall — noise).
-    val sf1Line = sys.env.get("SPARK_GRAFT_SF1").map { v =>
+    // Skipped (with a marker line) when the wall budget is already
+    // spent — the gate's evidence lives in SF1_HISTORY.jsonl via the
+    // builder's dedicated runs; the sweep artifact must not die for it.
+    val sf1Requested = sys.env.get("SPARK_GRAFT_SF1")
+    val sf1Budget = timeBudgetS <= 0 || elapsedS < timeBudgetS
+    if (sf1Requested.isDefined && !sf1Budget) {
+      println("GRAFT_SF1_SKIPPED")
+      println(s"""{"metric":"sf1_gate","skipped":"time_budget","elapsed_s":${f(elapsedS)},"budget_s":${f(timeBudgetS)}}""")
+      System.out.flush()
+    }
+    val sf1Line = sf1Requested.filter(_ => sf1Budget).flatMap { v =>
       val sf1Dir = if (v == "1" || v.equalsIgnoreCase("true")) "testdata-sf1" else v
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sf1Dir, "documents.parquet")))
+      // one-time corpus generation never rides a budgeted (driver)
+      // run — it is minutes of wall the external cap will kill; only
+      // unbudgeted builder runs (SPARK_GRAFT_TIME_BUDGET_S=0) build it
+      val corpusReady =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(sf1Dir, "documents.parquet"))
+      if (!corpusReady && timeBudgetS > 0) {
+        println("GRAFT_SF1_SKIPPED")
+        println(s"""{"metric":"sf1_gate","skipped":"corpus_missing_under_budget","sf1":"$sf1Dir"}""")
+        System.out.flush()
+        None
+      } else Some {
+      if (!corpusReady)
         ScaleData.generate(spark, sfDir, sf1Dir, 10)
       val qmap = SparkEntry.queries
       // q24's gate corpus is the RANGE-scaled events variant (VERDICT
@@ -288,6 +354,7 @@ object Bench {
         }
       }.toOption.flatten
       (full, short, trend)
+      }
     }
     sf1Line.foreach { case (full, _, _) =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_sf1_last.json"), full + "\n")
@@ -307,32 +374,18 @@ object Bench {
         (full.dropRight(1) + tags + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }
-    // Print the JSON only AFTER spark.stop(): executor-shutdown log
-    // lines otherwise interleave with (or truncate) the metric line in
-    // captured output. The marker line lets a parser seek to the JSON
-    // without regex-ing through sbt/log4j noise.
-    spark.stop()
-    // ORDER MATTERS for a collector that keeps only a ~2 KB output
-    // tail: least-critical first. The compact per-query line leads (a
-    // slice cuts into it, not the gates), then the sf1 summary, then
-    // the main metric line — emitted ONCE (VERDICT r16 #6: the old
-    // second copy, insurance against a slice landing mid-line, made
-    // naive log-grep parsers double-count; the ~1.4 KB queries line
-    // now leads, so the ~200-byte metric line sits safely inside any
-    // 2 KB capture tail, and bench_last.json carries it regardless).
-    println("GRAFT_BENCH_QUERIES")
-    println(queriesLine)
+    // The sf1 lines print after the gate, still before spark.stop()
+    // (shutdown is quiet at ERROR level; the r12-era interleaving
+    // predated setLogLevel). A driver that parses only
+    // GRAFT_BENCH_JSON already has its line above; the full ratios map
+    // rides bench_sf1_last.json. The trend diff prints FIRST (less
+    // critical than the gate verdict if the capture tail slices).
     sf1Line.foreach { case (_, short, trend) =>
-      // the sf1 gate line is a SEPARATE marker: a driver that parses
-      // only GRAFT_BENCH_JSON is unaffected; the full ratios map rides
-      // bench_sf1_last.json. The trend diff prints FIRST (less
-      // critical than the gate verdict if the capture tail slices).
       trend.foreach { t => println("GRAFT_SF1_TREND"); println(t) }
       println("GRAFT_SF1_JSON")
       println(short)
     }
-    println("GRAFT_BENCH_JSON")
-    println(line)
     System.out.flush()
+    spark.stop()
   }
 }

@@ -257,17 +257,20 @@ object Budgets {
     // its output grows ~10x like everyone else's and the allowance
     // returns from the 16x output-shape carve-out to the standard 8x
     "q24_range_join" -> 8.0,
-    // r17: 8 -> 9 by the history rule (worst honest 7.19, the
-    // load-avg-8 full gate; isolated confirmation 4.18)
-    "q30_salted_agg" -> 9.0,
+    // r18 (VERDICT r17 #3): back to 8 — the r17 9.0 was ratcheted by a
+    // load-avg-8 closing gate whose trips all vanished isolated
+    // (confirmation 4.18/5.68); contaminated runs no longer ratchet,
+    // clean-run worst honest 6.73
+    "q30_salted_agg" -> 8.0,
     "q36_zorder_skip" -> 8.0,
     "d2_minhash_lsh" -> 8.0,
     "d7_cluster" -> 8.0,
     "d8_simhash_pairs" -> 8.0,
     "d14_repeated_ngrams" -> 8.0,
-    // r17: 8 -> 9 by the history rule (worst honest 7.20, the
-    // load-avg-8 full gate; isolated confirmation 5.07)
-    "d19_substring_remove" -> 9.0,
+    // r18: back to 8 under the contaminated-run rule (the r17 7.20
+    // reading came from the load-avg-8 gate, isolated confirmation
+    // 5.07; clean-run worst honest 6.20)
+    "d19_substring_remove" -> 8.0,
     "d21_dedup_pack" -> 8.0,
     "s8_kmeans" -> 8.0,
     "s11_ivf_persist" -> 8.0,
@@ -281,11 +284,11 @@ object Budgets {
     // sf1: 10000 -> 2000 docs), so the allowance drops back to the
     // linear-plus-jitter band (measured honest ratios ~6-7x)
     "t20_bpe_learned" -> 12.0, // worst honest 10.01 (r16 final gate; the pure per-row linear class above — its sf0.1 denominator moves with host load while the sf1 numerator runs in the long gate phase)
-    // r17: regenerated 8 -> 9 by the history rule (worst honest 7.58,
-    // read during the load-avg-8 full gate whose three trips all
-    // vanished isolated; t22's own isolated confirmation on the quiet
-    // host reads 5.32 — context pressure, the st9 class, not scaling)
-    "t22_learned_pack" -> 9.0,
+    // r18: back to 8 — the r17 7.58/8.28 readings were the load-avg-8
+    // gate runs (both contaminated: their trips all vanished isolated;
+    // t22's own isolated confirmation reads 5.32). Clean-run worst
+    // honest 6.87.
+    "t22_learned_pack" -> 8.0,
     // d23 is the same pure per-row class: the replace-chain
     // tokenization + the gram hash stream are linear scans with no
     // sub-linear stage to hide behind (its joins/aggregates are
@@ -293,7 +296,7 @@ object Budgets {
     "d23_token_decontam" -> 10.0, // worst honest 8.14 (r16 full gate; same pure per-row class)
     "t21_perplexity_filter" -> 8.0,
     "m8_interleaved_pack" -> 8.0,
-    "m9_crossmodal_dedup" -> 9.0, // worst honest 7.18
+    "m9_crossmodal_dedup" -> 8.0, // r18: the 7.18 was a contaminated run (isolated conf 1.66); clean-run worst honest 3.19
     // r12 verdict #5: the sf0.1 budget gate cannot see superlinear
     // scaling, so every query > 2 s at sf0.1 (the expensive tail) now
     // carries an sf1 ratio check. Allowance 8.0 where the measured
@@ -378,11 +381,11 @@ object Budgets {
     * longer ratchet. */
   val sf1MaxSeconds: Map[String, Double] = Map(
     "q1_agg" -> 14.0, // worst honest 10.353 (r16 final gate)
-    // r17: 13 -> 15 by the band rule (worst honest 11.18 s in the
-    // load-avg-8 full gate; isolated confirmation 10.48 s)
-    "q3_join_agg" -> 15.0,
-    // r17: 13 -> 16 by the band rule (worst honest 11.81 s in the
-    // load-avg-8 full gate; isolated confirmation 10.40 s)
-    "t20_bpe_learned" -> 16.0,
+    // r18: back to 13 under the contaminated-run rule (the r17 11.18 s
+    // reading was the load-avg-8 gate; clean-run worst honest 9.73 s)
+    "q3_join_agg" -> 13.0,
+    // r18: back to 13 under the contaminated-run rule (the r17 11.81 s
+    // reading was the load-avg-8 gate; clean-run worst honest 9.66 s)
+    "t20_bpe_learned" -> 13.0,
     "d23_token_decontam" -> 28.0) // worst honest 21.042
 }

@@ -70,38 +70,65 @@ class BudgetsSpec extends AnyFunSuite {
     }
   }
 
-  test("sf1 allowances are regenerated from SF1_HISTORY.jsonl (VERDICT r14 #3)") {
+  test("sf1 allowances are regenerated from SF1_HISTORY.jsonl (VERDICT r14 #3, r17 #3)") {
     // rule: allowance = max(8, ceil(1.15 x worst HONEST ratio)) over the
     // tracked full unconf'd gate runs, where a reading the gate flagged
-    // at its own run time (a caught breach) is NOT honest. Queries with
-    // no history yet stay at the 8.0 default. A new tail reading that
-    // erodes a query's headroom below 15% fails HERE, forcing a
+    // at its own run time (a caught breach) is NOT honest. r18 (VERDICT
+    // r17 #3): a full run whose every flagged query has a same-window
+    // (<= 2 h) isolated confirmation reading UNDER its allowance is a
+    // CONTAMINATED run — the gate's own adjudication declared its trips
+    // host contention, so NONE of that run's readings ratchet (in r17 a
+    // load-avg-8 closing gate loosened five allowances whose isolated
+    // confirmations all sat inside the old limits). Confirmations
+    // adjudicate; they never contribute readings. Queries with no
+    // clean-run history yet stay at the 8.0 default. A new tail reading
+    // that erodes a query's headroom below 15% fails HERE, forcing a
     // deliberate regeneration in Budgets.sf1MaxRatio instead of a
     // silent false trip in a later gate run.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val src = scala.io.Source.fromFile("SF1_HISTORY.jsonl", "UTF-8")
     val worst = scala.collection.mutable.Map[String, Double]()
     val worstSec = scala.collection.mutable.Map[String, Double]()
-    try src.getLines().filter(_.trim.nonEmpty).foreach { line =>
-      val n = mapper.readTree(line)
-      val filtered = n.path("filtered").asBoolean(true)
-      val hasConf = n.has("conf") && n.path("conf").size() > 0
-      if (!filtered && !hasConf) {
-        val flagged = {
-          val it = n.path("over_ratio").fieldNames()
-          val b = scala.collection.mutable.Set[String]()
-          while (it.hasNext) b += it.next()
-          b
+    try {
+      val nodes = src.getLines().filter(_.trim.nonEmpty)
+        .map(mapper.readTree).toVector
+      val isoRuns = nodes.filter(n =>
+        n.path("filtered").asBoolean(false) &&
+          !(n.has("conf") && n.path("conf").size() > 0))
+      // an under-allowance isolated re-measurement of k within 2 h of ts
+      def adjudicatedAsLoad(k: String, ts: Long): Boolean = {
+        val allowance = Budgets.sf1MaxRatio.getOrElse(k, 8.0)
+        isoRuns.exists { c =>
+          math.abs(c.path("ts").asLong(0L) - ts) <= 7200L &&
+            c.path("ratios").has(k) &&
+            c.path("ratios").path(k).path("ratio").asDouble(Double.MaxValue) < allowance
         }
-        val rit = n.path("ratios").fields()
-        while (rit.hasNext) {
-          val e = rit.next()
-          val ratio = e.getValue.path("ratio").asDouble(-1.0)
-          val sec = e.getValue.path("sec").asDouble(-1.0)
-          if (ratio > 0 && !flagged(e.getKey)) {
-            worst(e.getKey) = math.max(worst.getOrElse(e.getKey, 0.0), ratio)
-            if (sec > 0)
-              worstSec(e.getKey) = math.max(worstSec.getOrElse(e.getKey, 0.0), sec)
+      }
+      nodes.foreach { n =>
+        val filtered = n.path("filtered").asBoolean(true)
+        val hasConf = n.has("conf") && n.path("conf").size() > 0
+        if (!filtered && !hasConf) {
+          val ts = n.path("ts").asLong(0L)
+          val flagged = {
+            val it = n.path("over_ratio").fieldNames()
+            val b = scala.collection.mutable.Set[String]()
+            while (it.hasNext) b += it.next()
+            b
+          }
+          val contaminated =
+            flagged.nonEmpty && flagged.forall(adjudicatedAsLoad(_, ts))
+          if (!contaminated) {
+            val rit = n.path("ratios").fields()
+            while (rit.hasNext) {
+              val e = rit.next()
+              val ratio = e.getValue.path("ratio").asDouble(-1.0)
+              val sec = e.getValue.path("sec").asDouble(-1.0)
+              if (ratio > 0 && !flagged(e.getKey)) {
+                worst(e.getKey) = math.max(worst.getOrElse(e.getKey, 0.0), ratio)
+                if (sec > 0)
+                  worstSec(e.getKey) = math.max(worstSec.getOrElse(e.getKey, 0.0), sec)
+              }
+            }
           }
         }
       }
