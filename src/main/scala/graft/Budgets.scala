@@ -213,6 +213,9 @@ object Budgets {
     "st11_stream_compact" -> 2.3,
     "st12_stream_pii" -> 1.8,
     "st13_stream_route" -> 1.9,
+    // r18: measured 4.17 best-of-3 (the two chained stateful
+    // operators — interval join + windowed as-of max — over events)
+    "st19_stream_asof_join" -> 5.2,
     "st14_stream_chunk" -> 2.2, // r15: measured 1.74 warm best-of-3 (4-file multi-batch regime)
     "st15_stream_scene" -> 1.7, // r16: measured 1.25 best-of-3 (keyed state op, single-batch staging)
     "st16_stream_validate" -> 2.4, // r16: measured 1.83 best-of-3 (stateless per-row, 4-file multi-batch)
@@ -344,6 +347,8 @@ object Budgets {
     "m10_scene_split" -> 8.0,
     "st5_stream_append_window" -> 8.0,
     "st6_stream_stream_join" -> 8.0,
+    "st19_stream_asof_join" -> 8.0, // r18: new, no gate history yet
+
     "st7_stream_dedup_bounded" -> 8.0,
     "st9_stream_admit" -> 9.0, // worst honest 7.01 pre-r15-fix; isolated 4.8 after
     "d10_cluster_keep" -> 8.0,

@@ -42,7 +42,9 @@ object SparkEntry {
     * [[oracleSql]] == keys in [[queries]], and the two sets are
     * disjoint.
     */
-  def rowsOnly: Map[String, String] = Map(
-    "q25_percentile_sketch" -> "q25b_sketch_bound",
-    "q26_distinct_sketch" -> "q26b_sketch_bound")
+  // r18 (VERDICT r17 #4): empty — q25/q26 now run deterministic
+  // fixed-hash sketches (value histogram / KMV) whose results
+  // hash-match the DuckDB oracle, closing the last two rows-only
+  // entries; q25b/q26b remain as the family's accuracy contracts.
+  def rowsOnly: Map[String, String] = Map.empty
 }

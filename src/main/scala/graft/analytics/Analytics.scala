@@ -480,54 +480,139 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
-  /** q25: q18's sketch sibling — approximate percentiles via Spark's
-    * `approx_percentile` (Greenwald-Khanna) aggregate. The sketch is
-    * MERGEABLE: partials combine map-side like any other hash
-    * aggregate, so the whole query is one pass over the data with a
-    * metadata-sized shuffle — the 100 TB path ExactPercentile's own
-    * scaladoc points at when ±ε rank error is acceptable (accuracy
-    * 10000 → error ≤ 0.01% of the rank range). Rows-only oracle: the
-    * sketch's compression points are engine-specific, so a DuckDB
-    * approx aggregate would not hash-match; the driver checks the row
-    * contract (exactly one row per group).
+  /** q25: q18's sketch sibling — approximate percentiles via a
+    * DETERMINISTIC value-domain histogram (t31's discipline applied to
+    * rank, VERDICT r17 #4: for 17 rounds this ran `approx_percentile`,
+    * whose Greenwald-Khanna compression points are engine-private and
+    * forced a rows-only oracle; the histogram sketch's every
+    * intermediate is integer arithmetic both engines reproduce, so the
+    * SKETCH RESULT ITSELF now hash-matches DuckDB). Prices are frozen
+    * to exact cents (2-decimal doubles, `round(x*100)` — the
+    * sub-1e-6-ULP check is in the r18 round log), bucketed by
+    * `cents div 4096` (~$41 buckets, ≤ ~2.6k per group at any scale —
+    * the value DOMAIN bounds the state, not the row count); the
+    * reported percentile is the crossing bucket's inclusive upper
+    * bound, so true value error ≤ one bucket width. Quantity (domain
+    * 1..50) gets bucket width 1 — the histogram degenerates to exact,
+    * the small-domain property of the sketch. Rank targets are
+    * integer ceilings: ceil(p·n) = (p_num·n + p_den - 1) div p_den.
+    *
+    * Scale: ONE pass — a (flag, bucket) count with map-side partials
+    * whose shuffle carries the bounded histogram (≤ ~2.6k rows/group),
+    * then windows/aggregates over that metadata-sized relation. Same
+    * mergeable one-pass contract as approx_percentile, with a
+    * reproducible layout. Accuracy contract: [[q25b]] (the GK sketch
+    * family's rank-interval audit, retained unchanged).
     */
-  private def q25(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_returnflag"),
-        col("l_extendedprice").cast("double").as("price"),
-        col("l_quantity").cast("double").as("qty"))
-      .groupBy(col("l_returnflag"))
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val W = 4096L
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+      col("l_quantity").cast("long").as("qty"))
+    def hist(valueCol: String, w: Long): DataFrame =
+      li.groupBy(col("l_returnflag"), expr(s"$valueCol div $w").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("b"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
+    val price = hist("cents", W)
+      .groupBy(col("l_returnflag"), col("n"))
       .agg(
-        expr("approx_percentile(price, array(0.5D, 0.9D), 10000)").as("apx_price"),
-        expr("approx_percentile(qty, 0.25D, 10000)").as("p25_qty"),
-        count(lit(1)).as("n"))
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("b"))).as("b50"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("b"))).as("b90"))
+    val qty = hist("qty", 1L)
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("b"))).as("p25_qty"))
+    price.join(qty, Seq("l_returnflag"))
       .select(col("l_returnflag"),
-        col("apx_price").getItem(0).as("p50_price"),
-        col("apx_price").getItem(1).as("p90_price"),
+        ((col("b50") + 1) * W - 1).as("p50_price_cents"),
+        ((col("b90") + 1) * W - 1).as("p90_price_cents"),
         col("p25_qty"), col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
-  /** q26: approximate distinct counting via the HyperLogLog++ sketch
-    * aggregate — q9's scale sibling. Exact distinct shuffles every
-    * distinct key to the reducers; the HLL sketch is MERGEABLE (2^p
-    * fixed-size registers, merge = per-register max, order-independent
-    * and therefore deterministic), so partials combine map-side and
-    * the shuffle carries one small sketch per group regardless of
-    * cardinality — the 100 TB cardinality path. Rows-only oracle: the
-    * register layout and bias correction are engine-specific, so
-    * DuckDB's approx_distinct would not hash-match.
+  private val q25Sql =
+    """WITH li AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+      |ph AS (SELECT l_returnflag, cents // 4096 AS b, COUNT(*) AS c
+      |       FROM li GROUP BY 1, 2),
+      |pc AS (SELECT l_returnflag, b,
+      |    CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n FROM ph),
+      |pe AS (SELECT l_returnflag, n,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN b END) AS b50,
+      |    MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN b END) AS b90
+      |  FROM pc GROUP BY l_returnflag, n),
+      |qh AS (SELECT l_returnflag, qty AS b, COUNT(*) AS c FROM li GROUP BY 1, 2),
+      |qc AS (SELECT l_returnflag, b,
+      |    CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n FROM qh),
+      |qe AS (SELECT l_returnflag,
+      |    MIN(CASE WHEN cum >= (n + 3) // 4 THEN b END) AS p25_qty
+      |  FROM qc GROUP BY l_returnflag)
+      |SELECT pe.l_returnflag, (b50 + 1) * 4096 - 1 AS p50_price_cents,
+      |  (b90 + 1) * 4096 - 1 AS p90_price_cents, p25_qty, n
+      |FROM pe JOIN qe ON pe.l_returnflag = qe.l_returnflag
+      |ORDER BY pe.l_returnflag""".stripMargin
+
+  /** q26: approximate distinct counting via the native
+    * [[graft.functions.KmvDistinct]] k-minimum-values sketch (VERDICT
+    * r17 #4: for 17 rounds this ran `approx_count_distinct`, whose
+    * HLL++ register layout is engine-private and forced a rows-only
+    * oracle; KMV over a FIXED 40-bit md5 hash is exactly reproducible
+    * in ANSI SQL, so the sketch estimate itself now hash-matches).
+    * Exact distinct shuffles every distinct key to the reducers; the
+    * KMV state is a bounded sorted set (k = 64 longs) whatever the
+    * group's cardinality, merge is union-keep-k (order-independent),
+    * so partials combine map-side and the shuffle carries one tiny
+    * sketch per group per task — the 100 TB cardinality path. k = 64
+    * is deliberately small enough that the ESTIMATE branch (not the
+    * exact n<k fallback) is exercised at every test SF (the
+    * t31/t16/t28 inject-then-measure discipline: a sketch whose
+    * approximation path never runs has a vacuous contract); the
+    * DuckDB oracle reproduces the estimate with a rank window over
+    * distinct hashes — linear at test SF, while the Spark side runs
+    * the real bounded-state sketch. Accuracy contract: [[q26b]]
+    * (HLL++ vs exact, retained unchanged) plus SketchAccuracySpec's
+    * KMV bound.
     */
   private def q26(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(cast(user_id as string) as binary)), 1, 10), 16, 10) as bigint)"))
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(graft.functions.KmvDistinct(col("h"), 64).as("approx_users"),
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
-  /** q25b: q25's accuracy contract as a DRIVER-CHECKABLE oracle query.
-    * q25 itself is rows-only (sketch compression points are
-    * engine-specific, so values can't hash-match DuckDB), which left
-    * its correctness signal in ScalaTest only (SketchAccuracySpec).
+  private val q26Sql = {
+    // DuckDB has no conv(): decode the 10-digit hex slice via strpos
+    // place values (the t24/d17 pattern)
+    val hex10 = (1 to 10).map { i =>
+      s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (10 - i))}"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT DISTINCT event_type, CAST($hex10 AS BIGINT) AS hv FROM events),
+       |r AS (SELECT event_type, hv,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h),
+       |est AS (SELECT event_type,
+       |    CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+       |         ELSE (63 * (1::BIGINT << 40)) // (MAX(CASE WHEN rk = 64 THEN hv END) + 1)
+       |    END AS approx_users
+       |  FROM r GROUP BY event_type),
+       |n AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type)
+       |SELECT est.event_type, CAST(approx_users AS BIGINT) AS approx_users, n_events
+       |FROM est JOIN n ON est.event_type = n.event_type
+       |ORDER BY est.event_type""".stripMargin
+  }
+
+  /** q25b: the Greenwald-Khanna sketch's accuracy contract as a
+    * DRIVER-CHECKABLE oracle query. (Until r18 q25 itself ran
+    * `approx_percentile` and was rows-only; q25 now runs the
+    * deterministic histogram sketch and hash-matches directly, while
+    * this query keeps the GK family — still the right sketch when the
+    * value domain is unbounded — under an oracle-checked rank bound.)
     * This query emits the CONTRACT instead of the value: per group,
     * whether the sketch's result sits within the Greenwald-Khanna
     * rank guarantee of the exact data — booleans hash-match fine.
@@ -1508,9 +1593,9 @@ object Analytics {
     "q24_range_join" -> (q24 _),
     "q19_pivot" -> (q19 _),
     "q18_percentile" -> (q18 _),
-    "q25_percentile_sketch" -> (q25 _), // rows-only: no oracle entry
-    "q26_distinct_sketch" -> (q26 _),   // rows-only: no oracle entry
-    "q25b_sketch_bound" -> (q25b _),    // ...their oracle-checked accuracy contracts
+    "q25_percentile_sketch" -> (q25 _),
+    "q26_distinct_sketch" -> (q26 _),
+    "q25b_sketch_bound" -> (q25b _), // the sketch family's accuracy contracts
     "q26b_sketch_bound" -> (q26b _),
     "q16_topk_custom" -> (q16 _),
     "q17_json_extract" -> (q17 _),
@@ -1543,6 +1628,8 @@ object Analytics {
     "q29_partition_prune" -> q29Sql,
     "q28_delta_agg" -> q28Sql,
     "q27_bucketed_join" -> q27Sql,
+    "q25_percentile_sketch" -> q25Sql,
+    "q26_distinct_sketch" -> q26Sql,
     "q25b_sketch_bound" -> q25bSql,
     "q26b_sketch_bound" -> q26bSql,
     "q20_cube" -> q20Sql,

@@ -710,6 +710,161 @@ object StreamingOps {
       |  AND p.tus >= c.tus AND p.tus <= c.tus + 1800000000
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** The bounded event stream staged as `nFiles` TIME-ORDERED files
+    * (file k = the k-th ntile of rows ordered by (ts, event_id),
+    * mtimes strictly increasing in split order) read one per trigger —
+    * [[st19Files]]' multi-batch regime. Unlike [[eventsStreamMulti]]'s
+    * `event_id % n` splits (each spanning the full time range, BUILT
+    * to exercise late-row drops in st8), time-contiguous files carry
+    * NO late data at all: every row in file k+1 is event-time ≥ every
+    * row in file k, so the watermark advances monotonically under it
+    * and a watermark-correct operator must produce the SAME answer at
+    * any file count — the batching-invariance contract
+    * StreamingMultiBatchSpec pins for the as-of join. The ntile window
+    * is one sort of the bounded corpus at stage time (test-scale
+    * staging cost, not the operator's plan; production feeds arrive
+    * time-ordered from the bus anyway).
+    */
+  private def eventsStreamTimeOrdered(s: SparkSession, d: String, nFiles: Int): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_torder_" + graft.StagePath.corpusToken(d) + s"_n$nFiles")
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve("_src_meta")
+    val meta = graft.StagePath.srcMeta(d, src, StagedEventsVersion + "_torder1")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet"))) &&
+      !java.nio.file.Files.exists(dir.resolve(s"b$nFiles.parquet"))
+    if (!fresh) {
+      val listing = java.nio.file.Files.list(dir)
+      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally listing.close()
+      val work = dir.resolve("_work")
+      val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
+      val ranked = graft.Tables.events(s, d).withColumn("_tile",
+        ntile(nFiles).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))) - 1)
+      for (k <- 0 until nFiles) {
+        ranked.filter(col("_tile") === k).drop("_tile")
+          .coalesce(1).write.mode("overwrite").parquet(work.toString)
+        val partFile = {
+          val l = java.nio.file.Files.list(work)
+          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally l.close()
+        }
+        val dst = dir.resolve(s"b$k.parquet")
+        java.nio.file.Files.move(partFile, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 1000L))
+      }
+      if (java.nio.file.Files.exists(work)) {
+        val l = java.nio.file.Files.list(work)
+        try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally l.close()
+        java.nio.file.Files.deleteIfExists(work)
+      }
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
+    s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(dir.toString)
+  }
+
+  /** st19: stream-stream AS-OF join — each purchase matched to the
+    * same user's LATEST click at-or-before it, the streaming analogue
+    * of q15/q23 (VERDICT r17 #5) and the composition production users
+    * reach for next after st6's interval join (latest-quote-per-trade
+    * attribution). True as-of needs unbounded lookback, which no
+    * bounded-state stream can hold; the production form bounds it —
+    * here 30 minutes — making the state watermark-evictable.
+    *
+    * Shape: ONE stream-stream inner interval join (clicks × purchases
+    * on user with cts ∈ [pts − 30 min, pts]; state on each side
+    * dropped once the watermark passes the range) feeding ONE windowed
+    * max-aggregate (group by the purchase's hour window + identity,
+    * `max(struct(cts, click_id))` — the lexicographic max IS the as-of
+    * pick, ties broken by click_id) — the multi-stateful-operator
+    * pipeline Spark supports in append mode since watermark
+    * propagation landed. Purchases with no click in the lookback are
+    * absent (inner); purchases in the final never-closed hour window
+    * are unemitted, exactly st5/st8's append-mode discipline — the
+    * oracle carries the same ms-precision watermark cutoff, shifted by
+    * the join's 30-minute delay (watermark propagation subtracts the
+    * interval bound on the purchase side so join state can rendezvous
+    * with late clicks; measured via lastRunTrace, pinned by the
+    * oracle's HAVING).
+    *
+    * Scale: both join state and agg state are keyed by (user | window,
+    * purchase) — shard across executors, bounded by watermark ×
+    * arrival rate, no corpus-sized state; the join is the only
+    * exchange pair. Batching-invariant under time-ordered arrival
+    * (StreamingMultiBatchSpec proves 1-file ≡ 3-file ≡ batch oracle).
+    */
+  private[graft] def st19From(s: SparkSession,
+      mkStream: () => DataFrame, name: String): DataFrame = {
+    val clicks = mkStream()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val purchases = mkStream()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        timestamp_micros(expr("ts div 1000")).as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"))
+    val best = joined
+      // purchase_us rides as a PLAIN long: grouping on the pts
+      // timestamp itself would put two event-time columns (window +
+      // pts) in one stream, which the engine rejects
+      .withColumn("purchase_us", unix_micros(col("pts")))
+      .groupBy(window(col("pts"), "1 hour"),
+        col("purchase_id"), col("p_user"), col("purchase_us"))
+      .agg(max(struct(col("cts"), col("click_id"))).as("best"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_us"),
+        col("best.click_id").as("click_id"),
+        unix_micros(col("best.cts")).as("click_us"))
+    runToMemory(s, best, name, mode = "append")
+      .sortWithinPartitions(col("purchase_id"))
+  }
+
+  private def st19(s: SparkSession, d: String): DataFrame =
+    st19From(s, () => eventsStream(s, d), "graft_st19")
+
+  /** st19 over `nFiles` time-ordered landing files, one per trigger —
+    * StreamingMultiBatchSpec's batching-invariance probe. */
+  private[graft] def st19Files(s: SparkSession, d: String, nFiles: Int): DataFrame =
+    st19From(s, () => eventsStreamTimeOrdered(s, d, nFiles), s"graft_st19_n$nFiles")
+
+  private val st19Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+      |m AS (
+      |  SELECT p.event_id AS purchase_id, p.user_id, p.tus AS purchase_us,
+      |    c.event_id AS click_id, c.tus AS click_us
+      |  FROM e p JOIN e c ON c.user_id = p.user_id
+      |    AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |    AND c.tus <= p.tus AND c.tus >= p.tus - 1800000000
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |    ORDER BY c.tus DESC, c.event_id DESC) = 1)
+      |SELECT purchase_id, user_id, purchase_us, click_id, click_us
+      |FROM m
+      |WHERE ((purchase_us // 3600000000) * 3600 + 3600) * 1000 <=
+      |  (SELECT least(
+      |     MAX(CASE WHEN event_type = 'click' THEN tus END),
+      |     MAX(CASE WHEN event_type = 'purchase' THEN tus END)) // 1000
+      |     - 600000 - 1800000 FROM e)
+      |ORDER BY purchase_id""".stripMargin
+
   /** st9: streaming incremental admission — d12's admit/reject decision
     * run as CONTINUOUS ingest: today's documents stream in from a
     * landing directory and each is admitted or rejected against the
@@ -1166,6 +1321,7 @@ object StreamingOps {
     "st8_stream_multibatch" -> (st8 _),
     "st7_stream_dedup_bounded" -> (st7 _),
     "st6_stream_stream_join" -> (st6 _),
+    "st19_stream_asof_join" -> (st19 _),
     "st5_stream_append_window" -> (st5 _),
     "st4_stream_sessionize" -> (st4 _),
     "st1_stream_window" -> (st1 _),
@@ -1186,6 +1342,7 @@ object StreamingOps {
     "st8_stream_multibatch" -> st8Sql,
     "st7_stream_dedup_bounded" -> st7Sql,
     "st6_stream_stream_join" -> st6Sql,
+    "st19_stream_asof_join" -> st19Sql,
     "st5_stream_append_window" -> st5Sql,
     "st4_stream_sessionize" -> st4Sql,
     "st1_stream_window" -> st1Sql,

@@ -2,21 +2,23 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Accuracy bounds for the two sketch queries that deliberately have
-  * no DuckDB oracle (sketch internals are engine-specific — see the
-  * QueriesSpec rows-only allowlist). This spec replaces the missing
-  * oracle with the sketches' OWN published contracts, checked against
-  * exact results on the same data:
+/** Accuracy bounds for the sketch queries, checked against exact
+  * results on the same data (the sketches' OWN published contracts):
   *
-  *  - q25 `approx_percentile(..., accuracy)` (Greenwald-Khanna):
-  *    returns an actual input value whose RANK is within
-  *    ⌈n/accuracy⌉ of the target rank ⌈p·n⌉;
-  *  - q26 `approx_count_distinct` (HyperLogLog++): relative error
-  *    concentrated within the default relativeSD = 0.05.
+  *  - q25 value-domain histogram: the reported bucket upper bound
+  *    brackets the exact ceil-rank order statistic within one bucket
+  *    width (4096 cents for price; exact for width-1 quantity);
+  *  - q26 KMV (k-minimum-values over a fixed 40-bit md5 slice):
+  *    exact equality with an independent JVM re-derivation, plus the
+  *    1/sqrt(k-2) relative-error bound vs exact cardinality.
   *
-  * A silently-broken sketch (wrong column, wrong group wiring, a
-  * regression in the rewrite between partial and final agg) lands far
-  * outside both bounds, so "no_oracle" no longer means "unchecked".
+  * Since r18 both sketches are deterministic and hash-match the
+  * DuckDB oracle directly (VERDICT r17 #4); this spec keeps the
+  * ACCURACY semantics under test — the oracle proves both engines
+  * agree, this proves they agree on something that is actually a
+  * correct sketch. A silently-broken sketch (wrong column, wrong
+  * group wiring, a regression in the partial/final agg rewrite) lands
+  * far outside these bounds.
   */
 class SketchAccuracySpec extends SparkSpec {
 
@@ -27,93 +29,117 @@ class SketchAccuracySpec extends SparkSpec {
     * collected exact sides stay small (~60k rows). */
   private val accSf = "/root/testdata/sf0.01"
 
-  /** q25's accuracy parameter (Analytics.q25 passes 10000). */
-  private val Accuracy = 10000
-
-  /** GK rank-error check: `apx` must be an element of `sorted` whose
-    * 1-based rank lies within e = ⌈n/accuracy⌉ (+1 slack for the
-    * boundary-interpolation of ⌈p·n⌉ itself) of the target rank. */
-  private def assertWithinRankError(sorted: Array[Double], p: Double, apx: Double,
-      label: String): Unit = {
-    val n = sorted.length
-    assert(n > 0, s"$label: empty group")
-    assert(sorted.contains(apx),
-      s"$label: approx_percentile must return an actual input value, got $apx")
-    val e = math.max(1L, math.ceil(n.toDouble / Accuracy).toLong) + 1
-    val target = math.ceil(p * n).toLong.max(1L)
-    val lo = sorted(((target - e).max(1L) - 1).toInt)
-    val hi = sorted(((target + e).min(n.toLong) - 1).toInt)
-    assert(apx >= lo && apx <= hi,
-      s"$label: $apx outside rank window [$lo, $hi] (target rank $target ± $e of n=$n)")
-  }
-
-  test("q25 approx percentiles are within GK rank error of the exact order statistics") {
+  test("q25 histogram percentiles bracket the exact ceil-rank order statistics") {
+    // r18: q25 is the deterministic value-domain histogram (bucket
+    // width 4096 cents, ceil-rank targets); the contract is VALUE
+    // error <= one bucket width: the reported inclusive upper bound
+    // est satisfies est - 4096 < cents(true percentile) <= est, and
+    // quantity (width 1) is EXACT.
+    val W = 4096L
     val approx = SparkEntry.queries("q25_percentile_sketch")(spark, accSf).collect()
     assert(approx.nonEmpty)
     val rows = Tables.lineitem(spark, accSf)
       .select(col("l_returnflag"),
-        col("l_extendedprice").cast("double").as("price"),
-        col("l_quantity").cast("double").as("qty"))
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
       .collect()
     val byFlag = rows.groupBy(_.getString(0))
+    def ceilRankStat(sorted: Array[Long], num: Long, den: Long): Long = {
+      val n = sorted.length.toLong
+      val target = ((num * n + den - 1) / den).max(1L)
+      sorted((target - 1).toInt)
+    }
     for (r <- approx) {
       val flag = r.getString(0)
       val grp = byFlag(flag)
-      val prices = grp.map(_.getDouble(1)).sorted
-      val qtys = grp.map(_.getDouble(2)).sorted
+      val cents = grp.map(_.getLong(1)).sorted
+      val qtys = grp.map(_.getLong(2)).sorted
       assert(r.getLong(4) === grp.length.toLong, s"$flag: group count wiring")
-      assertWithinRankError(prices, 0.5, r.getDouble(1), s"$flag p50_price")
-      assertWithinRankError(prices, 0.9, r.getDouble(2), s"$flag p90_price")
-      assertWithinRankError(qtys, 0.25, r.getDouble(3), s"$flag p25_qty")
+      for ((p, (num, den)) <- Seq("p50_price_cents" -> (1L, 2L), "p90_price_cents" -> (9L, 10L))) {
+        val est = r.getAs[Long](p)
+        val truth = ceilRankStat(cents, num, den)
+        assert(est % W === W - 1, s"$flag $p: $est is not a bucket upper bound")
+        assert(truth <= est && truth > est - W,
+          s"$flag $p: true value $truth outside the ($est - $W, $est] bucket")
+      }
+      assert(r.getAs[Long]("p25_qty") === ceilRankStat(qtys, 1L, 4L),
+        s"$flag p25_qty: width-1 histogram must be exact")
     }
   }
 
-  test("q25 sketch agrees with the ExactPercentile operator within the same rank window") {
+  test("q25 sketch agrees with the ExactPercentile operator within one bucket width") {
     // ties the sketch to the exact distributed operator it substitutes
-    // for at 100 TB: the interpolated exact value and the sketch value
-    // must be within one rank-window width of each other
+    // for at 100 TB: the exact p50 and the histogram's reported bucket
+    // upper bound must agree within one bucket width (in dollars,
+    // 4096 cents) plus the local inter-order-statistic gap that any
+    // interpolating exact convention can introduce
+    val W = 4096L
     val li = Tables.lineitem(spark, accSf)
     val exact = operators.ExactPercentile
       .percentilesMany(li, "l_returnflag", Seq("l_extendedprice" -> Seq(0.5)))
       .select(col("l_returnflag"), col("value"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val approx = SparkEntry.queries("q25_percentile_sketch")(spark, accSf)
-      .select(col("l_returnflag"), col("p50_price")).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .select(col("l_returnflag"), col("p50_price_cents")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val prices = li.select(col("l_returnflag"), col("l_extendedprice").cast("double"))
       .collect().groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getDouble(1)).sorted }
-    for ((flag, apx) <- approx) {
+    for ((flag, estCents) <- approx) {
       val sorted = prices(flag)
       val n = sorted.length
-      val e = (math.max(1L, math.ceil(n.toDouble / Accuracy).toLong) + 1).toInt
       val target = math.ceil(0.5 * n).toLong.max(1L).toInt
-      val width = sorted((target + e).min(n) - 1) - sorted((target - e).max(1) - 1)
-      assert(math.abs(apx - exact(flag)) <= width + 1e-9,
-        s"$flag: sketch p50 $apx vs exact ${exact(flag)} differ by more than the rank window $width")
+      val gap = sorted(target.min(n) - 1) - sorted((target - 1).max(1) - 1) +
+        (sorted((target + 1).min(n) - 1) - sorted(target.min(n) - 1))
+      val apx = estCents / 100.0
+      assert(math.abs(apx - exact(flag)) <= W / 100.0 + gap + 1e-9,
+        s"$flag: sketch p50 $apx vs exact ${exact(flag)} differ by more than a bucket + gap $gap")
     }
   }
 
-  /** HLL++ default relativeSD in Spark's `approx_count_distinct`. */
-  private val Rsd = 0.05
+  /** KMV parameters mirrored from Analytics.q26 (k) and
+    * [[graft.functions.KmvDistinct]] (hash domain). */
+  private val KmvK = 64
+  private val KmvHashMax = 1L << 40
 
-  test("q26 approx distinct counts are within HLL++ relative error of exact counts") {
+  test("q26 KMV estimates recompute from an independent JVM sketch and bound the exact counts") {
+    // the d24/t31 discipline: re-derive the sketch end-to-end in plain
+    // JVM code (MessageDigest md5 -> 40-bit slice -> k smallest
+    // distinct -> integer estimate) and require EXACT equality with
+    // the query — then check the estimate against exact cardinality
+    // under the KMV error bound (rsd ~ 1/sqrt(k-2) ~ 0.127 at k=64;
+    // 3x margin — deterministic data, a fixed gate, not statistical).
     val approx = SparkEntry.queries("q26_distinct_sketch")(spark, accSf).collect()
     assert(approx.nonEmpty)
-    val exact = Tables.events(spark, accSf)
-      .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n_events"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val events = Tables.events(spark, accSf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h40(uid: Long): Long = {
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(10)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val byType = events.groupBy(_._1)
+    var estimatePathSeen = false
     for (r <- approx) {
       val et = r.getString(0)
-      val (exUsers, exEvents) = exact(et)
-      assert(r.getLong(2) === exEvents, s"$et: n_events wiring")
+      val grp = byType(et)
+      assert(r.getLong(2) === grp.length.toLong, s"$et: n_events wiring")
+      val hashes = grp.map(e => h40(e._2)).distinct.sorted
+      val expected =
+        if (hashes.length < KmvK) hashes.length.toLong
+        else { estimatePathSeen = true; (KmvK - 1).toLong * KmvHashMax / (hashes(KmvK - 1) + 1L) }
+      assert(r.getLong(1) === expected,
+        s"$et: query KMV ${r.getLong(1)} != independent JVM sketch $expected")
+      val exUsers = grp.map(_._2).distinct.length
       val rel = math.abs(r.getLong(1) - exUsers).toDouble / exUsers
-      // 2x the configured standard deviation: deterministic data, so
-      // this is a fixed margin, not a flaky statistical gate
-      assert(rel <= 2 * Rsd,
-        s"$et: approx ${r.getLong(1)} vs exact $exUsers — relative error $rel > ${2 * Rsd}")
+      assert(rel <= 3 * 0.127,
+        s"$et: approx ${r.getLong(1)} vs exact $exUsers — relative error $rel > ${3 * 0.127}")
     }
+    // inject-then-measure: at this SF the estimate branch (not the
+    // exact n<k fallback) must actually run somewhere, or the bound
+    // above is vacuous
+    assert(estimatePathSeen, s"no group reached k=$KmvK distinct hashes — estimate path untested")
   }
 
   test("d24 curve recomputes from an independent JVM minhash/band/jaccard pass") {

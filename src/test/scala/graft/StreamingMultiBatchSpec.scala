@@ -95,6 +95,26 @@ class StreamingMultiBatchSpec extends SparkSpec {
       s"expected >= 3 data micro-batches, got input-row trace $batches")
   }
 
+  test("st19 as-of join is batching-invariant under time-ordered arrival") {
+    // VERDICT r17 #5's done-bar: the chained stateful pipeline
+    // (stream-stream interval join -> windowed as-of max) must give
+    // the same answer whether the bounded feed arrives as one file or
+    // as three time-contiguous files with the watermark genuinely
+    // advancing between triggers. sf0.01, not sf0.001: the as-of
+    // match is sparse (2 rows at sf0.001) and the invariance claim
+    // needs emitted windows on BOTH sides of a mid-run watermark.
+    val dir = "/root/testdata/sf0.01"
+    val single = SparkEntry.queries("st19_stream_asof_join")(spark, dir)
+      .orderBy("purchase_id").collect().toSeq
+    assert(single.size > 5, s"st19 emitted only ${single.size} rows — invariance check undernourished")
+    val multi = streaming.StreamingOps.st19Files(spark, dir, 3)
+      .orderBy("purchase_id").collect().toSeq
+    assert(multi == single, "st19 diverged under a 3-file time-ordered split")
+    val batches = streaming.StreamingOps.lastRunBatches("graft_st19_n3")
+    assert(batches.count(_ > 0) >= 3,
+      s"expected >= 3 data micro-batches, got input-row trace $batches")
+  }
+
   test("st9/st10 are file-count-invariant per trigger: 6 files drained 3 per batch") {
     // r12 verdict #7: a production landing dir never hands a trigger
     // exactly one file, so the stateless admission paths must also be
