@@ -17,17 +17,49 @@ object Bench {
     * only comparable with a host-speed denominator; this probe puts
     * one in every bench artifact (`calib_ms`).
     */
-  private def hostCalibMs(): Long = {
+  private def calibPass(): Long = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    // consume x so the loop cannot be dead-code-eliminated
+    if (x == 0) System.err.println("calib: unreachable")
+    (System.nanoTime() - t0) / 1000000
+  }
+
+  private def hostCalibMs(): Long = (1 to 3).map(_ => calibPass()).min
+
+  /** PARALLEL host calibration (r18): `n` threads each running the
+    * single-thread probe loop concurrently; the reading is the wall of
+    * the slowest, best-of-2. On real silicon, n independent
+    * register-only loops cost ~1.0x the single-thread wall (no shared
+    * resource); under a hypervisor CPU quota they do not — the r18
+    * host ran the r17-identical sweep a uniform 1.38x slower (median
+    * over 174 queries, ONE query faster) while single-thread calib_ms
+    * moved 409 → 415 (1.5%), and this probe measured the missing
+    * dimension directly: 32 concurrent burn loops ran 1.65x the
+    * single wall (~19 effective cores). The over-budget gate scales by
+    * the WORSE of the two ratios against the same pinned 386 ms
+    * reference (the r14 pricing host is assumed quota-free — its
+    * r14–r17 sweeps sat consistently at 0.7–0.8x budget, which a
+    * quota'd host cannot do), so a parallel-throughput-constrained
+    * host no longer reads as a fleet of 2x regressions. Both readings
+    * ride every bench line (`calib_ms`, `calib_par_ms`).
+    */
+  private def hostCalibParMs(n: Int): Long = {
     def pass(): Long = {
-      val t0 = System.nanoTime()
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      // consume x so the loop cannot be dead-code-eliminated
-      if (x == 0) System.err.println("calib: unreachable")
-      (System.nanoTime() - t0) / 1000000
+      val results = new java.util.concurrent.atomic.AtomicLong(0)
+      val threads = (1 to n).map { _ =>
+        new Thread(() => {
+          val t = calibPass()
+          results.updateAndGet(cur => math.max(cur, t))
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      results.get()
     }
-    (1 to 3).map(_ => pass()).min
+    (1 to 2).map(_ => pass()).min
   }
 
   def main(args: Array[String]): Unit = {
@@ -49,6 +81,8 @@ object Bench {
     // under it (warm-up + pass1 ~410 s, pass2 ~685 s).
     val timeBudgetS = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "700").toDouble
     val calibMs = hostCalibMs()
+    val calibParMs = hostCalibParMs(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -154,13 +188,18 @@ object Bench {
     // 1.13-1.22x slowdown that pushed 9 queries "over 1x" with zero
     // code change). Clamped so one bad calibration reading cannot
     // neuter or double the gate; reported values stay RAW seconds.
-    val calibScale = math.min(2.0, math.max(0.5, calibMs / Budgets.CalibRefMs))
+    // r18: the gate scale is the WORSE of single-thread speed and
+    // parallel throughput vs the same pinned reference — see
+    // hostCalibParMs (a CPU-quota'd host slows every parallel query
+    // while the single-thread probe barely moves)
+    val calibScale = math.min(2.0, math.max(0.5,
+      math.max(calibMs, calibParMs) / Budgets.CalibRefMs))
     val over = results.collect {
       case (k, v, true) if Budgets.seconds.get(k).exists(b => v > 2 * b * calibScale) =>
         "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs,"calib_scale":${f(calibScale)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)}}"""
     // The stdout metric line stays SHORT (~150 bytes): BENCH_r09 came
     // back parsed:null because the 92-entry per-query map grew the line
     // to ~2.9 KB and the driver's 2000-char capture tail sliced it
@@ -175,7 +214,7 @@ object Bench {
     val queriesLine =
       s"""{"metric":"queries","unit":"centisec","sf":"$sfDir","queries":$shortQs}"""
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs,"calib_scale":${f(calibScale)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)}}"""
     // stdout can be lost in log noise; persist the full map for the driver
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     // history only records FULL sweeps (filtered local-iteration runs

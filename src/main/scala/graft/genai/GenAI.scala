@@ -996,9 +996,11 @@ object GenAI {
     * yield NULL, not NaN, in both.
     *
     * Scale: two per-row response pipelines + one doc_id equi-join +
-    * bounded groupBys on (source) and (source, answer) — the marginal
-    * product Σₖ nAₖ·nBₖ joins two ≤|sources|×4-row aggregates, a
+    * bounded groupBys on (lang) and (lang, answer) — the marginal
+    * product Σₖ nAₖ·nBₖ joins two ≤|langs|×4-row aggregates, a
     * metadata-sized relation; nothing corpus-sized shuffles twice.
+    * (ADVICE r17: this note previously said `source` — the grouping
+    * key is lang, per the degeneracy argument above.)
     */
   private def g21(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)

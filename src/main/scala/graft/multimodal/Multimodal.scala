@@ -55,9 +55,14 @@ object Multimodal {
     * payload's leading bytes via generic prefix matching (PNG before
     * JPEG before GIF before RIFF+WEBP's two-window test), so the
     * compare pins the sniffing machinery, not the plant. The audit
-    * columns are the real findings: `mismatch` (the m1-rule claimed
-    * extension disagrees with content — the wrong-extension
-    * population) and `quarantine` (no known signature).
+    * columns are the real findings: `mismatch` (a claimed extension
+    * disagrees with content — the wrong-extension population) and
+    * `quarantine` (no known signature). `claimed` is an INDEPENDENT
+    * n_bytes%3 stand-in derived from the PAYLOAD length (magic bytes
+    * included), not m1's text-length rule — for magic-planted rows
+    * the two deliberately differ, which is what makes the mismatch
+    * population non-empty (ADVICE r17: the earlier doc called it "the
+    * m1-rule claim", which it is not).
     *
     * Scale: per-row codegen over a bounded payload PREFIX — Spark
     * hexes only the first 12 bytes (substring on binary before hex),

@@ -1376,7 +1376,15 @@ object TextAnalysis {
     * semantics: exactly the top share, ties broken stably, which is
     * what a budgeted keep actually does) — plus `flip`, the audit
     * column a curation review reads (which docs the calibration
-    * saved/sacrificed).
+    * saved/sacrificed). Small-n boundary (ADVICE r17): the quota
+    * `pr_micro = (r-1)*1e6 div max(n-1,1) >= 700000` keeps ceil(0.3·
+    * (n-1)) docs of an n-doc source — for tiny sources that is fewer
+    * than "30% of n" reads as, and a SINGLE-doc source keeps nothing
+    * (pr_micro = 0 < 700000). That is the documented contract, shared
+    * by both engines: a budgeted keep of a 1-doc source has no "top
+    * 30%" to keep; a pipeline needing keep-at-least-one would add a
+    * `r = n` override (not done here, so the audit stays faithful to
+    * the pure quota rule this corpus's ≥thousands-doc sources run).
     *
     * Exactness: the score is t18's integer [[scoredDocs]] surface;
     * the per-source position is an integer micro-unit rank ratio

@@ -147,6 +147,59 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("t31 probes join the broadcast count-min cells — no vocab-sized shuffle join") {
+    // the documented contract (VERDICT r17 #7): the d*w <= 1024-cell
+    // sketch and the 1-row total BROADCAST to the 20 probe rows; the
+    // only hash exchanges are the vocab-level token aggregates
+    val p = plan("t31_heavyhitter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"t31 cms join fell back to a shuffle join:\n$p")
+    assert(p.contains("partial_min"), s"t31 lost the mergeable min estimate:\n$p")
+  }
+
+  test("g21 agreement is one doc-id equi-join tree + bounded lang aggregates") {
+    val p = plan("g21_judge_agreement")
+    // marginals/base aggregate with map-side partials on the bounded
+    // lang key; the kappa join tree never goes cartesian and plans no
+    // window over response rows
+    assert("partial_(count|sum)".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"g21 planned a window over response rows:\n$p")
+  }
+
+  test("g22 reconciliation is two bounded per-model aggregates + one model-key join") {
+    val p = plan("g22_cost_reconcile")
+    // planned and billed sides each: partial+final HashAggregate on
+    // model; joined LEFT on the <=|models|-row key (broadcast at any
+    // scale — the agg output is bounded by the model count)
+    assert("partial_(count|sum)".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("SortMergeJoin"), s"g22 shuffled the bounded model join:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("s26 index health joins cell stats LEFT on the ncells-row centroid list") {
+    val p = plan("s26_index_health")
+    // the LEFT join keeps empty cells visible; both scalar totals ride
+    // broadcast cross joins of 1-row aggregates (the documented
+    // driver-metadata class) — never a corpus-sized cartesian
+    assert(p.contains("LeftOuter"), p)
+    // every nested-loop join must be the broadcast-scalar Cross form
+    // (1-row totals; the centroid pipeline adds its own) — a plain
+    // inner NLJ or cartesian of data-sized sides is the failure mode
+    val nlj = "BroadcastNestedLoopJoin [A-Za-z]+, [A-Za-z]+".r.findAllIn(p).toSeq
+    assert(nlj.forall(_.endsWith("Cross")), s"non-scalar NLJ: $nlj\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("m12 magic sniffing is a zero-exchange codegen'd projection") {
+    // cost independent of payload size (12-byte prefix hex) and of
+    // cluster size: per-row verdicts, no join, no shuffle at all
+    val p = plan("m12_magic_sniff")
+    assert(!p.contains("Exchange"), s"m12 gained a shuffle:\n$p")
+    assert(hasCodegen(p), p)
+  }
+
   test("d6 decontamination broadcasts only the benchmark shingle set") {
     val p = plan("d6_contamination")
     assert(p.contains("BroadcastHashJoin"), p)

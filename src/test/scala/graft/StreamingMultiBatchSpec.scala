@@ -113,6 +113,16 @@ class StreamingMultiBatchSpec extends SparkSpec {
     val batches = streaming.StreamingOps.lastRunBatches("graft_st19_n3")
     assert(batches.count(_ > 0) >= 3,
       s"expected >= 3 data micro-batches, got input-row trace $batches")
+    // plan pin (the streaming analogue of PlanShapeSpec): EXACTLY two
+    // stateful operators — the interval join and the windowed as-of
+    // aggregate; a third would mean an accidental extra state store,
+    // zero would mean the join collapsed to batch semantics. The
+    // progress trace renders one dropped-counter per state operator.
+    val trace = streaming.StreamingOps.lastRunTrace("graft_st19_n3")
+    val dropCounts = trace.map(l =>
+      "dropped=\\[([^\\]]*)\\]".r.findFirstMatchIn(l).map(_.group(1)).getOrElse(""))
+    assert(dropCounts.exists(_.split(",").length == 2),
+      s"expected 2 state operators in the st19 pipeline, trace:\n${trace.mkString("\n")}")
   }
 
   test("st9/st10 are file-count-invariant per trigger: 6 files drained 3 per batch") {
