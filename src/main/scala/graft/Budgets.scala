@@ -216,6 +216,10 @@ object Budgets {
     // r18: measured 4.17 best-of-3 (the two chained stateful
     // operators — interval join + windowed as-of max — over events)
     "st19_stream_asof_join" -> 5.2,
+    // r18: measured 2.47 / 2.83 best-of-3 warm (staged graph index +
+    // the bounded two-hop walk; s28 adds the brute-truth compare)
+    "s27_graph_ann" -> 3.1,
+    "s28_graph_recall" -> 3.5,
     "st14_stream_chunk" -> 2.2, // r15: measured 1.74 warm best-of-3 (4-file multi-batch regime)
     "st15_stream_scene" -> 1.7, // r16: measured 1.25 best-of-3 (keyed state op, single-batch staging)
     "st16_stream_validate" -> 2.4, // r16: measured 1.83 best-of-3 (stateless per-row, 4-file multi-batch)
@@ -348,6 +352,8 @@ object Budgets {
     "st5_stream_append_window" -> 8.0,
     "st6_stream_stream_join" -> 8.0,
     "st19_stream_asof_join" -> 8.0, // r18: new, no gate history yet
+    "s27_graph_ann" -> 8.0, // r18: new; staged index, best-of-2 rides the warm attach (the q27/s11 class)
+    "s28_graph_recall" -> 8.0, // r18: new
 
     "st7_stream_dedup_bounded" -> 8.0,
     "st9_stream_admit" -> 9.0, // worst honest 7.01 pre-r15-fix; isolated 4.8 after

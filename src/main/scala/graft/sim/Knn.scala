@@ -17,7 +17,7 @@ import graft.plans.TopK
 object Knn {
 
   /** The DuckDB mirror of VectorFunctions.dot — same sequential fold. */
-  private def duckDot(a: String, b: String): String =
+  private[sim] def duckDot(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, 64),
        |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)""".stripMargin
 
@@ -152,7 +152,7 @@ object Knn {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  private val s2BucketSql = lshDims
+  private[sim] val s2BucketSql = lshDims
     .map(i => s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
   private val s2Sql =
@@ -428,7 +428,7 @@ object Knn {
     * A tiny (queries × k) semi-join plus one aggregate; measurement
     * cost is the two rankings themselves, nothing quadratic.
     */
-  private def recallVs(tru: DataFrame, ann: DataFrame): DataFrame = {
+  private[sim] def recallVs(tru: DataFrame, ann: DataFrame): DataFrame = {
     val nTrue = tru.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
     val nFound = tru.join(ann, Seq("q_id", "vec_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_found"))
@@ -442,7 +442,7 @@ object Knn {
   /** Brute-force truth CTE `tru(q_id, vec_id)` at top-`k` — the s1
     * ranking (same NaN/ANSI predicate as s1Sql) that both recall
     * oracles (s5/s6) compare their approximate index against. */
-  private def truTopSql(k: Int): String =
+  private[sim] def truTopSql(k: Int): String =
     s"""tru AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS cos
@@ -452,7 +452,7 @@ object Knn {
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= $k)""".stripMargin
 
   /** Recall tail over tru/ann CTEs — the SQL mirror of [[recallVs]]. */
-  private val recallTailSql =
+  private[sim] val recallTailSql =
     """nt AS (SELECT q_id, COUNT(*) AS n_true FROM tru GROUP BY q_id),
       |nf AS (
       |  SELECT t.q_id, COUNT(*) AS n_found

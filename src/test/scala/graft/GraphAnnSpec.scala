@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Accuracy and structure contracts for the graph-ANN family
+  * (s27/s28) beyond the DuckDB hash-parity the driver checks:
+  * the oracle proves both engines compute the same thing; this spec
+  * proves the thing computed is a WORKING navigable index.
+  */
+class GraphAnnSpec extends SparkSpec {
+
+  /** sf0.01, the same accuracy SF as SketchAccuracySpec: big enough
+    * that the forest buckets and graph hops do real selection. */
+  private val accSf = "/root/testdata/sf0.01"
+
+  test("s28 graph recall@10 clears the measured floor") {
+    // measured 0.9-1.0 per query at sf0.01/sf0.1/sf1 in r18; 0.5 is
+    // the regression alarm, not the spec of the index (a broken walk
+    // reads 0.0-0.3 — the single-table draft did)
+    val rec = SparkEntry.queries("s28_graph_recall")(spark, accSf).collect()
+    assert(rec.length === 5)
+    for (r <- rec) {
+      assert(r.getLong(1) === 10L, s"q${r.getLong(0)}: truth size wiring")
+      assert(r.getDouble(3) >= 0.5,
+        s"q${r.getLong(0)}: graph recall ${r.getDouble(3)} below the 0.5 floor")
+    }
+  }
+
+  test("the navigation earns its keep: graph recall beats the forest-scan baseline") {
+    // inject-then-measure (the t16/t28/t31 discipline): a graph whose
+    // hops never add a neighbor is a vacuous index — the walk must
+    // strictly beat the no-graph forest bucket scan somewhere, and
+    // never lose to it
+    val graph = SparkEntry.queries("s28_graph_recall")(spark, accSf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val seeds = sim.GraphAnn.s28SeedsOnly(spark, accSf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(graph.keySet === seeds.keySet)
+    for ((q, g) <- graph)
+      assert(g >= seeds(q) - 1e-12, s"q$q: graph $g lost to forest-only ${seeds(q)}")
+    assert(graph.exists { case (q, g) => g > seeds(q) + 1e-12 },
+      s"hops added nothing anywhere: graph=$graph forest=$seeds")
+  }
+
+  test("the graph index has bounded out-degree and no self-loops") {
+    val edges = sim.GraphAnn.graphEdges(spark, accSf).collect()
+    assert(edges.nonEmpty)
+    assert(!edges.exists(r => r.getLong(0) == r.getLong(1)), "self-loop edge")
+    val deg = edges.groupBy(_.getLong(0)).map(_._2.length)
+    assert(deg.max <= 16, s"out-degree ${deg.max} exceeds G=16")
+    // edges are (cos DESC)-ranked truncations: every stored cos is finite
+    assert(edges.forall(r => !r.getDouble(2).isNaN), "NaN cosine survived")
+  }
+
+  test("s27 re-run rides the staged index (same results, marker untouched)") {
+    // the s11 staged-artifact discipline: the second run must read the
+    // persisted edges, not rebuild — proven by the freshness marker's
+    // mtime being untouched across runs and results being identical
+    val first = SparkEntry.queries("s27_graph_ann")(spark, accSf).collect().toSeq
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_graphindex_" + StagePath.corpusToken(accSf))
+    val marker = dir.resolve("_src_meta")
+    val mtime = java.nio.file.Files.getLastModifiedTime(marker)
+    val second = SparkEntry.queries("s27_graph_ann")(spark, accSf).collect().toSeq
+    assert(second === first, "staged-index re-run diverged")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === mtime,
+      "second run re-staged the index instead of reading it")
+  }
+}
