@@ -419,8 +419,14 @@ object Bench {
       // distinguishable from a filtered or A/B measurement.
       val confJson =
         if (passConf.isEmpty) "[]" else passConf.mkString("[\"", "\",\"", "\"]")
+      // r18: the line carries the run's host-speed scale so the BAND
+      // derivation (BudgetsSpec) can normalize raw sf1 seconds the
+      // same way the trip condition does (sec > band × scale ⇔
+      // sec/scale > band) — without it a quota'd host's inflated raw
+      // readings ratchet the absolute bands exactly like r17's loaded
+      // readings ratcheted the ratios
       val tags = s""","filtered":${only.nonEmpty},"n_gated":${
-        Budgets.sf1MaxRatio.keys.count(k => only.forall(_(k)))},"conf":$confJson,"ts":${
+        Budgets.sf1MaxRatio.keys.count(k => only.forall(_(k)))},"conf":$confJson,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)},"ts":${
         System.currentTimeMillis / 1000}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("SF1_HISTORY.jsonl"),
         (full.dropRight(1) + tags + "\n").getBytes("UTF-8"),

@@ -109,6 +109,14 @@ class BudgetsSpec extends AnyFunSuite {
         val hasConf = n.has("conf") && n.path("conf").size() > 0
         if (!filtered && !hasConf) {
           val ts = n.path("ts").asLong(0L)
+          // r18: BAND readings normalize by the run's recorded host
+          // scale, exactly like the trip condition (sec > band×scale ⇔
+          // sec/scale > band) — the r18 quota'd host reads every raw
+          // sf1 second ~1.5x high while trips stay correct; without
+          // this the quiet-but-slow host ratchets the bands the way
+          // loaded hosts used to ratchet ratios. Legacy lines without
+          // the field ran on the reference-class host: scale 1.0.
+          val scale = n.path("calib_scale").asDouble(1.0)
           val flagged = {
             val it = n.path("over_ratio").fieldNames()
             val b = scala.collection.mutable.Set[String]()
@@ -126,7 +134,8 @@ class BudgetsSpec extends AnyFunSuite {
               if (ratio > 0 && !flagged(e.getKey)) {
                 worst(e.getKey) = math.max(worst.getOrElse(e.getKey, 0.0), ratio)
                 if (sec > 0)
-                  worstSec(e.getKey) = math.max(worstSec.getOrElse(e.getKey, 0.0), sec)
+                  worstSec(e.getKey) =
+                    math.max(worstSec.getOrElse(e.getKey, 0.0), sec / scale)
               }
             }
           }
