@@ -81,8 +81,19 @@ object Bench {
     // under it (warm-up + pass1 ~410 s, pass2 ~685 s).
     val timeBudgetS = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "700").toDouble
     val calibMs = hostCalibMs()
-    val calibParMs = hostCalibParMs(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    // ADVICE r18 (medium): the parallel probe runs min(executor
+    // threads, real cores) burn loops — SPARK_GRAFT_CPUS is the
+    // executor-thread count, and on a quota-free host with fewer
+    // cores than threads, n>cores loops are inherently ~(n/cores)x
+    // the single wall, which the pinned single-thread reference would
+    // misread as a quota and saturate the 2.0 clamp (halving the
+    // gate's sensitivity). min() makes the ideal parallel wall ~= the
+    // single wall on ANY quota-free host, so the probe measures only
+    // what it exists to measure: a hypervisor throughput cap.
+    val parThreads = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      Runtime.getRuntime.availableProcessors)
+    val calibParMs = hostCalibParMs(parThreads)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -137,10 +148,33 @@ object Bench {
     // query's samples ~a sweep apart, so the per-query minimum is a
     // far better steady-state estimate at identical total cost.
     val repeatsWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // VERDICT r18 #1: the gate's start-of-sweep calibration cannot
+    // adjudicate a MID-sweep contention window (r18's driver run
+    // calibrated 1.18x, then 47 untouched queries blew up 2-253x in
+    // one alphabetically contiguous window). So the moment a sample
+    // exceeds its host-normalized 2x budget, BOTH probes re-run and
+    // the at-trip readings ride with the sample; BenchGate.classify
+    // then splits trips into `over_budget` (unexplained — plan
+    // regression evidence) and `contended` (the at-trip probe explains
+    // the excursion, or is itself beyond ContendedProbeScale). Probe
+    // cost is bounded by a 60 s reading cache — contention windows
+    // last minutes, and trips arrive in bursts inside them.
+    val startScale = BenchGate.gateScale(calibMs.toDouble, calibParMs.toDouble)
+    var lastTripCalib: Option[(Long, Long, Long)] = None // (ms, parMs, takenNanos)
+    def atTripCalib(): (Long, Long) = lastTripCalib match {
+      case Some((c, p, taken))
+          if System.nanoTime() - taken < BenchGate.AtTripCacheNanos => (c, p)
+      case _ =>
+        val c = hostCalibMs()
+        val p = hostCalibParMs(parThreads)
+        lastTripCalib = Some((c, p, System.nanoTime()))
+        (c, p)
+    }
     // pass-by-pass with the budget check between passes: pass 1 always
     // runs; pass k+1 runs only when the projected finish (elapsed +
     // 1.1 x the last pass's wall) fits the budget
-    val samples = scala.collection.mutable.ArrayBuffer.empty[(String, Option[Double])]
+    val samples = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[Double], Option[(Long, Long)])]
     var repeats = 0
     var lastPassS = 0.0
     var continue = true
@@ -150,10 +184,12 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (name, Some((System.nanoTime() - t0) / 1e9))
+          val t = (System.nanoTime() - t0) / 1e9
+          val tripped = Budgets.seconds.get(name).exists(b => t > 2 * b * startScale)
+          (name, Some(t), if (tripped) Some(atTripCalib()) else None)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          (name, None)
+          (name, None, None)
         }
       }
       repeats += 1
@@ -166,18 +202,21 @@ object Bench {
         continue = false
       }
     }
+    // per query: the best (minimum) sample and, when that sample
+    // tripped, the at-trip calibration taken with it
     val results = ordered.map { case (name, _) =>
-      val times = samples.collect { case (`name`, Some(t)) => t }
-      (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)
+      val ss = samples.collect { case (`name`, Some(t), ac) => (t, ac) }
+      if (ss.isEmpty) (name, -1.0, false, None: Option[(Long, Long)])
+      else { val (t, ac) = ss.minBy(_._1); (name, t, true, ac) }
     }
     // failed queries report the sentinel -1, never a misleading
     // duration; the run as a whole still emits a parseable line
     // 3-decimal seconds: ms resolution is below run-to-run jitter, and
     // a compact line survives a driver that captures only an output tail
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f(v) else "-1") }
+    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) f(v) else "-1") }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
     val nFailed = results.count(!_._3)
     // regression gate vs BASELINE.md: a query over 2x its pinned budget
     // is a flag, not noise (budgets already carry 25% headroom). The
@@ -191,15 +230,36 @@ object Bench {
     // r18: the gate scale is the WORSE of single-thread speed and
     // parallel throughput vs the same pinned reference — see
     // hostCalibParMs (a CPU-quota'd host slows every parallel query
-    // while the single-thread probe barely moves)
-    val calibScale = math.min(2.0, math.max(0.5,
-      math.max(calibMs, calibParMs) / Budgets.CalibRefMs))
-    val over = results.collect {
-      case (k, v, true) if Budgets.seconds.get(k).exists(b => v > 2 * b * calibScale) =>
-        "\"" + k + "\":" + v
+    // while the single-thread probe barely moves).
+    // r19 (VERDICT r18 #1): trips are CLASSIFIED, not just listed —
+    // BenchGate.classify on the minimal sample's at-trip calibration
+    // splits `over_budget` (unexplained) from `contended` (adjudicated
+    // host contention); every trip's at-trip probe readings ride the
+    // artifact under `trip_calib` so it defends itself.
+    val calibScale = startScale
+    val verdicts = results.collect {
+      case (k, v, true, ac) if Budgets.seconds.contains(k) =>
+        val atTrip = ac.map { case (c, p) => (c.toDouble, p.toDouble) }
+        (k, v, atTrip, BenchGate.classify(v, Budgets.seconds(k), startScale, atTrip))
+    }
+    val over = verdicts.collect { case (k, v, _, BenchGate.OverBudget) =>
+      "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
+    val contended = verdicts.collect { case (k, v, _, BenchGate.Contended) =>
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val tripCalib = verdicts.collect {
+      case (k, _, Some((c, p)), vd) if vd != BenchGate.Ok =>
+        "\"" + k + s"""":{"calib_ms":${c.toLong},"calib_par_ms":${p.toLong},"scale":${
+          f(BenchGate.rawScale(c, p))}}"""
+    }.mkString("{", ",", "}")
+    // run-level boolean for history consumers (VERDICT r18 #2): a run
+    // with ANY contended-classified trip is not a clean observation —
+    // bench_compare.py and budget re-bases exclude it mechanically
+    // instead of adjudicating prose
+    val contendedRun = verdicts.exists(_._4 == BenchGate.Contended)
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"contended":$contended,"trip_calib":$tripCalib,"contended_run":$contendedRun,"repeats":$repeats,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)}}"""
     // The stdout metric line stays SHORT (~150 bytes): BENCH_r09 came
     // back parsed:null because the 92-entry per-query map grew the line
     // to ~2.9 KB and the driver's 2000-char capture tail sliced it
@@ -208,13 +268,13 @@ object Bench {
     // survive in the repo — r12 verdict #3), and on stdout as the
     // COMPACT queries line below (short keys + centiseconds, ~1.4 KB,
     // printed BEFORE the metric line so a tail slice cuts it first).
-    val shortQs = results.map { case (k, v, ok) =>
+    val shortQs = results.map { case (k, v, ok, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + (if (ok) (v * 100).round.toString else "-1")
     }.mkString("{", ",", "}")
     val queriesLine =
       s"""{"metric":"queries","unit":"centisec","sf":"$sfDir","queries":$shortQs}"""
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"repeats":$repeats,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"contended":$contended,"contended_run":$contendedRun,"repeats":$repeats,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)}}"""
     // stdout can be lost in log noise; persist the full map for the driver
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     // history only records FULL sweeps (filtered local-iteration runs
@@ -280,7 +340,7 @@ object Bench {
           !java.nio.file.Files.exists(
             java.nio.file.Paths.get(sf1Dir + "-trange", "events.parquet")))
         ScaleData.generateRangeScaledEvents(spark, sfDir, sf1Dir + "-trange", 10)
-      val baseTime = results.collect { case (n, t, true) => n -> t }.toMap
+      val baseTime = results.collect { case (n, t, true, _) => n -> t }.toMap
       // the local-iteration filter narrows the gate too (full-gate
       // runs are the driver's; a filtered run is someone measuring)
       val gated = Budgets.sf1MaxRatio.toSeq.sortBy(_._1)
@@ -425,8 +485,19 @@ object Bench {
       // sec/scale > band) — without it a quota'd host's inflated raw
       // readings ratchet the absolute bands exactly like r17's loaded
       // readings ratcheted the ratios
+      // ADVICE r18 (low): the line records the allowances IN FORCE at
+      // gate time — the contaminated-run adjudication (BudgetsSpec)
+      // compares isolated-confirmation readings against an allowance,
+      // and reading the CURRENT table made the derivation
+      // self-referential (editing an allowance flipped which past runs
+      // count as contaminated). Recorded once per line, adjudicated
+      // against the recorded value forever.
+      val allowJson = Budgets.sf1MaxRatio.toSeq.sortBy(_._1)
+        .filter { case (k, _) => only.forall(_(k)) }
+        .map { case (k, r) => "\"" + k + "\":" + r }
+        .mkString("{", ",", "}")
       val tags = s""","filtered":${only.nonEmpty},"n_gated":${
-        Budgets.sf1MaxRatio.keys.count(k => only.forall(_(k)))},"conf":$confJson,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)},"ts":${
+        Budgets.sf1MaxRatio.keys.count(k => only.forall(_(k)))},"conf":$confJson,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)},"allow":$allowJson,"ts":${
         System.currentTimeMillis / 1000}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("SF1_HISTORY.jsonl"),
         (full.dropRight(1) + tags + "\n").getBytes("UTF-8"),
@@ -442,6 +513,16 @@ object Bench {
       trend.foreach { t => println("GRAFT_SF1_TREND"); println(t) }
       println("GRAFT_SF1_JSON")
       println(short)
+    }
+    // ADVICE r18 (low): when an sf1 phase emitted anything after the
+    // sweep's metric line, re-print the marker+line LAST — a driver
+    // that keeps only a ~2 KB stdout tail (the BENCH_r09 failure mode)
+    // must still find it; parsers that see both take the last
+    // occurrence (they are identical). bench_last.json remains the
+    // canonical full artifact either way.
+    if (sf1Requested.isDefined) {
+      println("GRAFT_BENCH_JSON")
+      println(line)
     }
     System.out.flush()
     spark.stop()

@@ -274,14 +274,15 @@ object Budgets {
     "d7_cluster" -> 8.0,
     "d8_simhash_pairs" -> 8.0,
     "d14_repeated_ngrams" -> 8.0,
-    // r18: the contaminated-run rule first restored this to 8 (the
-    // r17 7.20 reading was the load-avg-8 gate, isolated conf 5.07),
-    // then the round's CLEAN closing gate read an honest 6.97 (ratio
-    // axis, self-normalized; zero trips in the run) — under the 15%-
-    // headroom rule that derives 9. The d19 ratio genuinely breathes
-    // 5-7x: its gram join-back is the pure-linear class whose sf0.1
-    // denominator is small.
-    "d19_substring_remove" -> 9.0,
+    // r19 (VERDICT r18 #3): back to 8 under scale-eligibility — the
+    // 6.97 reading that ratcheted this to 9 came from the r18 closing
+    // gate at calib_scale 1.516 (a zero-trip but quota'd run, exactly
+    // the blind spot the rule closes); worst scale-eligible honest
+    // reading is 6.20. The d19 ratio genuinely breathes 5-7x (its
+    // gram join-back is the pure-linear class whose sf0.1 denominator
+    // is small), so this stays the watch-list entry for band
+    // conversion if it ever trips honestly.
+    "d19_substring_remove" -> 8.0,
     "d21_dedup_pack" -> 8.0,
     "s8_kmeans" -> 8.0,
     "s11_ivf_persist" -> 8.0,

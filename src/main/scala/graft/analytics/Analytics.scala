@@ -592,7 +592,16 @@ object Analytics {
     val hex10 = (1 to 10).map { i =>
       s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (10 - i))}"
     }.mkString(" + ")
-    s"""WITH h AS (SELECT DISTINCT event_type, CAST($hex10 AS BIGINT) AS hv FROM events),
+    // ADVICE r18: the h CTE skips NULL user_ids to mirror the
+    // aggregate exactly — KmvDistinct's update skips null hashes
+    // (md5(NULL) is NULL), while a bare SELECT DISTINCT would keep a
+    // NULL hv row, inflating nd by one and shifting the n<k fallback.
+    // Latent today (the generated corpus has no NULL user_ids), but
+    // the oracle must be the same FUNCTION as the query, not merely
+    // agree on current data. The n CTE stays unguarded: count(1)
+    // counts every event whatever its user_id, on both engines.
+    s"""WITH h AS (SELECT DISTINCT event_type, CAST($hex10 AS BIGINT) AS hv
+       |  FROM events WHERE user_id IS NOT NULL),
        |r AS (SELECT event_type, hv,
        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
        |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h),

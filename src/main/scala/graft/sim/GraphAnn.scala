@@ -205,7 +205,15 @@ object GraphAnn {
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
       java.nio.file.Files.exists(dir.resolve("edges"))
     if (!fresh) {
-      graphEdges(s, d).write.mode("overwrite").parquet(dir.resolve("edges").toString)
+      // ADVICE r18: stage via write-to-temp + rename — an in-place
+      // mode("overwrite") write lets a concurrent warm reader (second
+      // bench/test process on the same corpus after a version bump)
+      // observe a half-written edges directory behind the old marker
+      // window; atomicSwapDir shrinks the exposure to the rename
+      // instant (the r13 dedup-manifest fix, applied here).
+      graft.StagePath.atomicSwapDir(dir.resolve("edges")) { tmp =>
+        graphEdges(s, d).write.mode("overwrite").parquet(tmp.toString)
+      }
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
     dir

@@ -1549,14 +1549,22 @@ object Knn {
       val e = Tables.embeddings(s, d)
         .repartition(s.sessionState.conf.numShufflePartitions)
       val centArr = centroidArrays(e)
-      centArr.write.mode("overwrite").parquet(dir.resolve("centroids").toString)
-      assign(e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
-          .filter(col("norm_e") > 0), // ANSI zero-norm guard (see s1)
-          centArr, Seq("embedding", "norm_e"))
-        .select(col("vec_id"), col("embedding"), col("norm_e"),
-          col("cell").as("assigned_cell"))
-        .write.mode("overwrite").partitionBy("assigned_cell")
-        .parquet(dir.resolve("lists").toString)
+      // ADVICE r18: both artifacts stage via write-to-temp + rename
+      // (the r13 dedup-manifest discipline) — an in-place overwrite
+      // after a version bump let a concurrent warm reader observe a
+      // half-written directory behind the old marker window.
+      graft.StagePath.atomicSwapDir(dir.resolve("centroids")) { tmp =>
+        centArr.write.mode("overwrite").parquet(tmp.toString)
+      }
+      graft.StagePath.atomicSwapDir(dir.resolve("lists")) { tmp =>
+        assign(e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+            .filter(col("norm_e") > 0), // ANSI zero-norm guard (see s1)
+            centArr, Seq("embedding", "norm_e"))
+          .select(col("vec_id"), col("embedding"), col("norm_e"),
+            col("cell").as("assigned_cell"))
+          .write.mode("overwrite").partitionBy("assigned_cell")
+          .parquet(tmp.toString)
+      }
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
     dir
@@ -1658,14 +1666,17 @@ object Knn {
         .select((col("vec_id") + lit(1000000L)).as("vec_id"),
           lit(null).cast("int").as("label"),
           expr(PerturbedBatchExpr).as("embedding"))
-      assign(batch
-          .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
-          .filter(col("norm_e") > 0),
-          centArr, Seq("embedding", "norm_e"))
-        .select(col("vec_id"), col("embedding"), col("norm_e"),
-          col("cell").as("assigned_cell"))
-        .write.mode("overwrite").partitionBy("assigned_cell")
-        .parquet(delta.resolve("lists").toString)
+      // ADVICE r18: staged via temp + rename like the base index
+      graft.StagePath.atomicSwapDir(delta.resolve("lists")) { tmp =>
+        assign(batch
+            .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
+            .filter(col("norm_e") > 0),
+            centArr, Seq("embedding", "norm_e"))
+          .select(col("vec_id"), col("embedding"), col("norm_e"),
+            col("cell").as("assigned_cell"))
+          .write.mode("overwrite").partitionBy("assigned_cell")
+          .parquet(tmp.toString)
+      }
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
     val probes = indexProbes(s, d, centArr)

@@ -95,15 +95,25 @@ class BudgetsSpec extends AnyFunSuite {
       val isoRuns = nodes.filter(n =>
         n.path("filtered").asBoolean(false) &&
           !(n.has("conf") && n.path("conf").size() > 0))
-      // an under-allowance isolated re-measurement of k within 2 h of ts
-      def adjudicatedAsLoad(k: String, ts: Long): Boolean = {
-        val allowance = Budgets.sf1MaxRatio.getOrElse(k, 8.0)
+      // an under-allowance isolated re-measurement of k within 2 h of
+      // ts. ADVICE r18 (low): the allowance is the one RECORDED in the
+      // confirmation line at its gate time (`allow`, written by Bench
+      // since r19) — adjudicating against the current table made the
+      // derivation self-referential: editing an allowance flipped
+      // which past runs count as contaminated, which changed the
+      // derived worst-honest the test then checked that same allowance
+      // against. Legacy lines without the field fall back to the
+      // current table (their adjudications were settled in the r18
+      // round log and the values have not moved under them).
+      def adjudicatedAsLoad(k: String, ts: Long): Boolean =
         isoRuns.exists { c =>
+          val allowance =
+            if (c.path("allow").has(k)) c.path("allow").path(k).asDouble
+            else Budgets.sf1MaxRatio.getOrElse(k, 8.0)
           math.abs(c.path("ts").asLong(0L) - ts) <= 7200L &&
             c.path("ratios").has(k) &&
             c.path("ratios").path(k).path("ratio").asDouble(Double.MaxValue) < allowance
         }
-      }
       nodes.foreach { n =>
         val filtered = n.path("filtered").asBoolean(true)
         val hasConf = n.has("conf") && n.path("conf").size() > 0
@@ -125,6 +135,20 @@ class BudgetsSpec extends AnyFunSuite {
           }
           val contaminated =
             flagged.nonEmpty && flagged.forall(adjudicatedAsLoad(_, ts))
+          // VERDICT r18 #3 (the zero-trip blind spot): a uniformly
+          // loaded run that trips NOTHING used to contribute its
+          // inflated ratios to worst-honest and ratchet allowances —
+          // the r17 erosion pattern one notch below the trip
+          // threshold. RATIO readings are ratchet-eligible only from
+          // runs whose recorded calib_scale is ≤ 1.1 (the
+          // reference-class band: legacy lines ran 0.89–1.07); BAND
+          // readings stay eligible from every clean run because they
+          // normalize by the recorded scale — bands don't need
+          // eligibility, ratios do (their sf0.1 denominator breathes
+          // with the same load as the numerator only when the load is
+          // CONSTANT across the ~10-minute gate, which a quota is and
+          // a contention window is not).
+          val ratioEligible = scale <= 1.1
           if (!contaminated) {
             val rit = n.path("ratios").fields()
             while (rit.hasNext) {
@@ -132,7 +156,8 @@ class BudgetsSpec extends AnyFunSuite {
               val ratio = e.getValue.path("ratio").asDouble(-1.0)
               val sec = e.getValue.path("sec").asDouble(-1.0)
               if (ratio > 0 && !flagged(e.getKey)) {
-                worst(e.getKey) = math.max(worst.getOrElse(e.getKey, 0.0), ratio)
+                if (ratioEligible)
+                  worst(e.getKey) = math.max(worst.getOrElse(e.getKey, 0.0), ratio)
                 if (sec > 0)
                   worstSec(e.getKey) =
                     math.max(worstSec.getOrElse(e.getKey, 0.0), sec / scale)

@@ -23,8 +23,20 @@ def load(p):
 def history(n_back_a, n_back_b):
     with open("BENCH_HISTORY.jsonl") as f:
         entries = [json.loads(l) for l in f if l.strip()]
+    # contended runs (host-contention adjudicated by at-trip
+    # calibration, or retro-flagged) are not observations — comparing
+    # against one reads as a fleet of regressions (the r18 2164s line)
+    skipped = [e for e in entries if e.get("contended_run")]
+    entries = [e for e in entries if not e.get("contended_run")]
+    if skipped:
+        print(f"(skipping {len(skipped)} contended run(s): "
+              f"{[e['ts'] for e in skipped]})")
+    # the round-over-round diff is an sf0.1-sweep comparison; sf0.001
+    # smoke runs also append (they are honest full sweeps, just at the
+    # wrong scale for budget comparison)
+    entries = [e for e in entries if e.get("sf", "").endswith("sf0.1")]
     if len(entries) < max(n_back_a, n_back_b):
-        sys.exit(f"only {len(entries)} history entries")
+        sys.exit(f"only {len(entries)} clean history entries")
     return entries[-n_back_a], entries[-n_back_b]
 
 def main():
