@@ -216,10 +216,20 @@ object Budgets {
     // r18: measured 4.17 best-of-3 (the two chained stateful
     // operators — interval join + windowed as-of max — over events)
     "st19_stream_asof_join" -> 5.2,
+    // r19: priced by same-run A/B vs st19 (the d25-vs-d24 rule):
+    // 7.32 vs 7.40 on a calib-1.30 host = 0.99x its sibling — the
+    // outer mode adds no state and re-emits the same joins plus the
+    // null rows, so it prices at st19's class
+    "st20_stream_asof_outer" -> 5.2,
     // r18: measured 2.47 / 2.83 best-of-3 warm (staged graph index +
     // the bounded two-hop walk; s28 adds the brute-truth compare)
     "s27_graph_ann" -> 3.1,
     "s28_graph_recall" -> 3.5,
+    // r19: priced by same-run A/B vs s27 (1.78x: 5.13 vs 2.88 at
+    // calib 1.15 — the union-corpus bucketize + walk over base∪batch
+    // reading base+delta edge segments; the maintenance itself is
+    // staged and amortized like s27's build)
+    "s29_graph_incremental" -> 5.5,
     "st14_stream_chunk" -> 2.2, // r15: measured 1.74 warm best-of-3 (4-file multi-batch regime)
     "st15_stream_scene" -> 1.7, // r16: measured 1.25 best-of-3 (keyed state op, single-batch staging)
     "st16_stream_validate" -> 2.4, // r16: measured 1.83 best-of-3 (stateless per-row, 4-file multi-batch)
@@ -357,6 +367,8 @@ object Budgets {
     "st5_stream_append_window" -> 8.0,
     "st6_stream_stream_join" -> 8.0,
     "st19_stream_asof_join" -> 8.0, // r18: new, no gate history yet
+    "st20_stream_asof_outer" -> 8.0, // r19: new, no gate history yet
+    "s29_graph_incremental" -> 8.0, // r19: new; staged base+delta, best-of-2 rides the warm attach
     "s27_graph_ann" -> 8.0, // r18: new; staged index, best-of-2 rides the warm attach (the q27/s11 class)
     "s28_graph_recall" -> 8.0, // r18: new
 

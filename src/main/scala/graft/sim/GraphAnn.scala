@@ -85,19 +85,27 @@ object GraphAnn {
   private val Tables4: Seq[Seq[Int]] =
     (0 until 4).map(t => (0 until 8).map(i => 1 + 2 * t + i * 8))
 
-  /** Normalized corpus with the 4 table buckets — s2's base relation,
-    * forest edition. */
-  private def base(s: SparkSession, d: String): DataFrame = {
-    val withBuckets = Tables4.zipWithIndex.foldLeft(
-      Tables.embeddings(s, d)
-        .repartition(s.sessionState.conf.numShufflePartitions)) {
-      case (df, (dims, t)) =>
-        df.withColumn(s"bucket$t", VectorFunctions.signBucket("embedding", dims))
+  /** Forest-bucket + norm decoration for any (vec_id, embedding)
+    * relation — shared by the base corpus and s29's arriving batch. */
+  private def bucketize(df: DataFrame): DataFrame = {
+    val withBuckets = Tables4.zipWithIndex.foldLeft(df) {
+      case (acc, (dims, t)) =>
+        acc.withColumn(s"bucket$t", VectorFunctions.signBucket("embedding", dims))
     }
     withBuckets
       .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
       .filter(col("norm_e") > 0)
   }
+
+  /** Normalized corpus with the 4 table buckets — s2's base relation,
+    * forest edition. */
+  private def base(s: SparkSession, d: String): DataFrame =
+    bucketize(Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions))
+
+  /** The columns every bucketed corpus relation carries. */
+  private val BCols: Seq[String] =
+    Seq("vec_id", "embedding", "norm_e") ++ Tables4.indices.map(t => s"bucket$t")
 
   /** Exact cosine for a (src, dst) pair relation carrying both
     * embeddings+norms; output (src, dst, cos). */
@@ -126,24 +134,38 @@ object GraphAnn {
     * bucket-sized window. */
   private val B = 16
 
+  /** Table t's pivot set over a bucketed corpus: the B smallest
+    * vec_ids per bucket, via a bounded heap (never a bucket-sized
+    * window). Output (dst, bk). */
+  private def pivotsFor(b: DataFrame, t: Int): DataFrame =
+    TopK.perKey(
+        b.select(col("vec_id"), col(s"bucket$t").as("bk"),
+          (-col("vec_id")).as("nv")),
+        Seq("bk"), "nv", "vec_id", B)
+      .select(col("vec_id").as("dst"), col("bk"))
+
   /** Same-bucket (member, pivot) id pairs across all forest tables,
-    * deduped. */
-  private def forestPairs(b: DataFrame): DataFrame =
+    * deduped. `srcFilter` (s29) restricts the MEMBER side before the
+    * pivot join, so the enumeration scales with the touched set, not
+    * the corpus. */
+  private def forestPairs(b: DataFrame, srcFilter: Option[DataFrame] = None): DataFrame =
     Tables4.indices.map { t =>
-      val members = b.select(col("vec_id").as("src"), col(s"bucket$t").as("bk"))
-      val pivots = TopK.perKey(
-          b.select(col("vec_id"), col(s"bucket$t").as("bk"),
-            (-col("vec_id")).as("nv")),
-          Seq("bk"), "nv", "vec_id", B)
-        .select(col("vec_id").as("dst"), col("bk"))
-      members.join(pivots, Seq("bk"))
+      val allMembers = b.select(col("vec_id").as("src"), col(s"bucket$t").as("bk"))
+      val members = srcFilter.fold(allMembers)(f =>
+        allMembers.join(f.select(col("vec_id").as("src")), Seq("src"), "leftsemi"))
+      members.join(pivotsFor(b, t), Seq("bk"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"))
     }.reduce(_ union _).distinct()
 
-  /** The final G-out-degree neighbor graph (src, dst, cos). */
-  private[graft] def graphEdges(s: SparkSession, d: String): DataFrame = {
-    val b = base(s, d)
+  /** Both build stages over a bucketed corpus: (g0 — the provisional
+    * forest-ranked graph, (src, dst); edges — the final NN-descent-
+    * refined top-G, (src, dst, cos)). g0 is exposed (and persisted by
+    * [[ensureGraphIndex]]) because s29's incremental maintenance needs
+    * it: a node's FINAL candidate set composes through g0, so deciding
+    * which nodes a batch touches requires the provisional graph, not
+    * just the final one. */
+  private def graphStages(b: DataFrame): (DataFrame, DataFrame) = {
     // stage 1: forest-bucket-bounded candidate pairs -> provisional
     // top-G (pairs carry ids only; each pair scores exactly once)
     val bucketPairs = forestPairs(b)
@@ -159,11 +181,16 @@ object GraphAnn {
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
     val pairSet = bucketPairs.union(composed).distinct()
-    TopK.perKey(
+    val edges = TopK.perKey(
       scorePairs(attach(pairSet, b)).filter(col("cos").isNotNull && !isnan(col("cos"))),
       Seq("src"), "cos", "dst", G)
       .select(col("src"), col("dst"), col("cos"))
+    (g0.select(col("src"), col("dst")), edges)
   }
+
+  /** The final G-out-degree neighbor graph (src, dst, cos). */
+  private[graft] def graphEdges(s: SparkSession, d: String): DataFrame =
+    graphStages(base(s, d))._2
 
   /** Query-side candidate ids from the forest: the union of the
     * query's 4 table buckets, exact-cosine scored. */
@@ -183,8 +210,16 @@ object GraphAnn {
   /** Logic-version token for the staged graph index: bumped whenever
     * the build's parameters or algorithm change so a stale artifact
     * re-stages instead of being silently served (the s11/ADVICE-r9
-    * freshness rule). Encodes T/G/S/B. */
-  private val GraphIndexVersion = s"graphann2_t4_g${G}_s${S}_b$B"
+    * freshness rule). Encodes T/G/S/B. graphann3: the index now also
+    * persists the PROVISIONAL graph g0 (s29's incremental maintenance
+    * composes through it), so older two-artifact stagings must
+    * re-stage. */
+  private val GraphIndexVersion = s"graphann3_t4_g${G}_s${S}_b$B"
+
+  /** Version token for s29's staged delta segment (keyed WITH the base
+    * index version — a base re-stage invalidates deltas computed
+    * against it, the s17 IvfDeltaVersion rule). */
+  private val GraphDeltaVersion = "graphdelta1"
 
   /** The persisted graph index (the s11 discipline applied to the
     * neighbor graph): the one-time build ([[graphEdges]]) lands as a
@@ -203,7 +238,8 @@ object GraphAnn {
     val meta = graft.StagePath.srcMeta(d, src, GraphIndexVersion)
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
-      java.nio.file.Files.exists(dir.resolve("edges"))
+      java.nio.file.Files.exists(dir.resolve("edges")) &&
+      java.nio.file.Files.exists(dir.resolve("g0"))
     if (!fresh) {
       // ADVICE r18: stage via write-to-temp + rename — an in-place
       // mode("overwrite") write lets a concurrent warm reader (second
@@ -211,20 +247,24 @@ object GraphAnn {
       // observe a half-written edges directory behind the old marker
       // window; atomicSwapDir shrinks the exposure to the rename
       // instant (the r13 dedup-manifest fix, applied here).
+      val (g0, edges) = graphStages(base(s, d))
+      graft.StagePath.atomicSwapDir(dir.resolve("g0")) { tmp =>
+        g0.write.mode("overwrite").parquet(tmp.toString)
+      }
       graft.StagePath.atomicSwapDir(dir.resolve("edges")) { tmp =>
-        graphEdges(s, d).write.mode("overwrite").parquet(tmp.toString)
+        edges.write.mode("overwrite").parquet(tmp.toString)
       }
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
     dir
   }
 
-  /** s27: graph-navigated ANN top-10 per query, s1's output shape. */
-  private def s27(s: SparkSession, d: String): DataFrame = {
-    val b = base(s, d)
-    val edges = s.read
-      .parquet(ensureGraphIndex(s, d).resolve("edges").toString)
-      .select(col("src"), col("dst"))
+  /** The graph walk over an arbitrary (corpus, edge list): seeds from
+    * the query's forest buckets, two hops along out-edges, exact
+    * re-rank — s27's navigation, shared with s29's incrementally
+    * maintained index. */
+  private def walk(b: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
     val q = b.filter(col("vec_id") < 5)
       .select((Seq(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("norm_e").as("norm_q")) ++
@@ -233,9 +273,9 @@ object GraphAnn {
     val seeds = TopK.perKey(forestCands(b, q), Seq("q_id"), "cos", "vec_id", S)
       .select(col("q_id"), col("vec_id"))
     // navigate: two hops along out-edges (<= S*G + S*G^2 ids/query)
-    val hop1 = seeds.join(edges, seeds("vec_id") === edges("src"))
+    val hop1 = seeds.join(e, seeds("vec_id") === e("src"))
       .select(col("q_id"), col("dst").as("vec_id"))
-    val hop2 = hop1.join(edges, hop1("vec_id") === edges("src"))
+    val hop2 = hop1.join(e, hop1("vec_id") === e("src"))
       .select(col("q_id"), col("dst").as("vec_id"))
     val cands = seeds.union(hop1).union(hop2).distinct()
       .filter(col("q_id") =!= col("vec_id"))
@@ -249,6 +289,11 @@ object GraphAnn {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** s27: graph-navigated ANN top-10 per query, s1's output shape. */
+  private def s27(s: SparkSession, d: String): DataFrame =
+    walk(base(s, d),
+      s.read.parquet(ensureGraphIndex(s, d).resolve("edges").toString))
 
   /** s28: recall@10 of the graph walk vs s1's brute truth. */
   private def s28(s: SparkSession, d: String): DataFrame = {
@@ -275,6 +320,163 @@ object GraphAnn {
   }
 
   // ---------------------------------------------------------------
+  // s29: incremental graph-index maintenance (VERDICT r18 "What's
+  // missing" #2 / "Next round" #6) — batch APPEND to the persisted
+  // neighbor graph without a wholesale rebuild, the d20/s17
+  // incremental-admission discipline applied to the graph family.
+  // ---------------------------------------------------------------
+
+  /** The arriving batch: s17's planted derivation verbatim (every
+    * 10th vector perturbed ±2e-3/dim, re-keyed past the corpus so
+    * batch ids are provably disjoint AND larger than every base id —
+    * which the pivot-delta argument below leans on). */
+  private def plantedBatch(s: SparkSession, d: String): DataFrame =
+    bucketize(Tables.embeddings(s, d)
+      .filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr(Knn.PerturbedBatchExpr).as("embedding")))
+
+  /** Base ∪ batch, bucketed — the union corpus the maintained index
+    * serves. */
+  private def unionCorpus(s: SparkSession, d: String): DataFrame = {
+    val cols = BCols.map(col)
+    base(s, d).select(cols: _*).unionByName(plantedBatch(s, d).select(cols: _*))
+  }
+
+  /** The incrementally maintained edge relation: persisted base edges
+    * for every node the batch provably cannot touch, recomputed edges
+    * for the TOUCHED set T1 — and the two are EXACTLY the full
+    * rebuild, node for node (GraphAnnSpec asserts label-for-label
+    * equality; stronger than d20's star-contraction argument, the
+    * s17 exactness class).
+    *
+    * Why T1 is sufficient (the proof the spec executes): a node's
+    * final candidate set is bucketPairs(src) ∪ g0(g0(src)).
+    *  - Pivots are the B SMALLEST ids per bucket and batch ids are
+    *    all LARGER than every base id, so the batch can only ADD
+    *    pivots (to buckets still under B members, or brand-new
+    *    buckets) — never displace one. bucketPairs(src) therefore
+    *    changes iff src is a batch node or src shares a (table,
+    *    bucket) with a NEW pivot: that set is T0.
+    *  - g0(src) changes only if bucketPairs(src) did (g0 ranks
+    *    exactly those pairs): src ∈ T0.
+    *  - The composed candidates g0(g0(src)) change only if g0(src)
+    *    changed (src ∈ T0) or some out-neighbor mid ∈ g0(src) has
+    *    g0(mid) changed (mid ∈ T0): that closure is
+    *    T1 = T0 ∪ {src : g0_U(src) ∩ T0 ≠ ∅}.
+    * For src ∉ T1 both unions are unchanged relations over unchanged
+    * scores — the persisted edges ARE the rebuild's answer.
+    *
+    * Scale: everything EXPENSIVE (the 64-dim cosine scoring, the
+    * NN-descent composition) runs only for T1 — the batch plus its
+    * one-hop g0 in-neighborhood plus under-filled-bucket cohabitants,
+    * independent of corpus size for a bounded batch. The id-only
+    * plumbing (pivot heaps, the T0/T1 semi-joins) is one linear pass
+    * over (vec_id, bucket) pairs — the same metadata class as d12's
+    * manifest probe, with no embedding bytes shuffled. A wholesale
+    * rebuild re-scores 4·n·B + n·G² pairs; maintenance re-scores
+    * O(|T1|·(B + G²)).
+    */
+  private[graft] def incrementalEdges(s: SparkSession, d: String): DataFrame = {
+    val idx = ensureGraphIndex(s, d)
+    val delta = ensureGraphDelta(s, d, idx)
+    val edgesBase = s.read.parquet(idx.resolve("edges").toString)
+    val replaced = s.read.parquet(delta.resolve("replaced").toString)
+    edgesBase.join(replaced, Seq("src"), "left_anti")
+      .unionByName(s.read.parquet(delta.resolve("edges").toString))
+  }
+
+  /** Stages s29's delta segment beside (never inside) the immutable
+    * base index: `replaced` — the touched node set T1 (one column,
+    * src); `edges` — the recomputed final top-G for exactly those
+    * nodes. Marker keyed by base-index version + delta version. */
+  private def ensureGraphDelta(s: SparkSession, d: String,
+      idx: java.nio.file.Path): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_graphdelta_" + graft.StagePath.corpusToken(d))
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve("_src_meta")
+    val meta = graft.StagePath.srcMeta(d, src,
+      GraphIndexVersion + ":" + GraphDeltaVersion)
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      java.nio.file.Files.exists(dir.resolve("replaced")) &&
+      java.nio.file.Files.exists(dir.resolve("edges"))
+    if (!fresh) {
+      val bBase = base(s, d)
+      val batch = plantedBatch(s, d)
+      val bU = unionCorpus(s, d)
+      val g0Base = s.read.parquet(idx.resolve("g0").toString)
+      // new pivots per table: U's pivot set minus the base's (removal
+      // is impossible — batch ids are larger, see scaladoc)
+      val newPivotBuckets = Tables4.indices.map { t =>
+        pivotsFor(bU, t).except(pivotsFor(bBase, t)).select(col("bk")).distinct()
+          .withColumn("t", lit(t))
+      }.reduce(_ unionByName _)
+      // T0: batch nodes + base members sharing a (table, bucket) with
+      // a new pivot
+      val cohabitants = Tables4.indices.map { t =>
+        bU.select(col("vec_id"), col(s"bucket$t").as("bk"))
+          .join(broadcast(newPivotBuckets.filter(col("t") === t).select("bk")), Seq("bk"))
+          .select(col("vec_id"))
+      }.reduce(_ union _)
+      val t0 = batch.select(col("vec_id")).union(cohabitants).distinct()
+      // provisional graph over U: recompute for T0, reuse g0 elsewhere
+      val pairsT0 = forestPairs(bU, srcFilter = Some(t0))
+      val g0Touched = TopK.perKey(
+        scorePairs(attach(pairsT0, bU))
+          .filter(col("cos").isNotNull && !isnan(col("cos"))),
+        Seq("src"), "cos", "dst", G)
+        .select(col("src"), col("dst"))
+      val g0U = g0Base
+        .join(t0.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+        .select(col("src"), col("dst"))
+        .union(g0Touched)
+      // T1: T0 plus every node with a g0 out-neighbor in T0
+      val t1 = t0.union(
+        g0U.join(t0.withColumnRenamed("vec_id", "dst"), Seq("dst"), "leftsemi")
+          .select(col("src").as("vec_id"))).distinct()
+      // recompute the final top-G for exactly T1: forest pairs (T1
+      // members × U pivots) ∪ composed pairs through g0_U
+      val pairsT1 = forestPairs(bU, srcFilter = Some(t1))
+      val composedT1 = g0U
+        .join(t1.withColumnRenamed("vec_id", "src"), Seq("src"), "leftsemi")
+        .select(col("src"), col("dst").as("mid"))
+        .join(g0U.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      val pairSetT1 = pairsT1.union(composedT1).distinct()
+      val edgesT1 = TopK.perKey(
+        scorePairs(attach(pairSetT1, bU))
+          .filter(col("cos").isNotNull && !isnan(col("cos"))),
+        Seq("src"), "cos", "dst", G)
+        .select(col("src"), col("dst"), col("cos"))
+      graft.StagePath.atomicSwapDir(dir.resolve("replaced")) { tmp =>
+        t1.select(col("vec_id").as("src")).write.mode("overwrite").parquet(tmp.toString)
+      }
+      graft.StagePath.atomicSwapDir(dir.resolve("edges")) { tmp =>
+        edgesT1.write.mode("overwrite").parquet(tmp.toString)
+      }
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  /** The from-scratch comparator for GraphAnnSpec: one wholesale
+    * [[graphStages]] build over the union corpus — no staging, no
+    * delta. Incremental must equal this EXACTLY, edge for edge. */
+  private[graft] def s29FromScratchEdges(s: SparkSession, d: String): DataFrame =
+    graphStages(unionCorpus(s, d))._2
+
+  /** s29: the s27 walk served by the incrementally maintained index
+    * over base ∪ batch — the registered query (s17's probe-the-
+    * maintained-index shape). */
+  private def s29(s: SparkSession, d: String): DataFrame =
+    walk(unionCorpus(s, d), incrementalEdges(s, d))
+
+  // ---------------------------------------------------------------
   // DuckDB oracle: the whole pipeline in SQL. Pair relations carry
   // ids only; cosine is computed in exactly one place per stage
   // (the same one-scoring-site rule as the Spark side).
@@ -288,8 +490,12 @@ object GraphAnn {
       .map(i => s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
 
-  /** CTE chain: b (forest-bucketed corpus) -> g (final graph edges). */
-  private val graphCtes = {
+  /** CTE chain: b (forest-bucketed corpus) -> g (final graph edges).
+    * Parameterized over the source relation: s27/s28 build over
+    * `embeddings`, s29's oracle over the augmented union `aug` —
+    * the oracle replays the WHOLESALE rebuild, which the incremental
+    * path must equal exactly, so one SQL text serves both. */
+  private def graphCtesFrom(rel: String) = {
     val bucketCols = Tables4.indices
       .map(t => s"${bucketSql(t)} AS bucket$t").mkString(",\n    ")
     val pivotCtes = Tables4.indices.map { t =>
@@ -306,7 +512,7 @@ object GraphAnn {
     s"""b AS (
        |  SELECT vec_id, embedding,
        |    $bucketCols
-       |  FROM embeddings
+       |  FROM $rel
        |  WHERE ${Knn.duckDot("embedding", "embedding")} > 0),
        |$pivotCtes,
        |bp AS (
@@ -359,6 +565,8 @@ object GraphAnn {
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10)""".stripMargin
   }
 
+  private val graphCtes = graphCtesFrom("embeddings")
+
   private val s27Sql =
     s"""WITH $graphCtes,
        |$annCtes
@@ -373,11 +581,34 @@ object GraphAnn {
        |${Knn.truTopSql(10)},
        |${Knn.recallTailSql}""".stripMargin
 
+  /** s29's oracle: the WHOLESALE rebuild over base ∪ planted batch —
+    * graphCtes re-rooted at `aug` (s17's planted derivation verbatim,
+    * identical float rounding in both engines) and the s27 walk on
+    * top. The incremental path must equal the rebuild exactly, so the
+    * oracle hash-checks BOTH the maintenance algebra and the walk. */
+  private val s29Sql =
+    s"""WITH planted AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    CAST(list_transform(generate_series(1, 64),
+       |      i -> CAST(embedding[i] AS DOUBLE) + 1e-3 * CAST(i % 5 - 2 AS DOUBLE))
+       |      AS FLOAT[]) AS embedding
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |aug AS (SELECT vec_id, embedding FROM embeddings
+       |        UNION ALL SELECT vec_id, embedding FROM planted),
+       |${graphCtesFrom("aug")},
+       |$annCtes
+       |SELECT q_id,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
+       |  vec_id, cos
+       |FROM ann ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "s27_graph_ann" -> (s27 _),
-    "s28_graph_recall" -> (s28 _))
+    "s28_graph_recall" -> (s28 _),
+    "s29_graph_incremental" -> (s29 _))
 
   val oracles: Map[String, String] = Map(
     "s27_graph_ann" -> s27Sql,
-    "s28_graph_recall" -> s28Sql)
+    "s28_graph_recall" -> s28Sql,
+    "s29_graph_incremental" -> s29Sql)
 }

@@ -1497,7 +1497,7 @@ object Knn {
   /** The arriving batch's vectors — d18's planted derivation verbatim
     * (Dedup.scala d18: every 10th vector, per-dimension ±2e-3 tilt,
     * float-rounded identically in both engines). */
-  private val PerturbedBatchExpr =
+  private[sim] val PerturbedBatchExpr =
     """cast(transform(sequence(1, 64),
       |  i -> cast(element_at(embedding, i) as double)
       |       + 1e-3 * cast(i % 5 - 2 as double)) as array<float>)""".stripMargin

@@ -846,6 +846,82 @@ object StreamingOps {
   private[graft] def st19Files(s: SparkSession, d: String, nFiles: Int): DataFrame =
     st19From(s, () => eventsStreamTimeOrdered(s, d, nFiles), s"graft_st19_n$nFiles")
 
+  /** st20: stream-stream LEFT OUTER as-of join — st19 with clickless
+    * purchases PRESERVED as null clicks (VERDICT r18 "What's missing"
+    * #1: production attribution keeps the unattributed purchases; an
+    * inner join silently drops the rows a revenue report most needs to
+    * see). The purchase stream is the preserved side: a purchase with
+    * no same-user click in its 30-minute lookback emits exactly once
+    * with NULL click_id/click_us, materialized by the join at state
+    * eviction — when the click-side watermark passes the purchase's
+    * lookback window, Spark PROVES no matching click can still arrive
+    * and only then emits the null-augmented row (the documented
+    * outer-join delay; on the bounded feed the final no-data batch
+    * advances the watermark past everything, so every unmatched
+    * purchase is resolved).
+    *
+    * Shape: st19's two chained stateful operators with the join mode
+    * flipped — ONE watermarked left-outer interval join (purchases ×
+    * clicks on user, cts ∈ [pts − 30 min, pts]) feeding ONE windowed
+    * max-aggregate. The as-of pick is unchanged: per purchase either
+    * every row carries a matched click (take the lexicographic max of
+    * (cts, click_id)) or there is exactly ONE null-augmented row (a
+    * left row that matched is never also emitted null, so no group
+    * mixes the two — `max(struct(cts, click_id))` over a single
+    * all-null-fields struct returns it unchanged, which IS the null
+    * click). Append-mode emission and the oracle's ms-precision
+    * watermark cutoff are st19's verbatim: the cutoff gates on the
+    * purchase's WINDOW, which both matched and null rows share.
+    *
+    * Scale: identical to st19 — state keyed by (user | window,
+    * purchase), watermark-evicted, sharded across executors; the
+    * left-outer mode adds no state (the join already held unmatched
+    * purchases until eviction; it now emits them instead of dropping
+    * them). Batching-invariant under time-ordered arrival
+    * (StreamingMultiBatchSpec: 1-file ≡ 3-file ≡ batch oracle, with
+    * the null-row population pinned non-empty so the outer path is
+    * exercised, not vacuously present).
+    */
+  private[graft] def st20From(s: SparkSession,
+      mkStream: () => DataFrame, name: String): DataFrame = {
+    val clicks = mkStream()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val purchases = mkStream()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        timestamp_micros(expr("ts div 1000")).as("pts"))
+      .withWatermark("pts", "10 minutes")
+    // purchases LEFT, clicks right: the preserved side is the one the
+    // report keys on
+    val joined = purchases.join(clicks,
+      col("user_id") === col("p_user") &&
+        col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+    val best = joined
+      .withColumn("purchase_us", unix_micros(col("pts")))
+      .groupBy(window(col("pts"), "1 hour"),
+        col("purchase_id"), col("p_user"), col("purchase_us"))
+      .agg(max(struct(col("cts"), col("click_id"))).as("best"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_us"),
+        col("best.click_id").as("click_id"),
+        unix_micros(col("best.cts")).as("click_us"))
+    runToMemory(s, best, name, mode = "append")
+      .sortWithinPartitions(col("purchase_id"))
+  }
+
+  private def st20(s: SparkSession, d: String): DataFrame =
+    st20From(s, () => eventsStream(s, d), "graft_st20")
+
+  /** st20 over `nFiles` time-ordered landing files — the
+    * batching-invariance probe (st19Files' sibling). */
+  private[graft] def st20Files(s: SparkSession, d: String, nFiles: Int): DataFrame =
+    st20From(s, () => eventsStreamTimeOrdered(s, d, nFiles), s"graft_st20_n$nFiles")
+
   private val st19Sql =
     """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
       |m AS (
@@ -856,6 +932,35 @@ object StreamingOps {
       |    AND c.tus <= p.tus AND c.tus >= p.tus - 1800000000
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
       |    ORDER BY c.tus DESC, c.event_id DESC) = 1)
+      |SELECT purchase_id, user_id, purchase_us, click_id, click_us
+      |FROM m
+      |WHERE ((purchase_us // 3600000000) * 3600 + 3600) * 1000 <=
+      |  (SELECT least(
+      |     MAX(CASE WHEN event_type = 'click' THEN tus END),
+      |     MAX(CASE WHEN event_type = 'purchase' THEN tus END)) // 1000
+      |     - 600000 - 1800000 FROM e)
+      |ORDER BY purchase_id""".stripMargin
+
+  /** st20's oracle: st19's with the join flipped LEFT OUTER. The
+    * purchase side filters to purchases BEFORE the join (a predicate
+    * on the preserved side inside a LEFT JOIN's ON keeps, rather than
+    * filters, the non-matching rows); the null ordering is explicit so
+    * the as-of pick never depends on an engine default — though no
+    * group mixes null and matched rows (a preserved row either matched
+    * or it didn't), the SQL should not lean on that to parse. The
+    * watermark cutoff is st19's verbatim: emission gates on the
+    * purchase's hour window, which matched and null rows share. */
+  private val st20Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+      |p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT p.event_id AS purchase_id, p.user_id, p.tus AS purchase_us,
+      |    c.event_id AS click_id, c.tus AS click_us
+      |  FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |    AND c.tus <= p.tus AND c.tus >= p.tus - 1800000000
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |    ORDER BY c.tus DESC NULLS LAST, c.event_id DESC NULLS LAST) = 1)
       |SELECT purchase_id, user_id, purchase_us, click_id, click_us
       |FROM m
       |WHERE ((purchase_us // 3600000000) * 3600 + 3600) * 1000 <=
@@ -1322,6 +1427,7 @@ object StreamingOps {
     "st7_stream_dedup_bounded" -> (st7 _),
     "st6_stream_stream_join" -> (st6 _),
     "st19_stream_asof_join" -> (st19 _),
+    "st20_stream_asof_outer" -> (st20 _),
     "st5_stream_append_window" -> (st5 _),
     "st4_stream_sessionize" -> (st4 _),
     "st1_stream_window" -> (st1 _),
@@ -1343,6 +1449,7 @@ object StreamingOps {
     "st7_stream_dedup_bounded" -> st7Sql,
     "st6_stream_stream_join" -> st6Sql,
     "st19_stream_asof_join" -> st19Sql,
+    "st20_stream_asof_outer" -> st20Sql,
     "st5_stream_append_window" -> st5Sql,
     "st4_stream_sessionize" -> st4Sql,
     "st1_stream_window" -> st1Sql,

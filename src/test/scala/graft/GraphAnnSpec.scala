@@ -52,6 +52,42 @@ class GraphAnnSpec extends SparkSpec {
     assert(edges.forall(r => !r.getDouble(2).isNaN), "NaN cosine survived")
   }
 
+  test("s29 incremental maintenance equals the wholesale rebuild, edge for edge") {
+    // the s17/d20 exactness discipline: the delta path (persisted base
+    // edges + recomputed touched set) must be INDISTINGUISHABLE from
+    // rebuilding the whole graph over base ∪ batch — not approximately,
+    // label for label including the stored cosine
+    val inc = sim.GraphAnn.incrementalEdges(spark, accSf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val scratch = sim.GraphAnn.s29FromScratchEdges(spark, accSf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(inc === scratch, "incremental graph maintenance diverged from the rebuild")
+  }
+
+  test("s29 actually reuses the base index: the touched set is a proper subset") {
+    // inject-then-measure: maintenance that recomputes EVERY node is a
+    // rebuild wearing a delta costume — the replaced set must cover
+    // the batch (every planted node needs edges) yet leave a
+    // meaningful share of base nodes untouched
+    val deltaDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_graphdelta_" + StagePath.corpusToken(accSf))
+    sim.GraphAnn.incrementalEdges(spark, accSf).count() // ensure staged
+    val replaced = spark.read.parquet(deltaDir.resolve("replaced").toString)
+      .collect().map(_.getLong(0)).toSet
+    val batchIds = spark.read.parquet(accSf + "/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 0)
+      .collect().map(_.getAs[Long]("vec_id") + 1000000L).toSet
+    assert(batchIds.subsetOf(replaced),
+      "planted batch nodes missing from the touched set")
+    val baseN = spark.read.parquet(accSf + "/embeddings.parquet").count()
+    val baseTouched = (replaced -- batchIds).size
+    assert(baseTouched < baseN,
+      s"touched set covers every base node ($baseTouched of $baseN) — no reuse")
+    assert(baseTouched > 0,
+      "no base node touched — the batch must perturb SOME neighborhood")
+  }
+
   test("s27 re-run rides the staged index (same results, marker untouched)") {
     // the s11 staged-artifact discipline: the second run must read the
     // persisted edges, not rebuild — proven by the freshness marker's

@@ -125,6 +125,32 @@ class StreamingMultiBatchSpec extends SparkSpec {
       s"expected 2 state operators in the st19 pipeline, trace:\n${trace.mkString("\n")}")
   }
 
+  test("st20 outer as-of join: null-click rows survive, batching-invariant") {
+    // VERDICT r18 #5's done-bar: st19's shape with clickless purchases
+    // PRESERVED — the left-outer path must be exercised (null-row
+    // population non-empty), agree with the batch oracle under a
+    // 3-file time-ordered split, and every st19 row must reappear
+    // identically (the outer join only ADDS rows, never changes a
+    // matched one).
+    val dir = "/root/testdata/sf0.01"
+    val single = SparkEntry.queries("st20_stream_asof_outer")(spark, dir)
+      .orderBy("purchase_id").collect().toSeq
+    val nullRows = single.count(_.isNullAt(3)) // click_id
+    assert(nullRows > 0, "no clickless purchases emitted — the outer path is vacuous")
+    assert(single.size > nullRows, "no matched purchases — the join path is vacuous")
+    val multi = streaming.StreamingOps.st20Files(spark, dir, 3)
+      .orderBy("purchase_id").collect().toSeq
+    assert(multi == single, "st20 diverged under a 3-file time-ordered split")
+    val batches = streaming.StreamingOps.lastRunBatches("graft_st20_n3")
+    assert(batches.count(_ > 0) >= 3,
+      s"expected >= 3 data micro-batches, got input-row trace $batches")
+    // inner ⊂ outer: st19's matched rows are exactly st20's non-null rows
+    val inner = SparkEntry.queries("st19_stream_asof_join")(spark, dir)
+      .orderBy("purchase_id").collect().toSeq
+    assert(single.filterNot(_.isNullAt(3)) == inner,
+      "st20's matched rows diverged from st19's inner join")
+  }
+
   test("st9/st10 are file-count-invariant per trigger: 6 files drained 3 per batch") {
     // r12 verdict #7: a production landing dir never hands a trigger
     // exactly one file, so the stateless admission paths must also be
