@@ -230,6 +230,10 @@ object Budgets {
     // reading base+delta edge segments; the maintenance itself is
     // staged and amortized like s27's build)
     "s29_graph_incremental" -> 5.5,
+    // r19: same-run A/B vs s27 (0.87x: 3.36 vs 3.85 — the survivor
+    // corpus is smaller than the base and the walk reads the staged
+    // base+delete-delta segments)
+    "s30_graph_delete" -> 2.8,
     "st14_stream_chunk" -> 2.2, // r15: measured 1.74 warm best-of-3 (4-file multi-batch regime)
     "st15_stream_scene" -> 1.7, // r16: measured 1.25 best-of-3 (keyed state op, single-batch staging)
     "st16_stream_validate" -> 2.4, // r16: measured 1.83 best-of-3 (stateless per-row, 4-file multi-batch)
@@ -369,6 +373,7 @@ object Budgets {
     "st19_stream_asof_join" -> 8.0, // r18: new, no gate history yet
     "st20_stream_asof_outer" -> 8.0, // r19: new, no gate history yet
     "s29_graph_incremental" -> 8.0, // r19: new; staged base+delta, best-of-2 rides the warm attach
+    "s30_graph_delete" -> 8.0, // r19: new; same staged class
     "s27_graph_ann" -> 8.0, // r18: new; staged index, best-of-2 rides the warm attach (the q27/s11 class)
     "s28_graph_recall" -> 8.0, // r18: new
 

@@ -408,7 +408,6 @@ object GraphAnn {
       val bBase = base(s, d)
       val batch = plantedBatch(s, d)
       val bU = unionCorpus(s, d)
-      val g0Base = s.read.parquet(idx.resolve("g0").toString)
       // new pivots per table: U's pivot set minus the base's (removal
       // is impossible — batch ids are larger, see scaladoc)
       val newPivotBuckets = Tables4.indices.map { t =>
@@ -423,46 +422,69 @@ object GraphAnn {
           .select(col("vec_id"))
       }.reduce(_ union _)
       val t0 = batch.select(col("vec_id")).union(cohabitants).distinct()
-      // provisional graph over U: recompute for T0, reuse g0 elsewhere
-      val pairsT0 = forestPairs(bU, srcFilter = Some(t0))
-      val g0Touched = TopK.perKey(
-        scorePairs(attach(pairsT0, bU))
-          .filter(col("cos").isNotNull && !isnan(col("cos"))),
-        Seq("src"), "cos", "dst", G)
-        .select(col("src"), col("dst"))
-      val g0U = g0Base
-        .join(t0.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
-        .select(col("src"), col("dst"))
-        .union(g0Touched)
-      // T1: T0 plus every node with a g0 out-neighbor in T0
-      val t1 = t0.union(
-        g0U.join(t0.withColumnRenamed("vec_id", "dst"), Seq("dst"), "leftsemi")
-          .select(col("src").as("vec_id"))).distinct()
-      // recompute the final top-G for exactly T1: forest pairs (T1
-      // members × U pivots) ∪ composed pairs through g0_U
-      val pairsT1 = forestPairs(bU, srcFilter = Some(t1))
-      val composedT1 = g0U
-        .join(t1.withColumnRenamed("vec_id", "src"), Seq("src"), "leftsemi")
-        .select(col("src"), col("dst").as("mid"))
-        .join(g0U.select(col("src").as("mid"), col("dst")), Seq("mid"))
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"))
-      val pairSetT1 = pairsT1.union(composedT1).distinct()
-      val edgesT1 = TopK.perKey(
-        scorePairs(attach(pairSetT1, bU))
-          .filter(col("cos").isNotNull && !isnan(col("cos"))),
-        Seq("src"), "cos", "dst", G)
-        .select(col("src"), col("dst"), col("cos"))
-      graft.StagePath.atomicSwapDir(dir.resolve("replaced")) { tmp =>
-        t1.select(col("vec_id").as("src")).write.mode("overwrite").parquet(tmp.toString)
-      }
-      graft.StagePath.atomicSwapDir(dir.resolve("edges")) { tmp =>
-        edgesT1.write.mode("overwrite").parquet(tmp.toString)
-      }
-      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+      stageDelta(s, idx, dir, meta, bU, t0,
+        drop = batch.select(col("vec_id")).limit(0))
     }
     dir
   }
+
+  /** The shared delta computation (s29 append / s30 delete): given the
+    * post-change corpus `bU`, the first-order touched set `t0` (every
+    * node whose forest PAIR set changed), and the `drop` set (nodes
+    * leaving the index entirely — empty for appends), computes the
+    * exact closure T1 and stages (replaced = T1 ∪ drop, edges = the
+    * recomputed final top-G for T1 over bU). Scoring and composition
+    * run only for T0/T1 — the whole point of maintenance. */
+  private def stageDelta(s: SparkSession, idx: java.nio.file.Path,
+      dir: java.nio.file.Path, meta: String,
+      bU: DataFrame, t0: DataFrame, drop: DataFrame): Unit = {
+    val g0Base = s.read.parquet(idx.resolve("g0").toString)
+    // provisional graph over U: recompute for T0; reuse g0 elsewhere
+    // (dropped nodes leave g0 entirely — and for src outside T0 ∪ drop
+    // no g0 out-neighbor can be dropped: a dropped dst was a pivot in
+    // a shared bucket, which would have put src in T0)
+    val pairsT0 = forestPairs(bU, srcFilter = Some(t0))
+    val g0Touched = TopK.perKey(
+      scorePairs(attach(pairsT0, bU))
+        .filter(col("cos").isNotNull && !isnan(col("cos"))),
+      Seq("src"), "cos", "dst", G)
+      .select(col("src"), col("dst"))
+    val g0U = g0Base
+      .join(t0.union(drop).distinct().withColumnRenamed("vec_id", "src"),
+        Seq("src"), "left_anti")
+      .select(col("src"), col("dst"))
+      .union(g0Touched)
+    // T1: T0 plus every node with a g0 out-neighbor in T0
+    val t1 = t0.union(
+      g0U.join(t0.withColumnRenamed("vec_id", "dst"), Seq("dst"), "leftsemi")
+        .select(col("src").as("vec_id"))).distinct()
+    // recompute the final top-G for exactly T1: forest pairs (T1
+    // members × U pivots) ∪ composed pairs through g0_U
+    val pairsT1 = forestPairs(bU, srcFilter = Some(t1))
+    val composedT1 = g0U
+      .join(t1.withColumnRenamed("vec_id", "src"), Seq("src"), "leftsemi")
+      .select(col("src"), col("dst").as("mid"))
+      .join(g0U.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val pairSetT1 = pairsT1.union(composedT1).distinct()
+    val edgesT1 = TopK.perKey(
+      scorePairs(attach(pairSetT1, bU))
+        .filter(col("cos").isNotNull && !isnan(col("cos"))),
+      Seq("src"), "cos", "dst", G)
+      .select(col("src"), col("dst"), col("cos"))
+    graft.StagePath.atomicSwapDir(dir.resolve("replaced")) { tmp =>
+      t1.union(drop).distinct().select(col("vec_id").as("src"))
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+    graft.StagePath.atomicSwapDir(dir.resolve("edges")) { tmp =>
+      edgesT1.write.mode("overwrite").parquet(tmp.toString)
+    }
+    java.nio.file.Files.write(marker(dir), meta.getBytes("UTF-8"))
+  }
+
+  private def marker(dir: java.nio.file.Path): java.nio.file.Path =
+    dir.resolve("_src_meta")
 
   /** The from-scratch comparator for GraphAnnSpec: one wholesale
     * [[graphStages]] build over the union corpus — no staging, no
@@ -475,6 +497,97 @@ object GraphAnn {
     * maintained-index shape). */
   private def s29(s: SparkSession, d: String): DataFrame =
     walk(unionCorpus(s, d), incrementalEdges(s, d))
+
+  // ---------------------------------------------------------------
+  // s30: DELETE maintenance — the retirement sibling of s29's
+  // admission, and the production request every vector index
+  // eventually gets (a GDPR erasure, a licensing takedown, a
+  // quarantined source): remove a vector set from the persisted
+  // graph without a wholesale rebuild, exactly.
+  // ---------------------------------------------------------------
+
+  /** The delete set: ~1% of ids (sparse — the production shape; a
+    * delete-heavy churn favors rebuild, in this engine as in
+    * FAISS/Milvus tombstone-then-compact deployments). 97 ∤ small ids
+    * < 5, so the standing queries survive; the modulus hits pivots at
+    * every test SF (small ids ARE pivots), so the
+    * pivot-replacement path is exercised, never vacuous. */
+  private def deletedIds(b: DataFrame): DataFrame =
+    b.filter(col("vec_id") % 97 === 5).select(col("vec_id"))
+
+  /** The survivor corpus the maintained index serves after deletion. */
+  private def survivorCorpus(s: SparkSession, d: String): DataFrame =
+    base(s, d).filter(!(col("vec_id") % 97 === 5))
+
+  /** s30's maintained edge relation — the s29 algebra with the
+    * touched-set derivation flipped for REMOVAL:
+    *  - deleting a NON-pivot only removes its own rows (it was never
+    *    a dst — pairs point at pivots — and its src rows drop with
+    *    it);
+    *  - deleting a PIVOT removes a dst from every cohabiting member's
+    *    pair set and promotes the next-smallest id into the bucket's
+    *    pivot set, so T0 = surviving members of every (table, bucket)
+    *    that LOST a pivot;
+    *  - a node outside T0 cannot hold a deleted g0 out-neighbor
+    *    (dst ∈ g0(src) means dst was a pivot in a shared bucket,
+    *    which puts src in T0), so reused g0 rows never point at
+    *    ghosts — the same closure argument as s29 gives
+    *    T1 = T0 ∪ one-hop g0 in-neighbors, and edges outside T1 ∪ D
+    *    are byte-identical to the rebuild's (GraphAnnSpec asserts).
+    */
+  private[graft] def deleteMaintainedEdges(s: SparkSession, d: String): DataFrame = {
+    val idx = ensureGraphIndex(s, d)
+    val delta = ensureGraphDeleteDelta(s, d, idx)
+    val edgesBase = s.read.parquet(idx.resolve("edges").toString)
+    val replaced = s.read.parquet(delta.resolve("replaced").toString)
+    edgesBase.join(replaced, Seq("src"), "left_anti")
+      .unionByName(s.read.parquet(delta.resolve("edges").toString))
+  }
+
+  private def ensureGraphDeleteDelta(s: SparkSession, d: String,
+      idx: java.nio.file.Path): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_graphdeldelta_" + graft.StagePath.corpusToken(d))
+    java.nio.file.Files.createDirectories(dir)
+    val mk = marker(dir)
+    val meta = graft.StagePath.srcMeta(d, src,
+      GraphIndexVersion + ":" + GraphDeltaVersion + ":del")
+    val fresh = java.nio.file.Files.exists(mk) &&
+      new String(java.nio.file.Files.readAllBytes(mk), "UTF-8") == meta &&
+      java.nio.file.Files.exists(dir.resolve("replaced")) &&
+      java.nio.file.Files.exists(dir.resolve("edges"))
+    if (!fresh) {
+      val bBase = base(s, d)
+      val bU = survivorCorpus(s, d)
+      val dropped = deletedIds(bBase)
+      // buckets that LOST a pivot: the base pivot set restricted to
+      // deleted ids
+      val lostPivotBuckets = Tables4.indices.map { t =>
+        pivotsFor(bBase, t)
+          .join(dropped.withColumnRenamed("vec_id", "dst"), Seq("dst"), "leftsemi")
+          .select(col("bk")).distinct().withColumn("t", lit(t))
+      }.reduce(_ unionByName _)
+      // T0: surviving members of those buckets
+      val t0 = Tables4.indices.map { t =>
+        bU.select(col("vec_id"), col(s"bucket$t").as("bk"))
+          .join(broadcast(lostPivotBuckets.filter(col("t") === t).select("bk")), Seq("bk"))
+          .select(col("vec_id"))
+      }.reduce(_ union _).distinct()
+      stageDelta(s, idx, dir, meta, bU, t0, drop = dropped)
+    }
+    dir
+  }
+
+  /** From-scratch comparator: one wholesale build over the survivors. */
+  private[graft] def s30FromScratchEdges(s: SparkSession, d: String): DataFrame =
+    graphStages(survivorCorpus(s, d))._2
+
+  /** s30: the s27 walk served by the delete-maintained index over the
+    * survivor corpus. */
+  private def s30(s: SparkSession, d: String): DataFrame =
+    walk(survivorCorpus(s, d), deleteMaintainedEdges(s, d))
 
   // ---------------------------------------------------------------
   // DuckDB oracle: the whole pipeline in SQL. Pair relations carry
@@ -602,13 +715,29 @@ object GraphAnn {
        |  vec_id, cos
        |FROM ann ORDER BY q_id, rank""".stripMargin
 
+  /** s30's oracle: the wholesale rebuild + walk over the SURVIVOR
+    * corpus — graphCtes re-rooted at the filtered relation. Hash-
+    * parity proves the delete algebra: one ghost edge or one stale
+    * pivot in the maintained index changes the walk's candidates. */
+  private val s30Sql =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 5),
+       |${graphCtesFrom("aug")},
+       |$annCtes
+       |SELECT q_id,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
+       |  vec_id, cos
+       |FROM ann ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "s27_graph_ann" -> (s27 _),
     "s28_graph_recall" -> (s28 _),
-    "s29_graph_incremental" -> (s29 _))
+    "s29_graph_incremental" -> (s29 _),
+    "s30_graph_delete" -> (s30 _))
 
   val oracles: Map[String, String] = Map(
     "s27_graph_ann" -> s27Sql,
     "s28_graph_recall" -> s28Sql,
-    "s29_graph_incremental" -> s29Sql)
+    "s29_graph_incremental" -> s29Sql,
+    "s30_graph_delete" -> s30Sql)
 }

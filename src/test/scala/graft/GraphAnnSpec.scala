@@ -88,6 +88,34 @@ class GraphAnnSpec extends SparkSpec {
       "no base node touched — the batch must perturb SOME neighborhood")
   }
 
+  test("s30 delete maintenance equals the survivor rebuild, edge for edge") {
+    val inc = sim.GraphAnn.deleteMaintainedEdges(spark, accSf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val scratch = sim.GraphAnn.s30FromScratchEdges(spark, accSf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(inc === scratch, "delete maintenance diverged from the survivor rebuild")
+  }
+
+  test("s30 leaves no ghosts: deleted ids appear on neither edge side, and the path is non-vacuous") {
+    val edges = sim.GraphAnn.deleteMaintainedEdges(spark, accSf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val deleted = spark.read.parquet(accSf + "/embeddings.parquet")
+      .filter(col("vec_id") % 97 === 5).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(deleted.nonEmpty, "delete set empty at this SF — the test corpus moved")
+    assert(!edges.exists(e => deleted(e._1)), "deleted node still has out-edges")
+    assert(!edges.exists(e => deleted(e._2)), "ghost edge points at a deleted node")
+    // non-vacuous: the delete really hit pivots somewhere (the pair
+    // universe changed, not just rows dropped) — the base index must
+    // have contained at least one now-gone dst
+    val baseEdges = spark.read.parquet(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_graphindex_" + StagePath.corpusToken(accSf))
+      .resolve("edges").toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(baseEdges.exists(e => deleted(e._2)),
+      "no base edge pointed at a deleted id — pivot-loss path not exercised")
+  }
+
   test("s27 re-run rides the staged index (same results, marker untouched)") {
     // the s11 staged-artifact discipline: the second run must read the
     // persisted edges, not rebuild — proven by the freshness marker's

@@ -93,6 +93,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s29 serves from the staged index segments, never nested-loops") {
+    // the incremental walk must READ the persisted base + delta edge
+    // segments (visible as parquet scan locations in the plan), not
+    // recompute the graph inline, and every join in the walk is an
+    // equi-join on ids
+    val p = plan("s29_graph_incremental")
+    assert(p.contains("graft_graphindex_"), "base edge segment not scanned:\n" + p)
+    assert(p.contains("graft_graphdelta_"), "delta segment not scanned:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d8 multi-index probe stays an equi-join on the block key") {
     val p = plan("d8_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
