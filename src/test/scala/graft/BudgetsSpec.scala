@@ -137,27 +137,32 @@ class BudgetsSpec extends AnyFunSuite {
             flagged.nonEmpty && flagged.forall(adjudicatedAsLoad(_, ts))
           // VERDICT r18 #3 (the zero-trip blind spot): a uniformly
           // loaded run that trips NOTHING used to contribute its
-          // inflated ratios to worst-honest and ratchet allowances —
+          // inflated readings to worst-honest and ratchet allowances —
           // the r17 erosion pattern one notch below the trip
-          // threshold. RATIO readings are ratchet-eligible only from
-          // runs whose recorded calib_scale is ≤ 1.1 (the
-          // reference-class band: legacy lines ran 0.89–1.07); BAND
-          // readings stay eligible from every clean run because they
-          // normalize by the recorded scale — bands don't need
-          // eligibility, ratios do (their sf0.1 denominator breathes
-          // with the same load as the numerator only when the load is
-          // CONSTANT across the ~10-minute gate, which a quota is and
-          // a contention window is not).
-          val ratioEligible = scale <= 1.1
-          if (!contaminated) {
+          // threshold. ALL derivation readings are ratchet-eligible
+          // only from runs whose recorded calib_scale is ≤ 1.1 (the
+          // reference-class band: legacy lines ran 0.89–1.07).
+          // Ratios can't normalize at all (their sf0.1 denominator
+          // breathes with load independently of the numerator); bands
+          // DO normalize by the recorded scale for their TRIP
+          // condition, but pricing from normalized loaded readings is
+          // still unsafe — the r19 closing gate measured q1_agg at
+          // 16.48 s under a probe scale of 1.295 (normalized 12.73 vs
+          // the quiet-cluster 8.1–10.4): the burn-loop probe
+          // under-measures a hypervisor quota's effect on a
+          // scan-heavy query, so a loaded run's normalized band
+          // reading would still have ratcheted 14 → 17. Eligibility
+          // gates PRICING only; trip conditions keep their at-run
+          // normalization, so a quota'd driver host cannot false-trip.
+          val eligible = scale <= 1.1
+          if (!contaminated && eligible) {
             val rit = n.path("ratios").fields()
             while (rit.hasNext) {
               val e = rit.next()
               val ratio = e.getValue.path("ratio").asDouble(-1.0)
               val sec = e.getValue.path("sec").asDouble(-1.0)
               if (ratio > 0 && !flagged(e.getKey)) {
-                if (ratioEligible)
-                  worst(e.getKey) = math.max(worst.getOrElse(e.getKey, 0.0), ratio)
+                worst(e.getKey) = math.max(worst.getOrElse(e.getKey, 0.0), ratio)
                 if (sec > 0)
                   worstSec(e.getKey) =
                     math.max(worstSec.getOrElse(e.getKey, 0.0), sec / scale)
