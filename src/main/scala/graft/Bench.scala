@@ -160,6 +160,17 @@ object Bench {
     // cost is bounded by a 60 s reading cache — contention windows
     // last minutes, and trips arrive in bursts inside them.
     val startScale = BenchGate.gateScale(calibMs.toDouble, calibParMs.toDouble)
+    // The budget table is priced at sf0.1 (Budgets.scala header), so
+    // the trip gate applies ONLY when this sweep runs the pricing
+    // corpus: gating another SF against sf0.1 budgets is
+    // apples-to-oranges — streaming queries' wall is dominated by
+    // fixed micro-batch overhead that does not shrink with data size,
+    // so an sf0.001 smoke sweep false-tripped the st-family plus the
+    // fixed-cost packing queries (the ts 1786903179 history line,
+    // retro-adjudicated with a note). Off-pricing sweeps record no
+    // trips and say so via `budget_gated`; BenchHistorySpec locks the
+    // invariant.
+    val budgetGated = sfDir.endsWith("sf0.1")
     var lastTripCalib: Option[(Long, Long, Long)] = None // (ms, parMs, takenNanos)
     def atTripCalib(): (Long, Long) = lastTripCalib match {
       case Some((c, p, taken))
@@ -185,7 +196,8 @@ object Bench {
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           val t = (System.nanoTime() - t0) / 1e9
-          val tripped = Budgets.seconds.get(name).exists(b => t > 2 * b * startScale)
+          val tripped = budgetGated &&
+            Budgets.seconds.get(name).exists(b => t > 2 * b * startScale)
           (name, Some(t), if (tripped) Some(atTripCalib()) else None)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -238,7 +250,7 @@ object Bench {
     // artifact under `trip_calib` so it defends itself.
     val calibScale = startScale
     val verdicts = results.collect {
-      case (k, v, true, ac) if Budgets.seconds.contains(k) =>
+      case (k, v, true, ac) if budgetGated && Budgets.seconds.contains(k) =>
         val atTrip = ac.map { case (c, p) => (c.toDouble, p.toDouble) }
         (k, v, atTrip, BenchGate.classify(v, Budgets.seconds(k), startScale, atTrip))
     }
@@ -259,7 +271,7 @@ object Bench {
     // instead of adjudicating prose
     val contendedRun = verdicts.exists(_._4 == BenchGate.Contended)
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"contended":$contended,"trip_calib":$tripCalib,"contended_run":$contendedRun,"repeats":$repeats,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":$nFailed,"budget_gated":$budgetGated,"over_budget":$over,"contended":$contended,"trip_calib":$tripCalib,"contended_run":$contendedRun,"repeats":$repeats,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)}}"""
     // The stdout metric line stays SHORT (~150 bytes): BENCH_r09 came
     // back parsed:null because the 92-entry per-query map grew the line
     // to ~2.9 KB and the driver's 2000-char capture tail sliced it
@@ -274,7 +286,7 @@ object Bench {
     val queriesLine =
       s"""{"metric":"queries","unit":"centisec","sf":"$sfDir","queries":$shortQs}"""
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"over_budget":$over,"contended":$contended,"contended_run":$contendedRun,"repeats":$repeats,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_failed":$nFailed,"budget_gated":$budgetGated,"over_budget":$over,"contended":$contended,"contended_run":$contendedRun,"repeats":$repeats,"calib_ms":$calibMs,"calib_par_ms":$calibParMs,"calib_scale":${f(calibScale)}}"""
     // stdout can be lost in log noise; persist the full map for the driver
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     // history only records FULL sweeps (filtered local-iteration runs

@@ -56,6 +56,25 @@ class BenchHistorySpec extends AnyFunSuite {
       }
   }
 
+  test("the budget gate applies only at the pricing SF") {
+    // Budgets.seconds is priced at sf0.1; a sweep on any other corpus
+    // must not record budget trips — streaming/packing queries carry
+    // fixed per-run overhead that does not shrink with data size, so
+    // an sf0.001 smoke sweep false-trips them against sf0.1 budgets
+    // (the ts 1786903179 line, retro-adjudicated with its trips moved
+    // to `off_pricing_trips` and a contended_note). Bench now skips
+    // the gate off-pricing (`budget_gated`); this locks the invariant
+    // so a mis-gated line can never again read as regression evidence.
+    nodes.filterNot(_.path("sf").asText("").endsWith("sf0.1")).foreach { n =>
+      assert(n.path("over_budget").size() == 0 && n.path("contended").size() == 0,
+        s"ts ${n.path("ts")}: off-pricing sweep (sf ${n.path("sf")}) carries " +
+          "budget trips — the sf0.1-priced gate must not apply")
+      if (n.has("off_pricing_trips"))
+        assert(n.path("contended_note").asText("").length > 40,
+          s"ts ${n.path("ts")}: off_pricing_trips requires an evidence note")
+    }
+  }
+
   test("contended runs are the known set or newer (no silent unflagging)") {
     // the two r18 lines adjudicated contaminated by judge forensics
     // must STAY flagged — a regeneration that drops the flag would
