@@ -238,6 +238,19 @@ object Budgets {
     // corpus is smaller than the base and the walk reads the staged
     // base+delete-delta segments)
     "s30_graph_delete" -> 2.8,
+    // r19: same-run A/B vs s27 (0.94x: 3.36 vs 3.58 at calib 1.23 —
+    // the 3-hop over-fetch walk reads the same staged index; the 50%
+    // predicate halves the re-rank side, roughly offsetting the
+    // deeper frontier)
+    "s31_graph_filtered" -> 3.0,
+    // r19: same-run A/B vs s28 (1.12x: 4.63 vs 4.13 — s31's walk plus
+    // the filtered brute-truth compare over the admissible half)
+    "s32_graph_filtered_recall" -> 3.9,
+    // r19: same-run A/B vs st19 (0.59x: 3.20 vs 5.46 — three
+    // stateless micro-batches of literal-centroid argmin projection;
+    // no state store, no join, the wall is micro-batch overhead +
+    // one corpus pass)
+    "st21_stream_index_admit" -> 3.1,
     "st14_stream_chunk" -> 2.2, // r15: measured 1.74 warm best-of-3 (4-file multi-batch regime)
     "st15_stream_scene" -> 1.7, // r16: measured 1.25 best-of-3 (keyed state op, single-batch staging)
     "st16_stream_validate" -> 2.4, // r16: measured 1.83 best-of-3 (stateless per-row, 4-file multi-batch)
@@ -381,6 +394,9 @@ object Budgets {
     "st12_stream_pii" -> 8.0,
     "s29_graph_incremental" -> 8.0, // r19: new; staged base+delta, best-of-2 rides the warm attach
     "s30_graph_delete" -> 8.0, // r19: new; same staged class
+    "s31_graph_filtered" -> 8.0, // r19: new; staged index + corpus-size-independent walk
+    "s32_graph_filtered_recall" -> 8.0, // r19: new; adds the filtered brute compare (linear)
+    "st21_stream_index_admit" -> 8.0, // r19: new; stateless per-row admission, fixed micro-batch overhead
     "s27_graph_ann" -> 8.0, // r18: new; staged index, best-of-2 rides the warm attach (the q27/s11 class)
     "s28_graph_recall" -> 8.0, // r18: new
 

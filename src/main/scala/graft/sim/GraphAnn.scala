@@ -262,8 +262,29 @@ object GraphAnn {
   /** The graph walk over an arbitrary (corpus, edge list): seeds from
     * the query's forest buckets, two hops along out-edges, exact
     * re-rank — s27's navigation, shared with s29's incrementally
-    * maintained index. */
-  private def walk(b: DataFrame, edges: DataFrame): DataFrame = {
+    * maintained index.
+    *
+    * `pred` (s31): an optional metadata predicate on the RESULT side.
+    * Navigation stays UNFILTERED — inadmissible nodes still route
+    * (drop them from the walk and the graph fragments under selective
+    * filters: the seeds lose reach and two hops cover less of the
+    * admissible region — the standard filtered-HNSW design point), so
+    * the predicate applies at the exact re-rank over the walk's
+    * candidate pool.
+    *
+    * `hops` (s31): filtered queries walk ONE HOP DEEPER — the
+    * filtered-HNSW over-fetch rule (ef scales with 1/selectivity made
+    * structural: each hop multiplies the reachable pool by the graph's
+    * expansion factor, so depth+1 over-fetches a 50% predicate with
+    * room to spare). Measured: 2 hops left q0's filtered recall at
+    * 0.4 at sf0.01 — the true filtered top-10 reaches past the 2-hop
+    * frontier once half the near neighbors are inadmissible; 3 hops
+    * clear the 0.5 floor everywhere. The candidate bound becomes
+    * ≤ S·(G+G²+G³) — still corpus-size-INDEPENDENT, the family's
+    * promise. */
+  private def walk(b: DataFrame, edges: DataFrame,
+      pred: Option[org.apache.spark.sql.Column] = None,
+      hops: Int = 2): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val q = b.filter(col("vec_id") < 5)
       .select((Seq(col("vec_id").as("q_id"), col("embedding").as("qe"),
@@ -272,16 +293,19 @@ object GraphAnn {
     // seeds: top-S of the union of the query's forest buckets
     val seeds = TopK.perKey(forestCands(b, q), Seq("q_id"), "cos", "vec_id", S)
       .select(col("q_id"), col("vec_id"))
-    // navigate: two hops along out-edges (<= S*G + S*G^2 ids/query)
-    val hop1 = seeds.join(e, seeds("vec_id") === e("src"))
-      .select(col("q_id"), col("dst").as("vec_id"))
-    val hop2 = hop1.join(e, hop1("vec_id") === e("src"))
-      .select(col("q_id"), col("dst").as("vec_id"))
-    val cands = seeds.union(hop1).union(hop2).distinct()
+    // navigate: `hops` hops along out-edges (<= S * Σ G^h ids/query)
+    val hopFrontiers = Iterator.iterate(seeds) { frontier =>
+      frontier.join(e, frontier("vec_id") === e("src"))
+        .select(col("q_id"), col("dst").as("vec_id"))
+    }.take(hops + 1).toSeq
+    val cands = hopFrontiers.reduce(_ union _).distinct()
       .filter(col("q_id") =!= col("vec_id"))
-    // exact re-rank of the bounded candidate set
+    // exact re-rank of the bounded candidate set (pred drops
+    // inadmissible candidates HERE — after navigation, before ranking,
+    // so the filtered top-k never underfills against a filtered truth)
+    val admissible = pred.fold(b)(p => b.filter(p))
     val rescored = cands
-      .join(b.select(col("vec_id"), col("embedding"), col("norm_e")), Seq("vec_id"))
+      .join(admissible.select(col("vec_id"), col("embedding"), col("norm_e")), Seq("vec_id"))
       .join(broadcast(q.select(col("q_id"), col("qe"), col("norm_q"))), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
@@ -590,6 +614,40 @@ object GraphAnn {
     walk(survivorCorpus(s, d), deleteMaintainedEdges(s, d))
 
   // ---------------------------------------------------------------
+  // s31/s32: FILTERED graph search — ANN under a metadata predicate
+  // served by the filter-agnostic persisted graph index, the s22/s23
+  // capability brought to the graph family (every production vector
+  // store ships it: FAISS IDSelector, pgvector WHERE, Vespa/Weaviate
+  // filtered HNSW). The index is built once over the FULL corpus and
+  // filters vary per query; navigation routes through inadmissible
+  // nodes (pruning them from the walk fragments the graph under
+  // selective predicates), and the predicate lands at the exact
+  // re-rank over the bounded candidate pool — post-filter with
+  // structural over-fetch (≤ S·G + S·G² candidates for a top-10 ask).
+  // ---------------------------------------------------------------
+
+  /** s31: filtered graph ANN — top-10 among the ADMISSIBLE (s22's
+    * 50%-selective label predicate) corpus vectors, navigated by the
+    * unfiltered persisted graph. Same output shape as s27. */
+  private def s31(s: SparkSession, d: String): DataFrame =
+    walk(base(s, d),
+      s.read.parquet(ensureGraphIndex(s, d).resolve("edges").toString),
+      pred = Some(expr(Knn.FilterPredSql)), hops = 3)
+
+  /** s32: filtered-graph recall@10 vs the TRUE filtered top-10 (brute
+    * cosine over only the admissible corpus) — the measured-accuracy
+    * contract every index family here ships (s5/s6/s13/s23/s28),
+    * filtered edition: under a selective predicate the admissible
+    * candidates thin out per walk, and THIS number is what justifies
+    * serving a filtered workload from the graph index. */
+  private def s32(s: SparkSession, d: String): DataFrame = {
+    val tru = Knn.rankTopK(
+        Knn.bruteScored(s, d, Some(expr(Knn.FilterPredSql))), 10, Seq.empty)
+      .select(col("q_id"), col("vec_id"))
+    Knn.recallVs(tru, s31(s, d).select(col("q_id"), col("vec_id")))
+  }
+
+  // ---------------------------------------------------------------
   // DuckDB oracle: the whole pipeline in SQL. Pair relations carry
   // ids only; cosine is computed in exactly one place per stage
   // (the same one-scoring-site rule as the Spark side).
@@ -648,13 +706,20 @@ object GraphAnn {
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= $G)""".stripMargin
   }
 
-  private val annCtes = {
+  /** The walk's CTE chain (q → seeds → hops → cand → ann). `annPred`
+    * (s31): an extra admissibility join at the exact re-rank — the
+    * navigation CTEs stay unfiltered, mirroring the Spark walk.
+    * `hops`: the walk depth (s31 over-fetches at 3 — see [[walk]]). */
+  private def annCtesWith(annPred: Option[String], hops: Int = 2): String = {
     val bcUnion = Tables4.indices.map { t =>
       s"""SELECT q.q_id, e.vec_id, ${cosSql("q.qe", "e.embedding")} AS cos
          |  FROM q JOIN b e ON e.bucket$t = q.bucket$t AND e.vec_id <> q.q_id"""
         .stripMargin
     }.mkString("\n  UNION\n  ")
     val qCols = Tables4.indices.map(t => s"bucket$t").mkString(", ")
+    val predJoin = annPred
+      .map(p => s" JOIN embeddings em ON em.vec_id = c.vec_id AND em.$p")
+      .getOrElse("")
     s"""q AS (SELECT vec_id AS q_id, embedding AS qe, $qCols FROM b WHERE vec_id < 5),
        |bc AS (
        |  $bcUnion),
@@ -662,21 +727,24 @@ object GraphAnn {
        |  SELECT q_id, vec_id FROM bc
        |  WHERE cos IS NOT NULL AND NOT isnan(cos)
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= $S),
-       |h1 AS (SELECT s.q_id, g.dst AS vec_id FROM seeds s JOIN g ON g.src = s.vec_id),
-       |h2 AS (SELECT h.q_id, g.dst AS vec_id FROM h1 h JOIN g ON g.src = h.vec_id),
+       |${(1 to hops).map { h =>
+           val prev = if (h == 1) "seeds" else s"h${h - 1}"
+           s"h$h AS (SELECT h.q_id, g.dst AS vec_id FROM $prev h JOIN g ON g.src = h.vec_id)"
+         }.mkString(",\n")},
        |cand AS (
        |  SELECT DISTINCT q_id, vec_id FROM (
        |    SELECT q_id, vec_id FROM seeds
-       |    UNION ALL SELECT q_id, vec_id FROM h1
-       |    UNION ALL SELECT q_id, vec_id FROM h2)
+       |${(1 to hops).map(h => s"    UNION ALL SELECT q_id, vec_id FROM h$h").mkString("\n")})
        |  WHERE q_id <> vec_id),
        |ann AS (
        |  SELECT q_id, vec_id, cos FROM (
        |    SELECT c.q_id, c.vec_id, ${cosSql("q.qe", "e.embedding")} AS cos
-       |    FROM cand c JOIN b e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)
+       |    FROM cand c JOIN b e ON e.vec_id = c.vec_id$predJoin JOIN q ON q.q_id = c.q_id)
        |  WHERE cos IS NOT NULL AND NOT isnan(cos)
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10)""".stripMargin
   }
+
+  private val annCtes = annCtesWith(None)
 
   private val graphCtes = graphCtesFrom("embeddings")
 
@@ -729,15 +797,45 @@ object GraphAnn {
        |  vec_id, cos
        |FROM ann ORDER BY q_id, rank""".stripMargin
 
+  /** s31's oracle: the same graph + walk chain with the admissibility
+    * join at the ann CTE — navigation unfiltered, re-rank filtered,
+    * exactly the Spark plan's semantics. */
+  private val s31Sql =
+    s"""WITH $graphCtes,
+       |${annCtesWith(Some(Knn.FilterPredSql), hops = 3)}
+       |SELECT q_id,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
+       |  vec_id, cos
+       |FROM ann ORDER BY q_id, rank""".stripMargin
+
+  /** s32's oracle: filtered brute truth (top-10 over only admissible
+    * vectors — s23's truth shape at the graph family's k) vs the s31
+    * chain, through the shared recall tail. */
+  private val s32Sql =
+    s"""WITH $graphCtes,
+       |${annCtesWith(Some(Knn.FilterPredSql), hops = 3)},
+       |tru AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT tq.q_id, e.vec_id, ${cosSql("tq.qe", "e.embedding")} AS cos
+       |    FROM (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5) tq
+       |    JOIN embeddings e ON e.vec_id <> tq.q_id AND e.${Knn.FilterPredSql})
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10),
+       |${Knn.recallTailSql}""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "s27_graph_ann" -> (s27 _),
     "s28_graph_recall" -> (s28 _),
     "s29_graph_incremental" -> (s29 _),
-    "s30_graph_delete" -> (s30 _))
+    "s30_graph_delete" -> (s30 _),
+    "s31_graph_filtered" -> (s31 _),
+    "s32_graph_filtered_recall" -> (s32 _))
 
   val oracles: Map[String, String] = Map(
     "s27_graph_ann" -> s27Sql,
     "s28_graph_recall" -> s28Sql,
     "s29_graph_incremental" -> s29Sql,
-    "s30_graph_delete" -> s30Sql)
+    "s30_graph_delete" -> s30Sql,
+    "s31_graph_filtered" -> s31Sql,
+    "s32_graph_filtered_recall" -> s32Sql)
 }

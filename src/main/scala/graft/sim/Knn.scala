@@ -228,7 +228,7 @@ object Knn {
   /** s3's assignment CTE chain ending in
     * `ivfassigned(vec_id, label, cell, dist)` — shared verbatim by the
     * s3 and s26 oracles (the UrlVerdictCtes discipline). */
-  private val IvfAssignCtes =
+  private[graft] val IvfAssignCtes =
     """dims AS (
       |  SELECT vec_id, label, g.i, CAST(embedding[g.i] AS DOUBLE) AS x
       |  FROM embeddings, generate_series(1, 64) AS g(i)),
@@ -898,12 +898,23 @@ object Knn {
     * fitting in the plan, nothing needs to move at all). `least` on
     * structs is lexicographic, so (dist, cell) is the same
     * deterministic total order the oracle's ORDER BY dist, cell uses. */
-  private def argminCell(cent: Array[(Long, Array[Double])]): Column =
+  private[graft] def argminCell(cent: Array[(Long, Array[Double])]): Column =
     least(cent.toIndexedSeq.map { case (cell, arr) =>
       struct(
         VectorFunctions.l2sq(col("embedding"), typedlit(arr.toSeq)).as("dist"),
         lit(cell).as("cell"))
     }: _*)
+
+  /** The collected (cell, centroid) set of the per-label nano-mean
+    * index cells ([[centroidArrays]] — exactly s3/s4/s11's cells): k
+    * rows of k×64 doubles, the s8 metadata-collect class, for callers
+    * that assign via [[argminCell]]'s literal zero-shuffle projection
+    * (st21's streaming admission path). */
+  private[graft] def indexCentroids(s: SparkSession, d: String): Array[(Long, Array[Double])] =
+    centroidArrays(Tables.embeddings(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions))
+      .select(col("cell").cast("long").as("cell"), col("carr"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
 
   /** One Lloyd round over the persisted primitive-array corpus: a
     * single shuffle-free `RDD.aggregate` whose accumulator is the

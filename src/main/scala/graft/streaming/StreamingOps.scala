@@ -1412,7 +1412,106 @@ object StreamingOps {
 
   private val st18Sql = graft.multimodal.Multimodal.oracles("m12_magic_sniff")
 
+  private val embeddingsStreamSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** The embedding corpus staged as `nFiles` landing files (split by
+    * `vec_id % nFiles`, strictly increasing mtimes, `_src_meta`
+    * freshness marker) read with `maxFilesPerTrigger=1` — the
+    * vector-side twin of [[eventsStreamMulti]]/[[docsStreamMulti]],
+    * for st21's ingest-time index admission. */
+  private def embeddingsStreamMulti(s: SparkSession, d: String, nFiles: Int): DataFrame = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_embed_" + graft.StagePath.corpusToken(d) + s"_n$nFiles")
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve("_src_meta")
+    val meta = graft.StagePath.srcMeta(d, src, "embed1")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet"))) &&
+      !java.nio.file.Files.exists(dir.resolve(s"b$nFiles.parquet"))
+    if (!fresh) {
+      val listing = java.nio.file.Files.list(dir)
+      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally listing.close()
+      val work = dir.resolve("_work")
+      val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
+      for (k <- 0 until nFiles) {
+        graft.Tables.embeddings(s, d)
+          .filter(col("vec_id") % nFiles === k)
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .coalesce(1).write.mode("overwrite").parquet(work.toString)
+        val partFile = {
+          val l = java.nio.file.Files.list(work)
+          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally l.close()
+        }
+        val dst = dir.resolve(s"b$k.parquet")
+        java.nio.file.Files.move(partFile, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 1000L))
+      }
+      if (java.nio.file.Files.exists(work)) {
+        val l = java.nio.file.Files.list(work)
+        try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally l.close()
+        java.nio.file.Files.deleteIfExists(work)
+      }
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
+    s.readStream.schema(embeddingsStreamSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(dir.toString)
+  }
+
+  /** st21: STREAMING IVF admission — the online half of the persisted
+    * vector-index lifecycle (s11 builds offline, s17 admits batches;
+    * this is the "fresh embeddings searchable within minutes" path
+    * every production vector store runs): vectors arriving on a
+    * 3-file stream are nearest-centroid-assigned IN FLIGHT against
+    * the index's static centroid set, emitting exactly the assignment
+    * rows an s17-style delta segment appends.
+    *
+    * Scale shape: the centroid set is k×64 doubles COLLECTED into the
+    * plan ([[graft.sim.Knn.indexCentroids]] — the s8 metadata-collect
+    * class) and the assignment is [[graft.sim.Knn.argminCell]]'s
+    * `least`-over-structs literal projection — a STATELESS per-row
+    * map: no streaming aggregate, no state store, no shuffle, no
+    * watermark. At 100 TB/day of arriving vectors this is
+    * embarrassingly parallel (the only "state" is the centroid
+    * closure shipped with the task), and batching-invariant by
+    * construction (StreamingMultiBatchSpec pins 3-file ≡ 1-batch
+    * batch answer via the oracle). Append mode — rows emit as they
+    * arrive, the latency the admission path exists for.
+    *
+    * Oracle: the batch assignment chain (s3's IvfAssignCtes — the
+    * SAME cells the persisted index serves): the stream must assign
+    * exactly as the offline index build would, cell for cell, dist
+    * for dist. */
+  private def st21(s: SparkSession, d: String): DataFrame = {
+    val cent = graft.sim.Knn.indexCentroids(s, d)
+    val assigned = embeddingsStreamMulti(s, d, 3)
+      .select(col("vec_id"), col("label"), graft.sim.Knn.argminCell(cent).as("_m"))
+      .select(col("vec_id"), col("label"),
+        col("_m.cell").as("assigned_cell"), col("_m.dist").as("dist"))
+    runToMemory(s, assigned, "graft_st21", mode = "append")
+      .orderBy(col("vec_id"))
+  }
+
+  private val st21Sql =
+    s"""WITH ${graft.sim.Knn.IvfAssignCtes}
+       |SELECT vec_id, label, CAST(cell AS BIGINT) AS assigned_cell, dist
+       |FROM ivfassigned ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "st21_stream_index_admit" -> (st21 _),
     "st18_stream_sniff" -> (st18 _),
     "st17_stream_url" -> (st17 _),
     "st16_stream_validate" -> (st16 _),
@@ -1435,6 +1534,7 @@ object StreamingOps {
     "st3_stream_static_join" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
+    "st21_stream_index_admit" -> st21Sql,
     "st18_stream_sniff" -> st18Sql,
     "st17_stream_url" -> st17Sql,
     "st16_stream_validate" -> st16Sql,

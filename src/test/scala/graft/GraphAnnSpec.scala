@@ -116,6 +116,40 @@ class GraphAnnSpec extends SparkSpec {
       "no base edge pointed at a deleted id — pivot-loss path not exercised")
   }
 
+  test("s31 filtered search: admissible-only results, and the filter binds") {
+    // every returned neighbor satisfies the predicate (the s22
+    // correctness contract: filter-then-rank, never post-filter a
+    // top-k), with a FULL top-10 per query — the structural over-fetch
+    // (<= S*G + S*G^2 candidates for a top-10 ask) must absorb the
+    // 50% predicate without underfilling
+    val admissible = spark.read.parquet(accSf + "/embeddings.parquet")
+      .filter(expr("label % 2 = 0")).collect().map(_.getAs[Long]("vec_id")).toSet
+    val filtered = SparkEntry.queries("s31_graph_filtered")(spark, accSf).collect()
+    assert(filtered.length === 50, "underfilled: expected a full top-10 x 5 queries")
+    assert(filtered.forall(r => admissible(r.getLong(2))),
+      "inadmissible vector in the filtered result")
+    // inject-then-measure: the predicate must CHANGE the answer — if
+    // s27's unfiltered top-10 were all-admissible everywhere, this
+    // measured nothing (50% selectivity makes that astronomically
+    // unlikely; a corpus drift that breaks it should fail loudly here)
+    val unfiltered = SparkEntry.queries("s27_graph_ann")(spark, accSf).collect()
+    assert(unfiltered.exists(r => !admissible(r.getLong(2))),
+      "s27's top-10 is already all-admissible — the filter test is vacuous")
+  }
+
+  test("s32 filtered-graph recall@10 clears the measured floor") {
+    // same floor discipline as s28: measured high at sf0.01; 0.5 is
+    // the regression alarm (a broken filtered re-rank — e.g.
+    // post-filtering a plain top-10 — underfills n_found visibly)
+    val rec = SparkEntry.queries("s32_graph_filtered_recall")(spark, accSf).collect()
+    assert(rec.length === 5)
+    for (r <- rec) {
+      assert(r.getLong(1) === 10L, s"q${r.getLong(0)}: filtered truth size wiring")
+      assert(r.getDouble(3) >= 0.5,
+        s"q${r.getLong(0)}: filtered recall ${r.getDouble(3)} below the 0.5 floor")
+    }
+  }
+
   test("s27 re-run rides the staged index (same results, marker untouched)") {
     // the s11 staged-artifact discipline: the second run must read the
     // persisted edges, not rebuild — proven by the freshness marker's

@@ -186,6 +186,25 @@ class StreamingMultiBatchSpec extends SparkSpec {
     assert(st12.nonEmpty)
   }
 
+  test("st21 streaming index admission equals the batch assignment, over real micro-batches") {
+    // stateless per-row argmin over literal centroids: whatever the
+    // file/trigger split, the streamed cell assignments must equal the
+    // offline index build's (s3) cell-for-cell and dist-for-dist —
+    // the index-consistency claim (a vector admitted in flight lands
+    // in the same cell a rebuild would put it in)
+    val st21 = SparkEntry.queries("st21_stream_index_admit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val s3 = SparkEntry.queries("s3_ivf_cells")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2).toLong, r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(st21 == s3, "streamed admission diverged from the batch assignment")
+    assert(st21.nonEmpty)
+    // the run really streamed: 3 staged files drained one per trigger
+    val batches = streaming.StreamingOps.lastRunBatches("graft_st21")
+    assert(batches.count(_ > 0) >= 3,
+      s"expected >= 3 data micro-batches, saw $batches")
+  }
+
   test("st13 ingest-time routing equals the batch router row-for-row") {
     // stateless request construction + routing: the streamed decisions
     // must be byte-identical to the batch router over the table — the
