@@ -251,6 +251,14 @@ object Budgets {
     // no state store, no join, the wall is micro-batch overhead +
     // one corpus pass)
     "st21_stream_index_admit" -> 3.1,
+    // r19: same-run A/B vs s9 (1.35x: 9.28 vs 6.88 at calib 1.28 —
+    // s9's codebook train + encode dominates; the walk-candidate ADC
+    // join replaces s9's full-corpus one, and the staged graph side
+    // adds the seeds/hops plumbing)
+    "s33_graph_pq" -> 6.3,
+    // r19: same-run A/B vs s33 (1.10x: 10.19 vs 9.28 — adds the brute
+    // truth compare)
+    "s34_graph_pq_recall" -> 7.0,
     "st14_stream_chunk" -> 2.2, // r15: measured 1.74 warm best-of-3 (4-file multi-batch regime)
     "st15_stream_scene" -> 1.7, // r16: measured 1.25 best-of-3 (keyed state op, single-batch staging)
     "st16_stream_validate" -> 2.4, // r16: measured 1.83 best-of-3 (stateless per-row, 4-file multi-batch)
@@ -396,6 +404,8 @@ object Budgets {
     "s30_graph_delete" -> 8.0, // r19: new; same staged class
     "s31_graph_filtered" -> 8.0, // r19: new; staged index + corpus-size-independent walk
     "s32_graph_filtered_recall" -> 8.0, // r19: new; adds the filtered brute compare (linear)
+    "s33_graph_pq" -> 8.0, // r19: new; codebook train + walk, the s9 linear class
+    "s34_graph_pq_recall" -> 8.0, // r19: new; s33 + brute compare
     "st21_stream_index_admit" -> 8.0, // r19: new; stateless per-row admission, fixed micro-batch overhead
     "s27_graph_ann" -> 8.0, // r18: new; staged index, best-of-2 rides the warm attach (the q27/s11 class)
     "s28_graph_recall" -> 8.0, // r18: new

@@ -285,31 +285,49 @@ object GraphAnn {
   private def walk(b: DataFrame, edges: DataFrame,
       pred: Option[org.apache.spark.sql.Column] = None,
       hops: Int = 2): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val q = b.filter(col("vec_id") < 5)
+    val q = queryFrame(b)
+    // pred drops inadmissible candidates AFTER navigation, before
+    // ranking, so the filtered top-k never underfills against a
+    // filtered truth
+    rerank(pred.fold(b)(p => b.filter(p)), q, walkCands(b, q, edges, hops), 10)
+  }
+
+  /** The query frame over a bucketed corpus: (q_id, qe, norm_q, forest
+    * buckets). */
+  private def queryFrame(b: DataFrame): DataFrame =
+    b.filter(col("vec_id") < 5)
       .select((Seq(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("norm_e").as("norm_q")) ++
         Tables4.indices.map(t => col(s"bucket$t"))): _*)
-    // seeds: top-S of the union of the query's forest buckets
+
+  /** The walk's candidate set (q_id, vec_id): top-S forest seeds +
+    * `hops` hops along out-edges — ≤ S·Σ G^h ids per query,
+    * corpus-size-INDEPENDENT. Shared by the exact re-rank (s27/s31
+    * class) and s33's ADC-scored pruning. */
+  private def walkCands(b: DataFrame, q: DataFrame, edges: DataFrame,
+      hops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
     val seeds = TopK.perKey(forestCands(b, q), Seq("q_id"), "cos", "vec_id", S)
       .select(col("q_id"), col("vec_id"))
-    // navigate: `hops` hops along out-edges (<= S * Σ G^h ids/query)
     val hopFrontiers = Iterator.iterate(seeds) { frontier =>
       frontier.join(e, frontier("vec_id") === e("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
     }.take(hops + 1).toSeq
-    val cands = hopFrontiers.reduce(_ union _).distinct()
+    hopFrontiers.reduce(_ union _).distinct()
       .filter(col("q_id") =!= col("vec_id"))
-    // exact re-rank of the bounded candidate set (pred drops
-    // inadmissible candidates HERE — after navigation, before ranking,
-    // so the filtered top-k never underfills against a filtered truth)
-    val admissible = pred.fold(b)(p => b.filter(p))
+  }
+
+  /** Exact-cosine re-rank of a bounded (q_id, vec_id) candidate set to
+    * top-`k` in s1's output shape — candidate embeddings come from
+    * `b` (pre-filtered by the caller for s31's predicate). */
+  private def rerank(b: DataFrame, q: DataFrame, cands: DataFrame,
+      k: Int): DataFrame = {
     val rescored = cands
-      .join(admissible.select(col("vec_id"), col("embedding"), col("norm_e")), Seq("vec_id"))
+      .join(b.select(col("vec_id"), col("embedding"), col("norm_e")), Seq("vec_id"))
       .join(broadcast(q.select(col("q_id"), col("qe"), col("norm_q"))), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         (VectorFunctions.dot("qe", "embedding") / (col("norm_q") * col("norm_e"))).as("cos"))
-    Knn.rankTopK(rescored, 10, Seq.empty)
+    Knn.rankTopK(rescored, k, Seq.empty)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
@@ -648,6 +666,86 @@ object GraphAnn {
   }
 
   // ---------------------------------------------------------------
+  // s33/s34: PQ-scored graph search — the DiskANN composition
+  // (Subramanya et al., NeurIPS 2019): graph adjacency + PQ codes
+  // resident in memory, full-precision vectors on SSD; the walk
+  // scores candidates by cheap ADC lookups over the codes and fetches
+  // full vectors ONLY for the final re-rank. The relational
+  // re-expression composes two indexes this engine already ships —
+  // s27's persisted neighbor graph and s9's PQ codebook/ADC machinery
+  // — into the production serving shape.
+  // ---------------------------------------------------------------
+
+  /** How many ADC survivors fetch full-precision vectors per query —
+    * DiskANN's beam-width knob: the walk's ≤ S·(G+G²) candidates
+    * score as 4-bit codes (32× smaller than float32), and only these
+    * survivors pay the full-vector join. 64 (not s9's 20): a recall@10
+    * ask through an 8×4-bit codebook needs more head-room than s9's
+    * recall@3 — beam 20 measured 0.2–0.5 per query at sf0.01, beam 64
+    * clears the family floor while still cutting the full-precision
+    * fetch ~an order of magnitude below the candidate pool. */
+  private val PqFetch = 64
+
+  /** s33: graph-navigated ANN with PQ-scored pruning — s27's walk up
+    * to the candidate set, then: (1) each candidate scores by ADC
+    * (8 table lookups on its 4-bit codes against the query's
+    * broadcast LUT — exact-integer nano partial dots, s9's machinery
+    * verbatim), (2) the top-[[PqFetch]] by ADC fetch full vectors and
+    * exact-rerank to top-10 in s1's shape.
+    *
+    * The 100 TB shape this exists for: the walk's candidate join
+    * against full vectors reads ~256 B × |cands| (hundreds) per
+    * query; scoring candidates as codes reads 4 B each and the
+    * full-precision fetch drops to [[PqFetch]] rows — the
+    * memory-vs-SSD split DiskANN runs, as two bounded equi-joins.
+    * Accuracy cost is measured, not asserted: s34 is the recall
+    * contract for exactly this pipeline. */
+  private def s33(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val q = queryFrame(b)
+    val edges = s.read.parquet(ensureGraphIndex(s, d).resolve("edges").toString)
+    val cands = walkCands(b, q, edges, hops = 2)
+    val (codes, lut) = Knn.pqParts(Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions))
+    val l = lut.select(col("q_id"), col("sub"), col("cell").as("code"), col("pdot"))
+    val adc = cands.join(codes, Seq("vec_id"))
+      .join(broadcast(l), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("score"))
+    val candPq = TopK.perKey(adc, Seq("q_id"), "score", "vec_id", PqFetch)
+      .select(col("q_id"), col("vec_id"))
+    rerank(b, q, candPq, 10)
+  }
+
+  /** s34: s33's recall@10 contract vs s1's brute truth — the measured
+    * price of scoring the walk through 4-bit codes instead of full
+    * vectors (compare s28: the same walk exactly re-ranked). The gap
+    * between s28's and s34's numbers IS the PQ approximation cost at
+    * this beam width — the go/no-go measurement a DiskANN-class
+    * deployment reads before trading bytes for recall. Measured at
+    * sf0.01: 0.3–0.7 per query (mean 0.54) vs s28's 0.5–1.0 — in line
+    * with s9's own full-corpus ADC contract (mean 0.47 @3) on this
+    * corpus: the loss is the 8×16-cell codebook's, not the walk's. */
+  private def s34(s: SparkSession, d: String): DataFrame = {
+    val tru = Knn.rankTopK(Knn.bruteScored(s, d), 10, Seq.empty)
+      .select(col("q_id"), col("vec_id"))
+    Knn.recallVs(tru, s33(s, d).select(col("q_id"), col("vec_id")))
+  }
+
+  /** Per-query walk-candidate counts (GraphAnnSpec: the beam must
+    * genuinely PRUNE — PqFetch < |cands| — or s33's two-stage split
+    * is a costume). */
+  private[graft] def walkCandCounts(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val q = queryFrame(b)
+    val edges = s.read.parquet(ensureGraphIndex(s, d).resolve("edges").toString)
+    walkCands(b, q, edges, 2).groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+  }
+
+  /** [[PqFetch]], exposed for the pruning-is-real spec assertion. */
+  private[graft] def pqFetchK: Int = PqFetch
+
+  // ---------------------------------------------------------------
   // DuckDB oracle: the whole pipeline in SQL. Pair relations carry
   // ids only; cosine is computed in exactly one place per stage
   // (the same one-scoring-site rule as the Spark side).
@@ -706,36 +804,46 @@ object GraphAnn {
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= $G)""".stripMargin
   }
 
-  /** The walk's CTE chain (q → seeds → hops → cand → ann). `annPred`
-    * (s31): an extra admissibility join at the exact re-rank — the
-    * navigation CTEs stay unfiltered, mirroring the Spark walk.
-    * `hops`: the walk depth (s31 over-fetches at 3 — see [[walk]]). */
-  private def annCtesWith(annPred: Option[String], hops: Int = 2): String = {
+  /** The walk's candidate CTE chain (q → bc → wseeds → hops → cand) —
+    * the SQL mirror of [[walkCands]], shared by the exact-rerank
+    * oracles (via [[annCtesWith]]) and s33's ADC-pruned chain. The
+    * seed CTE is `wseeds` (not `seeds`) because s33 composes this
+    * chain with [[Knn.pqCtes]], which owns the `seeds` name for its
+    * codebook. */
+  private def walkCandCtes(hops: Int): String = {
     val bcUnion = Tables4.indices.map { t =>
       s"""SELECT q.q_id, e.vec_id, ${cosSql("q.qe", "e.embedding")} AS cos
          |  FROM q JOIN b e ON e.bucket$t = q.bucket$t AND e.vec_id <> q.q_id"""
         .stripMargin
     }.mkString("\n  UNION\n  ")
     val qCols = Tables4.indices.map(t => s"bucket$t").mkString(", ")
-    val predJoin = annPred
-      .map(p => s" JOIN embeddings em ON em.vec_id = c.vec_id AND em.$p")
-      .getOrElse("")
     s"""q AS (SELECT vec_id AS q_id, embedding AS qe, $qCols FROM b WHERE vec_id < 5),
        |bc AS (
        |  $bcUnion),
-       |seeds AS (
+       |wseeds AS (
        |  SELECT q_id, vec_id FROM bc
        |  WHERE cos IS NOT NULL AND NOT isnan(cos)
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= $S),
        |${(1 to hops).map { h =>
-           val prev = if (h == 1) "seeds" else s"h${h - 1}"
+           val prev = if (h == 1) "wseeds" else s"h${h - 1}"
            s"h$h AS (SELECT h.q_id, g.dst AS vec_id FROM $prev h JOIN g ON g.src = h.vec_id)"
          }.mkString(",\n")},
        |cand AS (
        |  SELECT DISTINCT q_id, vec_id FROM (
-       |    SELECT q_id, vec_id FROM seeds
+       |    SELECT q_id, vec_id FROM wseeds
        |${(1 to hops).map(h => s"    UNION ALL SELECT q_id, vec_id FROM h$h").mkString("\n")})
-       |  WHERE q_id <> vec_id),
+       |  WHERE q_id <> vec_id)""".stripMargin
+  }
+
+  /** The walk + exact-rerank CTE chain (… → cand → ann). `annPred`
+    * (s31): an extra admissibility join at the exact re-rank — the
+    * navigation CTEs stay unfiltered, mirroring the Spark walk.
+    * `hops`: the walk depth (s31 over-fetches at 3 — see [[walk]]). */
+  private def annCtesWith(annPred: Option[String], hops: Int = 2): String = {
+    val predJoin = annPred
+      .map(p => s" JOIN embeddings em ON em.vec_id = c.vec_id AND em.$p")
+      .getOrElse("")
+    s"""${walkCandCtes(hops)},
        |ann AS (
        |  SELECT q_id, vec_id, cos FROM (
        |    SELECT c.q_id, c.vec_id, ${cosSql("q.qe", "e.embedding")} AS cos
@@ -823,7 +931,49 @@ object GraphAnn {
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10),
        |${Knn.recallTailSql}""".stripMargin
 
+  /** s33's ADC chain over the walk candidates — [[s33]]'s mirror:
+    * codes + LUT from [[Knn.pqCtes]] (the verbatim s9 codebook),
+    * exact-integer score sum, top-[[PqFetch]] fetch, exact re-rank.
+    * Composes after [[walkCandCtes]]; `seeds` belongs to pqCtes here
+    * (the walk chain uses `wseeds`). */
+  private val pqWalkCtes =
+    s"""${Knn.pqCtes},
+       |adc AS (
+       |  SELECT c.q_id, c.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS score
+       |  FROM cand c
+       |  JOIN codes k ON k.vec_id = c.vec_id
+       |  JOIN lut l ON l.q_id = c.q_id AND l.sub = k.sub AND l.cell = k.code
+       |  GROUP BY c.q_id, c.vec_id),
+       |candpq AS (
+       |  SELECT q_id, vec_id FROM adc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= $PqFetch),
+       |annpq AS (
+       |  SELECT q_id, vec_id, cos FROM (
+       |    SELECT c.q_id, c.vec_id, ${cosSql("q.qe", "e.embedding")} AS cos
+       |    FROM candpq c JOIN b e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10)""".stripMargin
+
+  private val s33Sql =
+    s"""WITH $graphCtes,
+       |${walkCandCtes(2)},
+       |$pqWalkCtes
+       |SELECT q_id,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank,
+       |  vec_id, cos
+       |FROM annpq ORDER BY q_id, rank""".stripMargin
+
+  private val s34Sql =
+    s"""WITH $graphCtes,
+       |${walkCandCtes(2)},
+       |$pqWalkCtes,
+       |ann AS (SELECT q_id, vec_id FROM annpq),
+       |${Knn.truTopSql(10)},
+       |${Knn.recallTailSql}""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "s33_graph_pq" -> (s33 _),
+    "s34_graph_pq_recall" -> (s34 _),
     "s27_graph_ann" -> (s27 _),
     "s28_graph_recall" -> (s28 _),
     "s29_graph_incremental" -> (s29 _),
@@ -832,6 +982,8 @@ object GraphAnn {
     "s32_graph_filtered_recall" -> (s32 _))
 
   val oracles: Map[String, String] = Map(
+    "s33_graph_pq" -> s33Sql,
+    "s34_graph_pq_recall" -> s34Sql,
     "s27_graph_ann" -> s27Sql,
     "s28_graph_recall" -> s28Sql,
     "s29_graph_incremental" -> s29Sql,

@@ -1256,7 +1256,7 @@ object Knn {
     * scaladoc; [[pqCtes]] is the verbatim SQL mirror both oracles
     * share, so the two queries necessarily pin the same codebook.
     */
-  private def pqParts(e: DataFrame): (DataFrame, DataFrame) = {
+  private[sim] def pqParts(e: DataFrame): (DataFrame, DataFrame) = {
     // subvectors: (vec_id, sub 0..7, svec = dims [sub*8+1 .. sub*8+8])
     val subv = e.select(col("vec_id"), posexplode(expr(
       "transform(sequence(0, 7), su -> slice(embedding, su * 8 + 1, 8))"))
@@ -1402,7 +1402,7 @@ object Knn {
   /** The PQ CTE chain (sub → seeds → one Lloyd round → codes → lut) —
     * the verbatim SQL mirror of [[pqParts]], shared by the s9 and s10
     * oracles so both pin the same codebook arithmetic. */
-  private val pqCtes: String = {
+  private[sim] val pqCtes: String = {
     def subL2(v: String, c: String) =
       s"""list_reduce(list_transform(generate_series(1, 8),
          |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),

@@ -150,6 +150,28 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("s33 PQ pruning is real, and s34's recall clears the mean floor") {
+    // non-vacuous two-stage split: the walk's candidate pool must
+    // exceed the beam everywhere, or the ADC stage prunes nothing and
+    // the "DiskANN shape" is an exact re-rank in costume
+    val counts = sim.GraphAnn.walkCandCounts(spark, accSf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size === 5)
+    for ((q, n) <- counts)
+      assert(n > sim.GraphAnn.pqFetchK,
+        s"q$q: only $n walk candidates — beam ${sim.GraphAnn.pqFetchK} prunes nothing")
+    // accuracy: per-query values are hash-pinned by the oracle (the
+    // s9 discipline — an approximate index's exact numbers ARE its
+    // contract); the spec adds a MEAN floor as the regression alarm
+    // (measured 0.54; a broken ADC join or LUT key mismatch reads
+    // near 0.0)
+    val rec = SparkEntry.queries("s34_graph_pq_recall")(spark, accSf)
+      .collect().map(_.getDouble(3))
+    assert(rec.length === 5)
+    val mean = rec.sum / rec.length
+    assert(mean >= 0.4, s"mean PQ-walk recall $mean below the 0.4 alarm floor")
+  }
+
   test("s27 re-run rides the staged index (same results, marker untouched)") {
     // the s11 staged-artifact discipline: the second run must read the
     // persisted edges, not rebuild — proven by the freshness marker's
