@@ -71,7 +71,17 @@ class DeterminismSpec extends SparkSpec {
     // round-17 additions: the URL/domain provenance gate (t28; t15's
     // rewired composition is already listed above), ranking-quality
     // metrics for the composed RAG DAG
-    "t28_url_curate", "s25_rank_metrics", "t29_datasheet")
+    "t28_url_curate", "s25_rank_metrics", "t29_datasheet",
+    // round-18 additions: the deterministic sketches (histogram / KMV
+    // — partial-merge aggregation state must not leak merge order),
+    // the graph-ANN walk over the staged index
+    "q25_percentile_sketch", "q26_distinct_sketch", "s27_graph_ann",
+    // round-19 additions: incremental graph maintenance (base ⊖
+    // replaced ∪ delta assembly), the filtered 3-hop walk, the
+    // ADC-pruned DiskANN composition, the outer as-of join, streaming
+    // index admission
+    "s29_graph_incremental", "s31_graph_filtered", "s33_graph_pq",
+    "st20_stream_asof_outer", "st21_stream_index_admit")
 
   for (name <- representative) {
     test(s"$name is run-to-run deterministic") {

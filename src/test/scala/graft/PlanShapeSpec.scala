@@ -104,6 +104,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s33 walks the staged index, ADC-joins on codes, ranks through heaps") {
+    // the DiskANN composition's scale claims, pinned in the plan:
+    // the graph comes from the persisted edge segment (never rebuilt
+    // inline), the candidate/code/LUT joins are equi-joins (the ADC
+    // pass must never nested-loop), and every ranking — seeds, ADC
+    // beam, final re-rank — runs through bounded TopKPerKey heaps,
+    // not a candidate-sized window sort
+    val p = plan("s33_graph_pq")
+    assert(p.contains("graft_graphindex_"), "staged edge segment not scanned:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("TopKPerKey".r.findAllIn(p).size >= 2,
+      "bounded heap stages missing from the ADC/rerank path:\n" + p)
+  }
+
   test("d8 multi-index probe stays an equi-join on the block key") {
     val p = plan("d8_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
