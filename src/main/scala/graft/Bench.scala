@@ -169,8 +169,11 @@ object Bench {
     // fixed-cost packing queries (the ts 1786903179 history line,
     // retro-adjudicated with a note). Off-pricing sweeps record no
     // trips and say so via `budget_gated`; BenchHistorySpec locks the
-    // invariant.
-    val budgetGated = sfDir.endsWith("sf0.1")
+    // invariant. Detection normalizes the path and compares the FINAL
+    // component (a raw endsWith would silently drop the gate on a
+    // trailing slash and gate ".../mysf0.1" against the wrong table).
+    val budgetGated =
+      java.nio.file.Paths.get(sfDir).normalize.getFileName.toString == "sf0.1"
     var lastTripCalib: Option[(Long, Long, Long)] = None // (ms, parMs, takenNanos)
     def atTripCalib(): (Long, Long) = lastTripCalib match {
       case Some((c, p, taken))

@@ -641,7 +641,8 @@ object GraphAnn {
   // nodes (pruning them from the walk fragments the graph under
   // selective predicates), and the predicate lands at the exact
   // re-rank over the bounded candidate pool — post-filter with
-  // structural over-fetch (≤ S·G + S·G² candidates for a top-10 ask).
+  // structural over-fetch (one hop deeper than s27: ≤ S·(G+G²+G³)
+  // candidates for a top-10 ask, see [[walk]]).
   // ---------------------------------------------------------------
 
   /** s31: filtered graph ANN — top-10 among the ADMISSIBLE (s22's

@@ -905,16 +905,20 @@ object Knn {
         lit(cell).as("cell"))
     }: _*)
 
+  /** Collect a (cell, carr) centroid frame to the driver, id-sorted —
+    * k rows of 64 doubles, the metadata-collect class. Shared by
+    * [[lloyd]]'s train loop and [[indexCentroids]]. */
+  private def collectCent(df: DataFrame): Array[(Long, Array[Double])] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
   /** The collected (cell, centroid) set of the per-label nano-mean
-    * index cells ([[centroidArrays]] — exactly s3/s4/s11's cells): k
-    * rows of k×64 doubles, the s8 metadata-collect class, for callers
-    * that assign via [[argminCell]]'s literal zero-shuffle projection
-    * (st21's streaming admission path). */
+    * index cells ([[kmeansSeeds]] — exactly s3/s4/s11's cells), for
+    * callers that assign via [[argminCell]]'s literal zero-shuffle
+    * projection (st21's streaming admission path). */
   private[graft] def indexCentroids(s: SparkSession, d: String): Array[(Long, Array[Double])] =
-    centroidArrays(Tables.embeddings(s, d)
-        .repartition(s.sessionState.conf.numShufflePartitions))
-      .select(col("cell").cast("long").as("cell"), col("carr"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    collectCent(kmeansSeeds(Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)))
 
   /** One Lloyd round over the persisted primitive-array corpus: a
     * single shuffle-free `RDD.aggregate` whose accumulator is the
@@ -1020,9 +1024,6 @@ object Knn {
       org.apache.spark.sql.types.StructField("carr",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType, containsNull = false))))
-    def collectCent(df: DataFrame): Array[(Long, Array[Double])] =
-      df.collect().map(r =>
-        (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     def centDf(c: Array[(Long, Array[Double])]): DataFrame = {
       import scala.jdk.CollectionConverters._
       s.createDataFrame(

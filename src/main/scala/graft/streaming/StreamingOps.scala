@@ -29,6 +29,48 @@ object StreamingOps {
     */
   private val StagedEventsVersion = "tsnanos2"
 
+  /** The shared split-write protocol of every stager in this file
+    * (events / time-ordered events / docs / admit docs / embeddings):
+    * wipe the stale staging, write each split as ONE parquet landing
+    * file with strictly increasing mtimes (the file source admits
+    * oldest-first, so admission order is pinned), clean up the
+    * `_work` scratch dir. The wipe is RECURSIVE (depth-first): a
+    * staging that crashed mid-write leaves a NON-EMPTY `_work`
+    * subdir, and the flat `deleteIfExists` this replaces threw
+    * DirectoryNotEmptyException on it — wedging every re-stage of
+    * that corpus until manual tmpdir surgery. */
+  private def writeLandingSplits(dir: java.nio.file.Path,
+      src: java.nio.file.Path, nFiles: Int,
+      fileName: Int => String, split: Int => DataFrame): Unit = {
+    val stale = java.nio.file.Files.walk(dir)
+    try stale.sorted(java.util.Comparator.reverseOrder())
+      .filter(p => p != dir)
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally stale.close()
+    val work = dir.resolve("_work")
+    val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
+    for (k <- 0 until nFiles) {
+      split(k).coalesce(1).write.mode("overwrite").parquet(work.toString)
+      val partFile = {
+        val l = java.nio.file.Files.list(work)
+        try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally l.close()
+      }
+      val dst = dir.resolve(fileName(k))
+      java.nio.file.Files.move(partFile, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 1000L))
+    }
+    if (java.nio.file.Files.exists(work)) {
+      val l = java.nio.file.Files.list(work)
+      try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally l.close()
+      java.nio.file.Files.deleteIfExists(work)
+    }
+  }
+
   /** Stage the events table into a landing directory as `nFiles`
     * parquet files split by `event_id % nFiles` (mtimes strictly
     * increasing in split order — the file source admits oldest-first,
@@ -66,36 +108,8 @@ object StreamingOps {
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet"))) &&
       !java.nio.file.Files.exists(dir.resolve(s"b$nFiles.parquet"))
     if (!fresh) {
-      // wipe any previous staging so stray files can't join the stream
-      val listing = java.nio.file.Files.list(dir)
-      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally listing.close()
-      val work = dir.resolve("_work")
-      val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
-      for (k <- 0 until nFiles) {
-        graft.Tables.events(s, d)
-          .filter(col("event_id") % nFiles === k)
-          .coalesce(1).write.mode("overwrite").parquet(work.toString)
-        val partFile = {
-          val l = java.nio.file.Files.list(work)
-          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally l.close()
-        }
-        val dst = dir.resolve(s"b$k.parquet")
-        java.nio.file.Files.move(partFile, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // strictly increasing mtimes pin the admission order
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 1000L))
-      }
-      // remove the _work dir (its remaining _SUCCESS etc. and itself)
-      if (java.nio.file.Files.exists(work)) {
-        val l = java.nio.file.Files.list(work)
-        try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally l.close()
-        java.nio.file.Files.deleteIfExists(work)
-      }
+      writeLandingSplits(dir, src, nFiles, k => s"b$k.parquet",
+        k => graft.Tables.events(s, d).filter(col("event_id") % nFiles === k))
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
     dir
@@ -176,34 +190,10 @@ object StreamingOps {
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet"))) &&
       !java.nio.file.Files.exists(dir.resolve(s"b$nFiles.parquet"))
     if (!fresh) {
-      val listing = java.nio.file.Files.list(dir)
-      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally listing.close()
-      val work = dir.resolve("_work")
-      val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
-      for (k <- 0 until nFiles) {
-        graft.Tables.documents(s, d)
+      writeLandingSplits(dir, src, nFiles, k => s"b$k.parquet",
+        k => graft.Tables.documents(s, d)
           .filter(col("doc_id") % nFiles === k)
-          .select(col("doc_id"), col("text"), col("lang"), col("source"))
-          .coalesce(1).write.mode("overwrite").parquet(work.toString)
-        val partFile = {
-          val l = java.nio.file.Files.list(work)
-          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally l.close()
-        }
-        val dst = dir.resolve(s"b$k.parquet")
-        java.nio.file.Files.move(partFile, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 1000L))
-      }
-      if (java.nio.file.Files.exists(work)) {
-        val l = java.nio.file.Files.list(work)
-        try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally l.close()
-        java.nio.file.Files.deleteIfExists(work)
-      }
+          .select(col("doc_id"), col("text"), col("lang"), col("source")))
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
     s.readStream.schema(docsStreamFullSchema)
@@ -254,37 +244,13 @@ object StreamingOps {
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"new_docs_$k.parquet"))) &&
       !java.nio.file.Files.exists(dir.resolve(s"new_docs_$nFiles.parquet"))
     if (!fresh) {
-      val listing = java.nio.file.Files.list(dir)
-      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally listing.close()
       val docs = graft.Tables.documents(s, d).filter(col("doc_id").isNotNull)
       val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
-      val work = dir.resolve("_work")
-      val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
-      for (k <- 0 until nFiles) {
-        // division-first split, matching d12's overflow-proof rule
-        docs.filter(col("doc_id") > lit(mx - mx / 5))
+      // division-first split, matching d12's overflow-proof rule
+      writeLandingSplits(dir, src, nFiles, k => s"new_docs_$k.parquet",
+        k => docs.filter(col("doc_id") > lit(mx - mx / 5))
           .filter(col("doc_id") % nFiles === k)
-          .select(col("doc_id"), col("text"))
-          .coalesce(1).write.mode("overwrite").parquet(work.toString)
-        val partFile = {
-          val l = java.nio.file.Files.list(work)
-          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally l.close()
-        }
-        val dst = dir.resolve(s"new_docs_$k.parquet")
-        java.nio.file.Files.move(partFile, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 1000L))
-      }
-      if (java.nio.file.Files.exists(work)) {
-        val l = java.nio.file.Files.list(work)
-        try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally l.close()
-        java.nio.file.Files.deleteIfExists(work)
-      }
+          .select(col("doc_id"), col("text")))
       val (fpM, sigM) = graft.dedup.Dedup.d12Manifests(s, d)
       fpM.write.mode("overwrite").parquet(mdir.resolve("fp_manifest").toString)
       sigM.write.mode("overwrite").parquet(mdir.resolve("sig_manifest").toString)
@@ -739,35 +705,11 @@ object StreamingOps {
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet"))) &&
       !java.nio.file.Files.exists(dir.resolve(s"b$nFiles.parquet"))
     if (!fresh) {
-      val listing = java.nio.file.Files.list(dir)
-      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally listing.close()
-      val work = dir.resolve("_work")
-      val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
       val ranked = graft.Tables.events(s, d).withColumn("_tile",
         ntile(nFiles).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("event_id"))) - 1)
-      for (k <- 0 until nFiles) {
-        ranked.filter(col("_tile") === k).drop("_tile")
-          .coalesce(1).write.mode("overwrite").parquet(work.toString)
-        val partFile = {
-          val l = java.nio.file.Files.list(work)
-          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally l.close()
-        }
-        val dst = dir.resolve(s"b$k.parquet")
-        java.nio.file.Files.move(partFile, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 1000L))
-      }
-      if (java.nio.file.Files.exists(work)) {
-        val l = java.nio.file.Files.list(work)
-        try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally l.close()
-        java.nio.file.Files.deleteIfExists(work)
-      }
+      writeLandingSplits(dir, src, nFiles, k => s"b$k.parquet",
+        k => ranked.filter(col("_tile") === k).drop("_tile"))
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
     s.readStream.schema(eventsSchema)
@@ -1435,34 +1377,10 @@ object StreamingOps {
       (0 until nFiles).forall(k => java.nio.file.Files.exists(dir.resolve(s"b$k.parquet"))) &&
       !java.nio.file.Files.exists(dir.resolve(s"b$nFiles.parquet"))
     if (!fresh) {
-      val listing = java.nio.file.Files.list(dir)
-      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally listing.close()
-      val work = dir.resolve("_work")
-      val baseMs = java.nio.file.Files.getLastModifiedTime(src).toMillis
-      for (k <- 0 until nFiles) {
-        graft.Tables.embeddings(s, d)
+      writeLandingSplits(dir, src, nFiles, k => s"b$k.parquet",
+        k => graft.Tables.embeddings(s, d)
           .filter(col("vec_id") % nFiles === k)
-          .select(col("vec_id"), col("embedding"), col("label"))
-          .coalesce(1).write.mode("overwrite").parquet(work.toString)
-        val partFile = {
-          val l = java.nio.file.Files.list(work)
-          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally l.close()
-        }
-        val dst = dir.resolve(s"b$k.parquet")
-        java.nio.file.Files.move(partFile, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(baseMs + k * 1000L))
-      }
-      if (java.nio.file.Files.exists(work)) {
-        val l = java.nio.file.Files.list(work)
-        try l.forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally l.close()
-        java.nio.file.Files.deleteIfExists(work)
-      }
+          .select(col("vec_id"), col("embedding"), col("label")))
       java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
     }
     s.readStream.schema(embeddingsStreamSchema)

@@ -123,7 +123,7 @@ class GraphAnnSpec extends SparkSpec {
     // (<= S*G + S*G^2 candidates for a top-10 ask) must absorb the
     // 50% predicate without underfilling
     val admissible = spark.read.parquet(accSf + "/embeddings.parquet")
-      .filter(expr("label % 2 = 0")).collect().map(_.getAs[Long]("vec_id")).toSet
+      .filter(expr(sim.Knn.FilterPredSql)).collect().map(_.getAs[Long]("vec_id")).toSet
     val filtered = SparkEntry.queries("s31_graph_filtered")(spark, accSf).collect()
     assert(filtered.length === 50, "underfilled: expected a full top-10 x 5 queries")
     assert(filtered.forall(r => admissible(r.getLong(2))),
