@@ -45,7 +45,7 @@ object Dedup {
     * 3-token window, explode, dedup. Documents under 3 tokens yield
     * no shingles (and so join nothing downstream).
     */
-  private[graft] def wordShinglesDistinct(docs: DataFrame): DataFrame =
+  private[graft] def wordShingles(docs: DataFrame): DataFrame =
     docs
       .filter(col("doc_id").isNotNull)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
@@ -55,7 +55,12 @@ object Dedup {
         when(size(col("toks")) >= 3,
           expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
           .otherwise(expr("CAST(array() AS array<string>)"))).as("sh"))
-      .distinct()
+
+  /** Distinct form — consumers whose arithmetic does NOT dedup by
+    * itself (set semantics downstream); min/collect_set consumers use
+    * [[wordShingles]] directly (r19, see [[minhashSig]]). */
+  private[graft] def wordShinglesDistinct(docs: DataFrame): DataFrame =
+    wordShingles(docs).distinct()
 
   /** d1: exact dedup by md5 content hash — keep-min-id per group. */
   private def d1(s: SparkSession, d: String): DataFrame =
@@ -85,7 +90,7 @@ object Dedup {
     * lowercase hex equals numeric min, identically in Spark and DuckDB.
     */
   private def minhashBands(s: SparkSession, d: String): DataFrame =
-    minhashBandsFrom(shinglesDistinct(Tables.documents(s, d)))
+    minhashBandsFrom(shingles(Tables.documents(s, d)))
 
   /** [[minhashBands]] over ANY distinct (doc_id, sh) shingle relation —
     * char grams (d2/d7) and word grams (d11) share the whole
@@ -99,9 +104,21 @@ object Dedup {
 
   /** The raw 8-component MinHash signature (doc_id, s0..s7) —
     * [[minhashBandsFrom]]'s first stage, also consumed directly by
-    * d15's estimate-vs-exact accuracy measurement. */
-  private def minhashSig(shDistinct: DataFrame): DataFrame = {
-    val sh = shDistinct
+    * d15's estimate-vs-exact accuracy measurement.
+    *
+    * r19: consumes the DUPLICATE-INCLUSIVE shingle relation — MIN over
+    * a multiset equals MIN over its distinct set, so the corpus-wide
+    * DISTINCT Exchange the old path paid before this aggregate was
+    * mathematically redundant. Because explode keeps every document's
+    * grams in one partition, the map-side partial aggregate already
+    * collapses to ONE row per document, so the remaining exchange
+    * ships 8 hex slices per doc instead of every distinct gram row
+    * (guide §2.3/§2.4: aggregate before you shuffle, remove shuffles
+    * outright). The trade: md5 now runs on duplicate grams too —
+    * pure codegen'd map-side CPU, measured cheaper than the distinct
+    * shuffle it replaces at sf0.1 (see OPTIMIZATION_r19.md). */
+  private def minhashSig(sh0: DataFrame): DataFrame = {
+    val sh = sh0
       .withColumn("h1", md5(col("sh")))
       .withColumn("h2", md5(concat(lit("x"), col("sh"))))
     val mins = (0 until 8).map { j =>
@@ -276,7 +293,7 @@ object Dedup {
     * arithmetic) is shared with d2; only the shingle source differs.
     */
   private def d11(s: SparkSession, d: String): DataFrame =
-    candidateCounts(minhashBandsFrom(wordShinglesDistinct(Tables.documents(s, d))))
+    candidateCounts(minhashBandsFrom(wordShingles(Tables.documents(s, d))))
 
   private val d11Sql = "WITH " + minhashCteFrom(WordShingleCte) + CandidateCountsSqlTail
 
@@ -415,24 +432,33 @@ object Dedup {
   private[graft] def docShingleSets(docs: DataFrame): DataFrame =
     docSetsOf(hashedShingles(docs))
 
-  /** Distinct (doc_id, xxhash64(shingle)) pairs — the long form the
-    * inverted-index candidate stage joins on. */
+  /** (doc_id, xxhash64(shingle)) pairs, DUPLICATE-INCLUSIVE — r19:
+    * the downstream consumer is always [[docSetsOf]]'s collect_set,
+    * which dedups by definition, so the corpus-wide DISTINCT Exchange
+    * the old long form paid first was redundant (the [[minhashSig]]
+    * argument: explode keeps a doc's grams in one partition, so the
+    * set-union partial aggregate collapses to one row per doc before
+    * the shuffle). Consumers that need the distinct LONG form derive
+    * it by exploding [[docSetsOf]]'s arrays — distinct by
+    * construction, and sharing the aggregate's exchange. */
   private[graft] def hashedShingles(docs: DataFrame): DataFrame =
-    shinglesDistinct(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
 
   /** [[docShingleSets]] built from an ALREADY-CONSTRUCTED hashed-shingle
     * relation: a caller that also needs the long form (candidateOverlap
-    * joins rare shingles against it) shares ONE scan+distinct subtree by
-    * construction, instead of re-deriving the pipeline and hoping AQE
-    * canonicalizes the two copies into one exchange. */
+    * joins rare shingles against it) shares ONE scan+aggregate subtree
+    * by construction, instead of re-deriving the pipeline and hoping
+    * AQE canonicalizes the two copies into one exchange. */
   private[graft] def docSetsOf(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id"))
       .agg(collect_set(col("sh")).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
 
   private def candidateOverlap(s: SparkSession, d: String): DataFrame = {
-    val sh = hashedShingles(Tables.documents(s, d))
-    val docSets = docSetsOf(sh)
+    val docSets = docSetsOf(hashedShingles(Tables.documents(s, d)))
+    // distinct (doc_id, sh) long form via the already-deduped sets —
+    // the rare-shingle df count needs one row per (doc, shingle)
+    val sh = docSets.select(col("doc_id"), explode(col("shs")).as("sh"))
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 10)
     val rareSh = sh.join(rare.select(col("sh")), Seq("sh"))
@@ -497,7 +523,7 @@ object Dedup {
     * REAL production signatures, not a re-derivation.
     */
   private def d15(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSig(shinglesDistinct(Tables.documents(s, d)))
+    val sig = minhashSig(shingles(Tables.documents(s, d)))
     val est = (0 until 8)
       .map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
       .reduce(_ + _)
@@ -581,7 +607,7 @@ object Dedup {
     * equality flags (eq0..eq7) — every banding layout over the 8
     * components is a boolean formula over these. */
   private def pairSigScored(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSig(shinglesDistinct(Tables.documents(s, d)))
+    val sig = minhashSig(shingles(Tables.documents(s, d)))
     candidateOverlap(s, d)
       .join(sig.as("a"), col("da") === col("a.doc_id"))
       .join(sig.as("b"), col("db") === col("b.doc_id"))
@@ -880,7 +906,7 @@ object Dedup {
     * the existing-corpus subset only, d7/d10 the whole table. */
   private def clusterAssignmentsOf(docs: DataFrame,
       stats: Option[scala.collection.mutable.Map[String, Long]] = None): DataFrame = {
-    val long = bandLong(minhashBandsFrom(shinglesDistinct(docs)))
+    val long = bandLong(minhashBandsFrom(shingles(docs)))
     // Star contraction per band bucket: every member connects to the
     // bucket's min doc_id, both directions. Connectivity-equivalent to
     // the all-pairs band join (any two co-bucketed docs reach each
@@ -2203,7 +2229,7 @@ object Dedup {
     }
     val oldLabels = s.read.parquet(dir.resolve("labels").toString)
     // new edges only: the union's star edges incident to a batch doc
-    val long = bandLong(minhashBandsFrom(shinglesDistinct(docs)))
+    val long = bandLong(minhashBandsFrom(shingles(docs)))
     val roots = long.groupBy(col("band_id"), col("bkey"))
       .agg(min(col("doc_id")).as("root"))
     val newRooted = long.join(roots, Seq("band_id", "bkey"))

@@ -1272,10 +1272,15 @@ object Knn {
       .agg(array_sort(collect_list(struct(col("j"), col("c")))).as("jc"))
       .select(col("sub"), col("cell"), expr("transform(jc, t -> t.c)").as("carr"))
     val seeds = nanoMeans(subv.withColumn("cell", col("vec_id") % 16))
-    // sequential fold == FloatDoubleL2Sq's arithmetic, per subvector
-    val l2sub = expr(
-      """aggregate(zip_with(svec, carr, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
-        |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin)
+    // r19: the native codegen'd FloatDoubleL2Sq — the same sequential
+    // fold (bit-identical result, its scaladoc's contract) as the
+    // interpreted aggregate(zip_with(...)) lambda it replaces. The old
+    // HOF form evaluated per (vector, sub, cell) join row through the
+    // interpreted HigherOrderFunction path with per-element
+    // allocations; the 16-way cell expansion made it the PQ family's
+    // dominant task time (profiled 35-58 s summed task seconds across
+    // s9/s10/s33/s34 at sf0.1).
+    val l2sub = VectorFunctions.l2sq(col("svec"), col("carr"))
     def assignSub(cb: DataFrame): DataFrame = subv
       .join(broadcast(cb), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("svec"), col("cell"), l2sub.as("dist"))
