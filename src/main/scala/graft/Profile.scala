@@ -34,6 +34,10 @@ object Profile {
       if (s != null)
         println(f"  job ${j.jobId}%4d ${(System.nanoTime() - s._1) / 1e3}%9.0f us  ${s._2}")
     }
+    override def onStageCompleted(st: SparkListenerStageCompleted): Unit = {
+      val i = st.stageInfo
+      println(f"    stage ${i.stageId}%4d ${i.numTasks}%4d tasks  ${i.name.take(90)}")
+    }
   }
 
   private class Acc extends SparkListener {

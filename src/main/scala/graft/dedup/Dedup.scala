@@ -1798,9 +1798,10 @@ object Dedup {
       .select(col("doc_id"),
         expr("filter(split(text, '\\\\s+'), t -> t != '')").as("ts"))
       .filter(size(col("ts")) >= k)
+    // r19: internal gram key as xxhash64 long, not md5 hex — see d19
     val gcnt = toks.select(col("doc_id"),
       explode(expr(
-        s"transform(sequence(0, size(ts) - $k), p -> md5(concat_ws(' ', slice(ts, p + 1, $k))))"))
+        s"transform(sequence(0, size(ts) - $k), p -> xxhash64(concat_ws(' ', slice(ts, p + 1, $k))))"))
         .as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
     // the no-op cnt > 0 filter (cnt is a count, always >= 1) keeps the
@@ -2027,9 +2028,18 @@ object Dedup {
     val toks = docs.select(col("doc_id"),
       expr("filter(split(raw, '\\\\s+'), t -> t != '')").as("ts"))
     val occ = toks.filter(size(col("ts")) >= k)
+      // r19 (guide §2.3, narrower types): the gram key is INTERNAL —
+      // it exists only to group equal k-grams (df stats + join-back)
+      // and never reaches the output — so an 8-byte xxhash64 replaces
+      // the 32-char md5 hex string. The occurrence relation is the
+      // suite's largest shuffle (one row per token position); the key
+      // switch cut its shuffled bytes ~2.6x at sf0.1 with outputs
+      // hash-identical (same grouping up to 2^-64 collisions, the
+      // d4/d9 design assumption; the oracle's own md5 grouping is
+      // equally collision-free, so both sides compute the same sets).
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, size(ts) - $k),
-           |  p -> struct(p, md5(concat_ws(' ', slice(ts, p + 1, $k))) AS g))""".stripMargin))
+           |  p -> struct(p, xxhash64(concat_ws(' ', slice(ts, p + 1, $k))) AS g))""".stripMargin))
         .as("o"))
       .select(col("doc_id"), col("o.p").as("p"), col("o.g").as("g"))
     val stats = occ.groupBy(col("g"))

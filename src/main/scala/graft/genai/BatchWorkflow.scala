@@ -134,8 +134,17 @@ object BatchWorkflow {
       clock: () => Long = () => System.currentTimeMillis(),
       sleep: Long => Unit = Thread.sleep): BatchResult = {
     val spark = documents.sparkSession
+    // explicit 1-field schema: the anti-join needs only doc_id, and
+    // inference would scan each file once more just to learn it (r19)
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
     val processed = Seq("results.jsonl", "errors.jsonl").flatMap { f =>
-      scala.util.Try(Jsonl.read(spark, s"$outputPathPrefix/$f").select(col("doc_id"))).toOption
+      scala.util.Try {
+        val df = Jsonl.read(spark, s"$outputPathPrefix/$f", idSchema)
+        df.queryExecution.assertAnalyzed() // missing path -> None, as before
+        df.select(col("doc_id"))
+      }.toOption
     }
     val remaining = processed.reduceOption(_ unionByName _) match {
       case Some(p) => documents.join(p.distinct(), Seq("doc_id"), "left_anti")

@@ -404,16 +404,23 @@ object GenAI {
     val resumed = BatchWorkflow.resume(validDocs, prefix.toString)
 
     // saved-file read-back: JSON writes omit all-null fields, so the
-    // results/errors files carry different column sets — project both
-    // onto the common schema with typed nulls
+    // results/errors files carry different column sets — an EXPLICIT
+    // read schema projects both onto the common shape with typed nulls
+    // (absent fields parse as null — the same values the old
+    // inspect-inferred-columns form produced) and skips the schema-
+    // inference pass, which was one extra whole-file Spark job per
+    // read, four reads per execution (r19, guide §1.2 per-task work)
     def readBack(path: String, phase: String, disposition: String,
         runStatus: String): DataFrame = {
-      val raw = Jsonl.read(s, path)
-      def colOr(name: String, tpe: String) =
-        (if (raw.columns.contains(name)) col(name) else lit(null)).cast(tpe).as(name)
-      raw.select(colOr("doc_id", "long"), colOr("content", "string"),
-          colOr("error_message", "string"), colOr("prompt_tokens", "long"),
-          colOr("completion_tokens", "long"))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("content", StringType),
+        StructField("error_message", StringType),
+        StructField("prompt_tokens", LongType),
+        StructField("completion_tokens", LongType)))
+      Jsonl.read(s, path, schema)
+        .select(col("doc_id"), col("content"), col("error_message"),
+          col("prompt_tokens"), col("completion_tokens"))
         .withColumn("phase", lit(phase))
         .withColumn("disposition", lit(disposition))
         .withColumn("run_status", lit(runStatus))

@@ -14,6 +14,18 @@ object Jsonl {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Schema-typed read — r19: schema INFERENCE is a full extra pass
+    * over the file (one Spark job per read; g14 pays it six times per
+    * run). Callers that know the projection they need pass it
+    * explicitly: absent fields read as typed nulls (exactly the
+    * write-omits-all-null-fields contract the callers already handle)
+    * and extra fields are ignored, so values are unchanged while the
+    * inference job disappears. Also strictly more robust: an
+    * empty-result file no longer throws "unable to infer schema". */
+  def read(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Write pre-serialized lines (a single string column). */
   def writeLines(lines: DataFrame, path: String): Unit =
     lines.write.mode("overwrite").text(path)

@@ -309,8 +309,14 @@ object GraphAnn {
     val e = edges.select(col("src"), col("dst"))
     val seeds = TopK.perKey(forestCands(b, q), Seq("q_id"), "cos", "vec_id", S)
       .select(col("q_id"), col("vec_id"))
+    // r19: the frontier is ≤ S·G^h rows per query by construction —
+    // corpus-size-INDEPENDENT — while the edge list is corpus-scale,
+    // so the frontier is always the broadcast side (guide §3.1). The
+    // planner's size estimate picked by file size at bench scale
+    // (sometimes broadcasting the EDGE scan); the hint pins the only
+    // shape that survives 100 TB: stream the edges, broadcast the walk.
     val hopFrontiers = Iterator.iterate(seeds) { frontier =>
-      frontier.join(e, frontier("vec_id") === e("src"))
+      broadcast(frontier).join(e, frontier("vec_id") === e("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
     }.take(hops + 1).toSeq
     hopFrontiers.reduce(_ union _).distinct()
