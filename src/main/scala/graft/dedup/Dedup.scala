@@ -310,7 +310,15 @@ object Dedup {
     * proximity actually means near-duplication.
     */
   private def simhashVotes(s: SparkSession, d: String): DataFrame =
-    simhashVotesOf(Tables.documents(s, d))
+    // r19: the shingles() spread for the RAW-SCAN consumers (d3/d8) —
+    // a single-file corpus scans as one partition, serializing the
+    // explode+md5 token pipeline on one core. Applied here and NOT in
+    // simhashVotesOf: d12/d13's inputs are already-parallel derived
+    // frames, where an extra full-text exchange only costs (measured
+    // +1.5 s on d13). Both raw consumers share this exact subtree, so
+    // AQE stage reuse (the d8 single-scan spec) is preserved.
+    simhashVotesOf(Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions))
 
   private def simhashVotesOf(docs: DataFrame): DataFrame = {
     val toks = docs
@@ -2522,7 +2530,11 @@ object Dedup {
     // the dominant cost (and the sf1-ratio breach) of the first cut
     def tokGrams(df: DataFrame): DataFrame = {
       import org.apache.spark.sql.graftbridge.ColumnBridge
-      df.select(col("doc_id"), graft.text.TextAnalysis.learnedTokens(merges).as("ts"))
+      // r19: spread before the per-row BPE replace chain — the corpus
+      // arrives as one scan partition and the 16-replace fold ran as
+      // ONE 1.9 s task (see simhashVotesOf / shingles)
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+        .select(col("doc_id"), graft.text.TextAnalysis.learnedTokens(merges).as("ts"))
         .filter(size(col("ts")) >= k)
         .select(col("doc_id"), explode(ColumnBridge.column(
           graft.functions.TokenGramHash(ColumnBridge.expression(col("ts")), k)))

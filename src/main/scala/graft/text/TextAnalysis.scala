@@ -1772,6 +1772,10 @@ object TextAnalysis {
   private def t20(s: SparkSession, d: String): DataFrame = {
     val merges = mergesFor(s, d)
     Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      // r19: spread before the per-row BPE replace chain (the
+      // simhashVotesOf/shingles idiom — one scan partition otherwise
+      // serializes the fold on one core)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens_ws"),
         regexp_count(col("text"), lit(BpeishPattern)).cast("long").as("n_tokens_bpeish"),
@@ -1858,6 +1862,8 @@ object TextAnalysis {
     val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val bucket = derivePackBucket(maxId)
     val base = docs
+      // r19: spread before the per-row BPE replace chain (see t20)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), learnedCount(merges).as("n_tokens_learned"))
       .withColumn("pbucket", expr(s"doc_id div $bucket"))
     val boffsets = graft.operators.PrefixOffsets.bucketOffsets(
