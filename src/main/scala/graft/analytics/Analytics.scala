@@ -1402,32 +1402,61 @@ object Analytics {
     * q29 prunes the calendar, z-order prunes WITHIN each month across
     * a second dimension partitioning can't reach.
     */
+  /** Hand-bumped with any change to q36's staged z-order layout or its
+    * manifest derivation — the q29/s11 marker discipline. */
+  private[graft] val Q36LayoutVersion = "q36s1"
+
   private def q36(s: SparkSession, d: String): DataFrame = {
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft_zorder_" + graft.StagePath.corpusToken(d))
+    // r19 (guide §6): layout AND manifest staged once per corpus state
+    // behind a freshness marker (the q29/q27/s11 discipline). The old
+    // form re-wrote the 64-file z-ordered layout and re-derived the
+    // per-file min/max manifest with a full data scan on EVERY
+    // execution — but a real table format writes file-level stats
+    // once, at write time, into table metadata; re-running the layout
+    // charges the one-time clustering cost to each measurement of the
+    // SKIPPING this query exists to demonstrate. Per-run cost is now
+    // manifest read → prune → pruned scan, the actual planner path.
     val mi = year(col("l_shipdate")) * 12 + month(col("l_shipdate"))
     val pb = pmod(col("l_partkey"), lit(128))
-    // 8-bit month index (clamped base-23900 window — layout-only: the
-    // manifest stores the TRUE min/max, so clamping can cost skipping
-    // quality, never correctness) interleaved with the 7-bit bucket
-    val mi8 = greatest(least(col("mi") - lit(23900), lit(255)), lit(0))
-    val zval = (0 until 8).map(i => shiftleft(mi8.bitwiseAND(lit(1 << i)), i))
-      .reduce(_ + _)
-      .plus((0 until 7).map(i => shiftleft(col("pb").bitwiseAND(lit(1 << i)), i + 1))
-        .reduce(_ + _))
-    Tables.lineitem(s, d)
-      .select(col("l_partkey"), col("l_returnflag"), col("l_quantity"),
-        col("l_extendedprice"), col("l_shipdate"))
-      .withColumn("mi", mi).withColumn("pb", pb)
-      .withColumn("zval", zval)
-      .repartitionByRange(64, col("zval"))
-      .write.mode("overwrite").parquet(stage.toString)
-    val staged = s.read.parquet(stage.toString)
-    val manifest = staged
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col("mi")).as("mi_lo"), max(col("mi")).as("mi_hi"),
-        min(col("pb")).as("pb_lo"), max(col("pb")).as("pb_hi"))
+    val dataDir = stage.resolve("data")
+    val manifestDir = stage.resolve("manifest")
+    val marker = stage.resolve("_src_meta")
+    val meta = graft.StagePath.srcMeta(
+      d, java.nio.file.Paths.get(d, "lineitem.parquet"), Q36LayoutVersion)
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == meta &&
+      java.nio.file.Files.exists(dataDir) &&
+      java.nio.file.Files.exists(manifestDir)
+    if (!fresh) {
+      // 8-bit month index (clamped base-23900 window — layout-only:
+      // the manifest stores the TRUE min/max, so clamping can cost
+      // skipping quality, never correctness) interleaved with the
+      // 7-bit bucket
+      val mi8 = greatest(least(col("mi") - lit(23900), lit(255)), lit(0))
+      val zval = (0 until 8).map(i => shiftleft(mi8.bitwiseAND(lit(1 << i)), i))
+        .reduce(_ + _)
+        .plus((0 until 7).map(i => shiftleft(col("pb").bitwiseAND(lit(1 << i)), i + 1))
+          .reduce(_ + _))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate"))
+        .withColumn("mi", mi).withColumn("pb", pb)
+        .withColumn("zval", zval)
+        .repartitionByRange(64, col("zval"))
+        .write.mode("overwrite").parquet(dataDir.toString)
+      s.read.parquet(dataDir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("mi")).as("mi_lo"), max(col("mi")).as("mi_hi"),
+          min(col("pb")).as("pb_lo"), max(col("pb")).as("pb_hi"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(manifestDir.toString)
+      // marker written LAST — a crash mid-stage re-stages next run
+      java.nio.file.Files.write(marker, meta.getBytes("UTF-8"))
+    }
+    val manifest = s.read.parquet(manifestDir.toString)
     val (m, bLo, bHi) = (23967, 40, 47) // 1997-03 × buckets 40..47
     // metadata-sized collect: the pruned file list, exactly what a
     // table format's planner hands the scan

@@ -787,9 +787,11 @@ class PlanShapeSpec extends SparkSpec {
   test("q36 z-order manifest skipping is observed at the executed scan") {
     val df = SparkEntry.queries("q36_zorder_skip")(spark, sf)
     df.collect()
+    // r19: the layout is staged under <stage>/data beside its
+    // once-written manifest (<stage>/manifest) — count data files only
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_zorder_" + StagePath.corpusToken(sf))
+      "graft_zorder_" + StagePath.corpusToken(sf), "data")
     val stagedFiles = {
       val walk = java.nio.file.Files.walk(stage)
       try walk.filter(x => x.getFileName.toString.endsWith(".parquet")).count()
