@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QFn, Tables}
 import graft.operators.Salted
+import graft.operators.Spread._
 
 /** Deduplication suite d1–d6 (SURVEY.md §2).
   *
@@ -29,7 +30,7 @@ object Dedup {
       .filter(col("doc_id").isNotNull)
       // the corpus arrives as few dense files; spread rows across the
       // cluster BEFORE the expensive explode+hash work, not after
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .spreadToCores
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("sh"))
 
@@ -48,7 +49,7 @@ object Dedup {
   private[graft] def wordShingles(docs: DataFrame): DataFrame =
     docs
       .filter(col("doc_id").isNotNull)
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .spreadToCores
       .select(col("doc_id"),
         filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"))
       .select(col("doc_id"), explode(
@@ -318,7 +319,7 @@ object Dedup {
     // +1.5 s on d13). Both raw consumers share this exact subtree, so
     // AQE stage reuse (the d8 single-scan spec) is preserved.
     simhashVotesOf(Tables.documents(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions))
+      .spreadToCores)
 
   private def simhashVotesOf(docs: DataFrame): DataFrame = {
     val toks = docs
@@ -1113,7 +1114,13 @@ object Dedup {
     // (quality_score DESC, doc_id ASC) argmax as a struct max: negated
     // doc_id makes the lexicographic max pick min doc_id among ties
     val rankKey = struct(col("quality_score"), (-col("doc_id")).as("nid"))
+    // r20 (guide §2.4): `joined` feeds BOTH the per-cluster argmax and
+    // the join-back; lazily the quality pipeline (qualityScored's
+    // 5-regex per-doc pass) and the label join re-executed under each
+    // consumer. One localCheckpoint (doc-level metadata: id, cluster,
+    // score — never text) runs them once.
     val joined = clusterAssignments(s, d).join(scored, Seq("doc_id"))
+      .localCheckpoint()
     val perCluster = joined.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), max(rankKey).as("best_key"))
     joined.join(perCluster, Seq("cluster_id"))
@@ -1299,11 +1306,17 @@ object Dedup {
     val scored = graft.text.TextAnalysis.qualityScored(docs)
       .select(col("doc_id"), col("quality_score"))
     val rankKey = struct(col("quality_score"), (-col("doc_id")).as("nid"))
+    // r20: same shared-subtree materialization as d10 — `joined` feeds
+    // the argmax and the join-back; the keeper id set itself is read
+    // by MULTIPLE manifest builds downstream (d13's kfp + ksig, d16's
+    // sweep), so it is materialized too (≤ one id per cluster).
     val joined = clusterAssignmentsOf(docs).join(scored, Seq("doc_id"))
+      .localCheckpoint()
     val best = joined.groupBy(col("cluster_id")).agg(max(rankKey).as("best_key"))
     joined.join(best, Seq("cluster_id"))
       .filter(rankKey === col("best_key"))
       .select(col("doc_id"))
+      .localCheckpoint()
   }
 
   /** d13: incremental ingest against the DEDUPED corpus — d12's admit
@@ -2100,10 +2113,15 @@ object Dedup {
     val maxRow = docs.agg(max(col("doc_id"))).head()
     val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val bucket = graft.text.TextAnalysis.derivePackBucket(maxId)
+    // r20 (guide §2.4): `base` feeds the bucket-sum aggregate AND the
+    // offset join-back — lazily the whole d19 span-removal chain (the
+    // suite's largest gram shuffle) executed twice per run. One
+    // localCheckpoint of the doc-level counts runs it once.
     val base = d19Cleaned(s, d)
       .select(col("doc_id"), (col("n_tokens") - col("n_removed")).as("n_clean_tokens"))
       .filter(col("n_clean_tokens") > 0)
       .withColumn("pbucket", expr(s"doc_id div $bucket"))
+      .localCheckpoint()
     val boffsets = graft.operators.PrefixOffsets.bucketOffsets(
       base.groupBy(col("pbucket")).agg(sum(col("n_clean_tokens")).as("btok")),
       Nil, "btok",
@@ -2533,7 +2551,7 @@ object Dedup {
       // r19: spread before the per-row BPE replace chain — the corpus
       // arrives as one scan partition and the 16-replace fold ran as
       // ONE 1.9 s task (see simhashVotesOf / shingles)
-      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      df.spreadToCores
         .select(col("doc_id"), graft.text.TextAnalysis.learnedTokens(merges).as("ts"))
         .filter(size(col("ts")) >= k)
         .select(col("doc_id"), explode(ColumnBridge.column(

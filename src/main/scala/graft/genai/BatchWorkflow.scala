@@ -104,7 +104,12 @@ object BatchWorkflow {
       case None     => "completed"
     }
     if (monitored != "completed") return halted(monitored)
-    val parsed = Responses.parse(Simulator.respond(sharded))
+    // r20 (guide §2.4): parsed feeds THREE actions (results save,
+    // errors save, the errors.isEmpty status probe) — lazily each
+    // re-ran the whole request→simulate→parse pipeline. Materialize
+    // once; a production run holds exactly this relation between
+    // retrieval and the split saves anyway.
+    val parsed = Responses.parse(Simulator.respond(sharded)).localCheckpoint()
 
     // 4. retrieve + split + save (reference:205-260)
     val results = Responses.results(parsed)

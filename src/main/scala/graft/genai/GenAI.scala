@@ -393,7 +393,12 @@ object GenAI {
       finally walk.close()
     }
     val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+    // r20 (guide §2.4): the validation verdicts feed the valid-id
+    // semi-join (which BOTH workflow runs re-read) and the rejected
+    // tail — materialized once (doc-level verdict metadata).
     val validated = Validation.validate(Requests.chatRequests(docs))
+      .select(col("doc_id"), col("is_valid"), col("reason"))
+      .localCheckpoint()
     val validDocs = docs.join(
       validated.filter(col("is_valid")).select(col("doc_id")), Seq("doc_id"))
     // corpus max id — a metadata-sized driver scalar (t10's documented

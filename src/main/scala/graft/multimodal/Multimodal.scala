@@ -851,6 +851,12 @@ object Multimodal {
     // its two conv()-packed longs via codegen'd bit_count(xor) — the
     // repo's m9/d8 idiom (VERDICT r15 #2: the 64-iteration substring
     // HOF was the interpreted outlier)
+    // r20 (guide §2.4): `fr` (the m2 row_number window + frame hash)
+    // feeds BOTH sides of the previous-frame self-join, and `withB`
+    // below feeds both the bucket sums and the final cumulative —
+    // lazily the m2 window subtree executed 4× per run. Both are
+    // sampled-frame metadata (corpus/10 rows, hash longs — no
+    // payload), materialized once.
     val fr = m2(s, d)
       .join(Tables.events(s, d).select(col("event_id"), col("props")), Seq("event_id"))
       .withColumn("fimg", rpad(coalesce(col("props"), lit("")), 64, "."))
@@ -858,6 +864,7 @@ object Multimodal {
         aHashCol(col("fimg")).as("phash"))
       .withColumn("ph_hi", expr("cast(conv(substring(phash, 1, 32), 2, 10) as bigint)"))
       .withColumn("ph_lo", expr("cast(conv(substring(phash, 33, 32), 2, 10) as bigint)"))
+      .localCheckpoint()
     val prev = fr.select(col("user_id"), (col("frame_idx") + 10).as("frame_idx"),
       col("ph_hi").as("prev_hi"), col("ph_lo").as("prev_lo"))
     // bucket sizing reads a scan-level upper bound (total event count
@@ -876,6 +883,7 @@ object Multimodal {
       .withColumn("is_boundary", coalesce(col("ham_prev") >= SceneHamTau, lit(false)))
       .withColumn("bflag", when(col("is_boundary"), lit(1L)).otherwise(lit(0L)))
       .withColumn("pbucket", expr(s"frame_idx div $bucket"))
+      .localCheckpoint()
     val bsums = withB.groupBy(col("user_id"), col("pbucket")).agg(sum(col("bflag")).as("bs"))
     val boffsets = graft.operators.PrefixOffsets.bucketOffsets(bsums, Seq("user_id"), "bs",
       graft.operators.PrefixOffsets.superBucket(maxIdx / bucket))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.{QFn, Tables}
 import graft.functions.VectorFunctions
 import graft.plans.TopK
+import graft.operators.Spread._
 
 /** Graph-based ANN (s27/s28) — the neighbor-graph index family
   * (HNSW/NSG/DiskANN-class; Malkov & Yashunin 2016, arXiv:1603.09320;
@@ -101,7 +102,7 @@ object GraphAnn {
     * forest edition. */
   private def base(s: SparkSession, d: String): DataFrame =
     bucketize(Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions))
+      .spreadToCores)
 
   /** The columns every bucketed corpus relation carries. */
   private val BCols: Seq[String] =
@@ -307,17 +308,27 @@ object GraphAnn {
   private def walkCands(b: DataFrame, q: DataFrame, edges: DataFrame,
       hops: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    // r20 (guide §2.4 remove shuffles outright): each frontier is
+    // MATERIALIZED once (localCheckpoint — the propagateMinLabels
+    // discipline). The lazy form re-planned the whole seed subtree
+    // (forestCands' 4-way corpus join + bounded heaps) under every
+    // hop's broadcast, so the union of frontiers executed seeds
+    // hops+1 times and hop h re-executed hops 1..h-1 (profiled at
+    // sf0.1/32c: s27 20 jobs / 335 tasks for a 2-hop walk over 5
+    // standing queries). Frontiers are ≤ S·G^h rows per query by
+    // construction — corpus-size-INDEPENDENT — so the checkpoint is
+    // metadata-sized at any scale.
     val seeds = TopK.perKey(forestCands(b, q), Seq("q_id"), "cos", "vec_id", S)
       .select(col("q_id"), col("vec_id"))
-    // r19: the frontier is ≤ S·G^h rows per query by construction —
-    // corpus-size-INDEPENDENT — while the edge list is corpus-scale,
-    // so the frontier is always the broadcast side (guide §3.1). The
-    // planner's size estimate picked by file size at bench scale
-    // (sometimes broadcasting the EDGE scan); the hint pins the only
-    // shape that survives 100 TB: stream the edges, broadcast the walk.
+      .localCheckpoint()
+    // r19: the frontier is always the broadcast side (guide §3.1) —
+    // the edge list is corpus-scale, the frontier is not. The hint
+    // pins the only shape that survives 100 TB: stream the edges,
+    // broadcast the walk.
     val hopFrontiers = Iterator.iterate(seeds) { frontier =>
       broadcast(frontier).join(e, frontier("vec_id") === e("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
+        .localCheckpoint()
     }.take(hops + 1).toSeq
     hopFrontiers.reduce(_ union _).distinct()
       .filter(col("q_id") =!= col("vec_id"))
@@ -338,10 +349,17 @@ object GraphAnn {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The persisted final edge relation — the staged-index read every
+    * non-incremental consumer (s27/s31/s33) navigates; also the
+    * plan-shape spec's hook for pinning that the graph is READ, not
+    * rebuilt inline (r20: the walk's frontier materialization moved
+    * this scan out of the final rerank plan). */
+  private[graft] def stagedEdges(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureGraphIndex(s, d).resolve("edges").toString)
+
   /** s27: graph-navigated ANN top-10 per query, s1's output shape. */
   private def s27(s: SparkSession, d: String): DataFrame =
-    walk(base(s, d),
-      s.read.parquet(ensureGraphIndex(s, d).resolve("edges").toString))
+    walk(base(s, d), stagedEdges(s, d))
 
   /** s28: recall@10 of the graph walk vs s1's brute truth. */
   private def s28(s: SparkSession, d: String): DataFrame = {
@@ -655,8 +673,7 @@ object GraphAnn {
     * 50%-selective label predicate) corpus vectors, navigated by the
     * unfiltered persisted graph. Same output shape as s27. */
   private def s31(s: SparkSession, d: String): DataFrame =
-    walk(base(s, d),
-      s.read.parquet(ensureGraphIndex(s, d).resolve("edges").toString),
+    walk(base(s, d), stagedEdges(s, d),
       pred = Some(expr(Knn.FilterPredSql)), hops = 3)
 
   /** s32: filtered-graph recall@10 vs the TRUE filtered top-10 (brute
@@ -710,10 +727,10 @@ object GraphAnn {
   private def s33(s: SparkSession, d: String): DataFrame = {
     val b = base(s, d)
     val q = queryFrame(b)
-    val edges = s.read.parquet(ensureGraphIndex(s, d).resolve("edges").toString)
+    val edges = stagedEdges(s, d)
     val cands = walkCands(b, q, edges, hops = 2)
     val (codes, lut) = Knn.pqParts(Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions))
+      .spreadToCores)
     val l = lut.select(col("q_id"), col("sub"), col("cell").as("code"), col("pdot"))
     val adc = cands.join(codes, Seq("vec_id"))
       .join(broadcast(l), Seq("q_id", "sub", "code"))
@@ -745,8 +762,8 @@ object GraphAnn {
   private[graft] def walkCandCounts(s: SparkSession, d: String): DataFrame = {
     val b = base(s, d)
     val q = queryFrame(b)
-    val edges = s.read.parquet(ensureGraphIndex(s, d).resolve("edges").toString)
-    walkCands(b, q, edges, 2).groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+    walkCands(b, q, stagedEdges(s, d), 2)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
   }
 
   /** [[PqFetch]], exposed for the pruning-is-real spec assertion. */

@@ -107,8 +107,16 @@ object Hybrid {
       Knn.bruteScored(s, d).filter(col("q_id") === QueryDoc), ArmK, Seq.empty)
       .select(col("vec_id").as("doc_id"), col("rank").as("dense_rank"))
 
-  private[graft] def s15(s: SparkSession, d: String): DataFrame = {
-    val fused = lexArm(s, d).join(denseArm(s, d), Seq("doc_id"), "full_outer")
+  private[graft] def s15(s: SparkSession, d: String): DataFrame =
+    s15From(lexArm(s, d), s, d)
+
+  /** [[s15]] over a PREBUILT lexical arm — s21/s25 run the brute
+    * hybrid truth AND the composed s19 pipeline in one plan, and both
+    * contain the identical lexArm subtree; passing one materialized
+    * arm to both sides runs the lexical pipeline once per query
+    * instead of twice (r20, guide §2.4). */
+  private[sim] def s15From(lex: DataFrame, s: SparkSession, d: String): DataFrame = {
+    val fused = lex.join(denseArm(s, d), Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
         (coalesce(expr(s"1000000 div ($RrfC + lex_rank)"), lit(0L)) +
           coalesce(expr(s"1000000 div ($RrfC + dense_rank)"), lit(0L)))

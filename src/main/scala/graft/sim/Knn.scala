@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.{QFn, Tables}
 import graft.functions.VectorFunctions
 import graft.plans.TopK
+import graft.operators.Spread._
 
 /** Similarity search s1–s3 (SURVEY.md §2) over `embeddings`.
   *
@@ -90,7 +91,7 @@ object Knn {
     val e = Tables.embeddings(s, d)
       // corpus norms once per vector; spread the scan before the
       // per-candidate dot loop
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
       .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
       // zero-norm guard BEFORE the cosine division: under ANSI mode
       // (Spark 4 default) 0/0 THROWS rather than scoring NaN, so a
@@ -134,7 +135,7 @@ object Knn {
     */
   private def s2(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
       .withColumn("bucket",
         VectorFunctions.signBucket("embedding", VectorFunctions.sessionSignDims(s)))
       .withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
@@ -219,7 +220,7 @@ object Knn {
 
   private def s3(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     assign(e, centroidArrays(e), Seq.empty)
       .select(col("vec_id"), col("label"), col("cell").as("assigned_cell"), col("dist"))
       .sortWithinPartitions(col("vec_id"))
@@ -278,7 +279,7 @@ object Knn {
     */
   private def s26(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     val cents = centroidArrays(e)
     val assigned = assign(e, cents, Seq.empty)
     val stats = assigned.groupBy(col("cell"))
@@ -342,7 +343,7 @@ object Knn {
   private def ivfScored(s: SparkSession, d: String,
       corpusPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     val centArr = centroidArrays(e)
     val eCorp = corpusPred.fold(e)(p => e.filter(p))
     val corpus = assign(eCorp.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
@@ -663,7 +664,7 @@ object Knn {
     */
   private def s24(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     val centArr = centroidArrays(e)
     val corpus = assign(e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
         .filter(col("norm_e") > 0), centArr, Seq("embedding", "norm_e"))
@@ -790,7 +791,7 @@ object Knn {
     */
   private def s7(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     val stats = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy(col("i"))
       .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
@@ -918,7 +919,7 @@ object Knn {
     * projection (st21's streaming admission path). */
   private[graft] def indexCentroids(s: SparkSession, d: String): Array[(Long, Array[Double])] =
     collectCent(kmeansSeeds(Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)))
+      .spreadToCores))
 
   /** One Lloyd round over the persisted primitive-array corpus: a
     * single shuffle-free `RDD.aggregate` whose accumulator is the
@@ -1091,7 +1092,7 @@ object Knn {
     */
   private def s8(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     val (assigned, _, _) = lloyd(e)
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
@@ -1176,7 +1177,7 @@ object Knn {
   def s8Diag(s: SparkSession, d: String): Map[String, Long] = {
     val m = scala.collection.mutable.Map.empty[String, Long]
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     val (assigned, _, _) = lloyd(e, Some(m))
     m("s8_cells") = assigned.select(col("cell")).distinct().count()
     m.toMap
@@ -1189,7 +1190,7 @@ object Knn {
   private[graft] def learnedProbeRecall(s: SparkSession, d: String,
       nprobe: Int = 2): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     val (_, centArr, _) = lloyd(e)
     val corpus = assign(
       e.withColumn("norm_e", sqrt(VectorFunctions.dot("embedding", "embedding")))
@@ -1271,7 +1272,18 @@ object Knn {
       .groupBy(col("sub"), col("cell"))
       .agg(array_sort(collect_list(struct(col("j"), col("c")))).as("jc"))
       .select(col("sub"), col("cell"), expr("transform(jc, t -> t.c)").as("carr"))
+    // r20 (guide §2.4): the 8×16-row codebooks are MATERIALIZED once
+    // (localCheckpoint — the propagateMinLabels discipline). Lazily,
+    // `c1` (seeds + one Lloyd round, each a full corpus pass) was
+    // re-planned under BOTH its consumers (codes and lut) and `seeds`
+    // twice more inside c1 — the final plan executed duplicated
+    // corpus-wide subvector passes for two passes of real work
+    // (profiled at sf0.1/32c: s9 54 summed task-seconds for a 4.0 s
+    // wall, s10 77, s34 72 — the 16-way cell expansion made each
+    // duplicated pass the PQ family's task-time dominator). Both
+    // tables are 128 rows at ANY corpus size.
     val seeds = nanoMeans(subv.withColumn("cell", col("vec_id") % 16))
+      .localCheckpoint()
     // r19: the native codegen'd FloatDoubleL2Sq — the same sequential
     // fold (bit-identical result, its scaladoc's contract) as the
     // interpreted aggregate(zip_with(...)) lambda it replaces. The old
@@ -1296,6 +1308,7 @@ object Knn {
     val c1 = seeds.withColumnRenamed("carr", "p_carr")
       .join(m1.withColumnRenamed("carr", "n_carr"), Seq("sub", "cell"), "left")
       .select(col("sub"), col("cell"), coalesce(col("n_carr"), col("p_carr")).as("carr"))
+      .localCheckpoint()
     val codes = assignSub(c1).select(col("vec_id"), col("sub"), col("cell").as("code"))
     // ADC lookup table: per (query, sub, cell) partial dot, exact nanos
     val lut = subv.filter(col("vec_id") < 5)
@@ -1324,7 +1337,7 @@ object Knn {
 
   private def s9(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     val (codes, lut) = pqParts(e)
     val adc = codes
       .join(broadcast(lut), codes("sub") === lut("sub") && col("code") === lut("cell"))
@@ -1363,7 +1376,7 @@ object Knn {
     */
   private def s10(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     val centArr = centroidArrays(e)
     // the cell index: vec_id → assigned cell (no embedding payload —
     // the ADC path reads CODES, never the float corpus)
@@ -1564,7 +1577,7 @@ object Knn {
       java.nio.file.Files.exists(dir.resolve("lists"))
     if (!fresh) {
       val e = Tables.embeddings(s, d)
-        .repartition(s.sessionState.conf.numShufflePartitions)
+        .spreadToCores
       val centArr = centroidArrays(e)
       // ADVICE r18: both artifacts stage via write-to-temp + rename
       // (the r13 dedup-manifest discipline) — an in-place overwrite
@@ -1712,7 +1725,7 @@ object Knn {
     * staging, no segments. Incremental must equal this exactly. */
   private[graft] def s17FromScratch(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     val centArr = centroidArrays(e)
     val batch = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"),
@@ -1807,7 +1820,7 @@ object Knn {
     */
   private def s18(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
     val (assigned, centroids, _) = lloyd(e)
     // learned cell count = the TRAINED centroid count — metadata lloyd
     // already holds (a k-row LocalRelation; counting it runs no corpus

@@ -44,10 +44,15 @@ import graft.QFn
   */
 object Rag {
 
-  private[sim] def s19(s: SparkSession, d: String): DataFrame = {
+  private[sim] def s19(s: SparkSession, d: String): DataFrame =
+    s19From(Hybrid.lexArm(s, d), s, d)
+
+  /** [[s19]] over a PREBUILT lexical arm (see [[Hybrid.s15From]] —
+    * s21/s25 share one materialized arm between truth and candidate
+    * pipelines; r20, guide §2.4). */
+  private[sim] def s19From(lex: DataFrame, s: SparkSession, d: String): DataFrame = {
     val q = Hybrid.QueryDoc
     // stage 1: hybrid doc ranking (lex = s15's arm, dense = s11's probe)
-    val lex = Hybrid.lexArm(s, d)
     val dense = Knn.s11(s, d).filter(col("q_id") === q)
       .select(col("vec_id").as("doc_id"), col("rank").as("dense_rank"))
     val fused = lex.join(dense, Seq("doc_id"), "full_outer")
@@ -153,8 +158,11 @@ object Rag {
     * hash match.
     */
   private[sim] def s21(s: SparkSession, d: String): DataFrame = {
-    val tru = Hybrid.s15(s, d).select(col("doc_id"))
-    val ann = s19(s, d).select(col("doc_id")).withColumn("hit", lit(1L))
+    // r20 (guide §2.4): both pipelines contain the identical lexArm
+    // subtree — materialize it once (≤ ArmK = 20 rows) and feed both.
+    val lex = Hybrid.lexArm(s, d).localCheckpoint()
+    val tru = Hybrid.s15From(lex, s, d).select(col("doc_id"))
+    val ann = s19From(lex, s, d).select(col("doc_id")).withColumn("hit", lit(1L))
     tru.join(ann, Seq("doc_id"), "left")
       .agg(count(lit(1)).as("n_true"),
         sum(coalesce(col("hit"), lit(0L))).as("n_found"))
@@ -235,8 +243,18 @@ object Rag {
     */
   private[sim] def s25(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tru = Hybrid.s15(s, d).select(col("doc_id"))
-    val cand = rankOf(s19(s, d).select(col("doc_id"), col("rrf_milli")))
+    // r20 (guide §2.4): tru and cand are ≤10-row fusions of the two
+    // full retrieval pipelines (brute hybrid; composed staged-index
+    // DAG). Lazily, tru was re-planned under THREE consumers (truCnt's
+    // two uses + the hits semi-join) and cand under two — the plan ran
+    // both pipelines multiple times and weighed 3,774 formatted lines
+    // (the suite's largest). One localCheckpoint each (10 rows) runs
+    // each pipeline exactly once; every metric reads the materialized
+    // rows.
+    val lex = Hybrid.lexArm(s, d).localCheckpoint()
+    val tru = Hybrid.s15From(lex, s, d).select(col("doc_id")).localCheckpoint()
+    val cand = rankOf(s19From(lex, s, d).select(col("doc_id"), col("rrf_milli")))
+      .localCheckpoint()
     // 1/log2(r+1) discounts for ranks 1..10 in integer micro-units,
     // via the shared shift-and-square log (fold form == unrolled
     // chain, PropertySpec-pinned)

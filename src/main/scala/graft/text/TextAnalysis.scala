@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QFn, Tables}
 import graft.operators.Salted
+import graft.operators.Spread._
 
 /** Text-analysis operators t1–t6 (SURVEY.md §2) over `documents`:
   * token counting, quality scoring, language-ID heuristic, content
@@ -969,7 +970,11 @@ object TextAnalysis {
     val maxRow = docs.agg(max(col("doc_id"))).head()
     val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val packBucket = derivePackBucket(maxId)
+    // r20 (guide §2.4): base feeds the per-split bucket sums AND the
+    // offset join-back — lazily the whole curation chain (url verdict,
+    // keep verdict, sampling hash) executed twice per run
     val base = sampled.withColumn("pbucket", expr(s"doc_id div $packBucket"))
+      .localCheckpoint()
     val bsums = base.groupBy(col("split"), col("pbucket")).agg(sum(col("n_tokens")).as("btok"))
     // per-split bucket offsets via the fully-partitioned three-level
     // scheme (r11 verdict #4) — the old per-split window put a whole
@@ -1775,7 +1780,7 @@ object TextAnalysis {
       // r19: spread before the per-row BPE replace chain (the
       // simhashVotesOf/shingles idiom — one scan partition otherwise
       // serializes the fold on one core)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
       .select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens_ws"),
         regexp_count(col("text"), lit(BpeishPattern)).cast("long").as("n_tokens_bpeish"),
@@ -1863,9 +1868,12 @@ object TextAnalysis {
     val bucket = derivePackBucket(maxId)
     val base = docs
       // r19: spread before the per-row BPE replace chain (see t20)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .spreadToCores
       .select(col("doc_id"), learnedCount(merges).as("n_tokens_learned"))
       .withColumn("pbucket", expr(s"doc_id div $bucket"))
+      // r20 (guide §2.4): base feeds the bucket sums AND the offset
+      // join-back — the 16-step BPE replace fold ran twice per run
+      .localCheckpoint()
     val boffsets = graft.operators.PrefixOffsets.bucketOffsets(
       base.groupBy(col("pbucket")).agg(sum(col("n_tokens_learned")).as("btok")),
       Nil, "btok",
@@ -2113,10 +2121,21 @@ object TextAnalysis {
     * conservative, and the CASE spells identically in both engines.
     */
   private def t23(s: SparkSession, d: String): DataFrame = {
+    // r20 (guide §2.4): `scored` is the whole bigram-LM pipeline
+    // (token explode → reference bigram/unigram counts → 10-step
+    // shift-square log → per-doc mean) collapsed to doc-level
+    // metadata; it feeds the histogram subtree AND the final verdict
+    // join, and `hist` feeds both the cumulative and the per-lang
+    // totals. Lazily the LM chain executed up to 3× per run. Two
+    // localCheckpoints — one corpus-rows-of-metadata, one
+    // value-domain-bounded (≈15k distinct ppl values × 5 langs) —
+    // run it once.
     val scored = pplPerDoc(s, d)
       .select(col("doc_id"), col("lang"), expr("tot div n_pairs").as("ppl_milli"))
+      .localCheckpoint()
     val hist = scored.filter(col("ppl_milli").isNotNull)
       .groupBy(col("lang"), col("ppl_milli")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val wlang = Window.partitionBy(col("lang")).orderBy(col("ppl_milli"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = hist.withColumn("cum", sum(col("c")).over(wlang))

@@ -81,7 +81,11 @@ class BenchHistorySpec extends AnyFunSuite {
     // re-admit their readings to re-bases
     val flagged = nodes.filter(_.path("contended_run").asBoolean(false))
       .map(_.path("ts").asLong).toSet
-    assert(Set(1786877276L, 1786897551L).subsetOf(flagged),
-      s"the r18 contaminated lines must remain flagged; found $flagged")
+    // 1787113283 is the r19 closing sweep retro-adjudicated in r20 as
+    // host-FLATTERED (VERDICT r19 what's-wrong #4): untouched queries
+    // 3-5x faster than both adjacent same-code runs at near-identical
+    // calib — its per-query values must stay out of re-bases/ratchets
+    assert(Set(1786877276L, 1786897551L, 1787113283L).subsetOf(flagged),
+      s"the adjudicated non-clean lines must remain flagged; found $flagged")
   }
 }

@@ -95,12 +95,16 @@ class PlanShapeSpec extends SparkSpec {
 
   test("s29 serves from the staged index segments, never nested-loops") {
     // the incremental walk must READ the persisted base + delta edge
-    // segments (visible as parquet scan locations in the plan), not
-    // recompute the graph inline, and every join in the walk is an
-    // equi-join on ids
+    // segments, not recompute the graph inline. r20: the walk's hop
+    // frontiers are materialized eagerly (localCheckpoint), so the
+    // staged-segment scans live in the maintained-edges relation the
+    // hop jobs consume — pin them there; the final rerank plan keeps
+    // the no-nested-loop contract.
+    val ep = sim.GraphAnn.incrementalEdges(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ep.contains("graft_graphindex_"), "base edge segment not scanned:\n" + ep)
+    assert(ep.contains("graft_graphdelta_"), "delta segment not scanned:\n" + ep)
     val p = plan("s29_graph_incremental")
-    assert(p.contains("graft_graphindex_"), "base edge segment not scanned:\n" + p)
-    assert(p.contains("graft_graphdelta_"), "delta segment not scanned:\n" + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
@@ -111,8 +115,12 @@ class PlanShapeSpec extends SparkSpec {
     // pass must never nested-loop), and every ranking — seeds, ADC
     // beam, final re-rank — runs through bounded TopKPerKey heaps,
     // not a candidate-sized window sort
+    // r20: the frontier materialization moved the staged-edges scan
+    // into the hop jobs — pin the segment read on the edges relation
+    val ep = sim.GraphAnn.stagedEdges(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ep.contains("graft_graphindex_"), "staged edge segment not scanned:\n" + ep)
     val p = plan("s33_graph_pq")
-    assert(p.contains("graft_graphindex_"), "staged edge segment not scanned:\n" + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert("TopKPerKey".r.findAllIn(p).size >= 2,
       "bounded heap stages missing from the ADC/rerank path:\n" + p)
